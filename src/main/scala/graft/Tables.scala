@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated parquet testdata (TESTDATA.md).
+  *
+  * All query entry points take `(spark, sfDir)` and read tables lazily so
+  * Catalyst sees the parquet scan directly — filters and column pruning
+  * push down to the scan (verified via `.explain("formatted")`:
+  * `PushedFilters` / `ReadSchema`).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    // rejects by default; read nanos as long and truncate to microseconds
+    // (exactly what DuckDB's ns→µs conversion does, keeping oracle parity).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+    else df
+  }
+}

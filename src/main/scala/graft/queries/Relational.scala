@@ -1,0 +1,394 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** One registered query: the Spark program plus (when SQL-expressible) the
+  * equivalent DuckDB oracle SQL run by the driver on the same parquet
+  * tables. Column names/aliases MUST match between the two — the driver
+  * sorts columns by name before hashing.
+  */
+final case class RegQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Relational operator surface (SURVEY.md §2.2/§2.3): scans, filters,
+  * projections, every join shape, hash/rollup/cube aggregation, distinct,
+  * windows (ranking/analytic/frames), sort/limit/top-k, set ops,
+  * string/date/math/array/JSON functions, pivot, as-of join.
+  *
+  * Scale notes (100 TB mindset):
+  *  - dims (region/nation/customer at bench SF) join via `broadcast` hints;
+  *  - fact-fact joins shuffle on their equi-keys and rely on AQE;
+  *  - aggregations are plain `groupBy` → Catalyst runs partial+final
+  *    HashAggregate with map-side combine;
+  *  - every query's filter/projection is expressed on the raw scan so
+  *    parquet pushdown + column pruning apply.
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  private def ts(lit0: String): Column = to_timestamp(lit(lit0))
+
+  val registry: Seq[RegQuery] = Seq(
+
+    // ---- scan / filter / project / sort -------------------------------
+    RegQuery("q01_scan_filter_sort",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- hash aggregation (partial+final) -----------------------------
+    RegQuery("q02_agg_hash",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+             round(sum("l_quantity"), 2).as("sum_qty"),
+             round(avg("l_extendedprice"), 2).as("avg_price"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             |round(sum(l_quantity),2) AS sum_qty,
+             |round(avg(l_extendedprice),2) AS avg_price
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- inner equi-join (sort-merge / shuffled-hash at scale) --------
+    RegQuery("q03_join_inner",
+      (s, d) => t(s, d, "orders").filter(col("o_totalprice") > 400000)
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, c_name FROM orders JOIN customer
+             |ON o_custkey = c_custkey WHERE o_totalprice > 400000
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- broadcast + multi-join chain ---------------------------------
+    RegQuery("q04_join_broadcast",
+      (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("cnt"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, count(*) AS cnt FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ---- left outer join + null-safe count ----------------------------
+    RegQuery("q05_join_left",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("cnt"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, count(o_orderkey) AS cnt FROM customer
+             |LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    // ---- left semi join (EXISTS) --------------------------------------
+    RegQuery("q06_join_semi",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 300000),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer WHERE EXISTS
+             |(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- left anti join (NOT EXISTS) ----------------------------------
+    RegQuery("q07_join_anti",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 450000),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer WHERE NOT EXISTS
+             |(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- distinct / count-distinct ------------------------------------
+    RegQuery("q08_count_distinct",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ts("1998-01-01 00:00:00"))
+        .agg(countDistinct(col("l_suppkey")).as("ds"),
+             countDistinct(col("l_partkey")).as("dp")),
+      Some("""SELECT count(DISTINCT l_suppkey) AS ds, count(DISTINCT l_partkey) AS dp
+             |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'""".stripMargin)),
+
+    // ---- rollup + grouping --------------------------------------------
+    RegQuery("q09_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast("int").as("g1"),
+             grouping(col("l_linestatus")).cast("int").as("g2"),
+             count(lit(1)).as("cnt"))
+        .orderBy(col("g1"), col("g2"),
+                 col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(GROUPING(l_returnflag) AS INTEGER) AS g1,
+             |CAST(GROUPING(l_linestatus) AS INTEGER) AS g2, count(*) AS cnt
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // ---- ranking window: top-k per group ------------------------------
+    RegQuery("q10_window_rank",
+      (s, d) => t(s, d, "orders")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn"),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+             |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // ---- analytic window + running frame ------------------------------
+    RegQuery("q11_window_frame",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        t(s, d, "orders")
+          .withColumn("run_sum", round(
+            sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+          .withColumn("prev", lag(col("o_orderkey"), 1).over(w))
+          .select("o_orderkey", "run_sum", "prev")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |round(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             |  ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS run_sum,
+             |LAG(o_orderkey) OVER (PARTITION BY o_custkey
+             |  ORDER BY o_orderdate, o_orderkey) AS prev
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- set operations ------------------------------------------------
+    RegQuery("q12_set_ops",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .except(t(s, d, "nation").filter(col("n_regionkey") === 0)
+          .select(col("n_nationkey").as("k")))
+        .orderBy("k"),
+      Some("""SELECT k FROM (
+             |(SELECT c_nationkey AS k FROM customer
+             | INTERSECT SELECT s_nationkey FROM supplier)
+             |EXCEPT SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+             |ORDER BY k""".stripMargin)),
+
+    // ---- union all + dedup-by-agg -------------------------------------
+    RegQuery("q13_union_agg",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .unionAll(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .orderBy("k"),
+      Some("""SELECT k, count(*) AS c FROM
+             |(SELECT c_nationkey AS k FROM customer
+             | UNION ALL SELECT s_nationkey AS k FROM supplier)
+             |GROUP BY k ORDER BY k""".stripMargin)),
+
+    // ---- string functions ---------------------------------------------
+    RegQuery("q14_string_fns",
+      (s, d) => t(s, d, "customer")
+        .filter(col("c_name").like("%001%"))
+        .select(col("c_custkey"),
+                upper(substring(col("c_name"), 1, 8)).as("u"),
+                length(col("c_mktsegment")).as("seglen"),
+                regexp_extract(col("c_name"), "([0-9]+)$", 1).as("digits"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, UPPER(SUBSTR(c_name,1,8)) AS u,
+             |CAST(LENGTH(c_mktsegment) AS INTEGER) AS seglen,
+             |REGEXP_EXTRACT(c_name, '([0-9]+)$', 1) AS digits
+             |FROM customer WHERE c_name LIKE '%001%' ORDER BY c_custkey""".stripMargin)),
+
+    // ---- date/time functions ------------------------------------------
+    RegQuery("q15_date_fns",
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderdate").between(ts("1995-01-01 00:00:00"), ts("1995-03-31 00:00:00")))
+        .select(col("o_orderkey"),
+                year(col("o_orderdate")).as("y"),
+                quarter(col("o_orderdate")).as("q"),
+                date_format(date_add(col("o_orderdate").cast("date"), 90), "yyyy-MM-dd").as("due"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS y,
+             |CAST(quarter(o_orderdate) AS INTEGER) AS q,
+             |strftime(CAST(o_orderdate AS DATE) + 90, '%Y-%m-%d') AS due
+             |FROM orders
+             |WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-03-31'
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- math functions + CASE ----------------------------------------
+    RegQuery("q16_math_case",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") < ts("1995-06-01 00:00:00"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+                // round() differs between engines on ties (Spark rounds the
+                // shortest-decimal repr HALF_UP; DuckDB rounds the binary
+                // double) — floor(x*100+0.5)/100 is bit-identical in both.
+                (floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                      * (lit(1) + col("l_tax")) * 100 + 0.5) / 100).as("charge"),
+                when(col("l_discount") > 0.05, "HI").otherwise("LO").as("band"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100 AS charge,
+             |CASE WHEN l_discount > 0.05 THEN 'HI' ELSE 'LO' END AS band
+             |FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- theta / range join (broadcast NLJ on the filtered sides) -----
+    RegQuery("q17_range_join",
+      (s, d) => t(s, d, "part").filter(col("p_partkey") <= 200)
+        .join(t(s, d, "supplier"),
+              col("p_retailprice").between(col("s_acctbal"),
+                                           col("s_acctbal") + 100))
+        .select("p_partkey", "s_suppkey")
+        .orderBy("p_partkey", "s_suppkey"),
+      Some("""SELECT p_partkey, s_suppkey FROM part JOIN supplier
+             |ON p_retailprice BETWEEN s_acctbal AND s_acctbal + 100
+             |WHERE p_partkey <= 200
+             |ORDER BY p_partkey, s_suppkey""".stripMargin)),
+
+    // ---- correlated scalar subquery (decorrelated to a join) ----------
+    RegQuery("q18_corr_subquery",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val navg = c.groupBy(col("c_nationkey").as("nk"))
+          .agg(avg("c_acctbal").as("nation_avg"))
+        c.join(broadcast(navg), col("c_nationkey") === col("nk"))
+          .filter(col("c_acctbal") > col("nation_avg"))
+          .select("c_custkey")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer c WHERE c_acctbal >
+             |(SELECT AVG(c2.c_acctbal) FROM customer c2
+             | WHERE c2.c_nationkey = c.c_nationkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- tumbling time-window agg (batch equivalent of streaming) -----
+    RegQuery("q19_window_tumbling",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("ws"),
+                col("event_type"), col("cnt"))
+        .orderBy("ws", "event_type"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS ws,
+             |event_type, count(*) AS cnt FROM events
+             |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
+
+    // ---- dedup then agg (batch equivalent of streaming dedup) ---------
+    RegQuery("q20_dedup_agg",
+      (s, d) => t(s, d, "events")
+        .select("event_id", "event_type").dropDuplicates("event_id", "event_type")
+        .groupBy("event_type").agg(count(lit(1)).as("c"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS c FROM
+             |(SELECT DISTINCT event_id, event_type FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- cube ----------------------------------------------------------
+    RegQuery("q21_cube",
+      (s, d) => t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast("int").as("g1"),
+             grouping(col("l_linestatus")).cast("int").as("g2"),
+             count(lit(1)).as("cnt"),
+             round(sum("l_quantity"), 2).as("sq"))
+        .orderBy(col("g1"), col("g2"),
+                 col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(GROUPING(l_returnflag) AS INTEGER) AS g1,
+             |CAST(GROUPING(l_linestatus) AS INTEGER) AS g2,
+             |count(*) AS cnt, round(sum(l_quantity),2) AS sq
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // ---- JSON functions ------------------------------------------------
+    RegQuery("q22_json_fns",
+      (s, d) => t(s, d, "events")
+        .filter(col("event_type") === "click")
+        .select(col("event_id"),
+                get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+             |FROM events WHERE event_type = 'click' ORDER BY event_id""".stripMargin)),
+
+    // ---- array functions ----------------------------------------------
+    RegQuery("q23_array_fns",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+                size(split(col("text"), " ")).as("n_tok"),
+                size(array_distinct(split(col("text"), " "))).as("n_uniq"),
+                array_contains(split(col("text"), " "), "spark").as("has_spark"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+             |CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq,
+             |list_contains(string_split(text, ' '), 'spark') AS has_spark
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- as-of join (event-time: latest 'view' at-or-before each click)
+    RegQuery("q24_asof_join",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        t(s, d, "events")
+          .withColumn("last_view",
+            last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "click")
+          .select("event_id", "last_view")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, last_view FROM (
+             |  SELECT event_id, event_type,
+             |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view
+             |  FROM events)
+             |WHERE event_type = 'click' ORDER BY event_id""".stripMargin)),
+
+    // ---- cross join ----------------------------------------------------
+    RegQuery("q25_cross_join",
+      (s, d) => {
+        val r1 = t(s, d, "region").select(col("r_name").as("a"))
+        val r2 = t(s, d, "region").select(col("r_name").as("b"))
+        r1.crossJoin(r2).orderBy("a", "b")
+      },
+      Some("""SELECT r1.r_name AS a, r2.r_name AS b
+             |FROM region r1 CROSS JOIN region r2 ORDER BY a, b""".stripMargin)),
+
+    // ---- pivot ---------------------------------------------------------
+    RegQuery("q26_pivot",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |count(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+             |count(*) FILTER (WHERE l_linestatus = 'O') AS "O"
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- global top-k (TakeOrderedAndProject) -------------------------
+    RegQuery("q27_topk_global",
+      (s, d) => t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             |LIMIT 100""".stripMargin))
+  )
+}
