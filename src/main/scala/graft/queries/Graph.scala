@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.graph.{GraphView, Traversal}
+import graft.model.Value
+
+/** Graph-operator surface (SURVEY.md §2.1 #1-#13, §2.3 G1-G4) on the
+  * long-form nodes_attrs view (GraphView) derived from the relational
+  * testdata, so every query stays DuckDB-oracle-checkable.
+  *
+  * Reference semantics covered here:
+  *  - point lookup / get             (FileStore.fs:281-298)      g01
+  *  - filter-exists as semi-join     (FileStore.fs:94-101)       g02
+  *  - follow (1-hop / bounded any)   (FileStore.fs:166-220)      g03,g04
+  *  - fields/clude projection        (FileStore.fs:103-138)      g05
+  *  - skip/limit paging              (FileStore.fs:271-278)      g06
+  *  - temporal current-view          (Printers.cs:144-152)       g07
+  *  - put-merge dedup                (NodeAttrIndex.cs:183-232)  g08
+  *  - remove (anti-join)             (MemoryStore.fs:18-22)      g09
+  */
+object Graph {
+
+  val registry: Seq[RegQuery] = Seq(
+
+    // ---- g01: point get + projection (ref #2, #6) ----------------------
+    RegQuery("g01_point_get",
+      (s, d) => GraphView.nodesAttrs(s, d)
+        .where(col("id") === "customer/1")
+        .select(col("id"), col("key").as("attr_key"),
+          col("value.str").as("value_str"),
+          col("value.num").as("value_num"),
+          col("value.iri").as("value_iri"))
+        .orderBy("attr_key"),
+      Some("""SELECT * FROM (
+             |SELECT 'customer/1' AS id, 'acctbal' AS attr_key,
+             |  CAST(NULL AS VARCHAR) AS value_str, c_acctbal AS value_num,
+             |  CAST(NULL AS VARCHAR) AS value_iri
+             |  FROM customer WHERE c_custkey = 1
+             |UNION ALL
+             |SELECT 'customer/1', 'name', c_name, NULL, NULL
+             |  FROM customer WHERE c_custkey = 1
+             |UNION ALL
+             |SELECT 'customer/1', 'nation', NULL, NULL, 'nation/' || c_nationkey
+             |  FROM customer WHERE c_custkey = 1
+             |) ORDER BY attr_key""".stripMargin)),
+
+    // ---- g02: filter == on attribute value (ref #5, semi-join form) ----
+    RegQuery("g02_filter_exists",
+      (s, d) => GraphView.nodesAttrs(s, d)
+        .where(col("key") === "nation" &&
+               col("value.vtype") === Value.NODEID &&
+               col("value.iri") === "nation/1")
+        .select("id").distinct()
+        .orderBy("id"),
+      Some("""SELECT 'customer/' || c_custkey AS id FROM customer
+             |WHERE c_nationkey = 1 ORDER BY id""".stripMargin)),
+
+    // ---- g03: 1-hop labeled follow (ref #9) -----------------------------
+    RegQuery("g03_follow_1hop",
+      (s, d) => {
+        import s.implicits._
+        Traversal.follow(s, GraphView.edges(s, d),
+            Seq("customer/1").toDF("id"), Some("nation"), 0, 1)
+          .select("id").orderBy("id")
+      },
+      Some("""SELECT id FROM (
+             |SELECT 'customer/1' AS id
+             |UNION SELECT 'nation/' || c_nationkey FROM customer WHERE c_custkey = 1
+             |) ORDER BY id""".stripMargin)),
+
+    // ---- g04: bounded follow-any with visited dedup (ref #9, Tests.fs:882-900)
+    RegQuery("g04_follow_bounded",
+      (s, d) => {
+        import s.implicits._
+        Traversal.follow(s, GraphView.edges(s, d),
+            Seq("customer/1").toDF("id"), None, 0, 2)
+          .select("id").orderBy("id")
+      },
+      Some("""SELECT id FROM (
+             |SELECT 'customer/1' AS id
+             |UNION SELECT 'nation/' || c_nationkey FROM customer WHERE c_custkey = 1
+             |UNION SELECT 'region/' || n_regionkey FROM nation
+             |  JOIN customer ON n_nationkey = c_nationkey WHERE c_custkey = 1
+             |) ORDER BY id""".stripMargin)),
+
+    // ---- g05: fields/clude projection — include edges only (ref #6, `^`)
+    RegQuery("g05_fields_edges",
+      (s, d) => GraphView.nodesAttrs(s, d)
+        .where(col("id") === "customer/1" &&
+               col("value.vtype") === Value.NODEID)
+        .select(col("id"), col("key").as("attr_key"),
+          col("value.iri").as("value_iri"))
+        .orderBy("attr_key"),
+      Some("""SELECT 'customer/1' AS id, 'nation' AS attr_key,
+             |'nation/' || c_nationkey AS value_iri
+             |FROM customer WHERE c_custkey = 1""".stripMargin)),
+
+    // ---- g06: deterministic paging (ref #7, #8; SURVEY §7.3 risk 2) ----
+    RegQuery("g06_paging",
+      (s, d) => GraphView.nodesAttrs(s, d)
+        .select("id").distinct()
+        .orderBy("id")
+        .offset(5).limit(10),
+      Some("""SELECT DISTINCT id FROM (
+             |SELECT 'customer/' || c_custkey AS id FROM customer
+             |UNION ALL SELECT 'nation/' || n_nationkey FROM nation
+             |UNION ALL SELECT 'region/' || r_regionkey FROM region
+             |UNION ALL SELECT 'orders/' || o_orderkey FROM orders
+             |) ORDER BY id LIMIT 10 OFFSET 5""".stripMargin)),
+
+    // ---- g07: temporal current-view = latest value per (id,key) (ref #18)
+    RegQuery("g07_temporal_current",
+      (s, d) => {
+        val versioned = Tables(s, d, "orders").select(
+          concat(lit("customer/"), col("o_custkey")).as("id"),
+          lit("last_total").as("key"),
+          col("o_totalprice").as("num"),
+          unix_timestamp(col("o_orderdate")).as("ts"))
+        val w = Window.partitionBy("id", "key")
+          .orderBy(col("ts").desc, col("num").desc)
+        versioned.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("id"), col("num").as("latest_total"))
+          .orderBy("id")
+      },
+      Some("""SELECT id, latest_total FROM (
+             |SELECT 'customer/' || o_custkey AS id, o_totalprice AS latest_total,
+             |ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |  ORDER BY o_orderdate DESC, o_totalprice DESC) AS rn
+             |FROM orders) WHERE rn = 1 ORDER BY id""".stripMargin)),
+
+    // ---- g08: put-merge dedup — repeated writes collapse, first-write ts
+    // wins (ref #1, #11: NodeAttrIndex.cs Distinct + FileStore.fs:82-89) --
+    RegQuery("g08_merge_dedup",
+      (s, d) => {
+        val a = GraphView.nodesAttrs(s, d)
+        val rewritten = a.withColumn("ts", col("ts") + 1000L) // same attrs, later ts
+        a.unionAll(rewritten)
+          .groupBy("graph", "id", "key", "value").agg(min("ts").as("ts"))
+          .groupBy(col("key").as("attr_key"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("attr_key")
+      },
+      Some("""SELECT attr_key, cnt FROM (
+             |SELECT 'acctbal' AS attr_key, (SELECT count(*) FROM customer) AS cnt
+             |UNION ALL SELECT 'customer', (SELECT count(*) FROM orders)
+             |UNION ALL SELECT 'name', (SELECT count(*) FROM customer)
+             |  + (SELECT count(*) FROM nation) + (SELECT count(*) FROM region)
+             |UNION ALL SELECT 'nation', (SELECT count(*) FROM customer)
+             |UNION ALL SELECT 'region', (SELECT count(*) FROM nation)
+             |UNION ALL SELECT 'totalprice', (SELECT count(*) FROM orders)
+             |) ORDER BY attr_key""".stripMargin)),
+
+    // ---- g09: remove nodes by id (ref #12: anti-join) -------------------
+    RegQuery("g09_remove",
+      (s, d) => {
+        val attrs = GraphView.nodesAttrs(s, d)
+        val toRemove = attrs.where(col("id").startsWith("nation/"))
+          .select("id").distinct()
+        attrs.join(toRemove, Seq("id"), "left_anti")
+          .withColumn("kind", split(col("id"), "/").getItem(0))
+          .groupBy("kind").agg(countDistinct(col("id")).as("cnt"))
+          .orderBy("kind")
+      },
+      Some("""SELECT kind, cnt FROM (
+             |SELECT 'customer' AS kind, count(*) AS cnt FROM customer
+             |UNION ALL SELECT 'orders', count(*) FROM orders
+             |UNION ALL SELECT 'region', count(*) FROM region
+             |) ORDER BY kind""".stripMargin))
+  )
+}
