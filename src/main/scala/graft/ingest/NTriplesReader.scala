@@ -1,0 +1,83 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** RDF N-Triples source (reference: grammar src/cli-grammer/
+  * NTRIPLES.g4:5-29; triple→node mapping src/server/
+  * ContextExtensions.cs:50-119):
+  *
+  *  - `<s> <p> <o> .` with IRI object → edge (nodeid value);
+  *  - plain literal → string value;
+  *  - `"lit"^^<type>` → value with metadata = nodeid(type IRI);
+  *  - `"lit"@lang` → value with metadata = str("lang:@xx");
+  *  - `_:b` blank nodes → ids under `_:`.
+  *
+  * Line-oriented ⇒ splittable: `spark.read.textFile` parallelizes by
+  * HDFS block, so a 100 TB .nt corpus fans out across the cluster
+  * (unlike the reference's single-reader 81920-byte chunk loop,
+  * WatService.cs:241-300 — Spark's split-per-block subsumes it).
+  */
+object NTriplesReader {
+
+  def read(spark: SparkSession, path: String, graph: String = ""): Dataset[AttrRow] = {
+    import spark.implicits._
+    spark.read.textFile(path).flatMap(line => parseLine(line, graph))
+  }
+
+  private val Iri = """<([^>]*)>""".r
+
+  /** Parse one N-Triples line (returns empty for comments/blanks). */
+  def parseLine(line0: String, graph: String = ""): Option[AttrRow] = {
+    val line = line0.trim
+    if (line.isEmpty || line.startsWith("#")) return None
+
+    // subject: IRI or blank node
+    val (subj, rest1) = takeTerm(line)
+    val (pred, rest2) = takeTerm(rest1)
+    val objPart = rest2.trim.stripSuffix(".").trim
+    val subjIri = termId(subj)
+    val predIri = termId(pred)
+
+    val value2 =
+      if (objPart.startsWith("<") || objPart.startsWith("_:"))
+        (ValueRow.nodeid(termId(objPart)), None)
+      else parseLiteral(objPart)
+
+    Some(AttrRow(graph, subjIri, predIri, value2._1, 0L, value2._2))
+  }
+
+  /** Split off the first term (IRI, blank node, or literal). */
+  private def takeTerm(s0: String): (String, String) = {
+    val s = s0.trim
+    if (s.startsWith("<")) {
+      val i = s.indexOf('>')
+      (s.substring(0, i + 1), s.substring(i + 1))
+    } else {
+      val i = s.indexOf(' ')
+      if (i < 0) (s, "") else (s.substring(0, i), s.substring(i + 1))
+    }
+  }
+
+  private def termId(t: String): String = t match {
+    case Iri(iri) => iri
+    case b => b // blank node id, keep the _: prefix
+  }
+
+  /** `"lit"`, `"lit"^^<type>`, `"lit"@lang` → (value, value_meta).
+    * (metadata mapping ContextExtensions.cs:70-102) */
+  def parseLiteral(s: String): (ValueRow, Option[ValueRow]) = {
+    val endQuote = s.lastIndexOf('"')
+    val lit = unescape(s.substring(1, endQuote))
+    val suffix = s.substring(endQuote + 1).trim
+    if (suffix.startsWith("^^")) {
+      val typeIri = termId(suffix.substring(2).trim)
+      (ValueRow.str(lit), Some(ValueRow.nodeid(typeIri)))
+    } else if (suffix.startsWith("@")) {
+      (ValueRow.str(lit), Some(ValueRow.str("lang:" + suffix)))
+    } else (ValueRow.str(lit), None)
+  }
+
+  private def unescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\n", "\n").replace("\\t", "\t")
+      .replace("\\r", "\r").replace("\\\\", "\\")
+}

@@ -1,0 +1,102 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives for large-scale training-data curation:
+  * tokenization, shingling, MinHash signatures, SimHash, and the LSH
+  * band/chunk blocking that makes near-dup detection O(n) instead of
+  * O(n²). Everything is built from codegen'd built-in functions (no
+  * Scala UDFs) so whole-stage codegen spans the hot path and the
+  * expressions survive column pruning / pushdown at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Word n-gram shingles (distinct). Docs shorter than n collapse to a
+    * single whole-text shingle. */
+  def shingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
+    array_distinct(when(size(toks) >= n, grams)
+      .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** MinHash signature: k independent hash families h_i(s) =
+    * xxhash64(i || s); signature_i = min over shingles. One explode +
+    * one hash-aggregate (map-side partial min → tiny shuffle).
+    * Returns df[idCol, mh0..mh{k-1}]. */
+  def minhash(df: DataFrame, idCol: String, shinglesCol: Column, k: Int): DataFrame = {
+    val exploded = df.select(col(idCol), explode(shinglesCol).as("sh"))
+    val aggs = (0 until k).map(i =>
+      min(xxhash64(concat_ws("|", lit(i), col("sh")))).as(s"mh$i"))
+    exploded.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding of a minhash signature: b bands of r rows each
+    * (k = b*r). Returns df[idCol, band_idx, band_hash] — candidates for
+    * near-dup are pairs sharing any (band_idx, band_hash). */
+  def bands(sig: DataFrame, idCol: String, b: Int, r: Int): DataFrame = {
+    val bandHashes = array((0 until b).map(bi =>
+      xxhash64(concat_ws(",", (0 until r).map(ri => col(s"mh${bi * r + ri}")): _*))): _*)
+    sig.select(col(idCol), posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Candidate pairs (a < b) sharing an LSH bucket. The bucket-size cap
+    * guards against degenerate buckets (stopword-only docs) exploding
+    * quadratically — the standard spam guard at scale. */
+  def candidatePairs(bandsDf: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame = {
+    val counted = bandsDf
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band_idx", "band_hash")))
+      .where(col("bucket_n") <= maxBucket)
+    val a = counted.select(col("band_idx"), col("band_hash"), col(idCol).as("a_id"))
+    val b = counted.select(col("band_idx"), col("band_hash"), col(idCol).as("b_id"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** Exact set Jaccard between two array columns (deduped). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** 64-bit SimHash over whitespace tokens (term-frequency weighted):
+    * bit j of the fingerprint is the sign of Σ_tokens tf·(±1) where the
+    * sign is bit j of xxhash64(token). One explode + 64 conditional sums
+    * in a single hash aggregate. Returns df[idCol, simhash]. */
+  def simhash(df: DataFrame, idCol: String, toks: Column): DataFrame = {
+    val exploded = df.select(col(idCol), explode(toks).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j"))
+    val agg = exploded.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map(j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    agg.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** SimHash blocking: split the 64-bit fingerprint into 4 chunks of 16
+    * bits; by pigeonhole, any pair within Hamming distance ≤ 3 (and most
+    * ≤ 6) shares at least one exact chunk. Returns
+    * df[idCol, simhash, chunk_idx, chunk_val]. */
+  def simhashChunks(sig: DataFrame, idCol: String): DataFrame = {
+    val chunks = array((0 until 4).map(c =>
+      shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    sig.select(col(idCol), col("simhash"),
+      posexplode(chunks).as(Seq("chunk_idx", "chunk_val")))
+  }
+
+  /** English-stopword hit ratio — the n-gram-free language-ID heuristic
+    * (deterministic; the same formula is expressible in the oracle). */
+  val enStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  def stopwordRatio(toks: Column): Column =
+    size(filter(toks, t => t.isin(enStopwords.map(x => x: Any): _*)))
+      .cast("double") / size(toks)
+}

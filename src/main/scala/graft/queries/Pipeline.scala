@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.{TextOps, VectorOps}
+
+/** LLM-training-data pipeline surface (north star; SURVEY.md §2.2 last
+  * row): deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+  * embedding near-dup), similarity search (brute-force cosine top-k and
+  * an LSH-bucketed scale path), and text analysis (language-ID
+  * heuristic, quality scoring, token stats, fingerprinting).
+  *
+  * The synthetic corpus has no real duplicates, so near-dup queries
+  * plant positives deterministically: every doc gets a perturbed twin
+  * (last 3 tokens dropped; embeddings get +0.05 on component 0) with
+  * id+1_000_000 — the operator must recover exactly those pairs.
+  *
+  * Scale notes: MinHash/SimHash candidate generation is an equi-join on
+  * LSH buckets (linear), never an all-pairs cross join; the only O(n²)
+  * queries (p04, p11) are correctness baselines bounded to fixed-size
+  * subsets. Cosine/hash math is all built-in expressions — one
+  * whole-stage-codegen span, no UDFs.
+  */
+object Pipeline {
+
+  /** documents ∪ perturbed twins (id+1M, last 3 tokens dropped). */
+  private def docsWithTwins(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val t = TextOps.tokens(col("text"))
+    val pert = docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(t, lit(1), greatest(size(t) - 3, lit(1)))).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    docs.unionAll(pert)
+  }
+
+  /** Matching DuckDB CTE for docsWithTwins. */
+  private val twinsCte =
+    """WITH toks AS (SELECT *, string_split(text, ' ') AS t FROM documents),
+      |alldocs AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, array_to_string(t[1:greatest(len(t)-3,1)], ' '),
+      |         lang, source, n_chars FROM toks)
+      |""".stripMargin
+
+  /** embeddings ∪ perturbed twins (id+1M, +0.05 on component 0), as
+    * double vectors, optionally capped to ids < cap for O(n²) baselines. */
+  private def vecsWithTwins(s: SparkSession, d: String, cap: Long): DataFrame = {
+    val e = Tables(s, d, "embeddings")
+      .where(col("vec_id") < cap)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val pert = e.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("v"), (x, i) => x + when(i === 0, lit(0.05)).otherwise(lit(0.0))).as("v"))
+    e.unionAll(pert)
+  }
+
+  private def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
+  val registry: Seq[RegQuery] = Seq(
+
+    // ---- p01: exact dedup by content hash ------------------------------
+    RegQuery("p01_exact_dedup",
+      (s, d) => docsWithTwins(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("total"),
+             countDistinct(md5(col("text"))).as("uniq"))
+        .orderBy("source"),
+      Some(twinsCte +
+        """SELECT source, count(*) AS total, count(DISTINCT md5(text)) AS uniq
+          |FROM alldocs GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- p02: document fingerprint (normalized content hash) -----------
+    RegQuery("p02_fingerprint",
+      (s, d) => Tables(s, d, "documents")
+        .where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+             |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin)),
+
+    // ---- p03: token statistics -----------------------------------------
+    RegQuery("p03_text_stats",
+      (s, d) => {
+        val t = TextOps.tokens(col("text"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            size(t).as("n_tok"),
+            size(array_distinct(t)).as("n_uniq"),
+            r4(size(array_distinct(t)).cast("double") / size(t)).as("ttr"),
+            array_max(transform(t, x => length(x))).as("max_len"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |CAST(len(t) AS INTEGER) AS n_tok,
+             |CAST(len(list_distinct(t)) AS INTEGER) AS n_uniq,
+             |floor(CAST(len(list_distinct(t)) AS DOUBLE)/len(t)*10000 + 0.5)/10000 AS ttr,
+             |CAST(list_max(list_transform(t, x -> length(x))) AS INTEGER) AS max_len
+             |FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- p04: n-gram Jaccard near-dup (exact all-pairs baseline) -------
+    RegQuery("p04_ngram_jaccard",
+      (s, d) => {
+        val sub = docsWithTwins(s, d).where(col("doc_id") % 1000000 < 100)
+          .select(col("doc_id"),
+            TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+        val a = sub.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+        val b = sub.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+        a.crossJoin(b).where(col("a_id") < col("b_id"))
+          .withColumn("jac", TextOps.jaccard(col("a_sh"), col("b_sh")))
+          .where(col("jac") >= 0.5)
+          .select("a_id", "b_id", "jac")
+          .orderBy("a_id", "b_id")
+      },
+      Some(twinsCte +
+        """, sub AS (
+          |  SELECT doc_id, list_distinct(list_transform(
+          |    range(1, greatest(len(string_split(text,' '))-1, 2)),
+          |    i -> string_split(text,' ')[i] || ' ' ||
+          |         string_split(text,' ')[i+1] || ' ' ||
+          |         string_split(text,' ')[i+2])) AS sh
+          |  FROM alldocs WHERE doc_id % 1000000 < 100)
+          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+          |FROM sub a JOIN sub b ON a.doc_id < b.doc_id
+          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+          |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- p05: MinHash + LSH near-dup (the linear scale path) -----------
+    RegQuery("p05_minhash_lsh",
+      (s, d) => {
+        val docs = docsWithTwins(s, d)
+          .select(col("doc_id"),
+            TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+        val sig = TextOps.minhash(docs, "doc_id", col("sh"), k = 32)
+        val cand = TextOps.candidatePairs(
+          TextOps.bands(sig, "doc_id", b = 8, r = 4), "doc_id")
+        // verify candidates with exact Jaccard (join shingles back)
+        val withSh = cand
+          .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+          .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+        withSh.withColumn("jac", TextOps.jaccard(col("a_sh"), col("b_sh")))
+          .where(col("jac") >= 0.5)
+          .select("a_id", "b_id")
+          .orderBy("a_id", "b_id")
+      },
+      None), // LSH banding not SQL-expressible → driver rows-only check
+
+    // ---- p06: SimHash near-dup (Hamming ≤ 6, chunk blocking) ------------
+    RegQuery("p06_simhash_neardup",
+      (s, d) => {
+        val docs = docsWithTwins(s, d)
+        val sig = TextOps.simhash(docs, "doc_id", TextOps.tokens(col("text")))
+        val chunks = TextOps.simhashChunks(sig, "doc_id")
+        val a = chunks.select(col("chunk_idx"), col("chunk_val"),
+          col("doc_id").as("a_id"), col("simhash").as("a_sim"))
+        val b = chunks.select(col("chunk_idx"), col("chunk_val"),
+          col("doc_id").as("b_id"), col("simhash").as("b_sim"))
+        a.join(b, Seq("chunk_idx", "chunk_val"))
+          .where(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
+          .distinct()
+          .where(col("hamming") <= 6)
+          .orderBy("a_id", "b_id")
+      },
+      None),
+
+    // ---- p07: language-ID heuristic (stopword-ratio) --------------------
+    RegQuery("p07_langid",
+      (s, d) => {
+        val t = TextOps.tokens(col("text"))
+        val ratio = TextOps.stopwordRatio(t)
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            when(ratio >= 0.08, "en").otherwise("unk").as("pred"),
+            r4(ratio).as("stop_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |CASE WHEN r >= 0.08 THEN 'en' ELSE 'unk' END AS pred,
+             |floor(r*10000 + 0.5)/10000 AS stop_ratio
+             |FROM (SELECT doc_id,
+             |  CAST(len(list_filter(string_split(text,' '),
+             |    x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             |    / len(string_split(text,' ')) AS r
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- p08: quality score (length / diversity / stopword mix) ---------
+    RegQuery("p08_quality_score",
+      (s, d) => {
+        val t = TextOps.tokens(col("text"))
+        val nTok = size(t).cast("double")
+        val ttr = size(array_distinct(t)).cast("double") / size(t)
+        val stop = TextOps.stopwordRatio(t)
+        val score = least(nTok / 100.0, lit(1.0)) * 0.4 + ttr * 0.3 + stop * 0.3
+        Tables(s, d, "documents")
+          .select(col("doc_id"), r4(score).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, floor((least(n_tok/100.0, 1.0)*0.4 + ttr*0.3 + stop*0.3)
+             |  *10000 + 0.5)/10000 AS quality
+             |FROM (SELECT doc_id,
+             |  CAST(len(t) AS DOUBLE) AS n_tok,
+             |  CAST(len(list_distinct(t)) AS DOUBLE)/len(t) AS ttr,
+             |  CAST(len(list_filter(t,
+             |    x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(t) AS stop
+             |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- p09: brute-force cosine top-k (exact ANN baseline) -------------
+    RegQuery("p09_ann_topk",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        val q = e.where(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val scored = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+          .crossJoin(broadcast(q))
+          .where(col("q_id") =!= col("n_id"))
+          .withColumn("cos_r",
+            floor(VectorOps.cosine(col("qv"), col("nv")) * 1000000 + 0.5) / 1000000)
+        scored.withColumn("rank", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("cos_r").desc, col("n_id"))))
+          .where(col("rank") <= 5)
+          .select("q_id", "rank", "n_id", "cos_r")
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
+             |p AS (SELECT q_id, e.vec_id AS n_id,
+             |  list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*e.v[i]))
+             |    / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+             |       * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS c
+             |  FROM q, e WHERE e.vec_id != q_id),
+             |r AS (SELECT q_id, n_id, floor(c*1000000 + 0.5)/1000000 AS cos_r,
+             |  ROW_NUMBER() OVER (PARTITION BY q_id
+             |    ORDER BY floor(c*1000000 + 0.5)/1000000 DESC, n_id) AS rn
+             |  FROM p)
+             |SELECT q_id, CAST(rn AS INTEGER) AS rank, n_id, cos_r FROM r
+             |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- p10: LSH-bucketed ANN (the linear scale path) -------------------
+    RegQuery("p10_ann_lsh",
+      (s, d) => {
+        val planes = VectorOps.hyperplanes(tables = 4, planes = 8, dim = 64)
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        val buckets = VectorOps.lshBuckets(e, "vec_id", col("v"), planes)
+        val q = buckets.where(col("vec_id") < 10)
+          .select(col("table_idx"), col("sig"), col("vec_id").as("q_id"))
+        val cand = q.join(buckets, Seq("table_idx", "sig"))
+          .where(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+        val scored = cand
+          .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+          .join(e.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
+          .withColumn("cos_r",
+            floor(VectorOps.cosine(col("qv"), col("nv")) * 1000000 + 0.5) / 1000000)
+        scored.withColumn("rank", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("cos_r").desc, col("n_id"))))
+          .where(col("rank") <= 3)
+          .select("q_id", "rank", "n_id", "cos_r")
+          .orderBy("q_id", "rank")
+      },
+      None), // approximate by construction → rows-only; recall vs p09 in tests
+
+    // ---- p11: embedding near-dup (cosine > 0.9; planted twins) ----------
+    RegQuery("p11_embed_neardup",
+      (s, d) => {
+        val all = vecsWithTwins(s, d, cap = 500)
+        val a = all.select(col("vec_id").as("a_id"), col("v").as("av"))
+        val b = all.select(col("vec_id").as("b_id"), col("v").as("bv"))
+        a.crossJoin(b).where(col("a_id") < col("b_id"))
+          .where(VectorOps.cosine(col("av"), col("bv")) > 0.9)
+          .select("a_id", "b_id")
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings WHERE vec_id < 500),
+             |alle AS (SELECT vec_id, v FROM e
+             |  UNION ALL SELECT vec_id + 1000000,
+             |    list_transform(range(1, len(v)+1),
+             |      i -> v[i] + CASE WHEN i = 1 THEN 0.05 ELSE 0.0 END) FROM e),
+             |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |  list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
+             |    / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+             |       * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS c
+             |  FROM alle a JOIN alle b ON a.vec_id < b.vec_id)
+             |SELECT a_id, b_id FROM p WHERE c > 0.9 ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- p12: multimodal binary column + batched decode stub ------------
+    RegQuery("p12_multimodal_decode",
+      (s, d) => graft.llm.Multimodal
+        .decodeFeatures(graft.llm.Multimodal.mediaTable(s, d))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |CAST(32 + length(text) % 64 AS INTEGER) AS width,
+             |CAST(32 + (length(text) // 7) % 64 AS INTEGER) AS height,
+             |ascii(substr(text, 1, 1)) AS feat0
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

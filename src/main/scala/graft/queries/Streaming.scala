@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.streaming.Streams
+
+/** Streaming queries run through REAL Structured Streaming — parquet
+  * file source → stateful transform → memory sink, Trigger.AvailableNow
+  * — and the final materialized result is compared to a DuckDB oracle,
+  * proving the streaming path computes exactly what the batch semantics
+  * promise (not just the q19/q20 batch equivalents).
+  */
+object Streaming {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** events.parquet as a stream (nanos ts → µs, same as Tables). */
+  private def streamEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file source wants a directory; pathGlobFilter narrows it to
+    // the events table without touching the sibling parquet files
+    s.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+  }
+
+  /** Run `build(stream)` to completion into a memory sink, return the
+    * materialized table. */
+  private def runToMemory(s: SparkSession, dir: String, name: String,
+                          mode: String)(build: DataFrame => DataFrame): DataFrame = {
+    val q = build(streamEvents(s, dir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val registry: Seq[RegQuery] = Seq(
+
+    // ---- s01: tumbling window counts through the streaming engine ------
+    RegQuery("s01_stream_tumbling",
+      (s, d) => runToMemory(s, d, "s01_sink", "complete")(Streams.tumblingCounts(_))
+        .select(date_format(col("ws"), "yyyy-MM-dd HH:mm").as("ws"),
+          col("event_type"), col("cnt"))
+        .orderBy("ws", "event_type"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS ws,
+             |event_type, count(*) AS cnt FROM events
+             |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
+
+    // ---- s02: session windows through the streaming engine -------------
+    RegQuery("s02_stream_sessions",
+      (s, d) => runToMemory(s, d, "s02_sink", "complete")(
+          Streams.sessionCounts(_, "30 minutes"))
+        .select(col("user_id"),
+          date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("ws"), col("cnt"))
+        .orderBy("user_id", "ws"),
+      // gaps-and-islands: new session when the gap to the previous event
+      // is >= 30 min (Spark session windows are [start, start+gap))
+      Some("""WITH m AS (SELECT user_id, ts,
+             |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |            >= INTERVAL 30 MINUTE
+             |       THEN 1 ELSE 0 END AS new_s FROM events),
+             |g AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id
+             |  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+             |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ws,
+             |  count(*) AS cnt
+             |FROM g GROUP BY user_id, sid ORDER BY user_id, ws""".stripMargin)),
+
+    // ---- s03: arbitrary stateful op (mapGroupsWithState) ---------------
+    RegQuery("s03_stream_stateful",
+      (s, d) => {
+        import s.implicits._
+        val q = Streams.userStats(streamEvents(s, d).as[Streams.Ev])
+          .writeStream.format("memory").queryName("s03_sink")
+          .outputMode(Streams.userStatsOutputMode)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // counters grow monotonically → the max row per user is the final
+        // state regardless of how many micro-batches the source split into
+        s.table("s03_sink").groupBy("user_id")
+          .agg(max("n_events").as("n_events"), max("n_clicks").as("n_clicks"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |count(*) FILTER (WHERE event_type = 'click') AS n_clicks
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+  )
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming surface (SURVEY.md §2.2 streaming rows): tumbling / sliding
+  * / session windows, watermarked dedup, stream-static enrichment and
+  * arbitrary stateful processing. Every transform takes a DataFrame and
+  * works unchanged on a batch frame or a `readStream` frame — the batch
+  * path is what the DuckDB oracle checks (q19/q20), the streaming path
+  * is exercised with MemoryStream in StreamingSpec.
+  *
+  * The reference's only streaming machinery is chunked ingest with
+  * progress + backpressure (reference: src/server/Services/
+  * WatService.cs:241-300, bounded channel FileStorePartition.fs:26);
+  * Structured Streaming's source rate limiting (`maxFilesPerTrigger`)
+  * and checkpointing subsume both. State at 100 TB: always pair
+  * stateful ops with watermarks so the store is bounded; use the
+  * RocksDB state store in production configs.
+  */
+object Streams {
+
+  /** Tumbling event-time window counts. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("ws"), col("event_type"), col("cnt"))
+
+  /** Sliding window counts (window > slide ⇒ overlapping). */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+                    slide: String = "15 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("ws"), col("event_type"), col("cnt"))
+
+  /** Session windows: rows within `gap` of each other merge per user. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"),
+        col("user_id"), col("cnt"))
+
+  /** Watermarked streaming dedup — bounded state. On a batch frame the
+    * watermark is a no-op and this is plain dropDuplicates. */
+  def dedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
+  /** Stream-static enrichment join: the static side broadcasts. */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"), "left")
+
+  // --- arbitrary stateful processing ---------------------------------
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                event_type: String)
+  case class UserStat(user_id: Long, n_events: Long, n_clicks: Long)
+
+  /** Per-user running counters via mapGroupsWithState — the pattern for
+    * custom state the built-in aggregations can't express (the analog of
+    * the reference's FASTER read-modify-write state,
+    * src/serverlib/NodeAttrIndex.cs:183-232). */
+  def userStats(events: Dataset[Ev]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0L))
+          val batch = evs.toSeq
+          val next = UserStat(uid,
+            prev.n_events + batch.size,
+            prev.n_clicks + batch.count(_.event_type == "click"))
+          state.update(next)
+          next
+      }
+  }
+
+  /** Update-mode sink for userStats. */
+  val userStatsOutputMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Recall / detection guarantees of the approximate near-dup and ANN
+  * paths, checked against exact baselines (the reference tests
+  * nondeterministic paths with invariants the same way,
+  * src/core.tests/Tests.fs:882-900).
+  */
+class LshSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = {
+    val base = graft.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").limit(200).cache()
+    val t = TextOps.tokens(col("text"))
+    val twins = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(t, lit(1), greatest(size(t) - 3, lit(1)))).as("text"))
+    base.unionAll(twins)
+  }
+
+  test("minhash-LSH recovers >=90% of planted near-dup twins") {
+    val withSh = docs.select(col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    val sig = TextOps.minhash(withSh, "doc_id", col("sh"), k = 32)
+    val cand = TextOps.candidatePairs(TextOps.bands(sig, "doc_id", b = 8, r = 4), "doc_id")
+    val found = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.where(col("doc_id") < 1000000)
+      .select("doc_id").as[Long].collect()
+      .map(i => (i, i + 1000000L)).toSet
+    val recall = planted.count(found.contains).toDouble / planted.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("simhash places twins within small hamming distance") {
+    val sig = TextOps.simhash(docs, "doc_id", TextOps.tokens(col("text")))
+    val a = sig.select(col("doc_id").as("a_id"), col("simhash").as("a_sim"))
+    val b = sig.select((col("doc_id") - 1000000L).as("a_id"), col("simhash").as("b_sim"))
+    val d = a.join(b, "a_id")
+      .select(bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("h"))
+      .agg(avg("h"), max("h")).head()
+    assert(d.getDouble(0) <= 4.0, s"avg hamming ${d.getDouble(0)}")
+  }
+
+  test("LSH ANN top-3 has nonzero overlap with brute-force top-3 and finds the planted twin") {
+    val e = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val twins = e.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("v"), (x, i) => x + when(i === 0, lit(0.05)).otherwise(lit(0.0))).as("v"))
+    val all = e.unionAll(twins).cache()
+
+    val planes = VectorOps.hyperplanes(tables = 4, planes = 8, dim = 64)
+    val buckets = VectorOps.lshBuckets(all, "vec_id", col("v"), planes)
+    val q = buckets.where(col("vec_id") < 20)
+      .select(col("table_idx"), col("sig"), col("vec_id").as("q_id"))
+    val cand = q.join(buckets, Seq("table_idx", "sig"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+      .join(all.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(all.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+
+    // the twin (cosine ~0.999) must always land in the same buckets:
+    // a tiny perturbation rarely flips any of 8 sign bits in 4 tables
+    val twinFound = cand.where(col("n_id") === col("q_id") + 1000000L)
+      .select("q_id").distinct().count()
+    assert(twinFound >= 18, s"twin found for only $twinFound/20 queries")
+
+    // and its cosine tops the candidate ranking
+    val top1 = cand.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("cos").desc)))
+      .where(col("rn") === 1 && col("n_id") === col("q_id") + 1000000L)
+      .count()
+    assert(top1 >= 18, s"twin ranked top-1 for only $top1/20 queries")
+  }
+}
