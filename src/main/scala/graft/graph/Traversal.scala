@@ -37,12 +37,23 @@ object Traversal {
       roots: DataFrame,
       label: Option[String],
       fromHop: Int,
+      toHop: Int): DataFrame =
+    followEdges(spark,
+      label.fold(edges)(l => edges.where(col("label") === l)),
+      roots, fromHop, toHop)
+
+  /** Same loop over an already-predicate-filtered edge set (the query
+    * compiler passes arbitrary label predicates through here). */
+  def followEdges(
+      spark: SparkSession,
+      edges: DataFrame,
+      roots: DataFrame,
+      fromHop: Int,
       toHop: Int): DataFrame = {
     require(toHop >= 0 && fromHop >= 0 && fromHop <= toHop,
       s"bad hop range [$fromHop,$toHop]")
 
-    val ed = label.fold(edges)(l => edges.where(col("label") === l))
-      .select(col("src_id"), col("dst_id"))
+    val ed = edges.select(col("src_id"), col("dst_id"))
 
     var visited = roots.select(col("id")).distinct()
       .withColumn("hop", lit(0)).localCheckpoint()

@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphView
+import graft.graphx.GraphAnalytics
+
+/** Whole-graph analytics queries (SURVEY.md §7.1 M7) on the derived
+  * edges view. Connected components is oracle-checkable (components of
+  * the customer→nation→region ∪ orders→customer graph are exactly the
+  * five region trees); PageRank is fixed-point float — rows-only here,
+  * invariants pinned in GraphXSpec.
+  */
+object GraphXQueries {
+
+  val registry: Seq[RegQuery] = Seq(
+
+    RegQuery("x01_connected_components",
+      (s, d) => GraphAnalytics.connectedComponents(GraphView.edges(s, d))
+        .groupBy("component").agg(count(lit(1)).as("cnt"))
+        .orderBy("component"),
+      Some("""WITH mem AS (
+             |  SELECT r_regionkey AS rk, 'region/' || r_regionkey AS id FROM region
+             |  UNION ALL SELECT n_regionkey, 'nation/' || n_nationkey FROM nation
+             |  UNION ALL SELECT n_regionkey, 'customer/' || c_custkey
+             |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  UNION ALL SELECT n_regionkey, 'orders/' || o_orderkey
+             |    FROM orders JOIN customer ON o_custkey = c_custkey
+             |    JOIN nation ON c_nationkey = n_nationkey)
+             |SELECT min(id) AS component, count(*) AS cnt
+             |FROM mem GROUP BY rk ORDER BY component""".stripMargin)),
+
+    RegQuery("x02_pagerank",
+      (s, d) => GraphAnalytics.pageRank(GraphView.edges(s, d), tol = 1e-4)
+        .orderBy(col("rank").desc, col("id"))
+        .limit(20),
+      None) // iterative float fixed-point → rows-only; invariants in GraphXSpec
+  )
+}

@@ -1,0 +1,40 @@
+package graft.graphx
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Fixed-point invariants for the GraphX wrappers (nondeterministic
+  * float paths get invariant tests, like the reference's dedup tests —
+  * SURVEY.md §2.3 "non-oracle-checked").
+  */
+class GraphXSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgeDf(es: (String, String)*) =
+    es.toDF("src_id", "dst_id").withColumn("label", lit("e"))
+      .select("src_id", "label", "dst_id")
+
+  test("pageRank: star graph centre dominates; ranks sum ≈ n") {
+    val edges = edgeDf("a" -> "hub", "b" -> "hub", "c" -> "hub", "d" -> "hub")
+    val ranks = GraphAnalytics.pageRank(edges, tol = 1e-6)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks("hub") > ranks("a") * 3)
+    val sum = ranks.values.sum
+    assert(math.abs(sum - 5.0) < 0.15, s"rank sum $sum")
+  }
+
+  test("connectedComponents: two disjoint chains get two components") {
+    val edges = edgeDf("a" -> "b", "b" -> "c", "x" -> "y")
+    val cc = GraphAnalytics.connectedComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc("a") == "a" && cc("b") == "a" && cc("c") == "a")
+    assert(cc("x") == "x" && cc("y") == "x")
+  }
+
+  test("connectedComponents on the derived graph = one component per region") {
+    val cc = GraphAnalytics.connectedComponents(
+      graft.graph.GraphView.edges(spark, sfDir))
+    assert(cc.select("component").distinct().count() == 5)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.lang
+
+import graft.SparkSpec
+import graft.model.Value
+
+/** Parser unit tests for the AHGHEE query language (grammar
+  * src/cli-grammer/AHGHEE.g4:92-190) plus step-fusion sanity: the
+  * compiler leans on Catalyst for what MergeSameSteps did by hand.
+  */
+class LangSpec extends SparkSpec {
+
+  test("get with ids, scan, and every pipe command parses") {
+    val q = AhgheeParser.parse(
+      """get "a" "b" |> filter "k" == "v" |> fields *: ^
+        ||> skip 3 |> take 7 |> follow "likes" 1..2""".stripMargin)
+    assert(q.ids == Seq("a", "b") && !q.scan)
+    assert(q.steps == Seq(
+      Filter(Cmp("k", "==", graft.ingest.ValueRow.str("v"))),
+      Fields(Include(Matcher(AnyPart, EdgePart))),
+      Skip(3), Limit(7),
+      Follow(LabelEdge("likes"), 1, 2)))
+  }
+
+  test("scan form and follow-any default range") {
+    val q = AhgheeParser.parse("""get "*" |> follow *""")
+    assert(q.scan && q.steps == Seq(Follow(AnyEdge, 0, 1)))
+  }
+
+  test("compound filter tree with nesting") {
+    val q = AhgheeParser.parse(
+      """get "*" |> filter (("a" == 1 && "b" > 2.5) || "c" == ^"x")""")
+    val Filter(FOr(FAnd(Cmp("a", "==", va), Cmp("b", ">", vb)), Cmp("c", "==", vc))) =
+      q.steps.head: @unchecked
+    assert(va.vtype == Value.I32 && va.i64.contains(1L))
+    assert(vb.vtype == Value.F && vb.num.contains(2.5))
+    assert(vc.vtype == Value.NODEID && vc.iri.contains("x"))
+  }
+
+  test("clude lists with include/exclude and type parts") {
+    val q = AhgheeParser.parse(
+      """get "a" |> fields ("name": *, - *: int, "e": ^"t")""")
+    val Fields(CludeList(items)) = q.steps.head: @unchecked
+    assert(items == Seq(
+      Include(Matcher(StrPart("name"), AnyPart)),
+      Exclude(Matcher(AnyPart, IntPart)),
+      Include(Matcher(StrPart("e"), EdgeToPart("t")))))
+  }
+
+  test("follow with edge alternation and to-only range") {
+    val q = AhgheeParser.parse("""get "a" |> follow ("x" || "y") 3""")
+    assert(q.steps == Seq(Follow(OrEdge(LabelEdge("x"), LabelEdge("y")), 0, 3)))
+  }
+
+  test("aliases: offset/limit == skip/take") {
+    val q = AhgheeParser.parse("""get "a" |> offset 1 |> limit 2""")
+    assert(q.steps == Seq(Skip(1), Limit(2)))
+  }
+
+  test("parse errors carry position context") {
+    val e = intercept[IllegalArgumentException](
+      AhgheeParser.parse("""get "a" |> bogus 3"""))
+    assert(e.getMessage.contains("pipe command"))
+  }
+
+  test("multi-hop follow expands edges of freshly-reached nodes") {
+    // regression: hop-2 edges live on nodes loaded during traversal,
+    // not on the query's root set
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val attrs = Seq(
+      ("a", "next", "b"), ("b", "next", "c"), ("c", "next", "d"))
+      .toDF("id", "key", "iri")
+      .select(col("id"), col("key"),
+        graft.model.Value.nodeid(col("iri")).as("value"), lit(0L).as("ts"))
+    val out = StepCompiler.run(spark, attrs,
+      AhgheeParser.parse("""get "a" |> follow * 0..3"""))
+    assert(out.select("id").distinct().collect().map(_.getString(0)).toSet ==
+      Set("a", "b", "c")) // d has no attrs in long form; c reached at hop 2
+  }
+
+  test("!= executes (reference parses it but throws — documented deviation)") {
+    import org.apache.spark.sql.functions._
+    val attrs = graft.graph.GraphView.nodesAttrs(spark, sfDir)
+    val out = StepCompiler.run(spark, attrs,
+      AhgheeParser.parse("""get "*" |> filter "name" != "x" |> take 2"""))
+    assert(out.select("id").distinct().count() == 2)
+  }
+}
