@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+import graft.functions.CosineSim
+
+/** Engine extension point (the Spark-native answer to the reference's
+  * WASM plugin vision, reference README.md:34-57): custom Catalyst
+  * expressions injected through the public SparkSessionExtensions API.
+  *
+  * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * — then `cosine_sim(a, b)` is available in SQL and via `expr()`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSim(Cast(children(0), ArrayType(DoubleType)),
+          Cast(children(1), ArrayType(DoubleType)))))
+  }
+}

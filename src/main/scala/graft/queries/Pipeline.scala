@@ -139,9 +139,16 @@ object Pipeline {
     // ---- p05: MinHash + LSH near-dup (the linear scale path) -----------
     RegQuery("p05_minhash_lsh",
       (s, d) => {
+        // shingle arrays feed three consumers (signature build + both
+        // sides of the verify join) — hash each 3-gram to a long FIRST
+        // (set Jaccard is hash-invariant modulo 2^-64 collisions), then
+        // materialize once: long arrays checkpoint and intersect far
+        // cheaper than 3-gram strings
         val docs = docsWithTwins(s, d)
           .select(col("doc_id"),
-            TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+            transform(TextOps.shingles(TextOps.tokens(col("text")), 3),
+              sh => xxhash64(sh)).as("sh"))
+          .localCheckpoint()
         val sig = TextOps.minhash(docs, "doc_id", col("sh"), k = 32)
         val cand = TextOps.candidatePairs(
           TextOps.bands(sig, "doc_id", b = 8, r = 4), "doc_id")
@@ -230,7 +237,7 @@ object Pipeline {
           .crossJoin(broadcast(q))
           .where(col("q_id") =!= col("n_id"))
           .withColumn("cos_r",
-            floor(VectorOps.cosine(col("qv"), col("nv")) * 1000000 + 0.5) / 1000000)
+            floor(VectorOps.cosineFast(col("qv"), col("nv")) * 1000000 + 0.5) / 1000000)
         scored.withColumn("rank", row_number().over(
             Window.partitionBy("q_id").orderBy(col("cos_r").desc, col("n_id"))))
           .where(col("rank") <= 5)
@@ -269,7 +276,7 @@ object Pipeline {
           .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
           .join(e.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
           .withColumn("cos_r",
-            floor(VectorOps.cosine(col("qv"), col("nv")) * 1000000 + 0.5) / 1000000)
+            floor(VectorOps.cosineFast(col("qv"), col("nv")) * 1000000 + 0.5) / 1000000)
         scored.withColumn("rank", row_number().over(
             Window.partitionBy("q_id").orderBy(col("cos_r").desc, col("n_id"))))
           .where(col("rank") <= 3)
@@ -285,7 +292,7 @@ object Pipeline {
         val a = all.select(col("vec_id").as("a_id"), col("v").as("av"))
         val b = all.select(col("vec_id").as("b_id"), col("v").as("bv"))
         a.crossJoin(b).where(col("a_id") < col("b_id"))
-          .where(VectorOps.cosine(col("av"), col("bv")) > 0.9)
+          .where(VectorOps.cosineFast(col("av"), col("bv")) > 0.9)
           .select("a_id", "b_id")
           .orderBy("a_id", "b_id")
       },

@@ -389,6 +389,77 @@ object Relational {
         .limit(100),
       Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
              |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
-             |LIMIT 100""".stripMargin))
+             |LIMIT 100""".stripMargin)),
+
+    // ---- sliding time windows (each event lands in window/slide sets) --
+    RegQuery("q28_window_sliding",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("ws"),
+          col("event_type"), col("cnt"))
+        .orderBy("ws", "event_type"),
+      // every event belongs to exactly 4 overlapping 1h/15m windows
+      Some("""SELECT strftime(ws, '%Y-%m-%d %H:%M') AS ws, event_type,
+             |  count(*) AS cnt
+             |FROM (SELECT time_bucket(INTERVAL '15 minutes', ts)
+             |        - (k * INTERVAL '15 minutes') AS ws, event_type
+             |      FROM events, (SELECT unnest([0,1,2,3]) AS k))
+             |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin)),
+
+    // ---- GROUPING SETS (beyond rollup/cube; via the SQL surface) -------
+    RegQuery("q29_grouping_sets",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("li")
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS cnt
+                |FROM li
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+                |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // ---- multiset set-ops (ALL variants keep duplicates) ---------------
+    RegQuery("q30_set_ops_all",
+      (s, d) => t(s, d, "orders").select(col("o_custkey").as("k"))
+        .intersectAll(t(s, d, "customer").select(col("c_custkey").as("k")))
+        .exceptAll(t(s, d, "nation").select(col("n_nationkey").cast("long").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .orderBy("k"),
+      Some("""SELECT k, count(*) AS c FROM (
+             |  SELECT k FROM (
+             |    SELECT o_custkey AS k FROM orders
+             |    INTERSECT ALL SELECT c_custkey FROM customer)
+             |  EXCEPT ALL SELECT CAST(n_nationkey AS BIGINT) FROM nation)
+             |GROUP BY k ORDER BY k""".stripMargin)),
+
+    // ---- generator/explode (LATERAL VIEW shape) ------------------------
+    RegQuery("q31_explode_agg",
+      (s, d) => t(s, d, "documents")
+        .where(col("doc_id") < 50)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy("tok"),
+      Some("""SELECT tok, count(*) AS cnt FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS tok
+             |  FROM documents WHERE doc_id < 50)
+             |GROUP BY tok ORDER BY tok""".stripMargin)),
+
+    // ---- statistical aggregates ----------------------------------------
+    RegQuery("q32_stats_agg",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg((floor(stddev_samp(col("l_quantity")) * 10000 + 0.5) / 10000).as("sd"),
+             (floor(var_samp(col("l_extendedprice")) * 100 + 0.5) / 100).as("vr"),
+             (floor(corr(col("l_quantity"), col("l_extendedprice")) * 10000 + 0.5) / 10000).as("cr"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |floor(stddev_samp(l_quantity)*10000 + 0.5)/10000 AS sd,
+             |floor(var_samp(l_extendedprice)*100 + 0.5)/100 AS vr,
+             |floor(corr(l_quantity, l_extendedprice)*10000 + 0.5)/10000 AS cr
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }

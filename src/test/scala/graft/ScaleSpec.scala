@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-technique proofs on local data: bucketing co-locates equi-joins
+  * (no shuffle exchange on the bucketed sides — the 100 TB fact-fact
+  * join strategy), and two-phase salted aggregation is result-identical
+  * to the direct form (the skew mitigation).
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    Tables(spark, sfDir, "orders")
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("b_orders")
+    Tables(spark, sfDir, "customer")
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("b_customer")
+
+    val j = spark.table("b_orders")
+      .join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+    // disable broadcast so the join shape is decided by bucketing
+    val plan = withNoBroadcast {
+      j.queryExecution.executedPlan.toString
+    }
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+  }
+
+  private def withNoBroadcast[T](f: => T): T = {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("salted two-phase aggregation equals direct aggregation") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("sq"), count(lit(1)).as("cnt"))
+    // phase 1: aggregate per (key, salt); phase 2: merge partials
+    val salted = li
+      .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+      .groupBy("l_returnflag", "salt")
+      .agg(sum("l_quantity").as("sq"), count(lit(1)).as("cnt"))
+      .groupBy("l_returnflag")
+      .agg(sum("sq").as("sq"), sum("cnt").as("cnt"))
+    val d = direct.orderBy("l_returnflag").collect().map(_.toSeq)
+    val s = salted.orderBy("l_returnflag").collect().map(_.toSeq)
+    assert(d.length == s.length)
+    d.zip(s).foreach { case (a, b) =>
+      assert(a(0) == b(0) && a(2) == b(2))
+      assert(math.abs(a(1).asInstanceOf[Double] - b(1).asInstanceOf[Double]) < 1e-6)
+    }
+  }
+}

@@ -1,0 +1,89 @@
+package graft.api
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Engine façade + extension-point coverage: first(), metrics listener,
+  * the SQL-registered native cosine_sim, approx_count_distinct bounds,
+  * csv/text sources, foreachBatch sink — the §2.2 rows that don't fit
+  * the oracle registry.
+  */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Engine.first returns the first matching node in id order") {
+    val e = Engine.forDir(spark, sfDir)
+    val f = e.first("""get "*" |> filter "name" == "ASIA"""").get
+    assert(f.select("id").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("region/2"))
+    assert(e.first("""get "*" |> filter "name" == "NO_SUCH"""").isEmpty)
+  }
+
+  test("metrics listener records completed query executions") {
+    val m = Metrics.attach(spark)
+    try {
+      spark.range(10).count()
+      // listener delivery is async; poll briefly
+      var snap = m.snapshot()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (snap.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(100); snap = m.snapshot()
+      }
+      assert(snap.nonEmpty && snap.forall(_.error.isEmpty))
+      assert(snap.exists(_.durationNs > 0))
+    } finally m.close()
+  }
+
+  test("cosine_sim is callable from SQL via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c1, " +
+      "cosine_sim(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS c0").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("cosine_sim expression matches the composed zip_with/aggregate form") {
+    val e = graft.Tables(spark, sfDir, "embeddings").limit(50)
+      .select(col("vec_id"), graft.llm.VectorOps.toDouble(col("embedding")).as("v"))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("av"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"))
+    val both = a.crossJoin(b).where(col("a_id") < col("b_id"))
+      .select(graft.llm.VectorOps.cosine(col("av"), col("bv")).as("slow"),
+        graft.llm.VectorOps.cosineFast(col("av"), col("bv")).as("fast"))
+    assert(both.where(col("slow") =!= col("fast")).count() == 0)
+  }
+
+  test("approx_count_distinct within documented relative error") {
+    val li = graft.Tables(spark, sfDir, "lineitem")
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"), 0.05))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.15,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("csv and text sources round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("srcs")
+    java.nio.file.Files.writeString(dir.resolve("d.csv"), "a,b\n1,x\n2,y\n")
+    val csv = spark.read.option("header", "true").csv(dir.toString + "/d.csv")
+    assert(csv.count() == 2 && csv.columns.toSeq == Seq("a", "b"))
+    val txt = spark.read.textFile(dir.toString + "/d.csv")
+    assert(txt.count() == 3)
+  }
+
+  test("foreachBatch sink receives every micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    src.addData(1 to 10: _*)
+    val seen = new java.util.concurrent.atomic.AtomicLong
+    val q = src.toDS().writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[Int], _: Long) =>
+        seen.addAndGet(batch.count()): Unit)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(seen.get() == 10)
+  }
+}
