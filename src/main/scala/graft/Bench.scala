@@ -9,17 +9,29 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // noop sink forces full evaluation (projections, sorts, limits all
+    // execute) without paying a real write — honest per-query timing;
+    // a bare count() would let Catalyst prune most of the plan.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // sustained ingest-then-scan macro harness (BASELINE.md; reference
+    // shape src/core/Program.fs:74-213)
+    val (ingestSec, scanSec) =
+      try graft.bench.IngestScan.run(spark)
+      catch { case _: Throwable => (-1.0, -1.0) }
+    val all = results ++ Seq("ingest_50k_nodes" -> ingestSec,
+      "scan_merge_50k" -> scanSec)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = all.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,36 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: time named queries (cold + warm) at a given SF dir.
+  * Usage: runMain graft.Profile <sfDir> <name1> <name2> ...
+  * Separates one-time session/JIT warmup from steady-state cost — the
+  * number that matters for the 100 TB design is the warm one.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val names = args.tail.toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // one throwaway query to absorb session warmup
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      val cold = time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+      val warm = time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+      println(f"[profile] $n%-28s cold=$cold%8.2f warm=$warm%8.2f")
+    }
+    spark.stop()
+  }
+}

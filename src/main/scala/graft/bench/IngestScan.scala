@@ -1,0 +1,71 @@
+package graft.bench
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sustained ingest-then-scan macro benchmark mirroring the shape of the
+  * reference's harness (reference: src/core/Program.fs:74-213 — batches
+  * of 2000 nodes, 5 string props + 3 `follows` edges each, written
+  * hash-partitioned, then read back), re-expressed Spark-first:
+  *
+  *  - each batch is generated distributed (`spark.range` → per-row
+  *    attribute fan-out, no driver-side materialization) and appended to
+  *    a partitioned parquet table — the Spark analog of the reference's
+  *    append-only per-partition log files;
+  *  - the read phase is a full scan + merge-dedup by (id,key,value)
+  *    keeping min ts (reference NodeAttrIndex.cs:221 Distinct semantics)
+  *    followed by a node-count — i.e. the cost of rebuilding current
+  *    nodes from appended fragments.
+  *
+  * At cluster scale the same code path holds: appends land as new files
+  * per executor, the merge is one hash shuffle on id.
+  */
+object IngestScan {
+
+  /** Generate one batch of node attribute rows: ids [lo, lo+n), 5 string
+    * props + 3 follows edges per node (long-form rows, 8n total). */
+  def batch(spark: SparkSession, lo: Long, n: Long, universe: Long): DataFrame = {
+    val props = (0 until 5).map(i => struct(
+      lit(s"prop$i").as("key"),
+      concat(lit("v"), ((col("id") * 31 + i) % 997).cast("string")).as("sval"),
+      lit(null).cast("string").as("iri")))
+    val edges = (0 until 3).map(i => struct(
+      lit("follows").as("key"),
+      lit(null).cast("string").as("sval"),
+      concat(lit("node/"), ((col("id") * 7 + i * 13) % universe).cast("string")).as("iri")))
+    spark.range(lo, lo + n)
+      .select(concat(lit("node/"), col("id")).as("nid"),
+        explode(array(props ++ edges: _*)).as("a"),
+        lit(lo).as("ts"))
+      .select(col("nid").as("id"), col("a.key").as("key"),
+        col("a.sval").as("sval"), col("a.iri").as("iri"), col("ts"))
+  }
+
+  /** Run the harness; returns (ingestSec, scanSec). */
+  def run(spark: SparkSession, batches: Int = 25, batchSize: Int = 2000): (Double, Double) = {
+    val dir = Files.createTempDirectory("graft_ingest_bench").toFile
+    val path = dir.getAbsolutePath
+    val universe = batches.toLong * batchSize
+    val t0 = System.nanoTime()
+    (0 until batches).foreach { b =>
+      batch(spark, b.toLong * batchSize, batchSize, universe)
+        .write.mode("append").parquet(path)
+    }
+    val ingestSec = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val merged = spark.read.parquet(path)
+      .groupBy("id", "key", "sval", "iri").agg(min("ts").as("ts"))
+    val nodeCount = merged.select(countDistinct("id")).first().getLong(0)
+    val scanSec = (System.nanoTime() - t1) / 1e9
+    require(nodeCount == universe, s"ingest-scan lost nodes: $nodeCount != $universe")
+
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(dir)
+    (ingestSec, scanSec)
+  }
+}

@@ -42,8 +42,26 @@ object Traversal {
       label.fold(edges)(l => edges.where(col("label") === l)),
       roots, fromHop, toHop)
 
+  /** Frontiers up to this size run the point-lookup path: ids held on the
+    * driver, each hop one scan with `src_id IN (...)` pushed to parquet.
+    * Beyond it, the distributed join loop takes over. 10k ids ≈ a few
+    * hundred KB in the IN-list — well under filter-pushdown limits. */
+  private val PointPathMaxFrontier = 10000
+
   /** Same loop over an already-predicate-filtered edge set (the query
-    * compiler passes arbitrary label predicates through here). */
+    * compiler passes arbitrary label predicates through here).
+    *
+    * Two physical strategies behind one semantic:
+    *  - small frontier (the common `get <id> |> follow` shape): keep the
+    *    frontier + visited set on the driver, each hop is a single
+    *    `src_id IN (frontier)` filter that pushes down to the scan — on a
+    *    bucketed 100 TB table that prunes to the frontier's buckets, no
+    *    shuffle at all;
+    *  - large frontier (whole-graph expansion): distributed joins with an
+    *    exact anti-join visited set, `localCheckpoint` per hop to cut
+    *    lineage. The point path hands off mid-traversal the moment a
+    *    frontier outgrows the threshold.
+    */
   def followEdges(
       spark: SparkSession,
       edges: DataFrame,
@@ -53,15 +71,78 @@ object Traversal {
     require(toHop >= 0 && fromHop >= 0 && fromHop <= toHop,
       s"bad hop range [$fromHop,$toHop]")
 
+    val rootSample = roots.select(col("id")).distinct()
+      .limit(PointPathMaxFrontier + 1).collect().map(_.getString(0))
+    if (rootSample.length <= PointPathMaxFrontier)
+      followPoint(spark, edges, rootSample, fromHop, toHop)
+    else
+      followDistributed(spark, edges,
+        roots.select(col("id")).distinct().withColumn("hop", lit(0)),
+        fromHop, toHop)
+  }
+
+  /** Driver-side frontier loop; falls back to the distributed loop if a
+    * frontier outgrows the threshold. */
+  private def followPoint(
+      spark: SparkSession,
+      edges: DataFrame,
+      rootIds: Array[String],
+      fromHop: Int,
+      toHop: Int): DataFrame = {
+    import scala.collection.mutable
+    val visited = mutable.LinkedHashMap[String, Int]()
+    rootIds.foreach(id => visited(id) = 0)
+    var frontier: Array[String] = rootIds
+    var hop = 0
+
+    while (hop < toHop && frontier.nonEmpty) {
+      hop += 1
+      val next = edges
+        .where(col("src_id").isInCollection(frontier))
+        .select(col("dst_id")).distinct()
+        .collect().map(_.getString(0))
+        .filterNot(visited.contains)
+      if (next.length > PointPathMaxFrontier) {
+        // frontier exploded: hand the remaining hops to the join loop,
+        // seeded with everything reached so far
+        import spark.implicits._
+        next.foreach(id => visited(id) = hop)
+        val seed = visited.toSeq.toDF("id", "hop")
+        return followDistributed(spark, edges, seed, fromHop, toHop,
+          startHop = hop, startFrontier = Some(next))
+      }
+      next.foreach(id => visited(id) = hop)
+      frontier = next
+    }
+    import spark.implicits._
+    visited.toSeq.toDF("id", "hop")
+      .where(col("hop").between(fromHop, toHop))
+  }
+
+  /** Distributed iterative-join loop (large frontiers). `seed` is
+    * [id, hop] already visited; `startFrontier` (if given) is the hop
+    * = startHop frontier, else the seed itself is the frontier. */
+  private def followDistributed(
+      spark: SparkSession,
+      edges: DataFrame,
+      seed: DataFrame,
+      fromHop: Int,
+      toHop: Int,
+      startHop: Int = 0,
+      startFrontier: Option[Array[String]] = None): DataFrame = {
     // materialize the (filtered) edge set once: each hop re-joins it,
     // and without this every iteration re-reads the source scans
     val ed0 = edges.select(col("src_id"), col("dst_id"))
-    val ed = if (toHop > 1) ed0.localCheckpoint() else ed0
+    val ed = if (toHop - startHop > 1) ed0.localCheckpoint() else ed0
 
-    var visited = roots.select(col("id")).distinct()
-      .withColumn("hop", lit(0)).localCheckpoint()
-    var frontier = visited.select("id")
-    var hop = 0
+    var visited = seed.localCheckpoint()
+    var frontier = startFrontier match {
+      case Some(ids) =>
+        import spark.implicits._
+        ids.toSeq.toDF("id")
+      case None => visited.select("id")
+    }
+    var hop = startHop
     var done = frontier.isEmpty
 
     while (hop < toHop && !done) {

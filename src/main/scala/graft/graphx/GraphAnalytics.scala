@@ -42,15 +42,45 @@ object GraphAnalytics {
   }
 
   /** Connected components (undirected); returns [id, component] with
-    * component = min xxhash64 in the component, remapped to the
-    * lexicographically-smallest member id for stability. */
+    * component = lexicographically-smallest member id.
+    *
+    * DataFrame-native rather than GraphX: min-label propagation with a
+    * pointer-jumping compression step per round (the shape GraphFrames /
+    * the large-star–small-star family use), so each round is plain
+    * shuffles Catalyst + AQE plan — no RDD conversion, stable timing,
+    * and the same code path scales out on a cluster. Compression makes
+    * convergence O(log n) rounds instead of O(diameter);
+    * `localCheckpoint` per round cuts the iterative-join lineage. */
   def connectedComponents(edges: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val (g, verts) = build(edges)
-    val cc = g.connectedComponents().vertices.toDF("vid", "cvid")
-    val withId = cc.join(verts, "vid").select("id", "cvid")
-    val label = withId.groupBy("cvid").agg(min("id").as("component"))
-    withId.join(label, "cvid").select("id", "component")
+    val und = edges.select(col("src_id").as("u"), col("dst_id").as("v"))
+      .unionAll(edges.select(col("dst_id").as("u"), col("src_id").as("v")))
+      .distinct().localCheckpoint()
+
+    // labels[id, comp]: comp is always some existing vertex id, so the
+    // compression self-join (comp → comp of comp) is total. Each round is
+    // ONE materialized plan (propagate + compress) carrying an `old`
+    // column, so the convergence check is a cheap count on the already-
+    // checkpointed result — no extra join job per round.
+    var labels = und.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      // propagate: each vertex takes the min comp among itself + neighbours
+      val nbrMin = und.join(labels, und("v") === labels("id"))
+        .groupBy(und("u").as("id")).agg(min(labels("comp")).as("nbrmin"))
+      val prop = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbrmin"), col("comp"))).as("comp"),
+          col("comp").as("old"))
+      // compress: one pointer jump, comp := comp(comp)
+      val next = prop.as("a")
+        .join(prop.select(col("id").as("cid"), col("comp").as("ccomp")),
+          col("a.comp") === col("cid"))
+        .select(col("a.id").as("id"), col("ccomp").as("comp"), col("a.old"))
+        .localCheckpoint()
+      changed = next.where(col("comp") =!= col("old")).count()
+      labels = next.select("id", "comp")
+    }
+    labels.select(col("id"), col("comp").as("component"))
   }
 }

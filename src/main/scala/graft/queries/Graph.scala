@@ -21,6 +21,8 @@ import graft.model.Value
   *  - temporal current-view          (Printers.cs:144-152)       g07
   *  - put-merge dedup                (NodeAttrIndex.cs:183-232)  g08
   *  - remove (anti-join)             (MemoryStore.fs:18-22)      g09
+  *  - temporal history-view          (Printers.cs:139-143)       g10
+  *  - first(predicate)               (MemoryStore.fs:38-43)      g11
   */
 object Graph {
 
@@ -170,6 +172,40 @@ object Graph {
              |SELECT 'customer' AS kind, count(*) AS cnt FROM customer
              |UNION ALL SELECT 'orders', count(*) FROM orders
              |UNION ALL SELECT 'region', count(*) FROM region
-             |) ORDER BY kind""".stripMargin))
+             |) ORDER BY kind""".stripMargin)),
+
+    // ---- g10: temporal history-view — every version ordered by ts
+    // (ref #18: Printers.cs history mode keeps all versions; ordering is
+    // (ts, key, value) per MemoryPointer.partial.cs:32-43) ---------------
+    RegQuery("g10_temporal_history",
+      (s, d) => Tables(s, d, "orders")
+        .where(col("o_custkey") <= 5)
+        .select(
+          concat(lit("customer/"), col("o_custkey")).as("id"),
+          lit("last_total").as("attr_key"),
+          col("o_totalprice").as("num"),
+          unix_timestamp(col("o_orderdate")).as("ts"))
+        .withColumn("version", row_number().over(
+          Window.partitionBy("id", "attr_key")
+            .orderBy(col("ts"), col("num"))))
+        .orderBy("id", "version"),
+      Some("""SELECT 'customer/' || o_custkey AS id, 'last_total' AS attr_key,
+             |o_totalprice AS num, epoch(o_orderdate)::BIGINT AS ts,
+             |ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |  ORDER BY epoch(o_orderdate), o_totalprice) AS version
+             |FROM orders WHERE o_custkey <= 5
+             |ORDER BY id, version""".stripMargin)),
+
+    // ---- g11: first(predicate) — first matching node on the id-ordered
+    // stream (ref #13: MemoryStore.fs:38-43; order defined per SURVEY
+    // §7.3 risk 2 — reference storage order is arbitrary, ours is id) ----
+    RegQuery("g11_first",
+      (s, d) => GraphView.nodesAttrs(s, d)
+        .where(col("key") === "acctbal" && col("value.num") > 9000.0)
+        .select("id")
+        .orderBy("id")
+        .limit(1),
+      Some("""SELECT 'customer/' || c_custkey AS id FROM customer
+             |WHERE c_acctbal > 9000 ORDER BY id LIMIT 1""".stripMargin))
   )
 }

@@ -13,6 +13,15 @@ class ScaleSpec extends SparkSpec {
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+    // a killed prior run can leave the managed-table dirs behind with no
+    // metastore entry; saveAsTable then fails LOCATION_ALREADY_EXISTS
+    Seq("b_orders", "b_customer").foreach { t =>
+      val d = new java.io.File(s"spark-warehouse/$t")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      if (d.exists()) rm(d)
+    }
     Tables(spark, sfDir, "orders")
       .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
       .saveAsTable("b_orders")
