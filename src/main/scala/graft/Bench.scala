@@ -13,6 +13,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb one-time session/JIT/codegen warmup so it doesn't land on
+    // whichever query happens to run first
+    spark.range(1000000).selectExpr("sum(id)").collect()
     // noop sink forces full evaluation (projections, sorts, limits all
     // execute) without paying a real write — honest per-query timing;
     // a bare count() would let Catalyst prune most of the plan.

@@ -15,6 +15,17 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, "\\s+")
 
+  /** BPE-style pre-tokenization regex (the GPT-2 family's shape:
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs). ASCII classes only so the same pattern means the
+    * same thing in Java regex (Spark) and RE2 (DuckDB oracle). */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** BPE-ish tokens via one codegen'd regexp pass. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
   /** Word n-gram shingles (distinct). Docs shorter than n collapse to a
     * single whole-text shingle. */
   def shingles(toks: Column, n: Int): Column = {

@@ -319,6 +319,100 @@ object Pipeline {
              |CAST(32 + length(text) % 64 AS INTEGER) AS width,
              |CAST(32 + (length(text) // 7) % 64 AS INTEGER) AS height,
              |ascii(substr(text, 1, 1)) AS feat0
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- p13: BPE-ish regex token counting (vs whitespace) --------------
+    // One regexp_extract_all pass per doc — codegen'd, no UDF; the ratio
+    // is the standard tokens-per-word fertility metric.
+    RegQuery("p13_bpe_tokens",
+      (s, d) => {
+        val ws = TextOps.tokens(col("text"))
+        val bpe = TextOps.bpeTokens(col("text"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            size(ws).as("n_ws"),
+            size(bpe).as("n_bpe"),
+            r4(size(bpe).cast("double") / size(ws)).as("fertility"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+             |CAST(len(regexp_extract_all(text,
+             |  '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
+             |  AS INTEGER) AS n_bpe,
+             |floor(CAST(len(regexp_extract_all(text,
+             |  '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
+             |  AS DOUBLE) / len(string_split(text, ' ')) * 10000 + 0.5)/10000
+             |  AS fertility
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- p14: IVF-bucketed ANN (coarse-quantizer scale path) ------------
+    // Inverted-file structure: K seed centroids partition the corpus into
+    // cells (one broadcast×scan assignment pass, linear in n); a query
+    // probes its nprobe=2 nearest cells and brute-forces only those.
+    // At 100 TB the centroids come from k-means on a sample and the
+    // corpus is written bucketed by cell — the probe is a bucket-pruned
+    // scan. Deterministic seed centroids keep it DuckDB-checkable.
+    RegQuery("p14_ann_ivf",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        val cents = e.where(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        def sim6(a: Column, b: Column) =
+          floor(VectorOps.cosineFast(a, b) * 1000000 + 0.5) / 1000000
+        // cell assignment: argmax-cosine centroid per vector
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+            .orderBy(sim6(col("v"), col("cv")).desc, col("c_id"))))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("c_id").as("cell"))
+        // each query probes its 2 nearest cells
+        val probes = e.where(col("vec_id") < 3).crossJoin(broadcast(cents))
+          .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+            .orderBy(sim6(col("v"), col("cv")).desc, col("c_id"))))
+          .where(col("rn") <= 2)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("c_id").as("cell"))
+        probes.join(assigned, "cell")
+          .where(col("q_id") =!= col("vec_id"))
+          .withColumn("cos_r", sim6(col("qv"), col("v")))
+          .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("cos_r").desc, col("vec_id"))))
+          .where(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+            col("cos_r"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+             |sim AS (SELECT e.vec_id, e.v, c.c_id,
+             |  floor(list_sum(list_transform(range(1, len(e.v)+1),
+             |      i -> e.v[i]*c.cv[i]))
+             |    / (sqrt(list_sum(list_transform(e.v, x -> x*x)))
+             |       * sqrt(list_sum(list_transform(c.cv, x -> x*x))))
+             |    * 1000000 + 0.5)/1000000 AS s
+             |  FROM e, c),
+             |asg AS (SELECT vec_id, v, c_id AS cell FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+             |    ORDER BY s DESC, c_id) AS rn FROM sim) WHERE rn = 1),
+             |prb AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+             |    ORDER BY s DESC, c_id) AS rn FROM sim WHERE vec_id < 3)
+             |  WHERE rn <= 2),
+             |cand AS (SELECT p.q_id, a.vec_id AS n_id,
+             |  floor(list_sum(list_transform(range(1, len(p.qv)+1),
+             |      i -> p.qv[i]*a.v[i]))
+             |    / (sqrt(list_sum(list_transform(p.qv, x -> x*x)))
+             |       * sqrt(list_sum(list_transform(a.v, x -> x*x))))
+             |    * 1000000 + 0.5)/1000000 AS cos_r
+             |  FROM prb p JOIN asg a ON p.cell = a.cell
+             |  WHERE a.vec_id != p.q_id),
+             |r AS (SELECT q_id, n_id, cos_r, ROW_NUMBER() OVER (
+             |  PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rn FROM cand)
+             |SELECT q_id, CAST(rn AS INTEGER) AS rank, n_id, cos_r FROM r
+             |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin))
   )
 }

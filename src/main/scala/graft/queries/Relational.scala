@@ -460,6 +460,21 @@ object Relational {
              |floor(stddev_samp(l_quantity)*10000 + 0.5)/10000 AS sd,
              |floor(var_samp(l_extendedprice)*100 + 0.5)/100 AS vr,
              |floor(corr(l_quantity, l_extendedprice)*10000 + 0.5)/10000 AS cr
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- sketch aggregates (HLL++ / quantile digest) -------------------
+    // Approximation algorithms differ between engines, so no value oracle;
+    // the driver records a rows-only check and RelationalSpec pins the
+    // relative-error bounds against exact answers. These are THE 100 TB
+    // cardinality/percentile path: one pass, fixed memory, no
+    // count-distinct expand or full sort.
+    RegQuery("q33_approx_sketch",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("ad"),
+             percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+               .as("p50"))
+        .orderBy("l_returnflag"),
+      None)
   )
 }

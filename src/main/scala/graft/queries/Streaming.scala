@@ -90,6 +90,25 @@ object Streaming {
       },
       Some("""SELECT user_id, count(*) AS n_events,
              |count(*) FILTER (WHERE event_type = 'click') AS n_clicks
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- s04: watermarked streaming dedup (bounded state) --------------
+    // The source has unique event_ids, so the stream is unioned with
+    // itself — the dedup must collapse every event back to one row.
+    // dropDuplicatesWithinWatermark evicts per-key state as the watermark
+    // advances (the only dedup shape whose state stays bounded on an
+    // unbounded stream).
+    RegQuery("s04_stream_dedup",
+      (s, d) => {
+        val q = Streams.dedup(streamEvents(s, d).unionAll(streamEvents(s, d)))
+          .writeStream.format("memory").queryName("s04_sink")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("s04_sink")
+          .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS cnt FROM events
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

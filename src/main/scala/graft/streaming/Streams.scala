@@ -41,11 +41,15 @@ object Streams {
       .select(col("w.start").as("ws"), col("w.end").as("we"),
         col("user_id"), col("cnt"))
 
-  /** Watermarked streaming dedup — bounded state. On a batch frame the
-    * watermark is a no-op and this is plain dropDuplicates. */
+  /** Watermarked streaming dedup. `dropDuplicatesWithinWatermark` (not
+    * plain dropDuplicates) so each key's state is EVICTED once the
+    * watermark passes its event time — the only dedup that survives an
+    * unbounded stream; plain dropDuplicates keys state forever. Duplicates
+    * are only suppressed if they arrive within the watermark delay of the
+    * first occurrence, which is the documented contract. */
   def dedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-static enrichment join: the static side broadcasts. */
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =

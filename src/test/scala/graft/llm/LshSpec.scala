@@ -34,6 +34,33 @@ class LshSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("sketch aggregates stay within documented error of exact") {
+    val q33 = graft.SparkEntry.queries("q33_approx_sketch")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = graft.Tables(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("d"),
+        expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (d, m)) =>
+      val (ad, p50) = q33(k)
+      assert(math.abs(ad - d).toDouble / d < 0.05,
+        s"$k approx distinct $ad vs exact $d")  // HLL++ rsd default 5%
+      assert(math.abs(p50 - m) / m < 0.05, s"$k approx p50 $p50 vs exact $m")
+    }
+  }
+
+  test("IVF ANN recovers most of the exact top-5 (recall vs p09)") {
+    def pairs(name: String) =
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("p09_ann_topk")
+    val ivf = pairs("p14_ann_ivf")
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall") // nprobe=2 of 8 cells
+  }
+
   test("simhash places twins within small hamming distance") {
     val sig = TextOps.simhash(docs, "doc_id", TextOps.tokens(col("text")))
     val a = sig.select(col("doc_id").as("a_id"), col("simhash").as("a_sim"))
