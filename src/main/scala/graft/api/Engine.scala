@@ -92,9 +92,11 @@ final class Engine(val spark: SparkSession, attrs0: DataFrame,
 }
 
 object Engine {
-  /** Engine over the derived graph view of a testdata dir. */
+  /** Engine over the bucketed graph store of a testdata dir: point
+    * lookups and traversal hops filter a literal id column (pushdown +
+    * bucket pruning), and id-joins co-locate on the bucket hash. */
   def forDir(spark: SparkSession, dir: String): Engine =
-    new Engine(spark, graft.graph.GraphView.nodesAttrs(spark, dir),
-      Some(graft.graph.GraphView.edges(spark, dir)
+    new Engine(spark, graft.sources.GraphStore.nodesAttrs(spark, dir),
+      Some(graft.sources.GraphStore.edges(spark, dir)
         .select("src_id", "label", "dst_id")))
 }

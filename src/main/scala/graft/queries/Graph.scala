@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.graph.{GraphView, Traversal}
+import graft.graph.Traversal
+import graft.sources.GraphStore
 import graft.model.Value
 
 /** Graph-operator surface (SURVEY.md §2.1 #1-#13, §2.3 G1-G4) on the
@@ -30,7 +31,7 @@ object Graph {
 
     // ---- g01: point get + projection (ref #2, #6) ----------------------
     RegQuery("g01_point_get",
-      (s, d) => GraphView.nodesAttrs(s, d)
+      (s, d) => GraphStore.nodesAttrs(s, d)
         .where(col("id") === "customer/1")
         .select(col("id"), col("key").as("attr_key"),
           col("value.str").as("value_str"),
@@ -52,7 +53,7 @@ object Graph {
 
     // ---- g02: filter == on attribute value (ref #5, semi-join form) ----
     RegQuery("g02_filter_exists",
-      (s, d) => GraphView.nodesAttrs(s, d)
+      (s, d) => GraphStore.nodesAttrs(s, d)
         .where(col("key") === "nation" &&
                col("value.vtype") === Value.NODEID &&
                col("value.iri") === "nation/1")
@@ -65,7 +66,7 @@ object Graph {
     RegQuery("g03_follow_1hop",
       (s, d) => {
         import s.implicits._
-        Traversal.follow(s, GraphView.edges(s, d),
+        Traversal.follow(s, GraphStore.edges(s, d),
             Seq("customer/1").toDF("id"), Some("nation"), 0, 1)
           .select("id").orderBy("id")
       },
@@ -78,7 +79,7 @@ object Graph {
     RegQuery("g04_follow_bounded",
       (s, d) => {
         import s.implicits._
-        Traversal.follow(s, GraphView.edges(s, d),
+        Traversal.follow(s, GraphStore.edges(s, d),
             Seq("customer/1").toDF("id"), None, 0, 2)
           .select("id").orderBy("id")
       },
@@ -91,7 +92,7 @@ object Graph {
 
     // ---- g05: fields/clude projection — include edges only (ref #6, `^`)
     RegQuery("g05_fields_edges",
-      (s, d) => GraphView.nodesAttrs(s, d)
+      (s, d) => GraphStore.nodesAttrs(s, d)
         .where(col("id") === "customer/1" &&
                col("value.vtype") === Value.NODEID)
         .select(col("id"), col("key").as("attr_key"),
@@ -103,7 +104,7 @@ object Graph {
 
     // ---- g06: deterministic paging (ref #7, #8; SURVEY §7.3 risk 2) ----
     RegQuery("g06_paging",
-      (s, d) => GraphView.nodesAttrs(s, d)
+      (s, d) => GraphStore.nodesAttrs(s, d)
         .select("id").distinct()
         .orderBy("id")
         .offset(5).limit(10),
@@ -139,9 +140,15 @@ object Graph {
     // wins (ref #1, #11: NodeAttrIndex.cs Distinct + FileStore.fs:82-89) --
     RegQuery("g08_merge_dedup",
       (s, d) => {
-        val a = GraphView.nodesAttrs(s, d)
-        val rewritten = a.withColumn("ts", col("ts") + 1000L) // same attrs, later ts
-        a.unionAll(rewritten)
+        // each attribute "written twice" at ts and ts+1000 — via explode
+        // over ONE scan, not a self-union: unioning two scans of the same
+        // bucketed table and aggregating on keys ⊇ the bucket key hits a
+        // Spark 4.1.2 planner fault (no exchange inserted; see
+        // GraphStoreSpec "self-union" regression), and single-scan
+        // explode is the better plan regardless
+        val a = GraphStore.nodesAttrs(s, d)
+        a.select(col("graph"), col("id"), col("key"), col("value"),
+            explode(array(col("ts"), col("ts") + 1000L)).as("ts"))
           .groupBy("graph", "id", "key", "value").agg(min("ts").as("ts"))
           .groupBy(col("key").as("attr_key"))
           .agg(count(lit(1)).as("cnt"))
@@ -160,7 +167,7 @@ object Graph {
     // ---- g09: remove nodes by id (ref #12: anti-join) -------------------
     RegQuery("g09_remove",
       (s, d) => {
-        val attrs = GraphView.nodesAttrs(s, d)
+        val attrs = GraphStore.nodesAttrs(s, d)
         val toRemove = attrs.where(col("id").startsWith("nation/"))
           .select("id").distinct()
         attrs.join(toRemove, Seq("id"), "left_anti")
@@ -200,7 +207,7 @@ object Graph {
     // stream (ref #13: MemoryStore.fs:38-43; order defined per SURVEY
     // §7.3 risk 2 — reference storage order is arbitrary, ours is id) ----
     RegQuery("g11_first",
-      (s, d) => GraphView.nodesAttrs(s, d)
+      (s, d) => GraphStore.nodesAttrs(s, d)
         .where(col("key") === "acctbal" && col("value.num") > 9000.0)
         .select("id")
         .orderBy("id")

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.graph.GraphView
+import graft.sources.GraphStore
 import graft.graphx.GraphAnalytics
 
 /** Whole-graph analytics queries (SURVEY.md §7.1 M7) on the derived
@@ -16,7 +16,7 @@ object GraphXQueries {
   val registry: Seq[RegQuery] = Seq(
 
     RegQuery("x01_connected_components",
-      (s, d) => GraphAnalytics.connectedComponents(GraphView.edges(s, d))
+      (s, d) => GraphAnalytics.connectedComponents(GraphStore.edges(s, d))
         .groupBy("component").agg(count(lit(1)).as("cnt"))
         .orderBy("component"),
       Some("""WITH mem AS (
@@ -31,7 +31,7 @@ object GraphXQueries {
              |FROM mem GROUP BY rk ORDER BY component""".stripMargin)),
 
     RegQuery("x02_pagerank",
-      (s, d) => GraphAnalytics.pageRank(GraphView.edges(s, d), tol = 1e-4)
+      (s, d) => GraphAnalytics.pageRank(GraphStore.edges(s, d), tol = 1e-4)
         .orderBy(col("rank").desc, col("id"))
         .limit(20),
       None) // iterative float fixed-point → rows-only; invariants in GraphXSpec

@@ -475,6 +475,47 @@ object Relational {
              percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
                .as("p50"))
         .orderBy("l_returnflag"),
-      None)
+      None),
+
+    // ---- typed UDAF (Aggregator[IN,BUF,OUT] via functions.udaf) --------
+    // Element-wise vector mean per cell = one k-means Lloyd step of the
+    // IVF coarse quantizer (p14). Partial aggregation ships one
+    // (sums, count) buffer per group through the shuffle, not the rows.
+    RegQuery("q34_udaf_centroid",
+      (s, d) => {
+        val centroid = udaf(graft.functions.VectorCentroid)
+        t(s, d, "embeddings")
+          .select(pmod(col("vec_id"), lit(8)).as("cell"),
+            graft.llm.VectorOps.toDouble(col("embedding")).as("v"))
+          .groupBy("cell").agg(centroid(col("v")).as("c"))
+          .select(col("cell"),
+            floor(element_at(col("c"), 1) * 10000 + 0.5).cast("long").as("c1"),
+            floor(element_at(col("c"), 2) * 10000 + 0.5).cast("long").as("c2"),
+            floor(element_at(col("c"), 3) * 10000 + 0.5).cast("long").as("c3"))
+          .orderBy("cell")
+      },
+      Some("""SELECT vec_id % 8 AS cell,
+             |CAST(floor(avg(CAST(embedding[1] AS DOUBLE))*10000 + 0.5) AS BIGINT) AS c1,
+             |CAST(floor(avg(CAST(embedding[2] AS DOUBLE))*10000 + 0.5) AS BIGINT) AS c2,
+             |CAST(floor(avg(CAST(embedding[3] AS DOUBLE))*10000 + 0.5) AS BIGINT) AS c3
+             |FROM embeddings GROUP BY 1 ORDER BY cell""".stripMargin)),
+
+    // ---- unpivot / melt (wide → long) ----------------------------------
+    RegQuery("q35_unpivot",
+      (s, d) => t(s, d, "customer")
+        .where(col("c_custkey") <= 100)
+        .unpivot(Array(col("c_custkey")),
+          Array(col("c_acctbal"), col("c_nationkey").cast("double")),
+          "metric", "val")
+        .withColumn("metric",
+          when(col("metric") === "c_nationkey", "nation").otherwise("acctbal"))
+        .orderBy("c_custkey", "metric"),
+      Some("""SELECT c_custkey, CASE WHEN metric = 'c_nationkey' THEN 'nation'
+             |  ELSE 'acctbal' END AS metric, val
+             |FROM (SELECT c_custkey, c_acctbal,
+             |        CAST(c_nationkey AS DOUBLE) AS c_nationkey
+             |      FROM customer WHERE c_custkey <= 100)
+             |UNPIVOT (val FOR metric IN (c_acctbal, c_nationkey))
+             |ORDER BY c_custkey, metric""".stripMargin))
   )
 }
