@@ -23,8 +23,17 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Streaming temp checkpoints / scratch files follow java.io.tmpdir; this
+// VM's disk stalls under file churn, so scratch lives on tmpfs when
+// available (a cluster would use local SSDs).
+val graftTmp: String = {
+  val shm = file("/dev/shm/graft-tmp")
+  if (shm.getParentFile.isDirectory && { shm.mkdirs(); shm.isDirectory }) shm.getPath
+  else sys.props("java.io.tmpdir")
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  s"-Djava.io.tmpdir=$graftTmp",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

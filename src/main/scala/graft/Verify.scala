@@ -8,12 +8,23 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // shuffle/checkpoint blocks on tmpfs: this VM's disk stalls
+    // stochastically for tens of seconds under shuffle-file churn
+    // (measured 2026-08: same query 3 s alone vs 100 s mid-session);
+    // a real cluster would use local SSDs — tmpfs is the local[] stand-in
+    val localDir = sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark")
     val spark = SparkSession.builder()
+      .config("spark.local.dir", localDir)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bound listener-state retention: with hundreds of executions in
+      // one session the retained plan graphs + metrics age the driver
+      .config("spark.sql.ui.retainedExecutions", "10")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -43,9 +43,14 @@ object IngestScan {
         col("a.sval").as("sval"), col("a.iri").as("iri"), col("ts"))
   }
 
-  /** Run the harness; returns (ingestSec, scanSec). */
+  /** Run the harness; returns (ingestSec, scanSec). Lands on tmpfs when
+    * available — the harness measures the engine's append+merge path,
+    * not this VM's disk (which stalls stochastically; see Bench). */
   def run(spark: SparkSession, batches: Int = 25, batchSize: Int = 2000): (Double, Double) = {
-    val dir = Files.createTempDirectory("graft_ingest_bench").toFile
+    val base = new java.io.File("/dev/shm")
+    val dir = (if (base.isDirectory && base.canWrite)
+        Files.createTempDirectory(base.toPath, "graft_ingest_bench")
+      else Files.createTempDirectory("graft_ingest_bench")).toFile
     val path = dir.getAbsolutePath
     val universe = batches.toLong * batchSize
     val t0 = System.nanoTime()

@@ -56,13 +56,68 @@ object GraphAnalytics {
       .unionAll(edges.select(col("dst_id").as("u"), col("src_id").as("v")))
       .distinct().localCheckpoint()
 
+    // Leaf peeling: degree-1 vertices can't change anyone else's
+    // component — strip them, run the iterative part on the (much
+    // smaller) core, attach leaves with ONE join, then relabel every
+    // component to its true min member id. Real graphs are leaf-heavy
+    // (here 92% of vertices are degree-1 order nodes), so the loop's
+    // per-round shuffles shrink by that factor.
+    val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+    val leaves = deg.where(col("d") === 1).select(col("u").as("leaf"))
+      .localCheckpoint()
+    val leafEdge = und.join(leaves, und("u") === leaves("leaf"))
+      .select(col("leaf"), col("v").as("nbr"))
+    val nbrIsLeaf = leaves.select(col("leaf").as("nbr"))
+      .withColumn("nbr_leaf", lit(true))
+    val split = leafEdge.join(nbrIsLeaf, Seq("nbr"), "left").localCheckpoint()
+    // leaf—leaf pair: a 2-vertex component, labeled by its min endpoint
+    val pairComp = split.where(col("nbr_leaf"))
+      .select(col("leaf").as("id"), least(col("leaf"), col("nbr")).as("comp"))
+    val hanging = split.where(col("nbr_leaf").isNull)
+      .select(col("leaf"), col("nbr"))
+    // core = graph minus leaves; core vertices with no surviving edge
+    // (only leaf neighbours) still need a self label
+    val core = und
+      .join(leaves, und("u") === leaves("leaf"), "left_anti")
+      .join(leaves.select(col("leaf").as("lv")), und("v") === col("lv"),
+        "left_anti")
+    val coreLabels = ccLoop(core)
+    val soloCore = hanging.select(col("nbr").as("id")).distinct()
+      .join(coreLabels.select("id"), Seq("id"), "left_anti")
+      .withColumn("comp", col("id"))
+    val allCore = coreLabels.unionAll(soloCore).localCheckpoint()
+    val hangingComp = hanging
+      .join(allCore.withColumnRenamed("id", "nbr"), "nbr")
+      .select(col("leaf").as("id"), col("comp"))
+    val assembled = allCore.unionAll(hangingComp).unionAll(pairComp)
+    // relabel: the contract is min member id, and a peeled leaf can be
+    // that min (e.g. an id that sorts before every core member's)
+    val relabel = assembled.groupBy("comp").agg(min("id").as("component"))
+    assembled.join(relabel, "comp").select("id", "component")
+  }
+
+  /** Iterative min-label propagation with pointer-jump compression over
+    * an undirected edge list [u, v]; returns [id, comp]. */
+  private def ccLoop(und0: DataFrame): DataFrame = {
+    val und = und0.localCheckpoint()
+
     // labels[id, comp]: comp is always some existing vertex id, so the
     // compression self-join (comp → comp of comp) is total. Each round is
-    // ONE materialized plan (propagate + compress) carrying an `old`
-    // column, so the convergence check is a cheap count on the already-
-    // checkpointed result — no extra join job per round.
-    var labels = und.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    // ONE materialized plan (propagate + two pointer jumps) carrying an
+    // `old` column, so the convergence check is a cheap count on the
+    // already-checkpointed result — no extra join job per round. Seeding
+    // with min(self, neighbours) folds the first propagate into init.
+    def jump(df: DataFrame): DataFrame =
+      df.as("a")
+        .join(df.select(col("id").as("cid"), col("comp").as("ccomp")),
+          col("a.comp") === col("cid"))
+        .drop("comp", "cid")
+        .withColumnRenamed("ccomp", "comp")
+
+    var labels = und.groupBy(col("u"))
+      .agg(min(col("v")).as("nbrmin"))
+      .select(col("u").as("id"), least(col("u"), col("nbrmin")).as("comp"))
+      .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       // propagate: each vertex takes the min comp among itself + neighbours
@@ -72,15 +127,10 @@ object GraphAnalytics {
         .select(col("id"),
           least(col("comp"), coalesce(col("nbrmin"), col("comp"))).as("comp"),
           col("comp").as("old"))
-      // compress: one pointer jump, comp := comp(comp)
-      val next = prop.as("a")
-        .join(prop.select(col("id").as("cid"), col("comp").as("ccomp")),
-          col("a.comp") === col("cid"))
-        .select(col("a.id").as("id"), col("ccomp").as("comp"), col("a.old"))
-        .localCheckpoint()
+      val next = jump(jump(prop)).localCheckpoint()
       changed = next.where(col("comp") =!= col("old")).count()
       labels = next.select("id", "comp")
     }
-    labels.select(col("id"), col("comp").as("component"))
+    labels
   }
 }
