@@ -55,7 +55,11 @@ object IngestScan {
     val universe = batches.toLong * batchSize
     val t0 = System.nanoTime()
     (0 until batches).foreach { b =>
+      // one batch ≈ 16k rows: 4 files, not 32 — per-file open/commit
+      // overhead dominates tiny appends (and the read side would pay
+      // again listing 32×batches shards)
       batch(spark, b.toLong * batchSize, batchSize, universe)
+        .coalesce(4)
         .write.mode("append").parquet(path)
     }
     val ingestSec = (System.nanoTime() - t0) / 1e9
