@@ -39,6 +39,40 @@ object Multimodal {
                length(col("text")).cast("long").as("n_bytes")).as("meta")
       ).as("media"))
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("fhash", IntegerType, nullable = false)))
+
+  /** Frame sampling + resize, the generator-shaped multimodal op: each
+    * media row fans out to every `every`-th frame, scaled to w×h. Same
+    * batched plumbing as decodeFeatures — a real build initializes a
+    * demuxer + scaler once per partition and streams frames through the
+    * iterator (bounded memory, no per-row codec setup). STUB: frame
+    * count derives from payload size (1 frame per 50 bytes), the
+    * "decoded" frame hash from the byte at the frame's offset — pure
+    * functions of the payload, so the fan-out stays oracle-checkable. */
+  def sampleFrames(media: DataFrame, every: Int, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("media.bytes")).rdd
+      .mapPartitions { rows =>
+        // (real impl: val demux = VideoDemuxer.open(); val scaler = ...)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val total = math.max(bytes.length / 50, 1)
+          (0 until total by every).iterator.map { f =>
+            // --- STUB decode+resize: deterministic fake ---
+            val fhash = if (bytes.isEmpty) 0 else bytes(f % bytes.length).toInt
+            Row(id, f, w, h, fhash)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, frameSchema)
+  }
+
   /** Batched "decode": one codec init per partition, iterator in /
     * iterator out. STUB — a real build links an image codec here; the
     * fake is a pure function of the bytes so it stays oracle-checkable. */

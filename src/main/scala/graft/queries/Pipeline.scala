@@ -321,6 +321,22 @@ object Pipeline {
              |ascii(substr(text, 1, 1)) AS feat0
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- p15: multimodal frame-sample + resize (generator fan-out) ------
+    RegQuery("p15_frame_sample",
+      (s, d) => graft.llm.Multimodal
+        .sampleFrames(graft.llm.Multimodal.mediaTable(s, d),
+          every = 10, w = 64, h = 64)
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH f AS (SELECT doc_id, text,
+             |    greatest(length(text) // 50, 1) AS total FROM documents),
+             |s AS (SELECT doc_id, text,
+             |    unnest(range(0, total, 10)) AS fi FROM f)
+             |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+             |  64 AS width, 64 AS height,
+             |  ascii(substr(text, CAST(fi % length(text) AS INTEGER) + 1, 1))
+             |    AS fhash
+             |FROM s ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // ---- p13: BPE-ish regex token counting (vs whitespace) --------------
     // One regexp_extract_all pass per doc — codegen'd, no UDF; the ratio
     // is the standard tokens-per-word fertility metric.
