@@ -16,19 +16,28 @@ import org.apache.spark.sql.functions._
   */
 object GraphAnalytics {
 
-  /** Build a GraphX graph from an edges DataFrame [src_id, label, dst_id]. */
+  /** Build a GraphX graph from an edges DataFrame [src_id, label, dst_id].
+    * RDD partition count is sized to the data (~1M edges per partition,
+    * min 4): GraphX fixed-point loops run dozens of jobs, and at small
+    * scale 32 near-empty tasks per iteration cost more in scheduling
+    * than the compute — while huge graphs still fan out. */
   def build(edges: DataFrame): (XGraph[String, String], DataFrame) = {
     val spark = edges.sparkSession
+    val nEdges = edges.count()
+    val parts = math.max(4, math.min(spark.sparkContext.defaultParallelism,
+      (nEdges / 1000000L).toInt + 1))
     val verts = edges.select(col("src_id").as("id"))
       .unionAll(edges.select(col("dst_id").as("id")))
       .distinct()
       .select(col("id"), xxhash64(col("id")).as("vid"))
     val vertRdd = verts.select("vid", "id").rdd
       .map(r => (r.getLong(0): VertexId, r.getString(1)))
+      .coalesce(parts)
     val edgeRdd = edges
       .select(xxhash64(col("src_id")).as("s"), xxhash64(col("dst_id")).as("d"),
         col("label"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
+      .coalesce(parts)
     (XGraph(vertRdd, edgeRdd), verts)
   }
 

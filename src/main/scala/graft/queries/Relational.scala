@@ -516,6 +516,56 @@ object Relational {
              |        CAST(c_nationkey AS DOUBLE) AS c_nationkey
              |      FROM customer WHERE c_custkey <= 100)
              |UNPIVOT (val FOR metric IN (c_acctbal, c_nationkey))
-             |ORDER BY c_custkey, metric""".stripMargin))
+             |ORDER BY c_custkey, metric""".stripMargin)),
+
+    // ---- distribution analytics (ntile / percent_rank / cume_dist) -----
+    RegQuery("q36_window_distribution",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, d, "customer")
+          .where(col("c_custkey") <= 300)
+          .select(col("c_custkey"), col("c_nationkey"),
+            ntile(4).over(w).as("quartile"),
+            (floor(percent_rank().over(w) * 10000 + 0.5) / 10000).as("pr"),
+            (floor(cume_dist().over(w) * 10000 + 0.5) / 10000).as("cd"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_nationkey,
+             |CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+             |floor(PERCENT_RANK() OVER w * 10000 + 0.5)/10000 AS pr,
+             |floor(CUME_DIST() OVER w * 10000 + 0.5)/10000 AS cd
+             |FROM customer WHERE c_custkey <= 300
+             |WINDOW w AS (PARTITION BY c_nationkey
+             |             ORDER BY c_acctbal, c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- calendar arithmetic (months_between / last_day / trunc) -------
+    RegQuery("q37_date_arith",
+      (s, d) => t(s, d, "orders")
+        .where(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          (floor(months_between(lit("1998-08-01"), col("o_orderdate")) * 100
+            + 0.5) / 100).as("age_months"),
+          last_day(col("o_orderdate")).as("eom"),
+          trunc(col("o_orderdate"), "quarter").as("qstart"),
+          datediff(lit("1998-08-01"), col("o_orderdate")).as("age_days"))
+        .orderBy("o_orderkey"),
+      // DuckDB has no months_between; its equivalent is whole-month
+      // difference + fractional 31-day part (Spark semantics: fraction =
+      // day delta / 31 when not both month-ends)
+      // Spark months_between fraction = (day(end) - day(start))/31 unless
+      // BOTH dates are month-ends — end 1998-08-01 never is, so the plain
+      // formula holds for every row (day(d)=1 gives fraction 0 naturally)
+      Some("""SELECT o_orderkey,
+             |floor((datediff('month', d, DATE '1998-08-01')
+             |  + (1 - day(d)) / 31.0) * 100 + 0.5)/100
+             |  AS age_months,
+             |last_day(d) AS eom,
+             |date_trunc('quarter', d) AS qstart,
+             |CAST(datediff('day', d, DATE '1998-08-01') AS INTEGER) AS age_days
+             |FROM (SELECT o_orderkey, o_orderdate AS d FROM orders
+             |      WHERE o_orderkey <= 2000)
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }
