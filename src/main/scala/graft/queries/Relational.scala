@@ -566,6 +566,27 @@ object Relational {
              |CAST(datediff('day', d, DATE '1998-08-01') AS INTEGER) AS age_days
              |FROM (SELECT o_orderkey, o_orderdate AS d FROM orders
              |      WHERE o_orderkey <= 2000)
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- map functions (JSON → MapType → keys/values/element_at) -------
+    RegQuery("q38_map_fns",
+      (s, d) => {
+        val m = from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType))
+        t(s, d, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"),
+            concat_ws(",", map_keys(m)).as("ks"),
+            element_at(m, "k").as("kv"),
+            size(map_values(m)).as("nv"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, 'k' AS ks,
+             |CAST(json_extract_string(props, '$.k') AS INTEGER) AS kv,
+             |1 AS nv
+             |FROM events WHERE event_type = 'click'
+             |ORDER BY event_id""".stripMargin))
   )
 }

@@ -109,6 +109,27 @@ object Streaming {
           .orderBy("event_type")
       },
       Some("""SELECT event_type, count(*) AS cnt FROM events
-             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- s05: stream-static enrichment join (dim broadcasts) -----------
+    // The static side is tiny and hash-joins against every micro-batch
+    // without shuffling the stream — the standard dimension-enrichment
+    // shape at scale.
+    RegQuery("s05_stream_enrich",
+      (s, d) => {
+        val dim = graft.Tables(s, d, "events")
+          .select(col("event_type")).distinct()
+          .withColumn("weight", length(col("event_type")))
+        val q = Streams.enrich(streamEvents(s, d), dim)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), sum("weight").as("wsum"))
+          .writeStream.format("memory").queryName("s05_sink")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("s05_sink").orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS cnt,
+             |count(*) * length(event_type) AS wsum
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
