@@ -26,6 +26,15 @@ class GraphStoreSpec extends SparkSpec {
       s"no pushdown:\n$plan")
   }
 
+  test("traversal point path pushes the frontier IN-filter to the scan") {
+    val edges = GraphStore.edges(spark, sfDir)
+    val plan = edges
+      .where(col("src_id").isInCollection(Seq("customer/1", "customer/2")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(src_id, [customer/1,customer/2])]"),
+      s"frontier filter not pushed:\n$plan")
+  }
+
   test("self-union aggregate needs restructure (Spark 4.1.2 planner fault)") {
     val a = GraphStore.nodesAttrs(spark, sfDir)
     val base = a.count()
