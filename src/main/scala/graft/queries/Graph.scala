@@ -213,6 +213,27 @@ object Graph {
         .orderBy("id")
         .limit(1),
       Some("""SELECT 'customer/' || c_custkey AS id FROM customer
-             |WHERE c_acctbal > 9000 ORDER BY id LIMIT 1""".stripMargin))
+             |WHERE c_acctbal > 9000 ORDER BY id LIMIT 1""".stripMargin)),
+
+    // ---- g12: grouped Node view — long form → one row per node with its
+    // attribute multiset (SURVEY §1.2 "grouped view": groupBy(id) +
+    // collect_list; ref Node = id + repeated KeyValue, types.proto:66-70).
+    // sort_array makes the collected multiset deterministic; collect_set
+    // dedups repeated keys (multimap → distinct key count) -------------
+    RegQuery("g12_grouped_nodes",
+      (s, d) => GraphStore.nodesAttrs(s, d)
+        .where(col("id").startsWith("nation/") ||
+               col("id").startsWith("region/"))
+        .groupBy("id")
+        .agg(
+          concat_ws(",", sort_array(collect_list(col("key")))).as("keys"),
+          size(collect_set(col("key"))).as("n_distinct_keys"))
+        .orderBy("id"),
+      Some("""SELECT id, keys, n_distinct_keys FROM (
+             |SELECT 'nation/' || n_nationkey AS id, 'name,region' AS keys,
+             |       2 AS n_distinct_keys FROM nation
+             |UNION ALL
+             |SELECT 'region/' || r_regionkey, 'name', 1 FROM region
+             |) ORDER BY id""".stripMargin))
   )
 }
