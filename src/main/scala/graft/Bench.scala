@@ -63,10 +63,22 @@ object Bench {
       catch { case _: Throwable => (-1.0, -1.0) }
     val all = results ++ Seq("ingest_50k_nodes" -> ingestSec,
       "scan_merge_50k" -> scanSec)
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the whole line ~2 KB: round 1's full-precision
+    // line (~3.5 KB) overflowed the driver's tail-capture window and the
+    // head of the JSON was lost ("parsed": null in BENCH_r01.json)
+    def f3(v: Double): String = "%.3f".format(v)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // redundant copy on disk in case stdout capture truncates again
+    try {
+      val w = new java.io.PrintWriter("bench_out.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
+    // print LAST, after Spark shutdown, so no log line lands below it
+    println(line)
   }
 }

@@ -105,17 +105,60 @@ object GraphAnalytics {
     assembled.join(relabel, "comp").select("id", "component")
   }
 
-  /** Iterative min-label propagation with pointer-jump compression over
-    * an undirected edge list [u, v]; returns [id, comp]. */
+  /** Core-CC dispatcher: after leaf-peeling the remaining core is often
+    * tiny relative to the graph (92% of vertices here are degree-1), so
+    * below `spark.graft.cc.localEdgeThreshold` undirected edges
+    * (default 1M ≈ tens of MB of ids on the driver) we finish with an
+    * exact driver-side union-find — the same bounded-collect-with-
+    * distributed-fallback shape as Traversal's point-path frontier. Above
+    * the bound the pointer-jump loop runs entirely as shuffles. */
   private def ccLoop(und0: DataFrame): DataFrame = {
     val und = und0.localCheckpoint()
+    val threshold = und.sparkSession.conf
+      .get("spark.graft.cc.localEdgeThreshold", "1000000").toLong
+    // und carries both directions, so rows/2 = undirected edge count;
+    // the count is a cheap scan of the just-checkpointed partitions
+    if (und.count() / 2 <= threshold) localUnionFind(und)
+    else distributedCcLoop(und)
+  }
 
-    // labels[id, comp]: comp is always some existing vertex id, so the
-    // compression self-join (comp → comp of comp) is total. Each round is
-    // ONE materialized plan (propagate + two pointer jumps) carrying an
-    // `old` column, so the convergence check is a cheap count on the
-    // already-checkpointed result — no extra join job per round. Seeding
-    // with min(self, neighbours) folds the first propagate into init.
+  /** Exact union-find over a collected edge list; comp = min member id
+    * by construction (the smaller root wins every union). */
+  private def localUnionFind(und: DataFrame): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    // keep one direction (u <= v also keeps self-loops so isolated-by-
+    // self-edge vertices stay registered); each edge appears exactly once
+    val pairs = und.where(col("u") <= col("v"))
+      .select("u", "v").as[(String, String)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val verts = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    spark.createDataset(verts.iterator.map(v => (v, find(v))).toSeq)
+      .toDF("id", "comp")
+  }
+
+  /** Iterative min-label propagation with pointer-jump compression over
+    * an undirected edge list [u, v]; returns [id, comp].
+    *
+    * labels[id, comp]: comp is always some existing vertex id, so the
+    * compression self-join (comp → comp of comp) is total. Each round is
+    * ONE job: propagate + two pointer jumps materialized by the
+    * localCheckpoint, with the convergence count riding that same job as
+    * an `observe` metric (CollectMetrics accumulator) instead of a
+    * second scan. Seeding with min(self, neighbours) folds the first
+    * propagate into init. */
+  private def distributedCcLoop(und: DataFrame): DataFrame = {
     def jump(df: DataFrame): DataFrame =
       df.as("a")
         .join(df.select(col("id").as("cid"), col("comp").as("ccomp")),
@@ -128,6 +171,7 @@ object GraphAnalytics {
       .select(col("u").as("id"), least(col("u"), col("nbrmin")).as("comp"))
       .localCheckpoint()
     var changed = 1L
+    var round = 0
     while (changed > 0) {
       // propagate: each vertex takes the min comp among itself + neighbours
       val nbrMin = und.join(labels, und("v") === labels("id"))
@@ -136,9 +180,15 @@ object GraphAnalytics {
         .select(col("id"),
           least(col("comp"), coalesce(col("nbrmin"), col("comp"))).as("comp"),
           col("comp").as("old"))
-      val next = jump(jump(prop)).localCheckpoint()
-      changed = next.where(col("comp") =!= col("old")).count()
+      val obs = org.apache.spark.sql.Observation(s"graft_cc_r$round")
+      val next = jump(jump(prop))
+        .observe(obs, coalesce(
+          sum(when(col("comp") =!= col("old"), 1L).otherwise(0L)),
+          lit(0L)).as("changed"))
+        .localCheckpoint()
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = next.select("id", "comp")
+      round += 1
     }
     labels
   }

@@ -37,4 +37,20 @@ class GraphXSpec extends SparkSpec {
       graft.graph.GraphView.edges(spark, sfDir))
     assert(cc.select("component").distinct().count() == 5)
   }
+
+  test("connectedComponents distributed fallback (threshold=0) matches local") {
+    // chain + triangle + isolated self-loop exercise propagate, pointer
+    // jumps, and the observe-fused convergence count
+    val edges = edgeDf("a" -> "b", "b" -> "c", "c" -> "d",
+      "p" -> "q", "q" -> "r", "r" -> "p", "z" -> "z")
+    val expect = GraphAnalytics.connectedComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    try {
+      val got = GraphAnalytics.connectedComponents(edges)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == expect)
+      assert(got("d") == "a" && got("r") == "p" && got("z") == "z")
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+  }
 }
