@@ -3,6 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.ingest.AhgheePut
 import graft.lang.{AhgheeParser, StepCompiler}
@@ -23,8 +24,9 @@ import graft.model.Value
 final class Engine(val spark: SparkSession, attrs0: DataFrame,
                    edges0: Option[DataFrame] = None) {
 
-  /** Current attribute table (long form). */
-  @volatile private var attrsDf: DataFrame = attrs0
+  /** Current attribute table (long form, TMD metadata columns added if
+    * the caller's frame predates them). */
+  @volatile private var attrsDf: DataFrame = Engine.withMeta(attrs0)
   /** Pre-derived edge view; invalidated by mutation. */
   @volatile private var edgesHint: Option[DataFrame] = edges0
 
@@ -34,32 +36,72 @@ final class Engine(val spark: SparkSession, attrs0: DataFrame,
   def query(q: String): DataFrame =
     StepCompiler.run(spark, attrsDf, AhgheeParser.parse(q), edgesHint)
 
+  /** Run an AHGHEE `get` query and group the surviving rows into typed
+    * Nodes — the reference's return shape (stream of Node messages,
+    * types.proto:66-70; node assembly from fragments Tests.fs:354-373).
+    * Attrs sort by (key, value) so Node equality is deterministic. */
+  def getNodes(q: String): org.apache.spark.sql.Dataset[graft.ingest.Node] = {
+    import spark.implicits._
+    query(q)
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(
+        col("key"), col("value"), col("ts"),
+        col("key_meta"), col("value_meta")))).as("attrs"))
+      .as[graft.ingest.Node]
+  }
+
+  /** Execute a whole AHGHEE script — any mix of `put` / `load` / `get`
+    * statements in order (reference: AHGHEE.g4:5-9; the CLI REPL's
+    * stream, Program.cs:25-228). Mutations apply as they appear; the
+    * LAST `get`'s result is returned (empty frame if the script has no
+    * get). */
+  def run(script: String): DataFrame = {
+    import graft.lang.ScriptRunner
+    var last: Option[DataFrame] = None
+    ScriptRunner.parse(script).foreach {
+      case ScriptRunner.PutStmt(text) => put(text)
+      case ScriptRunner.LoadStmt("graphml", path) =>
+        load(graft.ingest.GraphMlReader.read(spark, path))
+      case ScriptRunner.LoadStmt(_, path) =>
+        load(graft.ingest.NTriplesReader.read(spark, path))
+      case ScriptRunner.GetStmt(q) =>
+        last = Some(StepCompiler.run(spark, attrsDf, q, edgesHint))
+    }
+    last.getOrElse(Engine.emptyAttrs(spark).drop("graph"))
+  }
+
   /** Ingest AHGHEE `put` literals: append + merge-dedup keeping the
     * first-write timestamp (reference FileStore.fs:82-89 stamps at
     * write; NodeAttrIndex.cs:221 dedups identical attributes). */
   def put(script: String, ts: Long = 0L): Engine = {
     import spark.implicits._
-    val fresh = AhgheePut.parse(script)
-      .map(r => (r.graph, r.id, r.key, r.value, ts))
-      .toDF("graph", "id", "key", "value_row", "ts")
+    load(spark.createDataset(AhgheePut.parse(script)), ts)
+  }
+
+  /** Ingest pre-parsed attribute rows (the N-Triples / GraphML readers'
+    * output) — the `Load` half of the reference service quartet
+    * (types.proto:231-239). Metadata rides along: `@lang` / `^^<type>`
+    * in value_meta, `^"key"` references in key_meta. */
+  def load(rows: org.apache.spark.sql.Dataset[graft.ingest.AttrRow],
+           ts: Long = 0L): Engine = {
+    val fresh = rows.toDF()
       .select(lit("").as("graph"), col("id"), col("key"),
-        rowToValue(col("value_row")).as("value"), col("ts"))
-    attrsDf = merge(attrsDf.select("graph", "id", "key", "value", "ts"),
-      fresh)
+        col("value").cast(Value.schema).as("value"),
+        lit(ts).as("ts"),
+        col("key_meta").cast(Value.schema).as("key_meta"),
+        col("value_meta").cast(Value.schema).as("value_meta"))
+    attrsDf = merge(attrsDf, fresh)
     edgesHint = None // graph mutated — derive edges from attrs again
     this
   }
 
-  private def rowToValue(c: org.apache.spark.sql.Column) =
-    struct(c.getField("vtype").as("vtype"), c.getField("str").as("str"),
-      c.getField("i64").as("i64"), c.getField("num").as("num"),
-      c.getField("b").as("b"), c.getField("iri").as("iri"),
-      c.getField("type_iri").as("type_iri"), c.getField("bytes").as("bytes"))
-
-  /** Merge-on-write dedup: identical (id,key,value) keeps min ts. */
+  /** Merge-on-write dedup: identical (id, key+key_meta, value+value_meta)
+    * keeps min ts. Metadata is part of the dedup key — the reference
+    * compares whole TMD pairs (NodeAttrIndex.cs:221), so `"x"@en` and
+    * `"x"@fr` are distinct attributes. */
   def merge(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b)
-      .groupBy("graph", "id", "key", "value")
+    Engine.withMeta(a).unionByName(Engine.withMeta(b))
+      .groupBy("graph", "id", "key", "key_meta", "value", "value_meta")
       .agg(min("ts").as("ts"))
 
   /** Latest value per (id, key) — the printer's "current" view. */
@@ -99,4 +141,36 @@ object Engine {
     new Engine(spark, graft.sources.GraphStore.nodesAttrs(spark, dir),
       Some(graft.sources.GraphStore.edges(spark, dir)
         .select("src_id", "label", "dst_id")))
+
+  /** Engine over an empty graph — populated purely by put/load. */
+  def forEmpty(spark: SparkSession): Engine =
+    new Engine(spark, emptyAttrs(spark))
+
+  /** Full nodes_attrs schema including the TMD metadata columns. */
+  val attrsSchema: StructType = StructType(Seq(
+    StructField("graph", StringType),
+    StructField("id", StringType),
+    StructField("key", StringType),
+    StructField("value", Value.schema),
+    StructField("ts", LongType),
+    StructField("key_meta", Value.schema),
+    StructField("value_meta", Value.schema)))
+
+  /** An empty attribute table — the seed for an Engine populated purely
+    * by put/load. */
+  def emptyAttrs(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      attrsSchema)
+
+  /** Add NULL TMD metadata columns to a pre-metadata attribute frame so
+    * old and new schemas merge byName. */
+  def withMeta(df: DataFrame): DataFrame = {
+    var out = df
+    if (!out.columns.contains("key_meta"))
+      out = out.withColumn("key_meta", Value.nullValue)
+    if (!out.columns.contains("value_meta"))
+      out = out.withColumn("value_meta", Value.nullValue)
+    out
+  }
 }

@@ -1,0 +1,140 @@
+package graft.api
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
+
+import graft.ingest.{GraphMlReader, NTriplesReader}
+
+/** Network service over the Engine — the Spark-native analog of the
+  * reference's gRPC WatDbService quartet (reference:
+  * src/ahghee.grpc/types.proto:231-239 Put/Get/Load/GetMetrics; server
+  * impl src/server/Services/WatService.cs:209-401). HTTP + JSON instead
+  * of gRPC so it stays inside the JDK (this build adds no deps):
+  *
+  *   POST /put      body = AHGHEE put script          → {"ok":true}
+  *   POST /get      body = AHGHEE get query           → NDJSON row stream
+  *   POST /load     body = path or http(s) url,
+  *                  ?format=nt|graphml                → {"ok":true}
+  *   GET  /metrics                                    → JSON entries
+  *
+  * /get STREAMS: rows flow from `query(...).toLocalIterator` into a
+  * chunked response, partition-at-a-time on the driver — the gRPC
+  * server-streaming analog (WatService.cs:319-343 writes nodes to the
+  * response stream as they arrive); nothing is collected.
+  */
+final class Server private (val engine: Engine, http: HttpServer,
+                            metrics: Metrics) {
+  def port: Int = http.getAddress.getPort
+  def stop(): Unit = { http.stop(0); metrics.close() }
+}
+
+object Server {
+
+  /** Start serving `engine` on `port` (0 = ephemeral). */
+  def start(engine: Engine, port: Int = 0): Server = {
+    val metrics = Metrics.attach(engine.spark)
+    val http = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+
+    http.createContext("/put", (ex: HttpExchange) => guard(ex) {
+      engine.put(body(ex))
+      respond(ex, 200, """{"ok":true}""")
+    })
+
+    http.createContext("/get", (ex: HttpExchange) => guard(ex) {
+      val df = engine.query(body(ex))
+      val schema = df.schema
+      ex.getResponseHeaders.add("Content-Type", "application/x-ndjson")
+      ex.sendResponseHeaders(200, 0) // chunked — length unknown up front
+      val out = ex.getResponseBody
+      try {
+        val it = df.toLocalIterator()
+        while (it.hasNext)
+          out.write((jsonRow(schema, it.next()) + "\n").getBytes(UTF_8))
+      } finally out.close()
+    })
+
+    http.createContext("/load", (ex: HttpExchange) => guard(ex) {
+      val path = body(ex).trim
+      val format = Option(ex.getRequestURI.getQuery).getOrElse("")
+        .split("&").map(_.split("=", 2)).collectFirst {
+          case Array("format", v) => v
+        }.getOrElse("nt")
+      val rows = format match {
+        case "graphml" => GraphMlReader.read(engine.spark, path)
+        case _ => NTriplesReader.read(engine.spark, path)
+      }
+      engine.load(rows)
+      respond(ex, 200, """{"ok":true}""")
+    })
+
+    http.createContext("/metrics", (ex: HttpExchange) => guard(ex) {
+      val entries = metrics.snapshot().map { e =>
+        s"""{"action":${q(e.action)},"duration_ns":${e.durationNs},""" +
+          s""""error":${e.error.map(q).getOrElse("null")}}"""
+      }
+      respond(ex, 200, entries.mkString("[", ",", "]"))
+    })
+
+    http.start()
+    new Server(engine, http, metrics)
+  }
+
+  private def guard(ex: HttpExchange)(f: => Unit): Unit =
+    try f
+    catch {
+      case e: Throwable =>
+        try respond(ex, 400, s"""{"ok":false,"error":${q(String.valueOf(e.getMessage))}}""")
+        catch { case _: Throwable => () } // headers already sent mid-stream
+    } finally ex.close()
+
+  private def body(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+
+  private def respond(ex: HttpExchange, code: Int, s: String): Unit = {
+    val bytes = s.getBytes(UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val out = ex.getResponseBody
+    try out.write(bytes) finally out.close()
+  }
+
+  /** One Row → one JSON object line (nested structs/arrays/maps recurse;
+    * binary renders base64 like the reference's proto JSON form). */
+  def jsonRow(schema: StructType, row: Row): String =
+    schema.fields.indices.map { i =>
+      s"${q(schema.fields(i).name)}:${cell(row.get(i))}"
+    }.mkString("{", ",", "}")
+
+  private def cell(v: Any): String = v match {
+    case null => "null"
+    case s: String => q(s)
+    case b: Boolean => b.toString
+    case n @ (_: Byte | _: Short | _: Int | _: Long) => n.toString
+    case d: Double => if (d.isFinite) d.toString else q(d.toString)
+    case f: Float => if (f.isFinite) f.toString else q(f.toString)
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: BigDecimal => d.underlying.toPlainString
+    case bs: Array[Byte] => q(java.util.Base64.getEncoder.encodeToString(bs))
+    case r: Row => jsonRow(r.schema, r)
+    case seq: scala.collection.Seq[_] =>
+      seq.map(cell).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, mv) => s"${q(String.valueOf(k))}:${cell(mv)}" }
+        .mkString("{", ",", "}")
+    case other => q(other.toString) // dates, timestamps, intervals
+  }
+
+  /** JSON string escape (backslash, quote, all control chars). */
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}

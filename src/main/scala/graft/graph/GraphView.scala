@@ -11,7 +11,13 @@ import graft.model.Value
   * set of rows sharing (graph, id); duplicate keys coexist (multimap);
   * every row carries a write timestamp for temporal views.
   *
-  *   nodes_attrs [graph, id, key, value VALUE, ts, key_meta, value_meta]
+  *   nodes_attrs [graph, id, key, value VALUE, ts,
+  *                key_meta VALUE, value_meta VALUE]
+  *
+  * key_meta/value_meta mirror the reference's TMD: every key and value
+  * is a (metadata, data) pair (reference: types.proto:55-59). N-Triples
+  * `^^<type>` / `@lang` land in value_meta; `^"key"` node-reference keys
+  * land in key_meta. The derived relational view carries NULL metadata.
   *
   * Edges are not a separate type: an edge is any attribute whose value is
   * a nodeid (reference: src/core/FileStore.fs:384-388). The `edges` view
@@ -39,7 +45,9 @@ object GraphView {
         id.as("id"),
         lit(key).as("key"),
         value.as("value"),
-        lit(0L).as("ts"))
+        lit(0L).as("ts"),
+        Value.nullValue.as("key_meta"),
+        Value.nullValue.as("value_meta"))
 
     val cust = Tables(spark, dir, "customer")
     val nat = Tables(spark, dir, "nation")

@@ -106,9 +106,13 @@ object AhgheePut {
         expect(':')
         ws()
         val value = valueRow()
-        // flat long form carries the key as a string; a reference-key is
-        // marked with the ^ prefix (key-as-data is a v2 extension point)
-        rows += AttrRow(graph, id, if (keyIsRef) "^" + key else key, value)
+        // flat long form carries the key as a string; a reference-key
+        // keeps the ^ prefix (so the clude algebra's `^` selector stays
+        // a plain string prefix test) AND records the referenced node as
+        // key metadata — the reference's TMD key form (types.proto:55-59:
+        // keys are (metadata, data) pairs; a fedge key IS a NodeID)
+        rows += AttrRow(graph, id, if (keyIsRef) "^" + key else key, value,
+          key_meta = if (keyIsRef) Some(ValueRow.nodeid(key)) else None)
         ws()
         if (peek == ',') { i += 1; ws() }
       }

@@ -19,9 +19,46 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object NTriplesReader {
 
+  /** Read N-Triples from a file/dir/glob path or an http(s) URL
+    * (reference: `load nt "<url>"`, WatService.cs:216-239 accepts both).
+    * A URL is spooled to a local temp file first — the network leg is a
+    * single stream either way (the reference reads the response in
+    * 81920-byte chunks, WatService.cs:241-260) — and parsing then fans
+    * out over the spooled file's blocks like any other path. */
   def read(spark: SparkSession, path: String, graph: String = ""): Dataset[AttrRow] = {
     import spark.implicits._
-    spark.read.textFile(path).flatMap(line => parseLine(line, graph))
+    val local =
+      if (path.startsWith("http://") || path.startsWith("https://")) spool(path)
+      else path
+    spark.read.textFile(local).flatMap(line => parseLine(line, graph))
+  }
+
+  /** Continuous N-Triples load over a directory — files appearing in
+    * `dir` stream through the parser as micro-batches.
+    * `maxFilesPerTrigger` bounds each batch (the backpressure analog of
+    * the reference's Channel(1000) between reader and writer,
+    * FileStorePartition.fs:26); progress/cancellation ride Structured
+    * Streaming: attach a [[LoadProgress]] listener for the reference's
+    * 1 s progress stream (WatService.cs:262-291), stop() the query to
+    * cancel. */
+  def stream(spark: SparkSession, dir: String, graph: String = "",
+             maxFilesPerTrigger: Int = 10): Dataset[AttrRow] = {
+    import spark.implicits._
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .textFile(dir)
+      .flatMap(line => parseLine(line, graph))
+  }
+
+  /** Download a URL to a local temp file (driver-side, single stream). */
+  private def spool(url: String): String = {
+    val tmp = java.nio.file.Files.createTempFile("graft_nt_", ".nt")
+    val in = new java.net.URI(url).toURL.openStream()
+    try java.nio.file.Files.copy(in, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    tmp.toFile.deleteOnExit()
+    tmp.toString
   }
 
   private val Iri = """<([^>]*)>""".r

@@ -28,12 +28,32 @@ object ValueRow {
 }
 
 /** One long-form attribute row (the ingest-side twin of GraphView's
-  * nodes_attrs schema, plus the per-value metadata slot the N-Triples
-  * path needs for `^^<type>` / `@lang` annotations). */
+  * nodes_attrs schema). Both the key and the value carry an optional
+  * metadata VALUE — the reference's TMD wraps every key AND value in
+  * (metadata, data) pairs (reference: types.proto:55-59): `value_meta`
+  * holds N-Triples `^^<type>` / `@lang` annotations
+  * (ContextExtensions.cs:70-102), `key_meta` holds the node reference
+  * of a `^"key"` fedge/dedge (AHGHEE.g4:56-66). */
 case class AttrRow(
     graph: String,
     id: String,
     key: String,
     value: ValueRow,
     ts: Long = 0L,
+    value_meta: Option[ValueRow] = None,
+    key_meta: Option[ValueRow] = None)
+
+/** One attribute of a grouped Node: full TMD pair — (key, key_meta) →
+  * (value, value_meta) — plus the write timestamp. */
+case class NodeAttr(
+    key: String,
+    value: ValueRow,
+    ts: Long = 0L,
+    key_meta: Option[ValueRow] = None,
     value_meta: Option[ValueRow] = None)
+
+/** The reference's Node message as a first-class typed result: id plus
+  * its attribute multiset, sorted by (key, value) for determinism
+  * (reference: types.proto:66-70 — Node = id + repeated KeyValue;
+  * fragment merge collapses to one logical node, FileStore.fs:71-79). */
+case class Node(id: String, attrs: Seq[NodeAttr])

@@ -55,14 +55,20 @@ object StepCompiler {
   }
 
   /** Run a query against the full nodes_attrs table; returns the
-    * surviving attribute rows [id, key, value, ts]. `edgesHint`
-    * short-circuits edge derivation with a pre-built [src_id, label,
-    * dst_id] view (skips scanning the non-edge attribute branches —
-    * Engine passes GraphView.edges while the graph is unmodified). */
+    * surviving attribute rows [id, key, value, ts (, key_meta,
+    * value_meta)] — TMD metadata columns ride along when the input
+    * carries them (the reference's Get returns whole TMD pairs).
+    * `edgesHint` short-circuits edge derivation with a pre-built
+    * [src_id, label, dst_id] view (skips scanning the non-edge attribute
+    * branches — Engine passes GraphView.edges while the graph is
+    * unmodified). */
   def run(spark: SparkSession, nodesAttrs: DataFrame, q: GetQuery,
           edgesHint: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    val all = nodesAttrs.select("id", "key", "value", "ts")
+    val metaCols =
+      Seq("key_meta", "value_meta").filter(nodesAttrs.columns.contains)
+    val all = nodesAttrs.select(
+      (Seq("id", "key", "value", "ts") ++ metaCols).map(col): _*)
 
     var ids: DataFrame =
       if (q.scan) all.select("id").distinct()

@@ -1,8 +1,7 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: media (image/audio/video) travels as an
   * opaque BINARY column with typed metadata — the same shape as the
@@ -12,85 +11,137 @@ import org.apache.spark.sql.types._
   *   media STRUCT<media_type: STRING, bytes: BINARY,
   *                meta: STRUCT<origin: STRING, n_bytes: LONG>>
   *
-  * Decode / feature-extraction runs batched per partition via
-  * mapPartitions (the Scala analog of mapInPandas): rows stream through
-  * an iterator, the codec is initialized once per partition (not per
-  * row), output is a fixed feature schema. The actual pixel/sample
-  * decode is STUBBED — this container ships no image/audio libs — with
-  * a deterministic fake derived from the bytes, clearly marked below;
-  * the Spark-side plumbing (schema, partitioning, batch shape) is real.
+  * Decode / feature-extraction runs batched per partition through
+  * `Dataset.mapPartitions` with case-class encoders (rows stay in
+  * Tungsten format right up to the lambda — no df→rdd→df round-trip),
+  * codec state initialized once per partition, iterator in / iterator
+  * out so memory stays bounded.
+  *
+  * IMAGE decode is REAL: JDK ImageIO (PNG/BMP/GIF/JPEG readers ship
+  * with the JVM — no new deps). VIDEO stays STUBBED with a
+  * deterministic fake (this container has no demuxer), clearly marked
+  * in sampleFrames; the plumbing is identical either way.
   */
 object Multimodal {
 
-  val featureSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("feat0", IntegerType, nullable = false)))
+  /** Typed output of the image decode: dimensions + mean luminance
+    * (0-255; -1 dims flag an undecodable payload). */
+  case class ImageFeat(doc_id: Long, width: Int, height: Int, mean_lum: Int)
 
-  /** Wrap documents' text as fake image bytes under the media struct. */
+  /** One sampled+resized frame (STUB decode — see sampleFrames). */
+  case class FrameRow(doc_id: Long, frame_idx: Int, width: Int, height: Int,
+                      fhash: Int)
+
+  /** Wrap documents' text as fake video bytes under the media struct
+    * (the p15 stub corpus). */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     graft.Tables(spark, dir, "documents").select(
       col("doc_id"),
       struct(
-        lit("image/fake").as("media_type"),
+        lit("video/fake").as("media_type"),
         encode(col("text"), "UTF-8").as("bytes"),
         struct(col("source").as("origin"),
                length(col("text")).cast("long").as("n_bytes")).as("meta")
       ).as("media"))
 
-  val frameSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("frame_idx", IntegerType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("fhash", IntegerType, nullable = false)))
+  /** REAL image corpus: one PNG per document, encoded with ImageIO in
+    * the executors (dims and gray fill derived from doc_id, so the
+    * decode side is oracle-checkable arithmetic while the bytes are
+    * genuine PNG). At 100 TB the same struct wraps `binaryFile`-sourced
+    * blobs; only this generator is synthetic. */
+  def imageTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 8 + (id % 16).toInt
+          val h = 8 + (id % 8).toInt
+          val lum = (id % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (lum << 16) | (lum << 8) | lum
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "bytes")
+      .select(col("doc_id"), struct(
+        lit("image/png").as("media_type"),
+        col("bytes"),
+        struct(lit("synthetic").as("origin"),
+               length(col("bytes")).cast("long").as("n_bytes")).as("meta")
+      ).as("media"))
+  }
+
+  /** REAL batched image decode: ImageIO parses the actual PNG/BMP/JPEG
+    * bytes; mean luminance averages every pixel's (r+g+b)/3. Undecodable
+    * payloads yield (-1, -1, -1) rather than failing the batch. */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media.bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // ImageIO reader instances are created per call; per-partition
+        // init would hold an ImageReader + stream here
+        rows.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) ImageFeat(id, -1, -1, -1)
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              ImageFeat(id, w, h, (sum / (3L * w * h)).toInt)
+            }
+          } catch { case _: Exception => ImageFeat(id, -1, -1, -1) }
+        }
+      }
+      .toDF()
+  }
 
   /** Frame sampling + resize, the generator-shaped multimodal op: each
-    * media row fans out to every `every`-th frame, scaled to w×h. Same
-    * batched plumbing as decodeFeatures — a real build initializes a
-    * demuxer + scaler once per partition and streams frames through the
-    * iterator (bounded memory, no per-row codec setup). STUB: frame
-    * count derives from payload size (1 frame per 50 bytes), the
-    * "decoded" frame hash from the byte at the frame's offset — pure
-    * functions of the payload, so the fan-out stays oracle-checkable. */
+    * media row fans out to every `every`-th frame, scaled to w×h. A
+    * real build initializes a demuxer + scaler once per partition and
+    * streams frames through the iterator (bounded memory, no per-row
+    * codec setup). STUB: frame count derives from payload size (1 frame
+    * per 50 bytes), the "decoded" frame hash from the byte at the
+    * frame's offset — pure functions of the payload, so the fan-out
+    * stays oracle-checkable. */
   def sampleFrames(media: DataFrame, every: Int, w: Int, h: Int): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select(col("doc_id"), col("media.bytes")).rdd
+    import spark.implicits._
+    media.select(col("doc_id"), col("media.bytes"))
+      .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // (real impl: val demux = VideoDemuxer.open(); val scaler = ...)
-        rows.flatMap { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
+        rows.flatMap { case (id, bytes) =>
           val total = math.max(bytes.length / 50, 1)
           (0 until total by every).iterator.map { f =>
             // --- STUB decode+resize: deterministic fake ---
             val fhash = if (bytes.isEmpty) 0 else bytes(f % bytes.length).toInt
-            Row(id, f, w, h, fhash)
+            FrameRow(id, f, w, h, fhash)
           }
         }
       }
-    spark.createDataFrame(rdd, frameSchema)
-  }
-
-  /** Batched "decode": one codec init per partition, iterator in /
-    * iterator out. STUB — a real build links an image codec here; the
-    * fake is a pure function of the bytes so it stays oracle-checkable. */
-  def decodeFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val rdd = media.select(col("doc_id"), col("media.bytes")).rdd
-      .mapPartitions { rows =>
-        // (real impl: val codec = ImageCodec.open() — once per partition)
-        rows.map { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          // --- STUB decode: deterministic fake from the payload ---
-          val width = 32 + (bytes.length % 64)
-          val height = 32 + ((bytes.length / 7) % 64)
-          val feat0 = if (bytes.nonEmpty) bytes(0).toInt else 0
-          Row(id, width, height, feat0)
-        }
-      }
-    spark.createDataFrame(rdd, featureSchema)
+      .toDF()
   }
 }

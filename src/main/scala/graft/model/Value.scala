@@ -45,6 +45,10 @@ object Value {
 
   private def nullC(dt: DataType): Column = lit(null).cast(dt)
 
+  /** A typed NULL VALUE — the empty metadata slot (TMD with no
+    * annotations, types.proto:55-59). */
+  def nullValue: Column = lit(null).cast(schema)
+
   private def mk(vtype: Int, str: Column = nullC(StringType),
                  i64: Column = nullC(LongType), num: Column = nullC(DoubleType),
                  b: Column = nullC(BooleanType), iri: Column = nullC(StringType),

@@ -234,6 +234,48 @@ object Graph {
              |       2 AS n_distinct_keys FROM nation
              |UNION ALL
              |SELECT 'region/' || r_regionkey, 'name', 1 FROM region
-             |) ORDER BY id""".stripMargin))
+             |) ORDER BY id""".stripMargin)),
+
+    // ---- g13: TMD value metadata through ingest + merge (ref
+    // types.proto:55-59: every key/value is a (metadata, data) pair;
+    // lang/type mapping ContextExtensions.cs:70-102). N-Triples `@lang`
+    // and `^^<type>` annotations survive the Engine's merge-dedup, and
+    // metadata is PART of the dedup key: "X"@en / "X"@fr stay distinct
+    // rows while a repeated "X"@en collapses -------------------------
+    RegQuery("g13_value_meta",
+      (s, d) => {
+        import s.implicits._
+        val nt = Seq(
+          "<doc/1> <title> \"Hello\"@en .",
+          "<doc/1> <title> \"Bonjour\"@fr .",
+          "<doc/2> <title> \"Hi there\"@en .",
+          "<doc/2> <size> \"42\"^^<http://www.w3.org/2001/XMLSchema#integer> .",
+          "<doc/3> <title> \"Plain, no metadata\" .",
+          "<doc/4> <title> \"X\"@en .",
+          "<doc/4> <title> \"X\"@fr .",
+          "<doc/4> <title> \"X\"@en .")
+        val rows = s.createDataset(nt)
+          .flatMap(l => graft.ingest.NTriplesReader.parseLine(l))
+        graft.api.Engine
+          .forEmpty(s).load(rows)
+          .nodes
+          .where(col("value_meta").isNotNull)
+          .select(col("id"), col("key").as("attr_key"),
+            col("value.str").as("value_str"),
+            when(col("value_meta.vtype") === Value.NODEID, lit("type"))
+              .otherwise(lit("lang")).as("meta_kind"),
+            coalesce(col("value_meta.iri"), col("value_meta.str"))
+              .as("meta_val"))
+          .orderBy("id", "attr_key", "value_str", "meta_val")
+      },
+      Some("""SELECT * FROM (VALUES
+             |('doc/1','title','Bonjour','lang','lang:@fr'),
+             |('doc/1','title','Hello','lang','lang:@en'),
+             |('doc/2','size','42','type','http://www.w3.org/2001/XMLSchema#integer'),
+             |('doc/2','title','Hi there','lang','lang:@en'),
+             |('doc/4','title','X','lang','lang:@en'),
+             |('doc/4','title','X','lang','lang:@fr')
+             |) AS t(id, attr_key, value_str, meta_kind, meta_val)
+             |ORDER BY id, attr_key, value_str, meta_val""".stripMargin))
   )
 }

@@ -79,6 +79,35 @@ object Lang {
              |SELECT 'customer/1' AS id, 'name' AS attr_key, 'RENAMED' AS v
              |UNION ALL SELECT 'extra/1', 'kind', 'synthetic'
              |UNION ALL SELECT 'extra/1', 'n', '42'
-             |) ORDER BY id, attr_key""".stripMargin))
+             |) ORDER BY id, attr_key""".stripMargin)),
+
+    // ---- a06: whole-script session — put + load + get through ONE
+    // entry point (AHGHEE.g4:5-9: script = command+; the CLI REPL's
+    // stream). Mutations apply in order; the final get sees them all.
+    RegQuery("a06_script_session",
+      (s, d) => {
+        val nt = java.nio.file.Files.createTempFile("graft_a06_", ".nt")
+        java.nio.file.Files.writeString(nt,
+          "<s/3> <name> \"Chloé\"@fr .\n<s/3> <knows> <s/1> .\n")
+        val script =
+          s"""put "s/1" { "name": "Ada", "age": 36 }
+             |put "s/2" { "name": "Bob", "knows": ^"s/1" }
+             |load nt "${nt.toString}"
+             |get "*"""".stripMargin
+        Engine.forEmpty(s).run(script)
+          .select(col("id"), col("key").as("attr_key"),
+            graft.model.Value.render(col("value")).as("v"),
+            col("value_meta.str").as("meta"))
+          .orderBy("id", "attr_key")
+      },
+      Some("""SELECT * FROM (VALUES
+             |('s/1', 'age', '36', NULL),
+             |('s/1', 'name', 'Ada', NULL),
+             |('s/2', 'knows', '^s/1', NULL),
+             |('s/2', 'name', 'Bob', NULL),
+             |('s/3', 'knows', '^s/1', NULL),
+             |('s/3', 'name', 'Chloé', 'lang:@fr')
+             |) AS t(id, attr_key, v, meta)
+             |ORDER BY id, attr_key""".stripMargin))
   )
 }

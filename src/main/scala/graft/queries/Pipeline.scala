@@ -310,15 +310,20 @@ object Pipeline {
              |  FROM alle a JOIN alle b ON a.vec_id < b.vec_id)
              |SELECT a_id, b_id FROM p WHERE c > 0.9 ORDER BY a_id, b_id""".stripMargin)),
 
-    // ---- p12: multimodal binary column + batched decode stub ------------
+    // ---- p12: multimodal binary column + REAL batched image decode ------
+    // ImageIO encodes a gray PNG per doc in the executors, then the
+    // decode side recovers dims + mean luminance from the actual bytes;
+    // the oracle recomputes both arithmetically from doc_id. A failed
+    // decode would yield (-1,-1,-1) and hash-mismatch — the oracle
+    // genuinely gates the codec path.
     RegQuery("p12_multimodal_decode",
       (s, d) => graft.llm.Multimodal
-        .decodeFeatures(graft.llm.Multimodal.mediaTable(s, d))
+        .decodeImages(graft.llm.Multimodal.imageTable(s, d))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
-             |CAST(32 + length(text) % 64 AS INTEGER) AS width,
-             |CAST(32 + (length(text) // 7) % 64 AS INTEGER) AS height,
-             |ascii(substr(text, 1, 1)) AS feat0
+             |CAST(8 + doc_id % 16 AS INTEGER) AS width,
+             |CAST(8 + doc_id % 8 AS INTEGER) AS height,
+             |CAST(doc_id % 256 AS INTEGER) AS mean_lum
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- p15: multimodal frame-sample + resize (generator fan-out) ------

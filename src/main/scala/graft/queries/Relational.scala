@@ -583,9 +583,10 @@ object Relational {
             size(map_values(m)).as("nv"))
           .orderBy("event_id")
       },
-      Some("""SELECT event_id, 'k' AS ks,
+      Some("""SELECT event_id,
+             |array_to_string(json_keys(props), ',') AS ks,
              |CAST(json_extract_string(props, '$.k') AS INTEGER) AS kv,
-             |1 AS nv
+             |CAST(len(json_keys(props)) AS INTEGER) AS nv
              |FROM events WHERE event_type = 'click'
              |ORDER BY event_id""".stripMargin))
   )

@@ -50,17 +50,26 @@ object GraphStore {
 
   private def ensure(spark: SparkSession, table: String, bucketCol: String,
                      derive: => DataFrame): DataFrame = synchronized {
-    if (!spark.catalog.tableExists(table)) {
-      // a killed prior run can leave the managed location behind with no
-      // catalog entry — saveAsTable would fail LOCATION_ALREADY_EXISTS
-      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:")
-      rm(new java.io.File(s"$warehouse/$table"))
-      derive.write
-        .bucketBy(32, bucketCol).sortBy(bucketCol)
-        .mode("overwrite")
-        .saveAsTable(table)
-    }
+    if (!spark.catalog.tableExists(table)) materialize(spark, table, bucketCol, derive)
+    spark.table(table)
+  }
+
+  /** Write `df` as a bucketed+sorted table (overwriting any leftover)
+    * and return the stored scan — the ingest path for arbitrary graph
+    * data (N-Triples, GraphML, put batches), same layout guarantees as
+    * the derived tables. */
+  def materialize(spark: SparkSession, table: String, bucketCol: String,
+                  df: DataFrame): DataFrame = synchronized {
+    // a killed prior run can leave the managed location behind with no
+    // catalog entry — saveAsTable would fail LOCATION_ALREADY_EXISTS
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    rm(new java.io.File(s"$warehouse/$table"))
+    df.write
+      .bucketBy(32, bucketCol).sortBy(bucketCol)
+      .mode("overwrite")
+      .saveAsTable(table)
     spark.table(table)
   }
 

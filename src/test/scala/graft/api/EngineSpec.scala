@@ -20,6 +20,60 @@ class EngineSpec extends SparkSpec {
     assert(e.first("""get "*" |> filter "name" == "NO_SUCH"""").isEmpty)
   }
 
+  test("TMD metadata round-trips through the bucketed store") {
+    import graft.ingest.NTriplesReader
+    // @lang + ^^type value metadata from N-Triples, key metadata from an
+    // AHGHEE ^"key" fedge — write the merged graph as a bucketed table
+    // (the real ingest path) and read everything back from the store
+    val nt = spark.createDataset(Seq(
+      "<m/1> <label> \"Bonjour\"@fr .",
+      "<m/1> <size> \"7\"^^<http://www.w3.org/2001/XMLSchema#integer> ."))
+      .flatMap(l => NTriplesReader.parseLine(l))
+    val eng = Engine.forEmpty(spark)
+      .load(nt)
+      .put("""put "m/2" { ^"m/1": ^"m/3" }""")
+    val stored = graft.sources.GraphStore.materialize(
+      spark, "graft_test_tmd", "id", eng.nodes)
+    val fr = stored.where(col("value_meta.str") === "lang:@fr")
+      .select("id", "key", "value.str").collect()
+    assert(fr.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      == Seq(("m/1", "label", "Bonjour")))
+    val typed = stored.where(col("value_meta.vtype") === graft.model.Value.NODEID)
+      .select("value_meta.iri").collect().map(_.getString(0)).toSeq
+    assert(typed == Seq("http://www.w3.org/2001/XMLSchema#integer"))
+    val kref = stored.where(col("key_meta").isNotNull)
+      .select("id", "key", "key_meta.iri", "value.iri").collect()
+    assert(kref.map(r => (r.getString(0), r.getString(1), r.getString(2),
+      r.getString(3))).toSeq == Seq(("m/2", "^m/1", "m/1", "m/3")))
+    spark.sql("DROP TABLE IF EXISTS graft_test_tmd")
+  }
+
+  test("typed Dataset[Node] round-trip: put → getNodes → Node equality") {
+    import graft.ingest.{Node, NodeAttr, ValueRow}
+    val e = Engine.forEmpty(spark)
+      .put("""put "n/1" { "b": 2, "a": "x", "e": ^"n/2" } "n/2" { "a": "y" }""")
+    val nodes = e.getNodes("""get "n/1" "n/2"""").collect().sortBy(_.id)
+    assert(nodes.toSeq == Seq(
+      Node("n/1", Seq(
+        NodeAttr("a", ValueRow.str("x")),
+        NodeAttr("b", ValueRow.i32(2)),
+        NodeAttr("e", ValueRow.nodeid("n/2")))),
+      Node("n/2", Seq(NodeAttr("a", ValueRow.str("y"))))))
+  }
+
+  test("merge keeps metadata in the dedup key but collapses true duplicates") {
+    import graft.ingest.NTriplesReader
+    val nt = spark.createDataset(Seq(
+      "<d/1> <t> \"X\"@en .",
+      "<d/1> <t> \"X\"@fr .",
+      "<d/1> <t> \"X\"@en .",   // exact duplicate of the first
+      "<d/1> <t> \"X\" ."))     // no metadata — distinct from both
+      .flatMap(l => NTriplesReader.parseLine(l))
+    val n = Engine.forEmpty(spark).load(nt).nodes
+    assert(n.count() == 3)
+    assert(n.where(col("value_meta").isNull).count() == 1)
+  }
+
   test("metrics listener records completed query executions") {
     val m = Metrics.attach(spark)
     try {

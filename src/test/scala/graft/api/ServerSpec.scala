@@ -1,0 +1,81 @@
+package graft.api
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkSpec
+
+/** End-to-end service surface: put → get → load → metrics through a real
+  * socket (reference quartet types.proto:231-239), with /get streamed as
+  * NDJSON rather than collected.
+  */
+class ServerSpec extends SparkSpec {
+
+  private def request(url: String, method: String,
+                      body: Option[String] = None): (Int, String) = {
+    val conn = new URI(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      val out = conn.getOutputStream
+      try out.write(b.getBytes(UTF_8)) finally out.close()
+    }
+    val code = conn.getResponseCode
+    val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val text = try new String(in.readAllBytes(), UTF_8) finally in.close()
+    (code, text)
+  }
+
+  test("put → get → metrics over a socket; /get streams NDJSON") {
+    val srv = Server.start(Engine.forEmpty(spark))
+    val base = s"http://localhost:${srv.port}"
+    try {
+      val (pc, pb) = request(s"$base/put", "POST",
+        Some("""put "s/1" { "name": "Ada", "age": 36, "knows": ^"s/2" }"""))
+      assert(pc == 200 && pb.contains("\"ok\":true"))
+
+      val (gc, gb) = request(s"$base/get", "POST", Some("""get "s/1""""))
+      assert(gc == 200)
+      val lines = gb.trim.split("\n")
+      assert(lines.length == 3, s"got: $gb")
+      assert(lines.forall(_.startsWith("{")))
+      assert(lines.exists(l => l.contains("\"key\":\"name\"") &&
+        l.contains("\"str\":\"Ada\"")))
+      assert(lines.exists(l => l.contains("\"key\":\"age\"") &&
+        l.contains("\"i64\":36")))
+      assert(lines.exists(l => l.contains("\"key\":\"knows\"") &&
+        l.contains("\"iri\":\"s/2\"")))
+
+      val (mc, mb) = request(s"$base/metrics", "GET")
+      assert(mc == 200 && mb.startsWith("["))
+
+      val (bc, bb) = request(s"$base/get", "POST", Some("not a query"))
+      assert(bc == 400 && bb.contains("\"ok\":false"))
+    } finally srv.stop()
+  }
+
+  test("POST /load ingests N-Triples served over HTTP") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val nt = "<h/1> <title> \"Served\"@en .\n"
+    val fileSrv = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    fileSrv.createContext("/d.nt", (ex: HttpExchange) => {
+      val bytes = nt.getBytes(UTF_8)
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      val out = ex.getResponseBody
+      try out.write(bytes) finally out.close()
+    })
+    fileSrv.start()
+    val srv = Server.start(Engine.forEmpty(spark))
+    val base = s"http://localhost:${srv.port}"
+    try {
+      val url = s"http://localhost:${fileSrv.getAddress.getPort}/d.nt"
+      val (lc, lb) = request(s"$base/load?format=nt", "POST", Some(url))
+      assert(lc == 200 && lb.contains("\"ok\":true"), lb)
+      val (gc, gb) = request(s"$base/get", "POST", Some("""get "h/1""""))
+      assert(gc == 200)
+      assert(gb.contains("\"str\":\"Served\"") &&
+        gb.contains("lang:@en"), gb)
+    } finally { srv.stop(); fileSrv.stop(0) }
+  }
+}

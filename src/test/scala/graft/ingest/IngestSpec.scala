@@ -116,6 +116,58 @@ class IngestSpec extends SparkSpec {
     assert(NTriplesReader.parseLine("   ").isEmpty)
   }
 
+  test("N-Triples: load from an HTTP URL (WatService.cs:216-239 analog)") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val nt = "<u/1> <name> \"from-http\" .\n<u/1> <knows> <u/2> .\n"
+    val http = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    http.createContext("/data.nt", (ex: HttpExchange) => {
+      val bytes = nt.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      val out = ex.getResponseBody
+      try out.write(bytes) finally out.close()
+    })
+    http.start()
+    try {
+      val url = s"http://localhost:${http.getAddress.getPort}/data.nt"
+      val rows = NTriplesReader.read(spark, url).collect()
+      assert(rows.length == 2)
+      assert(rows.exists(r => r.key == "name" && r.value.str.contains("from-http")))
+      assert(rows.exists(r => r.key == "knows" && r.value.iri.contains("u/2")))
+    } finally http.stop(0)
+  }
+
+  test("N-Triples: streaming load with observed progress (Load progress stream)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_nt_stream")
+    // two files → with maxFilesPerTrigger=1 at least two micro-batches,
+    // so the progress feed shows incremental ticks, not one lump
+    java.nio.file.Files.writeString(dir.resolve("a.nt"),
+      "<s/1> <name> \"a\" .\n<s/1> <size> \"1\"^^<http://t/int> .\n")
+    java.nio.file.Files.writeString(dir.resolve("b.nt"),
+      "<s/2> <name> \"b\"@en .\n")
+    val progress = LoadProgress.attach(spark)
+    try {
+      val q = NTriplesReader.stream(spark, dir.toString, maxFilesPerTrigger = 1)
+        .writeStream.format("memory").queryName("nt_load")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_nt_ck").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      // listener delivery is async; poll briefly for the final tick
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (progress.totalRows < 3 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(spark.table("nt_load").count() == 3)
+      assert(progress.totalRows == 3,
+        s"progress ticks: ${progress.snapshot()}")
+      assert(progress.snapshot().count(_.rows > 0) >= 2) // incremental
+      // value metadata survives the streaming path
+      assert(spark.table("nt_load")
+        .where(org.apache.spark.sql.functions.col("value_meta").isNotNull)
+        .count() == 2)
+    } finally progress.detach()
+  }
+
   // ---- AHGHEE put literals --------------------------------------------
 
   test("put: kvp/edge/fedge/dedge pair forms") {

@@ -62,6 +62,33 @@ class LangSpec extends SparkSpec {
     assert(e.getMessage.contains("pipe command"))
   }
 
+  test("script splitter: keywords in strings and bodies don't split") {
+    val stmts = ScriptRunner.split(
+      """put "get/1" { "put": "load nt", "n": 1 }
+        |get "get/1" |> filter "put" == "load nt"
+        |load nt "/tmp/x.nt"""".stripMargin)
+    assert(stmts.map(_._1) == Seq("put", "get", "load"))
+    assert(ScriptRunner.split("   ") == Seq.empty)
+    intercept[IllegalArgumentException] {
+      ScriptRunner.split("""junk put "a" {}""")
+    }
+  }
+
+  test("mixed put/load/get script session executes in order") {
+    val nt = java.nio.file.Files.createTempFile("graft_langspec_", ".nt")
+    java.nio.file.Files.writeString(nt, "<x/2> <name> \"loaded\" .\n")
+    val res = graft.api.Engine.forEmpty(spark).run(
+      s"""put "x/1" { "name": "first", "e": ^"x/2" }
+         |load nt "${nt.toString}"
+         |get "x/1" |> follow "e" 1""".stripMargin)
+    val got = res.select("id", "key").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("x/1", "name"), ("x/1", "e"), ("x/2", "name")))
+    // script with no get returns an empty frame
+    assert(graft.api.Engine.forEmpty(spark)
+      .run("""put "y/1" { "a": 1 }""").count() == 0)
+  }
+
   test("multi-hop follow expands edges of freshly-reached nodes") {
     // regression: hop-2 edges live on nodes loaded during traversal,
     // not on the query's root set
