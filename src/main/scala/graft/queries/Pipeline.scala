@@ -367,32 +367,40 @@ object Pipeline {
              |  AS fertility
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // ---- p14: IVF-bucketed ANN (coarse-quantizer scale path) ------------
-    // Inverted-file structure: K seed centroids partition the corpus into
-    // cells (one broadcast×scan assignment pass, linear in n); a query
-    // probes its nprobe=2 nearest cells and brute-forces only those.
-    // At 100 TB the centroids come from k-means on a sample and the
-    // corpus is written bucketed by cell — the probe is a bucket-pruned
-    // scan. Deterministic seed centroids keep it DuckDB-checkable.
+    // ---- p14: IVF ANN with a TRAINED coarse quantizer -------------------
+    // Inverted-file structure: K=8 deterministic seeds (vec_id < 8) are
+    // TRAINED with 2 k-means Lloyd steps — assign is one broadcast×scan
+    // pass, update is the VectorCentroid partial-agg UDAF (map-side
+    // combine ships (sums, count) per cell, not vectors) — then the
+    // corpus is assigned once and each query brute-forces only its
+    // nprobe=2 nearest cells. Sims AND centroid components round at 1e-6
+    // so the DuckDB mirror (per-dim avg lists generated in ivfOracle) is
+    // bit-identical. At 100 TB: train on a sample, write the corpus
+    // bucketed by cell — the probe is then a bucket-pruned scan (proven
+    // in ScaleSpec "IVF probe scans only the probed cells' buckets").
     RegQuery("p14_ann_ivf",
       (s, d) => {
         val e = Tables(s, d, "embeddings")
           .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
-        val cents = e.where(col("vec_id") < 8)
-          .select(col("vec_id").as("c_id"), col("v").as("cv"))
         def sim6(a: Column, b: Column) =
           floor(VectorOps.cosineFast(a, b) * 1000000 + 0.5) / 1000000
-        // cell assignment: argmax-cosine centroid per vector
-        val assigned = e.crossJoin(broadcast(cents))
-          .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
-            .orderBy(sim6(col("v"), col("cv")).desc, col("c_id"))))
-          .where(col("rn") === 1)
+        def nearest(vecs: DataFrame, cents: DataFrame, keep: Int) =
+          vecs.crossJoin(broadcast(cents))
+            .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+              .orderBy(sim6(col("v"), col("cv")).desc, col("c_id"))))
+            .where(col("rn") <= keep)
+        var cents = e.where(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        val centroid = udaf(graft.functions.VectorCentroid)
+        for (_ <- 1 to 2) // Lloyd: assign → per-cell mean, rounded 1e-6
+          cents = nearest(e, cents, 1)
+            .groupBy("c_id")
+            .agg(transform(centroid(col("v")),
+              x => floor(x * 1000000 + 0.5) / 1000000).as("cv"))
+        cents = cents.localCheckpoint() // train once; reused by both scans
+        val assigned = nearest(e, cents, 1)
           .select(col("vec_id"), col("v"), col("c_id").as("cell"))
-        // each query probes its 2 nearest cells
-        val probes = e.where(col("vec_id") < 3).crossJoin(broadcast(cents))
-          .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
-            .orderBy(sim6(col("v"), col("cv")).desc, col("c_id"))))
-          .where(col("rn") <= 2)
+        val probes = nearest(e.where(col("vec_id") < 3), cents, 2)
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             col("c_id").as("cell"))
         probes.join(assigned, "cell")
@@ -405,35 +413,49 @@ object Pipeline {
             col("cos_r"))
           .orderBy("q_id", "rank")
       },
-      Some("""WITH e AS (SELECT vec_id,
-             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             |  FROM embeddings),
-             |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
-             |sim AS (SELECT e.vec_id, e.v, c.c_id,
-             |  floor(list_sum(list_transform(range(1, len(e.v)+1),
-             |      i -> e.v[i]*c.cv[i]))
-             |    / (sqrt(list_sum(list_transform(e.v, x -> x*x)))
-             |       * sqrt(list_sum(list_transform(c.cv, x -> x*x))))
-             |    * 1000000 + 0.5)/1000000 AS s
-             |  FROM e, c),
-             |asg AS (SELECT vec_id, v, c_id AS cell FROM (
-             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-             |    ORDER BY s DESC, c_id) AS rn FROM sim) WHERE rn = 1),
-             |prb AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell FROM (
-             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-             |    ORDER BY s DESC, c_id) AS rn FROM sim WHERE vec_id < 3)
-             |  WHERE rn <= 2),
-             |cand AS (SELECT p.q_id, a.vec_id AS n_id,
-             |  floor(list_sum(list_transform(range(1, len(p.qv)+1),
-             |      i -> p.qv[i]*a.v[i]))
-             |    / (sqrt(list_sum(list_transform(p.qv, x -> x*x)))
-             |       * sqrt(list_sum(list_transform(a.v, x -> x*x))))
-             |    * 1000000 + 0.5)/1000000 AS cos_r
-             |  FROM prb p JOIN asg a ON p.cell = a.cell
-             |  WHERE a.vec_id != p.q_id),
-             |r AS (SELECT q_id, n_id, cos_r, ROW_NUMBER() OVER (
-             |  PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rn FROM cand)
-             |SELECT q_id, CAST(rn AS INTEGER) AS rank, n_id, cos_r FROM r
-             |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin))
+      Some(ivfOracle))
   )
+
+  /** DuckDB mirror of p14's trained IVF. The 64-dim centroid means are
+    * generated per dimension; every float lands through the same
+    * floor(x*1e6+0.5)/1e6 rounding as the Spark side. */
+  private def ivfOracle: String = {
+    def cos(a: String, b: String) =
+      s"""floor(list_sum(list_transform(range(1, len($a)+1),
+         |      i -> $a[i]*$b[i]))
+         |    / (sqrt(list_sum(list_transform($a, x -> x*x)))
+         |       * sqrt(list_sum(list_transform($b, x -> x*x))))
+         |    * 1000000 + 0.5)/1000000""".stripMargin
+    val avgList = (1 to 64)
+      .map(i => s"floor(avg(v[$i])*1000000+0.5)/1000000")
+      .mkString("[", ", ", "]")
+    def asg(cSrc: String, out: String) =
+      s"""$out AS (SELECT vec_id, v, c_id AS cell FROM (
+         |  SELECT e.vec_id, e.v, c.c_id, ROW_NUMBER() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY ${cos("e.v", "c.cv")} DESC, c.c_id) AS rn
+         |  FROM e, $cSrc c) WHERE rn = 1)""".stripMargin
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+       |${asg("c0", "a1")},
+       |c1 AS (SELECT cell AS c_id, $avgList AS cv FROM a1 GROUP BY cell),
+       |${asg("c1", "a2")},
+       |c2 AS (SELECT cell AS c_id, $avgList AS cv FROM a2 GROUP BY cell),
+       |${asg("c2", "asg")},
+       |prb AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell FROM (
+       |  SELECT e.vec_id, e.v, c.c_id, ROW_NUMBER() OVER (
+       |    PARTITION BY e.vec_id
+       |    ORDER BY ${cos("e.v", "c.cv")} DESC, c.c_id) AS rn
+       |  FROM e, c2 c WHERE e.vec_id < 3) WHERE rn <= 2),
+       |cand AS (SELECT p.q_id, a.vec_id AS n_id,
+       |  ${cos("p.qv", "a.v")} AS cos_r
+       |  FROM prb p JOIN asg a ON p.cell = a.cell
+       |  WHERE a.vec_id != p.q_id),
+       |r AS (SELECT q_id, n_id, cos_r, ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rn FROM cand)
+       |SELECT q_id, CAST(rn AS INTEGER) AS rank, n_id, cos_r FROM r
+       |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
+  }
 }

@@ -46,6 +46,30 @@ class ScaleSpec extends SparkSpec {
     try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("IVF probe scans only the probed cells' buckets") {
+    // the p14 scale path: corpus written bucketed by cell → an nprobe=2
+    // query reads 2 of 32 buckets, not the whole corpus
+    val corpus = (0L until 100L).map(i => (i, i % 8)).toDF("vec_id", "cell")
+    val stored = graft.sources.GraphStore.materialize(
+      spark, "graft_test_ivf", "cell", corpus)
+    // autoBucketedScan drops the bucketed layout for scan-only plans
+    // (no join/agg to exploit distribution) — which also forfeits bucket
+    // PRUNING; a real IVF probe service pins it off for point reads
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    try {
+      val probe = stored.where(col("cell").isin(2L, 5L))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 2 out of 32"),
+        s"probe not bucket-pruned:\n$plan")
+      assert(probe.count() == 25)
+    } finally {
+      spark.conf
+        .unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS graft_test_ivf")
+    }
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val li = Tables(spark, sfDir, "lineitem")
     val direct = li.groupBy("l_returnflag")
