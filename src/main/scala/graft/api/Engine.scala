@@ -56,18 +56,25 @@ final class Engine(val spark: SparkSession, attrs0: DataFrame,
     * LAST `get`'s result is returned (empty frame if the script has no
     * get). */
   def run(script: String): DataFrame = {
-    import graft.lang.ScriptRunner
     var last: Option[DataFrame] = None
-    ScriptRunner.parse(script).foreach {
-      case ScriptRunner.PutStmt(text) => put(text)
-      case ScriptRunner.LoadStmt("graphml", path) =>
-        load(graft.ingest.GraphMlReader.read(spark, path))
-      case ScriptRunner.LoadStmt(_, path) =>
-        load(graft.ingest.NTriplesReader.read(spark, path))
-      case ScriptRunner.GetStmt(q) =>
-        last = Some(StepCompiler.run(spark, attrsDf, q, edgesHint))
+    graft.lang.ScriptRunner.parse(script).foreach { st =>
+      runStatement(st).foreach(df => last = Some(df))
     }
     last.getOrElse(Engine.emptyAttrs(spark).drop("graph"))
+  }
+
+  /** Execute one parsed statement; Some(result) for a `get`. */
+  def runStatement(st: graft.lang.ScriptRunner.Statement): Option[DataFrame] = {
+    import graft.lang.ScriptRunner._
+    st match {
+      case PutStmt(text) => put(text); None
+      case LoadStmt("graphml", path) =>
+        load(graft.ingest.GraphMlReader.read(spark, path)); None
+      case LoadStmt(_, path) =>
+        load(graft.ingest.NTriplesReader.read(spark, path)); None
+      case GetStmt(q) =>
+        Some(StepCompiler.run(spark, attrsDf, q, edgesHint))
+    }
   }
 
   /** Ingest AHGHEE `put` literals: append + merge-dedup keeping the

@@ -130,6 +130,28 @@ object Streaming {
       },
       Some("""SELECT event_type, count(*) AS cnt,
              |count(*) * length(event_type) AS wsum
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- s06: stream-stream interval join (bounded join state) ---------
+    // Two live streams of the same source join on user within a 6 h
+    // window; watermarks + the time bound let the engine evict buffered
+    // rows (unbounded-state joins don't survive at scale). Inner join →
+    // append sink; the per-user rollup happens batch-side on the sink.
+    RegQuery("s06_stream_join",
+      (s, d) => {
+        val q = Streams.clickViewJoin(streamEvents(s, d), streamEvents(s, d))
+          .writeStream.format("memory").queryName("s06_sink")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("s06_sink")
+          .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT c.user_id, count(*) AS n_pairs
+             |FROM events c JOIN events v
+             |  ON c.event_type = 'click' AND v.event_type = 'view'
+             | AND c.user_id = v.user_id
+             | AND v.ts BETWEEN c.ts - INTERVAL 6 HOUR AND c.ts
+             |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin))
   )
 }

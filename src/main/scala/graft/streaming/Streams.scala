@@ -55,6 +55,27 @@ object Streams {
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("event_type"), "left")
 
+  /** Stream-stream interval join: each click pairs with the same user's
+    * views from the preceding `within`. Watermarks on BOTH inputs plus
+    * the time-bound condition let Spark EVICT buffered rows once the
+    * watermark passes the interval — the only way a stream-stream join's
+    * state stays bounded on unbounded inputs. Inner join ⇒ append mode. */
+  def clickViewJoin(clicks0: DataFrame, views0: DataFrame,
+                    within: String = "6 hours",
+                    watermark: String = "1 hour"): DataFrame = {
+    val clicks = clicks0.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", watermark)
+    val views = views0.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    clicks.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $within") &&
+        col("v_ts") <= col("c_ts"))
+  }
+
   // --- arbitrary stateful processing ---------------------------------
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

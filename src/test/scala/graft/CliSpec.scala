@@ -1,0 +1,53 @@
+package graft
+
+import java.io.{BufferedReader, PrintWriter, StringReader, StringWriter}
+
+import graft.api.Engine
+
+/** REPL loop: multi-line buffering, per-statement status lines, grouped
+  * node printing, error recovery (reference: the cli `wat>` session,
+  * Program.cs:25-228).
+  */
+class CliSpec extends SparkSpec {
+
+  private def session(input: String): String = {
+    val out = new StringWriter
+    Cli.repl(Engine.forEmpty(spark),
+      new BufferedReader(new StringReader(input)),
+      new PrintWriter(out, true))
+    out.toString
+  }
+
+  test("multi-line put buffers until braces close, then get prints nodes") {
+    val o = session(
+      """put "c/1" {
+        |  "name": "Ada",
+        |  "knows": ^"c/2"
+        |}
+        |get "c/1"
+        |exit""".stripMargin)
+    assert(o.contains("...> "), o) // continuation prompt mid-statement
+    assert(o.contains("status> put.done"), o)
+    assert(o.contains("node> c/1"), o)
+    assert(o.contains("name: Ada"), o)
+    assert(o.contains("knows: ^c/2"), o)
+    assert(o.contains("status> get.done 1 nodes"), o)
+  }
+
+  test("a parse error reports and the loop keeps going") {
+    val o = session(
+      """put oops
+        |put "c/3" { "k": 1 }
+        |get "c/3"
+        |exit""".stripMargin)
+    assert(o.contains("status> err("), o)
+    assert(o.contains("node> c/3"), o)
+  }
+
+  test("statement completeness scanner") {
+    assert(Cli.complete("""get "a" """))
+    assert(!Cli.complete("""put "a" { "k": """))
+    assert(!Cli.complete("""put "a" { "k: 1 }"""))   // unclosed quote
+    assert(Cli.complete("""put "a" { "k": 1 } # { comment"""))
+  }
+}
