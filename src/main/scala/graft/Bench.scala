@@ -12,6 +12,9 @@ object Bench {
     val localDir = sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark")
     val spark = SparkSession.builder()
       .config("spark.local.dir", localDir)
+      // streaming state checkpoints default to /tmp (disk) — the same
+      // stochastic-stall device; keep them on the tmpfs scratch too
+      .config("spark.sql.streaming.checkpointLocation", s"$localDir/stream-ck")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -47,10 +50,15 @@ object Bench {
         catch { case _: Throwable => () }
         val s = (System.nanoTime() - t0) / 1e9
         // session hygiene: drop blocks left by iterative operators
-        // (localCheckpoint RDDs) and run the ContextCleaner NOW —
-        // otherwise cleanup storms land mid-query later in the session
+        // (localCheckpoint RDDs), unload finished streams' state-store
+        // providers, and run the ContextCleaner NOW — otherwise cleanup
+        // storms and lingering join state land mid-query later on
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        org.apache.spark.sql.GraftInternals.stopStateStores()
+        // memory-sink queries can't recover a checkpoint — clear the
+        // scratch so the second timed run starts fresh
+        rmrf(new java.io.File(s"$localDir/stream-ck"))
         System.gc()
         s
       }.min
@@ -80,5 +88,10 @@ object Bench {
     spark.stop()
     // print LAST, after Spark shutdown, so no log line lands below it
     println(line)
+  }
+
+  private def rmrf(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmrf))
+    f.delete(): Unit
   }
 }

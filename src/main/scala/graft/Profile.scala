@@ -19,6 +19,9 @@ object Profile {
     val localDir = sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark")
     val spark = SparkSession.builder()
       .config("spark.local.dir", localDir)
+      // streaming state checkpoints default to /tmp (disk) — the same
+      // stochastic-stall device; keep them on the tmpfs scratch too
+      .config("spark.sql.streaming.checkpointLocation", s"$localDir/stream-ck")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -38,8 +41,22 @@ object Profile {
     spark.range(1000000).selectExpr("sum(id)").collect()
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
+      // same per-query hygiene as Bench so numbers are comparable
+      def clean(): Unit = {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        org.apache.spark.sql.GraftInternals.stopStateStores()
+        def rmrf(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmrf))
+          f.delete(): Unit
+        }
+        rmrf(new java.io.File(s"$localDir/stream-ck"))
+        System.gc()
+      }
       val cold = time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+      clean()
       val warm = time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+      clean()
       println(f"[profile] $n%-28s cold=$cold%8.2f warm=$warm%8.2f")
     }
     spark.stop()

@@ -19,6 +19,9 @@ object Verify {
     val localDir = sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark")
     val spark = SparkSession.builder()
       .config("spark.local.dir", localDir)
+      // streaming state checkpoints default to /tmp (disk) — the same
+      // stochastic-stall device; keep them on the tmpfs scratch too
+      .config("spark.sql.streaming.checkpointLocation", s"$localDir/stream-ck")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -413,7 +413,51 @@ object Pipeline {
             col("cos_r"))
           .orderBy("q_id", "rank")
       },
-      Some(ivfOracle))
+      Some(ivfOracle)),
+
+    // ---- p16: winnowing document fingerprints ---------------------------
+    // Winnowing (Schleimer et al., SIGMOD'03 — the MOSS algorithm): slide
+    // a w=4 window over the positional 3-gram sequence, keep each
+    // window's min hash; any shared substring of >= w+2 tokens is
+    // guaranteed to share a fingerprint. The rolling min is ONE window
+    // pass (no self-join); fingerprints are md5 hex strings so the
+    // DuckDB mirror's lexicographic min picks identical values
+    // (fixed-width hex ⇒ string order == numeric order).
+    RegQuery("p16_winnow_fingerprint",
+      (s, d) => {
+        val w = 4
+        val toks = TextOps.tokens(col("text"))
+        val grams = transform(
+          sequence(lit(1), greatest(size(toks) - 2, lit(0))),
+          i => md5(concat_ws(" ", element_at(toks, i),
+            element_at(toks, i + 1), element_at(toks, i + 2))))
+        val sh = Tables(s, d, "documents")
+          .where(size(toks) >= 3)
+          .select(col("doc_id"), posexplode(grams).as(Seq("pos", "h")))
+        val perDoc = Window.partitionBy("doc_id")
+        val rolling = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.currentRow, w - 1)
+        sh.withColumn("n", count(lit(1)).over(perDoc))
+          .withColumn("wmin", min("h").over(rolling))
+          // full windows only; a doc shorter than w keeps its single
+          // whole-doc window (frame clamps at the partition end)
+          .where(col("pos") <= col("n") - w ||
+                 (col("n") < w && col("pos") === 0))
+          .groupBy("doc_id")
+          .agg(countDistinct("wmin").as("n_fp"), min("wmin").as("min_fp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+             |g AS (SELECT doc_id, list_transform(range(1, len(tk)-1),
+             |    i -> md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gs
+             |  FROM t),
+             |f AS (SELECT doc_id,
+             |    list_transform(range(1, greatest(len(gs)-4+1, 1)+1),
+             |      i -> list_min(gs[i:i+3])) AS fp FROM g)
+             |SELECT doc_id, CAST(len(list_distinct(fp)) AS BIGINT) AS n_fp,
+             |  list_min(fp) AS min_fp
+             |FROM f ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB mirror of p14's trained IVF. The 64-dim centroid means are

