@@ -425,26 +425,41 @@ object Pipeline {
     // (fixed-width hex ⇒ string order == numeric order).
     RegQuery("p16_winnow_fingerprint",
       (s, d) => {
+        // everything stays INSIDE the row — grams, rolling mins, and the
+        // distinct-count are array expressions in one codegen pass, so
+        // the only shuffle is the final orderBy (the first cut windowed
+        // over posexploded shingles: ~2M rows through an exchange for
+        // the same answer, 6.8 s vs ~1 s at sf0.1)
         val w = 4
         val toks = TextOps.tokens(col("text"))
+        val tk = col("tk")
         val grams = transform(
-          sequence(lit(1), greatest(size(toks) - 2, lit(0))),
-          i => md5(concat_ws(" ", element_at(toks, i),
-            element_at(toks, i + 1), element_at(toks, i + 2))))
-        val sh = Tables(s, d, "documents")
+          sequence(lit(1), greatest(size(tk) - 2, lit(0))),
+          i => md5(concat_ws(" ", element_at(tk, i),
+            element_at(tk, i + 1), element_at(tk, i + 2))))
+        // materialization barriers: CollapseProject would otherwise
+        // inline the token split into every element_at reference of the
+        // gram lambda (3× per position) and the gram build into every
+        // try_element_at of the window lambda (4× per position) — an
+        // O(w·n) blowup of md5/split work per doc (measured 12 s vs
+        // ~1.5 s at sf0.1). Each barrier shuffles only 5000 array rows.
+        Tables(s, d, "documents")
           .where(size(toks) >= 3)
-          .select(col("doc_id"), posexplode(grams).as(Seq("pos", "h")))
-        val perDoc = Window.partitionBy("doc_id")
-        val rolling = Window.partitionBy("doc_id").orderBy("pos")
-          .rowsBetween(Window.currentRow, w - 1)
-        sh.withColumn("n", count(lit(1)).over(perDoc))
-          .withColumn("wmin", min("h").over(rolling))
-          // full windows only; a doc shorter than w keeps its single
-          // whole-doc window (frame clamps at the partition end)
-          .where(col("pos") <= col("n") - w ||
-                 (col("n") < w && col("pos") === 0))
-          .groupBy("doc_id")
-          .agg(countDistinct("wmin").as("n_fp"), min("wmin").as("min_fp"))
+          .select(col("doc_id"), toks.as("tk"))
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), grams.as("gs"))
+          .repartition(col("doc_id"))
+          // full windows i=1..n-w+1; least() skips the nulls
+          // try_element_at yields past the end, so a doc shorter than w
+          // keeps its single clamped whole-doc window (no per-position
+          // slice allocation — measured 2× over array_min∘slice)
+          .select(col("doc_id"), transform(
+            sequence(lit(1), greatest(size(col("gs")) - (w - 1), lit(1))),
+            i => least((0 until w).map(j =>
+              try_element_at(col("gs"), i + j)): _*)).as("fp"))
+          .select(col("doc_id"),
+            size(array_distinct(col("fp"))).cast("long").as("n_fp"),
+            array_min(col("fp")).as("min_fp"))
           .orderBy("doc_id")
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk

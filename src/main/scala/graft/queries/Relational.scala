@@ -588,6 +588,42 @@ object Relational {
              |CAST(json_extract_string(props, '$.k') AS INTEGER) AS kv,
              |CAST(len(json_keys(props)) AS INTEGER) AS nv
              |FROM events WHERE event_type = 'click'
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- full-outer join (both null sides exercised) -------------------
+    RegQuery("q39_join_outer",
+      (s, d) => {
+        val cust = t(s, d, "customer").where(col("c_acctbal") > 8000)
+          .select(col("c_custkey"), col("c_name"))
+        val ords = t(s, d, "orders").where(col("o_totalprice") > 350000)
+          .select(col("o_custkey"), col("o_orderkey"))
+        cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+            col("c_name"), col("o_orderkey"))
+          .orderBy(col("k"), col("o_orderkey").asc_nulls_first)
+      },
+      Some("""SELECT COALESCE(c_custkey, o_custkey) AS k, c_name, o_orderkey
+             |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 8000) c
+             |FULL OUTER JOIN
+             |     (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 350000) o
+             |ON c_custkey = o_custkey
+             |ORDER BY k, o_orderkey NULLS FIRST""".stripMargin)),
+
+    // ---- exact interpolated percentiles (Spark percentile ==
+    // DuckDB quantile_cont: both linear-interpolate) ---------------------
+    RegQuery("q40_percentiles",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          (floor(expr("percentile(l_quantity, 0.25)") * 100 + 0.5) / 100).as("p25"),
+          (floor(expr("percentile(l_quantity, 0.5)") * 100 + 0.5) / 100).as("p50"),
+          (floor(expr("percentile(l_extendedprice, 0.9)") * 100 + 0.5) / 100).as("p90"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |floor(quantile_cont(l_quantity, 0.25)*100+0.5)/100 AS p25,
+             |floor(quantile_cont(l_quantity, 0.5)*100+0.5)/100 AS p50,
+             |floor(quantile_cont(l_extendedprice, 0.9)*100+0.5)/100 AS p90
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
 }
