@@ -27,6 +27,13 @@ object Bench {
       .config("spark.ui.retainedStages", "200")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // clear checkpoints a previous JVM left behind (memory-sink queries
+    // cannot recover a checkpoint — a stale dir fails the query)
+    def rmStreamCk(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmStreamCk))
+      f.delete(): Unit
+    }
+    rmStreamCk(new java.io.File(s"$localDir/stream-ck"))
     // absorb one-time session/JIT/codegen warmup so it doesn't land on
     // whichever query happens to run first
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -34,6 +34,13 @@ object Profile {
       .config("spark.ui.retainedStages", "200")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // clear checkpoints a previous JVM left behind (memory-sink queries
+    // cannot recover a checkpoint — a stale dir fails the query)
+    def rmStreamCk(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmStreamCk))
+      f.delete(): Unit
+    }
+    rmStreamCk(new java.io.File(s"$localDir/stream-ck"))
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }

@@ -34,6 +34,13 @@ object Verify {
       .config("spark.ui.retainedStages", "200")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // clear checkpoints a previous JVM left behind (memory-sink queries
+    // cannot recover a checkpoint — a stale dir fails the query)
+    def rmStreamCk(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmStreamCk))
+      f.delete(): Unit
+    }
+    rmStreamCk(new java.io.File(s"$localDir/stream-ck"))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

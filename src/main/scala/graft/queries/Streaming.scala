@@ -144,10 +144,18 @@ object Streaming {
     RegQuery("s06_stream_join",
       (s, d) => {
         def cohort(df: DataFrame) = df.where(pmod(col("user_id"), lit(7)) === 0)
-        val q = Streams.clickViewJoin(
-            cohort(streamEvents(s, d)), cohort(streamEvents(s, d)))
-          .writeStream.format("memory").queryName("s06_sink")
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        // state partitions are frozen at first plan: size them to the
+        // state (a cohort of one table), not the session default — a
+        // stream-stream join commits 4 state stores PER partition PER
+        // batch, so 32 partitions of tiny state is pure commit overhead
+        val before = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try Streams.clickViewJoin(
+              cohort(streamEvents(s, d)), cohort(streamEvents(s, d)))
+            .writeStream.format("memory").queryName("s06_sink")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          finally s.conf.set("spark.sql.shuffle.partitions", before)
         q.awaitTermination()
         s.table("s06_sink")
           .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))

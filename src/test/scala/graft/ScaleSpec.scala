@@ -70,6 +70,37 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // one hot key (99% of the left side) — with the skew thresholds
+    // lowered to test scale, AQE must mark the sort-merge join skewed
+    // and split the hot partition instead of leaving one straggler task
+    val conf = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 200000)
+        .select(when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id"))
+          .as("k"), col("id").as("payload"))
+      val right = spark.range(0, 100).select(col("id").as("k"),
+        lit("dim").as("name"))
+      val joined = left.join(right, "k")
+      // collect() drives THIS Dataset's queryExecution, so the AQE plan
+      // inspected below is the final (post-replan) one
+      assert(joined.collect().length == 198001)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val li = Tables(spark, sfDir, "lineitem")
     val direct = li.groupBy("l_returnflag")
