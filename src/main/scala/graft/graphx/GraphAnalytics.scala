@@ -50,6 +50,29 @@ object GraphAnalytics {
     ranks.join(verts, "vid").select("id", "rank")
   }
 
+  /** Single-source-set shortest paths (directed, hop count): distance
+    * from every vertex TO each reachable landmark along edge direction —
+    * GraphX's ShortestPaths Pregel program. Returns [id, landmark, dist]
+    * rows only for reachable (vertex, landmark) pairs. */
+  def shortestPaths(edges: DataFrame, landmarks: Seq[String]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val (g, verts) = build(edges)
+    val lm: Map[VertexId, String] = verts
+      .where(col("id").isin(landmarks: _*))
+      .select("vid", "id").as[(Long, String)].collect().toMap
+    val res = org.apache.spark.graphx.lib.ShortestPaths
+      .run(g, lm.keys.toSeq)
+      .vertices
+      .flatMap { case (vid, spmap) =>
+        spmap.iterator.map { case (l, d) => (vid, l, d) }
+      }
+      .toDF("vid", "lvid", "dist")
+    val lmDf = lm.toSeq.toDF("lvid", "landmark")
+    res.join(verts, "vid").join(broadcast(lmDf), "lvid")
+      .select("id", "landmark", "dist")
+  }
+
   /** Connected components (undirected); returns [id, component] with
     * component = lexicographically-smallest member id.
     *

@@ -28,7 +28,10 @@ object GraphMlReader {
 
   def read(spark: SparkSession, path: String, graph: String = ""): Dataset[AttrRow] = {
     import spark.implicits._
-    spark.read.option("wholetext", "true").textFile(path)
+    // http(s) URLs spool to a local temp file like the N-Triples path
+    // (reference accepts URLs for loads, WatService.cs:216-239)
+    val local = NTriplesReader.localize(path)
+    spark.read.option("wholetext", "true").textFile(local)
       .flatMap(xml => parse(xml, graph))
   }
 

@@ -27,11 +27,14 @@ object NTriplesReader {
     * out over the spooled file's blocks like any other path. */
   def read(spark: SparkSession, path: String, graph: String = ""): Dataset[AttrRow] = {
     import spark.implicits._
-    val local =
-      if (path.startsWith("http://") || path.startsWith("https://")) spool(path)
-      else path
-    spark.read.textFile(local).flatMap(line => parseLine(line, graph))
+    spark.read.textFile(localize(path)).flatMap(line => parseLine(line, graph))
   }
+
+  /** Pass a filesystem path through; spool an http(s) URL to a local
+    * temp file (shared by the N-Triples and GraphML readers). */
+  private[ingest] def localize(path: String): String =
+    if (path.startsWith("http://") || path.startsWith("https://")) spool(path)
+    else path
 
   /** Continuous N-Triples load over a directory — files appearing in
     * `dir` stream through the parser as micro-batches.

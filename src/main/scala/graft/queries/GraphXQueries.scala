@@ -34,6 +34,25 @@ object GraphXQueries {
       (s, d) => GraphAnalytics.pageRank(GraphStore.edges(s, d), tol = 1e-4)
         .orderBy(col("rank").desc, col("id"))
         .limit(20),
-      None) // iterative float fixed-point → rows-only; invariants in GraphXSpec
+      None), // iterative float fixed-point → rows-only; invariants in GraphXSpec
+
+    // directed hop distances TO two landmarks — exercises direction
+    // semantics (orders→customer→nation, never the reverse) and
+    // reachability filtering; exact, so fully oracle-checked
+    RegQuery("x03_shortest_paths",
+      (s, d) => GraphAnalytics.shortestPaths(GraphStore.edges(s, d),
+          Seq("nation/1", "customer/7"))
+        .orderBy("id", "landmark"),
+      Some("""SELECT id, landmark, dist FROM (
+             |SELECT 'nation/1' AS id, 'nation/1' AS landmark, 0 AS dist
+             |UNION ALL SELECT 'customer/' || c_custkey, 'nation/1', 1
+             |  FROM customer WHERE c_nationkey = 1
+             |UNION ALL SELECT 'orders/' || o_orderkey, 'nation/1', 2
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  WHERE c_nationkey = 1
+             |UNION ALL SELECT 'customer/7', 'customer/7', 0
+             |UNION ALL SELECT 'orders/' || o_orderkey, 'customer/7', 1
+             |  FROM orders WHERE o_custkey = 7
+             |) ORDER BY id, landmark""".stripMargin))
   )
 }

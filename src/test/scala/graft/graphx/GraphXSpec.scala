@@ -38,6 +38,16 @@ class GraphXSpec extends SparkSpec {
     assert(cc.select("component").distinct().count() == 5)
   }
 
+  test("shortestPaths: directed hop counts, unreachable pairs absent") {
+    // a -> b -> c, d -> c; landmark c: dists a=2 b=1 c=0 d=1;
+    // landmark a: only a itself (direction matters)
+    val edges = edgeDf("a" -> "b", "b" -> "c", "d" -> "c")
+    val got = GraphAnalytics.shortestPaths(edges, Seq("c", "a"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(("a", "c", 2), ("b", "c", 1), ("c", "c", 0),
+      ("d", "c", 1), ("a", "a", 0)))
+  }
+
   test("connectedComponents distributed fallback (threshold=0) matches local") {
     // chain + triangle + isolated self-loop exercise propagate, pointer
     // jumps, and the observe-fused convergence count
