@@ -118,6 +118,80 @@ object Multimodal {
       .toDF()
   }
 
+  /** Typed output of the audio decode: container-header facts + exact
+    * peak amplitude over the PCM samples. */
+  case class AudioFeat(doc_id: Long, sample_rate: Int, channels: Int,
+                       n_samples: Long, peak: Int)
+
+  /** REAL audio corpus: one PCM-16 WAV per document, written with the
+    * JDK's javax.sound.sampled (header + samples derived from doc_id so
+    * the decode side is oracle-checkable arithmetic while the bytes are
+    * a genuine RIFF/WAVE container). Square wave ⇒ every sample is
+    * ±amplitude exactly — no float rounding in the oracle. */
+  def audioTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = 400 + (id % 100).toInt
+          val amp = (1000 + id % 1000).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = if ((i / 8) % 2 == 0) amp else -amp
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "bytes")
+      .select(col("doc_id"), struct(
+        lit("audio/wav").as("media_type"),
+        col("bytes"),
+        struct(lit("synthetic").as("origin"),
+               length(col("bytes")).cast("long").as("n_bytes")).as("meta")
+      ).as("media"))
+  }
+
+  /** REAL batched audio decode: AudioSystem parses the WAV container
+    * (format, frame count), then the PCM samples stream through for the
+    * exact peak. Undecodable payloads yield (-1, -1, -1, -1). */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media.bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            val n = ais.getFrameLength
+            val data = ais.readAllBytes()
+            var peak = 0
+            var i = 0
+            while (i + 1 < data.length) {
+              val v = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toInt
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              i += 2
+            }
+            AudioFeat(id, fmt.getSampleRate.toInt, fmt.getChannels, n, peak)
+          } catch { case _: Exception => AudioFeat(id, -1, -1, -1L, -1) }
+        }
+      }
+      .toDF()
+  }
+
   /** Frame sampling + resize, the generator-shaped multimodal op: each
     * media row fans out to every `every`-th frame, scaled to w×h. A
     * real build initializes a demuxer + scaler once per partition and

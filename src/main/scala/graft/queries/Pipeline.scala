@@ -326,6 +326,21 @@ object Pipeline {
              |CAST(doc_id % 256 AS INTEGER) AS mean_lum
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- p17: multimodal audio column + REAL batched WAV decode ---------
+    // javax.sound.sampled writes a genuine RIFF/WAVE per doc in the
+    // executors; the decode recovers rate/channels/frames from the
+    // container header and the exact peak from the PCM stream. The
+    // square-wave corpus makes every feature integer arithmetic on
+    // doc_id, so the oracle genuinely gates the codec path.
+    RegQuery("p17_audio_decode",
+      (s, d) => graft.llm.Multimodal
+        .decodeAudio(graft.llm.Multimodal.audioTable(s, d))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
+             |CAST(400 + doc_id % 100 AS BIGINT) AS n_samples,
+             |CAST(1000 + doc_id % 1000 AS INTEGER) AS peak
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- p15: multimodal frame-sample + resize (generator fan-out) ------
     RegQuery("p15_frame_sample",
       (s, d) => graft.llm.Multimodal
