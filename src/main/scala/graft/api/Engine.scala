@@ -111,6 +111,24 @@ final class Engine(val spark: SparkSession, attrs0: DataFrame,
       .groupBy("graph", "id", "key", "key_meta", "value", "value_meta")
       .agg(min("ts").as("ts"))
 
+  /** Graph statistics in one aggregate pass — the reference's
+    * GetStats/ListStats surface (types.proto:231-239;
+    * FileStore.fs:415-485 serializes its registry the same way):
+    * long-form [stat, value] rows for attrs / nodes / keys / edges. */
+  def stats: DataFrame = {
+    attrsDf.agg(
+      count(lit(1)).as("attrs"),
+      countDistinct(col("id")).as("nodes"),
+      countDistinct(col("key")).as("keys"),
+      sum(when(col("value.vtype") === Value.NODEID, 1L).otherwise(0L))
+        .as("edges"))
+      .select(explode(map(
+        lit("attrs"), col("attrs"),
+        lit("edges"), coalesce(col("edges"), lit(0L)),
+        lit("keys"), col("keys"),
+        lit("nodes"), col("nodes"))).as(Seq("stat", "value")))
+  }
+
   /** Latest value per (id, key) — the printer's "current" view. */
   def current: DataFrame = {
     val w = Window.partitionBy("id", "key")

@@ -70,6 +70,13 @@ object Server {
       respond(ex, 200, """{"ok":true}""")
     })
 
+    http.createContext("/stats", (ex: HttpExchange) => guard(ex) {
+      val rows = engine.stats.collect() // 4 rows — bounded by construction
+      respond(ex, 200, rows.map(r =>
+        s"""{"stat":${q(r.getString(0))},"value":${r.getLong(1)}}""")
+        .mkString("[", ",", "]"))
+    })
+
     http.createContext("/metrics", (ex: HttpExchange) => guard(ex) {
       val entries = metrics.snapshot().map { e =>
         s"""{"action":${q(e.action)},"duration_ns":${e.durationNs},""" +

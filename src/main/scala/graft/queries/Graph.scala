@@ -276,6 +276,24 @@ object Graph {
              |('doc/4','title','X','lang','lang:@en'),
              |('doc/4','title','X','lang','lang:@fr')
              |) AS t(id, attr_key, value_str, meta_kind, meta_val)
-             |ORDER BY id, attr_key, value_str, meta_val""".stripMargin))
+             |ORDER BY id, attr_key, value_str, meta_val""".stripMargin)),
+
+    // ---- g14: graph statistics (ref GetStats/ListStats,
+    // types.proto:231-239) — one aggregate pass over the store ---------
+    RegQuery("g14_stats",
+      (s, d) => graft.api.Engine.forDir(s, d).stats.orderBy("stat"),
+      Some("""SELECT stat, value FROM (
+             |SELECT 'attrs' AS stat,
+             |  3*(SELECT count(*) FROM customer) + 2*(SELECT count(*) FROM nation)
+             |  + (SELECT count(*) FROM region) + 2*(SELECT count(*) FROM orders)
+             |  AS value
+             |UNION ALL SELECT 'edges',
+             |  (SELECT count(*) FROM customer) + (SELECT count(*) FROM nation)
+             |  + (SELECT count(*) FROM orders)
+             |UNION ALL SELECT 'keys', 6
+             |UNION ALL SELECT 'nodes',
+             |  (SELECT count(*) FROM customer) + (SELECT count(*) FROM nation)
+             |  + (SELECT count(*) FROM region) + (SELECT count(*) FROM orders)
+             |) ORDER BY stat""".stripMargin))
   )
 }

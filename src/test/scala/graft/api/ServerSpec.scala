@@ -50,6 +50,12 @@ class ServerSpec extends SparkSpec {
       val (mc, mb) = request(s"$base/metrics", "GET")
       assert(mc == 200 && mb.startsWith("["))
 
+      val (sc, sb) = request(s"$base/stats", "GET")
+      assert(sc == 200, sb)
+      assert(sb.contains("""{"stat":"nodes","value":1}""") &&
+        sb.contains("""{"stat":"attrs","value":3}""") &&
+        sb.contains("""{"stat":"edges","value":1}"""), sb)
+
       val (bc, bb) = request(s"$base/get", "POST", Some("not a query"))
       assert(bc == 400 && bb.contains("\"ok\":false"))
     } finally srv.stop()
