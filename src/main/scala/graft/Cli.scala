@@ -17,9 +17,11 @@ import graft.model.Value
   * console via toLocalIterator (partition at a time, like the gRPC
   * result stream), grouped per node.
   *
-  * Usage: runMain graft.Cli [sfDir]
-  *   with sfDir  → engine over that dir's bucketed graph store;
-  *   without     → empty graph (populate via put/load).
+  * Usage: runMain graft.Cli [sfDir|-] [script.wat]
+  *   sfDir       → engine over that dir's bucketed graph store;
+  *   `-` or none → empty graph (populate via put/load);
+  *   script.wat  → executed before the prompt (the reference CLI reads
+  *                 ./testscript.wat at startup, Program.cs:95).
   * `exit` / ctrl-D quits.
   */
 object Cli {
@@ -37,10 +39,15 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val engine = args.headOption match {
-      case Some(dir) => Engine.forDir(spark, dir)
-      case None => Engine.forEmpty(spark)
+      case Some(dir) if dir != "-" => Engine.forDir(spark, dir)
+      case _ => Engine.forEmpty(spark)
     }
     val out = new PrintWriter(System.out, true)
+    args.drop(1).headOption.foreach { script =>
+      out.println(s"executing $script ...")
+      execute(engine, java.nio.file.Files.readString(
+        java.nio.file.Paths.get(script)), out)
+    }
     out.println("graft interactive — put / get / load, 'exit' to quit")
     repl(engine,
       new BufferedReader(new java.io.InputStreamReader(System.in)), out)

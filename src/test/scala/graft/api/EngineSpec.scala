@@ -117,13 +117,17 @@ class EngineSpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
-  test("csv and text sources round-trip") {
+  test("csv, text, and json sources round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("srcs")
     java.nio.file.Files.writeString(dir.resolve("d.csv"), "a,b\n1,x\n2,y\n")
     val csv = spark.read.option("header", "true").csv(dir.toString + "/d.csv")
     assert(csv.count() == 2 && csv.columns.toSeq == Seq("a", "b"))
     val txt = spark.read.textFile(dir.toString + "/d.csv")
     assert(txt.count() == 3)
+    java.nio.file.Files.writeString(dir.resolve("d.jsonl"),
+      """{"a":1,"b":"x"}""" + "\n" + """{"a":2,"b":"y"}""" + "\n")
+    val js = spark.read.json(dir.toString + "/d.jsonl")
+    assert(js.count() == 2 && js.columns.sorted.toSeq == Seq("a", "b"))
   }
 
   test("foreachBatch sink receives every micro-batch") {
