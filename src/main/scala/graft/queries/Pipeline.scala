@@ -109,9 +109,13 @@ object Pipeline {
     // ---- p04: n-gram Jaccard near-dup (exact all-pairs baseline) -------
     RegQuery("p04_ngram_jaccard",
       (s, d) => {
+        // materialize the 200 shingle arrays once — inlined into the
+        // cross join they'd be rebuilt (split + concat per position)
+        // for every pair comparison
         val sub = docsWithTwins(s, d).where(col("doc_id") % 1000000 < 100)
           .select(col("doc_id"),
             TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+          .localCheckpoint()
         val a = sub.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
         val b = sub.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
         a.crossJoin(b).where(col("a_id") < col("b_id"))
@@ -144,9 +148,14 @@ object Pipeline {
         // (set Jaccard is hash-invariant modulo 2^-64 collisions), then
         // materialize once: long arrays checkpoint and intersect far
         // cheaper than 3-gram strings
+        // token barrier first: the shingle lambda reads the token array
+        // 3× per position, and CollapseProject would inline the regex
+        // split into every read (the p16 blowup — measured ~2× here)
         val docs = docsWithTwins(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .repartition(col("doc_id"))
           .select(col("doc_id"),
-            transform(TextOps.shingles(TextOps.tokens(col("text")), 3),
+            transform(TextOps.shingles(col("tk"), 3),
               sh => xxhash64(sh)).as("sh"))
           .localCheckpoint()
         val sig = TextOps.minhash(docs, "doc_id", col("sh"), k = 32)
