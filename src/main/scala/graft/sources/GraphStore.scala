@@ -73,6 +73,20 @@ object GraphStore {
     spark.table(table)
   }
 
+  /** Append rows to an existing bucketed table as new bucket files —
+    * the reference's put path (fragments append to the partition log,
+    * FileStore.fs:514-551; readers merge on load, NodeAttrIndex.cs:221).
+    * The bucket spec must match the table's; readers reconcile
+    * duplicates through Engine.merge (merge-on-read). */
+  def append(spark: SparkSession, table: String, bucketCol: String,
+             df: DataFrame): DataFrame = synchronized {
+    df.write
+      .bucketBy(32, bucketCol).sortBy(bucketCol)
+      .mode("append")
+      .saveAsTable(table)
+    spark.table(table)
+  }
+
   private def rm(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rm))
     f.delete(): Unit

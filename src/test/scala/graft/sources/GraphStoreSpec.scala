@@ -35,6 +35,28 @@ class GraphStoreSpec extends SparkSpec {
       s"frontier filter not pushed:\n$plan")
   }
 
+  test("bucketed append + merge-on-read: re-put dedups, new attrs land") {
+    import graft.api.Engine
+    val e1 = Engine.forEmpty(spark)
+      .put("""put "ap/1" { "name": "first", "knows": ^"ap/2" }""", ts = 1L)
+    val stored = GraphStore.materialize(
+      spark, "graft_test_append", "id", e1.nodes)
+    assert(stored.count() == 2)
+    // second batch re-puts one identical attr and adds a new one —
+    // fragments append as new bucket files, dedup happens on read
+    val e2 = Engine.forEmpty(spark)
+      .put("""put "ap/1" { "name": "first", "age": 9 }""", ts = 2L)
+    val appended = GraphStore.append(
+      spark, "graft_test_append", "id", e2.nodes)
+    assert(appended.count() == 4) // raw fragments, dup still visible
+    val merged = e1.merge(appended, Engine.emptyAttrs(spark))
+    assert(merged.count() == 3) // name deduped; knows + age distinct
+    val nameTs = merged.where(col("key") === "name")
+      .select("ts").collect().map(_.getLong(0)).toSeq
+    assert(nameTs == Seq(1L)) // first-write timestamp wins
+    spark.sql("DROP TABLE IF EXISTS graft_test_append")
+  }
+
   test("self-union aggregate needs restructure (Spark 4.1.2 planner fault)") {
     val a = GraphStore.nodesAttrs(spark, sfDir)
     val base = a.count()
