@@ -44,7 +44,14 @@ object Server {
     })
 
     http.createContext("/get", (ex: HttpExchange) => guard(ex) {
-      val df = engine.query(body(ex))
+      // ?shape=nodes streams one grouped Node per line (the gRPC
+      // stream-of-Node-messages shape, WatService.cs:319-343); default
+      // streams long-form attribute rows
+      val q = body(ex)
+      val df = Option(ex.getRequestURI.getQuery)
+        .filter(_.contains("shape=nodes"))
+        .map(_ => engine.getNodes(q).toDF())
+        .getOrElse(engine.query(q))
       val schema = df.schema
       ex.getResponseHeaders.add("Content-Type", "application/x-ndjson")
       ex.sendResponseHeaders(200, 0) // chunked — length unknown up front

@@ -58,6 +58,16 @@ class ServerSpec extends SparkSpec {
 
       val (bc, bb) = request(s"$base/get", "POST", Some("not a query"))
       assert(bc == 400 && bb.contains("\"ok\":false"))
+
+      // grouped shape: one line per NODE with its attr list
+      val (nc, nb) = request(s"$base/get?shape=nodes", "POST",
+        Some("""get "s/1""""))
+      assert(nc == 200)
+      val nodeLines = nb.trim.split("\n")
+      assert(nodeLines.length == 1, nb)
+      assert(nodeLines.head.contains("\"id\":\"s/1\"") &&
+        nodeLines.head.contains("\"attrs\":[") &&
+        nodeLines.head.contains("\"str\":\"Ada\""), nb)
     } finally srv.stop()
   }
 
