@@ -111,6 +111,21 @@ final class Engine(val spark: SparkSession, attrs0: DataFrame,
       .groupBy("graph", "id", "key", "key_meta", "value", "value_meta")
       .agg(min("ts").as("ts"))
 
+  /** Register the graph as SQL temp views (`graft_nodes` long-form
+    * attrs, `graft_edges`) so `spark.sql("SELECT ...")` composes with
+    * the full relational surface over the same data. Re-call after
+    * mutations to refresh the snapshot the views capture. */
+  def registerViews(prefix: String = "graft"): Engine = {
+    attrsDf.createOrReplaceTempView(s"${prefix}_nodes")
+    edgesView.createOrReplaceTempView(s"${prefix}_edges")
+    this
+  }
+
+  private def edgesView: DataFrame = edgesHint.getOrElse(
+    attrsDf.where(col("value.vtype") === Value.NODEID)
+      .select(col("id").as("src_id"), col("key").as("label"),
+        col("value.iri").as("dst_id")))
+
   /** Graph statistics in one aggregate pass — the reference's
     * GetStats/ListStats surface (types.proto:231-239;
     * FileStore.fs:415-485 serializes its registry the same way):

@@ -68,6 +68,12 @@ object GraphStore {
     rm(new java.io.File(s"$warehouse/$table"))
     df.write
       .bucketBy(32, bucketCol).sortBy(bucketCol)
+      // parquet bloom filter on the bucket column: bucketing prunes to
+      // 1 of 32 buckets, the bloom then skips row-groups INSIDE that
+      // bucket's files — the two-level point-lookup path the reference
+      // gets from hash-partition + FASTER index (Types.fs:23-24 +
+      // NodeAttrIndex). Footer presence pinned in GraphStoreSpec.
+      .option(s"parquet.bloom.filter.enabled#$bucketCol", "true")
       .mode("overwrite")
       .saveAsTable(table)
     spark.table(table)

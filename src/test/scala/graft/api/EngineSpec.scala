@@ -117,6 +117,18 @@ class EngineSpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("registerViews exposes the graph to spark.sql") {
+    Engine.forEmpty(spark)
+      .put("""put "v/1" { "name": "Ada", "knows": ^"v/2" } "v/2" { "name": "Bob" }""")
+      .registerViews("sqlv")
+    val names = spark.sql(
+      """SELECT n.value.str AS who FROM sqlv_edges e
+        |JOIN sqlv_nodes n ON e.dst_id = n.id AND n.key = 'name'
+        |WHERE e.label = 'knows'""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(names == Seq("Bob"))
+  }
+
   test("csv, text, and json sources round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("srcs")
     java.nio.file.Files.writeString(dir.resolve("d.csv"), "a,b\n1,x\n2,y\n")

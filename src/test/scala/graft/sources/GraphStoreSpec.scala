@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -33,6 +35,36 @@ class GraphStoreSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [In(src_id, [customer/1,customer/2])]"),
       s"frontier filter not pushed:\n$plan")
+  }
+
+  test("store files carry a parquet bloom filter on the bucket column") {
+    import spark.implicits._
+    // high-cardinality ids: parquet only writes a bloom once the column
+    // falls back from dictionary encoding (the dictionary itself filters
+    // row-groups on small data) — which is exactly the 100 TB regime
+    val wide = spark.range(0, 120000)
+      .select(concat(lit("node/with/a/long/prefix/"), col("id")).as("id"),
+        col("id").as("payload"))
+    GraphStore.materialize(spark, "graft_test_bloom", "id", wide)
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val dir = new java.io.File(s"$warehouse/graft_test_bloom")
+    val pq = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .maxBy(_.length)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(pq.getAbsolutePath),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val rg = reader.getRowGroups.get(0)
+      val idCol = rg.getColumns.asScala
+        .find(_.getPath.toDotString == "id").get
+      assert(idCol.getBloomFilterOffset > 0,
+        "no bloom filter written for id")
+      assert(reader.getBloomFilterDataReader(rg)
+        .readBloomFilter(idCol) != null)
+    } finally reader.close()
+    spark.sql("DROP TABLE IF EXISTS graft_test_bloom")
   }
 
   test("bucketed append + merge-on-read: re-put dedups, new attrs land") {
