@@ -30,13 +30,25 @@ object Streaming {
       .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
   }
 
+  /** State partitions are frozen at a streaming query's first plan;
+    * size them to the (small) state instead of the session default —
+    * every stateful operator commits one state store per partition per
+    * micro-batch, so oversizing is pure commit overhead. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val before = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   /** Run `build(stream)` to completion into a memory sink, return the
     * materialized table. */
   private def runToMemory(s: SparkSession, dir: String, name: String,
                           mode: String)(build: DataFrame => DataFrame): DataFrame = {
-    val q = build(streamEvents(s, dir))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    val q = withStatePartitions(s, 8) {
+      build(streamEvents(s, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     s.table(name)
   }
@@ -77,10 +89,12 @@ object Streaming {
     RegQuery("s03_stream_stateful",
       (s, d) => {
         import s.implicits._
-        val q = Streams.userStats(streamEvents(s, d).as[Streams.Ev])
-          .writeStream.format("memory").queryName("s03_sink")
-          .outputMode(Streams.userStatsOutputMode)
-          .trigger(Trigger.AvailableNow()).start()
+        val q = withStatePartitions(s, 8) {
+          Streams.userStats(streamEvents(s, d).as[Streams.Ev])
+            .writeStream.format("memory").queryName("s03_sink")
+            .outputMode(Streams.userStatsOutputMode)
+            .trigger(Trigger.AvailableNow()).start()
+        }
         q.awaitTermination()
         // counters grow monotonically → the max row per user is the final
         // state regardless of how many micro-batches the source split into
@@ -100,9 +114,11 @@ object Streaming {
     // unbounded stream).
     RegQuery("s04_stream_dedup",
       (s, d) => {
-        val q = Streams.dedup(streamEvents(s, d).unionAll(streamEvents(s, d)))
-          .writeStream.format("memory").queryName("s04_sink")
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        val q = withStatePartitions(s, 8) {
+          Streams.dedup(streamEvents(s, d).unionAll(streamEvents(s, d)))
+            .writeStream.format("memory").queryName("s04_sink")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        }
         q.awaitTermination()
         s.table("s04_sink")
           .groupBy("event_type").agg(count(lit(1)).as("cnt"))
@@ -120,11 +136,13 @@ object Streaming {
         val dim = graft.Tables(s, d, "events")
           .select(col("event_type")).distinct()
           .withColumn("weight", length(col("event_type")))
-        val q = Streams.enrich(streamEvents(s, d), dim)
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("cnt"), sum("weight").as("wsum"))
-          .writeStream.format("memory").queryName("s05_sink")
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        val q = withStatePartitions(s, 8) {
+          Streams.enrich(streamEvents(s, d), dim)
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("cnt"), sum("weight").as("wsum"))
+            .writeStream.format("memory").queryName("s05_sink")
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        }
         q.awaitTermination()
         s.table("s05_sink").orderBy("event_type")
       },
@@ -144,18 +162,14 @@ object Streaming {
     RegQuery("s06_stream_join",
       (s, d) => {
         def cohort(df: DataFrame) = df.where(pmod(col("user_id"), lit(7)) === 0)
-        // state partitions are frozen at first plan: size them to the
-        // state (a cohort of one table), not the session default — a
-        // stream-stream join commits 4 state stores PER partition PER
-        // batch, so 32 partitions of tiny state is pure commit overhead
-        val before = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q =
-          try Streams.clickViewJoin(
+        // a stream-stream join commits 4 state stores per partition per
+        // batch — the shared 8-partition sizing matters most here
+        val q = withStatePartitions(s, 8) {
+          Streams.clickViewJoin(
               cohort(streamEvents(s, d)), cohort(streamEvents(s, d)))
             .writeStream.format("memory").queryName("s06_sink")
             .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          finally s.conf.set("spark.sql.shuffle.partitions", before)
+        }
         q.awaitTermination()
         s.table("s06_sink")
           .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
