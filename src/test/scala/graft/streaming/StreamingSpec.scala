@@ -36,6 +36,25 @@ class StreamingSpec extends SparkSpec {
     spark.table(dfName).collect()
   }
 
+  test("RocksDB state store provider: streaming == batch (production config)") {
+    // the documented 100 TB config — state off-heap in RocksDB instead
+    // of the HDFS-backed in-memory maps; results must be identical
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val streamed = runStream("t_rocks")(
+        src => Streams.tumblingCounts(src.toDF()), OutputMode.Complete())
+      val batch = Streams.tumblingCounts(rows.toDF()).collect()
+      assert(streamed.map(_.toString).sorted
+        .sameElements(batch.map(_.toString).sorted))
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("tumbling window counts: streaming == batch") {
     val streamed = runStream("t_tumble")(
       src => Streams.tumblingCounts(src.toDF()), OutputMode.Complete())
