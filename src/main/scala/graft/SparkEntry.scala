@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Graph, GraphXQueries, Lang, Pipeline, RegQuery, Relational, Streaming}
+import graft.queries.{Curation, Graph, GraphXQueries, Lang, Pipeline, RegQuery, Relational, Streaming}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
   /** All query registries, concatenated. Extended per milestone. */
   def registry: Seq[RegQuery] =
     Relational.registry ++ Graph.registry ++ Pipeline.registry ++
-      Streaming.registry ++ GraphXQueries.registry ++ Lang.registry
+      Curation.registry ++ Streaming.registry ++ GraphXQueries.registry ++
+      Lang.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -20,10 +20,13 @@ object Tables {
     // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
     // rejects by default; read nanos as long and truncate to microseconds
     // (exactly what DuckDB's ns→µs conversion does, keeping oracle parity).
+    // Integer `div`, NOT floor(x/1000): `/` is double division, and at
+    // ~1.7e18 ns the rounded quotient can land just above the true µs
+    // integer, making floor() 1µs high vs DuckDB (observed at sf0.01).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 }

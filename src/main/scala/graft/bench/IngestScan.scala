@@ -54,14 +54,29 @@ object IngestScan {
     val path = dir.getAbsolutePath
     val universe = batches.toLong * batchSize
     val t0 = System.nanoTime()
-    (0 until batches).foreach { b =>
-      // one batch ≈ 16k rows: 4 files, not 32 — per-file open/commit
-      // overhead dominates tiny appends (and the read side would pay
-      // again listing 32×batches shards)
-      batch(spark, b.toLong * batchSize, batchSize, universe)
-        .coalesce(4)
-        .write.mode("append").parquet(path)
+    // batches flow CONCURRENTLY (4 in flight), the Spark analog of the
+    // reference harness pushing batches through async channels
+    // (Program.fs:88-135) — per-job scheduling overhead overlaps instead
+    // of serializing 25 times. Each batch lands in its own batch=N
+    // partition dir: concurrent jobs never share a _temporary staging
+    // dir, and the layout is the per-segment append log shape.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val writes = (0 until batches).map { b =>
+      scala.concurrent.Future {
+        // one batch ≈ 16k rows: 4 files, not 32 — per-file open/commit
+        // overhead dominates tiny appends (and the read side would pay
+        // again listing 32×batches shards)
+        batch(spark, b.toLong * batchSize, batchSize, universe)
+          .coalesce(4)
+          .write.mode("overwrite").parquet(s"$path/batch=$b")
+      }
     }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(writes),
+      scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
     val ingestSec = (System.nanoTime() - t0) / 1e9
 
     val t1 = System.nanoTime()

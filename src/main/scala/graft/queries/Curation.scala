@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.{TextOps, VectorOps}
+
+/** Corpus-curation surface for LLM training-data pipelines, beyond the
+  * basic dedup/ANN/text-analysis ops in [[Pipeline]]: repetition-quality
+  * signals (the Gopher filters), benchmark decontamination, PII
+  * redaction, deterministic stratified sampling (domain mixing), and
+  * SemDeDup-style embedding-cluster dedup.
+  *
+  * Scale notes (100 TB mindset):
+  *  - p18/p20 are pure per-row array/regex expressions — one
+  *    whole-stage-codegen pass, zero shuffles beyond the output sort;
+  *  - p19 is an explode + equi-join on the shingle (hash at scale) — the
+  *    linear decontamination shape, never all-pairs;
+  *  - p21 keeps a row iff a hash of (source, id) clears a per-source
+  *    threshold — stateless, embarrassingly parallel, no sampling
+  *    coordination or reservoir state anywhere;
+  *  - p22 clusters first (broadcast centroids × one scan) and compares
+  *    pairs only WITHIN a cell — the SemDeDup trick that turns O(n²)
+  *    semantic dedup into per-cell work.
+  */
+object Curation {
+
+  private def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
+  val registry: Seq[RegQuery] = Seq(
+
+    // ---- p18: repetition-quality signals (Gopher-style filters) --------
+    // Per-doc duplicate-bigram fraction (1 - distinct/total) and
+    // top-bigram coverage (most frequent bigram's share). The frequency
+    // scan is O(distinct × total) per row but row-bounded — it never
+    // leaves the document, so the op is one codegen pass at any corpus
+    // size. Barriers after tokens/grams keep CollapseProject from
+    // inlining the split into every lambda reference (the p16 blowup).
+    RegQuery("p18_repetition",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val tk = col("tk")
+        val grams = transform(
+          sequence(lit(1), greatest(size(tk) - 1, lit(0))),
+          i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1)))
+        Tables(s, d, "documents")
+          .where(size(toks) >= 2)
+          .select(col("doc_id"), toks.as("tk"))
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), grams.as("g"))
+          .repartition(col("doc_id"))
+          .select(col("doc_id"),
+            r4(lit(1.0) - size(array_distinct(col("g"))).cast("double")
+              / size(col("g"))).as("dup_frac"),
+            r4(array_max(transform(array_distinct(col("g")),
+              x => size(filter(col("g"), y => y === x)))).cast("double")
+              / size(col("g"))).as("top_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk
+             |  FROM documents WHERE len(string_split(text,' ')) >= 2),
+             |g AS (SELECT doc_id, list_transform(range(1, len(tk)),
+             |    i -> tk[i] || ' ' || tk[i+1]) AS g FROM t)
+             |SELECT doc_id,
+             |floor((1.0 - CAST(len(list_distinct(g)) AS DOUBLE)/len(g))
+             |  *10000 + 0.5)/10000 AS dup_frac,
+             |floor(CAST(list_max(list_transform(list_distinct(g),
+             |    x -> len(list_filter(g, y -> y = x)))) AS DOUBLE)/len(g)
+             |  *10000 + 0.5)/10000 AS top_frac
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // ---- p19: benchmark decontamination (n-gram overlap join) ----------
+    // Docs sharing any 3-gram with the "benchmark" slice (doc_id % 97 = 0
+    // stands in for an eval set) are flagged with their overlap count.
+    // Shape: explode distinct shingles on both sides, equi-join, count —
+    // linear in corpus size. At 100 TB the join key becomes
+    // xxhash64(gram) and the benchmark side broadcasts (eval sets are
+    // tiny); kept as the raw string here so the oracle shares the key.
+    RegQuery("p19_decontam",
+      (s, d) => {
+        val sh = TextOps.shingles(TextOps.tokens(col("text")), 3)
+        val grams = Tables(s, d, "documents")
+          .where(size(TextOps.tokens(col("text"))) >= 3)
+          .select(col("doc_id"), explode(sh).as("g"))
+        val bench = grams.where(col("doc_id") % 97 === 0)
+          .select("g").distinct()
+        grams.where(col("doc_id") % 97 =!= 0)
+          .join(broadcast(bench), "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hit"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk
+             |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+             |g AS (SELECT doc_id, unnest(list_distinct(
+             |    list_transform(range(1, len(tk)-1),
+             |      i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]))) AS g FROM t),
+             |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+             |SELECT doc_id, count(*) AS n_hit
+             |FROM g JOIN bench USING (g) WHERE doc_id % 97 <> 0
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- p20: PII / URL redaction --------------------------------------
+    // The synthetic corpus carries no PII, so each doc deterministically
+    // plants one email, one URL and one phone (the twins pattern), then
+    // the redactor strips them: counts per category + a hash of the
+    // scrubbed text prove the regexes actually fired. Three codegen'd
+    // regex passes per row, no shuffle — the standard scrub shape at any
+    // scale. ASCII-only patterns mean the same thing in Java regex and
+    // DuckDB's RE2.
+    RegQuery("p20_pii_redact",
+      (s, d) => {
+        val id = col("doc_id").cast("string")
+        val planted = concat(col("text"),
+          lit(" contact user"), id, lit("@example.com via"),
+          lit(" https://ex.com/d/"), id,
+          lit(" or 555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val url = "https?://[^ ]+"
+        val phone = "[0-9]{3}-[0-9]{4}"
+        Tables(s, d, "documents")
+          .select(col("doc_id"), planted.as("t0"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("t0"), lit(email), lit(0))).as("n_email"),
+            size(regexp_extract_all(col("t0"), lit(url), lit(0))).as("n_url"),
+            md5(regexp_replace(regexp_replace(regexp_replace(col("t0"),
+              email, "<EMAIL>"), url, "<URL>"), phone, "<PHONE>")).as("scrubbed"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |  text || ' contact user' || doc_id || '@example.com via' ||
+             |  ' https://ex.com/d/' || doc_id || ' or 555-' ||
+             |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t0
+             |  FROM documents)
+             |SELECT doc_id,
+             |CAST(len(regexp_extract_all(t0,
+             |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+             |  AS n_email,
+             |CAST(len(regexp_extract_all(t0, 'https?://[^ ]+')) AS INTEGER)
+             |  AS n_url,
+             |md5(regexp_replace(regexp_replace(regexp_replace(t0,
+             |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+             |  'g'), 'https?://[^ ]+', '<URL>', 'g'),
+             |  '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // ---- p21: deterministic stratified sampling (domain mixing) --------
+    // Each source gets its own keep-rate; a row survives iff the first
+    // two hex chars of md5(source#id) sort below the source's threshold
+    // (itself derived from md5(source), so rates vary across domains).
+    // Stateless hash gating — no reservoir, no coordination, identical
+    // decisions on every executor and in the oracle; THE way to mix
+    // domains at 100 TB. Lexicographic compare on fixed-width hex is
+    // uniform over [0, 1).
+    RegQuery("p21_stratified_sample",
+      (s, d) => {
+        val key = substring(md5(concat(col("source"), lit("#"),
+          col("doc_id").cast("string"))), 1, 2)
+        val thresh = substring(md5(col("source")), 1, 2)
+        Tables(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(key < thresh, 1L).otherwise(0L)).as("n_kept"))
+          .withColumn("rate", r4(col("n_kept").cast("double") / col("n_total")))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_total,
+             |sum(CASE WHEN substr(md5(source || '#' || doc_id), 1, 2)
+             |  < substr(md5(source), 1, 2) THEN 1 ELSE 0 END) AS n_kept,
+             |floor(CAST(sum(CASE WHEN substr(md5(source || '#' || doc_id), 1, 2)
+             |  < substr(md5(source), 1, 2) THEN 1 ELSE 0 END) AS DOUBLE)
+             |  / count(*) * 10000 + 0.5)/10000 AS rate
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- p22: SemDeDup (embedding-cluster semantic dedup) --------------
+    // Cluster the corpus (+planted twins) to 8 deterministic cells via
+    // one broadcast-centroid pass, then mark as duplicates the higher id
+    // of any WITHIN-CELL pair with cosine > 0.95 — the SemDeDup recipe
+    // (Abbas et al. 2023): clustering bounds the pair comparisons to
+    // cells, so the quadratic term is per-cell, not per-corpus. Planted
+    // twins (+0.05 on component 0) land in their original's cell and
+    // must all be caught. Cosines round at 1e-6 for oracle parity.
+    RegQuery("p22_semantic_dedup",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .where(col("vec_id") < 500)
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        val twins = e.select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"),
+            (x, i) => x + when(i === 0, lit(0.05)).otherwise(lit(0.0))).as("v"))
+        val all = e.unionAll(twins)
+        val cents = e.where(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        def sim6(a: Column, b: Column) =
+          floor(VectorOps.cosineFast(a, b) * 1000000 + 0.5) / 1000000
+        val assigned = all.crossJoin(broadcast(cents))
+          .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+            .orderBy(sim6(col("v"), col("cv")).desc, col("c_id"))))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("c_id").as("cell"))
+        val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+          col("v").as("av"))
+        val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+          col("v").as("bv"))
+        a.join(b, "cell")
+          .where(col("a_id") < col("b_id"))
+          .where(sim6(col("av"), col("bv")) > 0.95)
+          .select(col("b_id").as("removed_id")).distinct()
+          .orderBy("removed_id")
+      },
+      Some(semdedupOracle))
+  )
+
+  /** DuckDB mirror of p22: same seed centroids, same 1e-6 rounding. */
+  private def semdedupOracle: String = {
+    def cos(a: String, b: String) =
+      s"""floor(list_sum(list_transform(range(1, len($a)+1),
+         |      i -> $a[i]*$b[i]))
+         |    / (sqrt(list_sum(list_transform($a, x -> x*x)))
+         |       * sqrt(list_sum(list_transform($b, x -> x*x))))
+         |    * 1000000 + 0.5)/1000000""".stripMargin
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id < 500),
+       |alle AS (SELECT vec_id, v FROM e
+       |  UNION ALL SELECT vec_id + 1000000,
+       |    list_transform(range(1, len(v)+1),
+       |      i -> v[i] + CASE WHEN i = 1 THEN 0.05 ELSE 0.0 END) FROM e),
+       |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+       |asg AS (SELECT vec_id, v, c_id AS cell FROM (
+       |  SELECT a.vec_id, a.v, c.c_id, ROW_NUMBER() OVER (
+       |    PARTITION BY a.vec_id
+       |    ORDER BY ${cos("a.v", "c.cv")} DESC, c.c_id) AS rn
+       |  FROM alle a, c) WHERE rn = 1)
+       |SELECT DISTINCT b.vec_id AS removed_id
+       |FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE ${cos("a.v", "b.v")} > 0.95
+       |ORDER BY removed_id""".stripMargin
+  }
+}

@@ -624,6 +624,74 @@ object Relational {
              |floor(quantile_cont(l_quantity, 0.5)*100+0.5)/100 AS p50,
              |floor(quantile_cont(l_extendedprice, 0.9)*100+0.5)/100 AS p90
              |FROM lineitem GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- batch sessionization (gap > 30 min starts a new session) ------
+    // The classic lag + cumulative-sum pattern: one exchange on user_id
+    // serves both windows and the final aggregate (same partitioning
+    // reused across stages — no second shuffle). Whole-second epochs on
+    // both sides: Spark ROUNDS the parquet ns timestamps to micros while
+    // DuckDB TRUNCATES, so sub-second arithmetic can differ by 1µs —
+    // at second granularity a flip needs an event within 0.5µs of a
+    // second boundary (none in the fixed testdata; p≈5e-7/event).
+    RegQuery("q41_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        def sec(c: Column) = floor(unix_millis(c) / 1000.0).cast("long")
+        val gapS = sec(col("ts")) - sec(lag("ts", 1).over(w))
+        t(s, d, "events")
+          .withColumn("brk",
+            when(gapS.isNull || gapS > 1800L, 1L).otherwise(0L))
+          .withColumn("sid", sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(count(lit(1)).as("n_events"),
+            (max(sec(col("ts"))) - min(sec(col("ts")))).as("dur_s"))
+          .orderBy("user_id", "sid")
+      },
+      Some("""WITH g AS (SELECT user_id, event_id, ts,
+             |  CASE WHEN lag(ts) OVER w IS NULL
+             |         OR epoch_ms(ts)//1000 - epoch_ms(lag(ts) OVER w)//1000 > 1800
+             |       THEN 1 ELSE 0 END AS brk
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT user_id, ts, SUM(brk) OVER (
+             |  PARTITION BY user_id ORDER BY ts, event_id
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+             |SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events,
+             |  max(epoch_ms(ts)//1000) - min(epoch_ms(ts)//1000) AS dur_s
+             |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin)),
+
+    // ---- funnel analysis (view → click → purchase, in order) -----------
+    // Stage k's anchor is the earliest stage-k event after the stage-k-1
+    // anchor: three tiny per-user aggregates chained by broadcast-size
+    // joins. Every aggregate shuffles on user_id once and AQE collapses
+    // the join exchanges (all sides share the user_id partitioning).
+    RegQuery("q42_funnel",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            floor(unix_millis(col("ts")) / 1000.0).cast("long").as("tms"))
+        val v = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("tms").as("t_view"))
+        val c = ev.where(col("event_type") === "click")
+          .join(v, "user_id").where(col("tms") > col("t_view"))
+          .groupBy("user_id").agg(min("tms").as("t_click"))
+        val p = ev.where(col("event_type") === "purchase")
+          .join(c, "user_id").where(col("tms") > col("t_click"))
+          .groupBy("user_id").agg(min("tms").as("t_purchase"))
+        v.join(c, "user_id").join(p, "user_id")
+          .select("user_id", "t_view", "t_click", "t_purchase")
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts)//1000 AS tms FROM events),
+             |v AS (SELECT user_id, min(tms) AS t_view FROM e
+             |      WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(tms) AS t_click FROM e JOIN v USING (user_id)
+             |      WHERE event_type = 'click' AND tms > t_view GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(tms) AS t_purchase FROM e JOIN c USING (user_id)
+             |      WHERE event_type = 'purchase' AND tms > t_click GROUP BY e.user_id)
+             |SELECT user_id, t_view, t_click, t_purchase
+             |FROM v JOIN c USING (user_id) JOIN p USING (user_id)
+             |ORDER BY user_id""".stripMargin))
   )
 }

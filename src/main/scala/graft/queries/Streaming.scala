@@ -27,7 +27,9 @@ object Streaming {
     // the events table without touching the sibling parquet files
     s.readStream.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+      // integer div, not floor(x/1000) — double division drifts 1µs at
+      // ns magnitudes (see Tables.scala)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** State partitions are frozen at a streaming query's first plan;

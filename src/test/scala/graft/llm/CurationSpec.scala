@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Invariants of the corpus-curation ops (queries/Curation.scala) that
+  * the DuckDB oracle can't see: detection guarantees on planted inputs
+  * and statistical properties of the hash-gated sampler.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("p18 repetition signals: planted repeats dominate clean text") {
+    val docs = Seq(
+      (1L, "a b a b a b a b"),          // one bigram everywhere
+      (2L, "w x y z q r s t u v")       // all bigrams distinct
+    ).toDF("doc_id", "text").createOrReplaceTempView("curation_p18")
+    val toks = TextOps.tokens(col("text"))
+    val tk = col("tk")
+    val grams = transform(
+      sequence(lit(1), greatest(size(tk) - 1, lit(0))),
+      i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1)))
+    val out = spark.table("curation_p18")
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), grams.as("g"))
+      .select(col("doc_id"),
+        (lit(1.0) - size(array_distinct(col("g"))).cast("double")
+          / size(col("g"))).as("dup_frac"),
+        (array_max(transform(array_distinct(col("g")),
+          x => size(filter(col("g"), y => y === x)))).cast("double")
+          / size(col("g"))).as("top_frac"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 > 0.5 && out(1L)._2 > 0.5, s"repetitive doc: ${out(1L)}")
+    assert(out(2L)._1 == 0.0, s"clean doc dup_frac: ${out(2L)}")
+  }
+
+  test("p19 decontamination flags every doc sharing a benchmark 3-gram") {
+    // every flagged doc must genuinely share a 3-gram with the benchmark
+    // slice, and benchmark docs never flag themselves
+    val flagged = graft.SparkEntry.queries("p19_decontam")(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged.forall(_ % 97 != 0), "benchmark doc flagged as contaminated")
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    val benchGrams = docs.where(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("g")).distinct()
+      .as[String].collect().toSet
+    val expect = docs.where(col("doc_id") % 97 =!= 0)
+      .collect()
+      .filter(_.getSeq[String](1).exists(benchGrams.contains))
+      .map(_.getLong(0)).toSet
+    assert(flagged == expect, s"flagged ${flagged.size} vs expected ${expect.size}")
+  }
+
+  test("p20 redaction scrubs every planted PII token") {
+    val out = graft.SparkEntry.queries("p20_pii_redact")(spark, sfDir)
+    assert(out.where(col("n_email") =!= 1 || col("n_url") =!= 1).count() == 0,
+      "every doc plants exactly one email and one URL")
+    // the corpus itself is PII-free, so the fully-scrubbed text is
+    // exactly text + the marker suffix — rebuild it and compare hashes
+    val expect = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        md5(concat(col("text"), lit(" contact <EMAIL> via <URL> or <PHONE>")))
+          .as("expect"))
+    val diff = out.join(expect, "doc_id")
+      .where(col("scrubbed") =!= col("expect")).count()
+    assert(diff == 0, s"$diff docs scrubbed differently than expected")
+  }
+
+  test("p21 hash-gated sampling is deterministic and roughly uniform") {
+    val a = graft.SparkEntry.queries("p21_stratified_sample")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val b = graft.SparkEntry.queries("p21_stratified_sample")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(a == b, "same data, same decisions")
+    // each source's achieved rate should be within ±0.2 of its hash
+    // threshold (first two hex chars of md5(source) / 256)
+    val rates = graft.SparkEntry.queries("p21_stratified_sample")(spark, sfDir)
+      .collect().map { r =>
+        val src = r.getString(0)
+        val want = Integer.parseInt(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(src).substring(0, 2), 16) / 256.0
+        (src, r.getDouble(3), want)
+      }
+    rates.foreach { case (src, got, want) =>
+      assert(math.abs(got - want) <= 0.2, s"$src rate $got vs threshold $want")
+    }
+  }
+
+  test("p22 SemDeDup catches >=85% of planted twins, never an original-only id") {
+    val removed = graft.SparkEntry.queries("p22_semantic_dedup")(spark, sfDir)
+      .select("removed_id").as[Long].collect().toSet
+    val originals = graft.Tables(spark, sfDir, "embeddings")
+      .where(col("vec_id") < 500).select("vec_id").as[Long].collect()
+    // twins (id+1M) have cosine ≈ 1 with their original and the higher
+    // id, so when the pair shares a cell the twin is the removed side;
+    // a twin escapes only by straddling a cell boundary — bounded, not zero
+    val caught = originals.map(_ + 1000000L).count(removed.contains)
+    val recall = caught.toDouble / originals.length
+    assert(recall >= 0.85, s"twin recall $recall")
+  }
+}
