@@ -73,6 +73,60 @@ object GraphAnalytics {
       .select("id", "landmark", "dist")
   }
 
+  /** Per-vertex triangle counts over an undirected pair list [p1, p2]
+    * (long ids, canonical p1 < p2, deduped by the caller), the
+    * degree-ordered wedge-check algorithm as plain DataFrame joins:
+    * orient every edge from its lower-(degree, id) endpoint, enumerate
+    * wedges at each triangle's LOWEST vertex (two out-edges), and keep
+    * wedges closed by a third directed edge. Orientation bounds every
+    * out-degree by O(√m), so wedge volume is O(m^1.5) worst case and
+    * ~m·arboricity on real graphs — the property that makes triangle
+    * counting survive hub skew at 100 TB, with AQE free to re-plan the
+    * two shuffles (GraphX's TriangleCount ships whole adjacency sets
+    * out of Tungsten and measured 10× slower here). Returns [v, n_tri]
+    * for vertices in ≥1 triangle (each triangle at all 3 corners). */
+  def triangleCounts(pairs0: DataFrame): DataFrame = {
+    // checkpoint: the pair list feeds degree agg + both wedge sides +
+    // the closing probe — inlined it would recompute 4×
+    val pairs = pairs0.localCheckpoint()
+    val deg = pairs.select(col("p1").as("v"))
+      .unionAll(pairs.select(col("p2").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val dpp = pairs
+      .join(deg.select(col("v").as("p1"), col("d").as("d1")), "p1")
+      .join(deg.select(col("v").as("p2"), col("d").as("d2")), "p2")
+      .select(
+        when(col("d1") < col("d2") ||
+             (col("d1") === col("d2") && col("p1") < col("p2")),
+          struct(col("p1").as("s"), col("p2").as("t"), col("d2").as("dt")))
+          .otherwise(
+            struct(col("p2").as("s"), col("p1").as("t"), col("d1").as("dt")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+      .localCheckpoint()
+    // the wedge stream (Σ out-deg² rows — 41M at sf0.1) must NOT hit an
+    // exchange: broadcasting the closing-edge side keeps the whole
+    // wedge → semi-probe pipeline inside one codegen stage. The edge
+    // list broadcast is ~16 B/edge (tens of MB up to ~10⁸ edges); past
+    // that, swap the hint for SHUFFLE_HASH — still no sort, and the
+    // wedge shuffle is then the honest cost of the density. (An in-row
+    // fan-out from collected adjacency arrays — the LSH candidatePairs
+    // shape — measured ~1.5× slower here: 24k-struct arrays per hub
+    // row are allocation churn, while the self-join streams.)
+    val tri = dpp.select(col("s"), col("t").as("b"), col("dt").as("db"))
+      .join(dpp.select(col("s"), col("t").as("c"), col("dt").as("dc")), "s")
+      .where(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+      .join(broadcast(dpp.select(col("s").as("b"), col("t").as("c"))),
+        Seq("b", "c"), "left_semi")
+      .select(col("s").as("a"), col("b"), col("c"))
+    // ONE pass over the triangle list: corners explode in place — a
+    // union of three selects would re-run the wedge joins per branch
+    // (measured 3×; DataFrame plans don't share common subtrees)
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+  }
+
   /** Connected components (undirected); returns [id, component] with
     * component = lexicographically-smallest member id.
     *

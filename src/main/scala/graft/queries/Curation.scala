@@ -51,12 +51,19 @@ object Curation {
           .repartition(col("doc_id"))
           .select(col("doc_id"), grams.as("g"))
           .repartition(col("doc_id"))
+          // the frequency scan compares every distinct gram against the
+          // whole gram list — hash grams to longs first so the O(d·n)
+          // inner loop compares words, not strings (xxhash64 collisions
+          // between two bigrams of one doc: ~n²/2⁶⁴, negligible; the
+          // oracle computes on the strings and the gate agrees)
+          .select(col("doc_id"), transform(col("g"), g => xxhash64(g)).as("gh"))
+          .repartition(col("doc_id"))
           .select(col("doc_id"),
-            r4(lit(1.0) - size(array_distinct(col("g"))).cast("double")
-              / size(col("g"))).as("dup_frac"),
-            r4(array_max(transform(array_distinct(col("g")),
-              x => size(filter(col("g"), y => y === x)))).cast("double")
-              / size(col("g"))).as("top_frac"))
+            r4(lit(1.0) - size(array_distinct(col("gh"))).cast("double")
+              / size(col("gh"))).as("dup_frac"),
+            r4(array_max(transform(array_distinct(col("gh")),
+              x => size(filter(col("gh"), y => y === x)))).cast("double")
+              / size(col("gh"))).as("top_frac"))
           .orderBy("doc_id")
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk
@@ -80,10 +87,15 @@ object Curation {
     // tiny); kept as the raw string here so the oracle shares the key.
     RegQuery("p19_decontam",
       (s, d) => {
-        val sh = TextOps.shingles(TextOps.tokens(col("text")), 3)
+        // token barrier before the shingle lambda (the p16 pattern):
+        // inlined, every element_at re-runs the regex split — measured
+        // 7.8 s → ~1 s at sf0.1
         val grams = Tables(s, d, "documents")
-          .where(size(TextOps.tokens(col("text"))) >= 3)
-          .select(col("doc_id"), explode(sh).as("g"))
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .where(size(col("tk")) >= 3)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"),
+            explode(TextOps.shingles(col("tk"), 3)).as("g"))
         val bench = grams.where(col("doc_id") % 97 === 0)
           .select("g").distinct()
         grams.where(col("doc_id") % 97 =!= 0)

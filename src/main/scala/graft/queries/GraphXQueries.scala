@@ -53,6 +53,47 @@ object GraphXQueries {
              |UNION ALL SELECT 'customer/7', 'customer/7', 0
              |UNION ALL SELECT 'orders/' || o_orderkey, 'customer/7', 1
              |  FROM orders WHERE o_custkey = 7
-             |) ORDER BY id, landmark""".stripMargin))
+             |) ORDER BY id, landmark""".stripMargin)),
+
+    // triangle counting on the co-purchase graph (parts sharing an
+    // order): the one whole-graph statistic here with real triangles
+    // (the node/edge view is a forest). Pair list = one equi-join on
+    // l_orderkey + distinct; GraphX intersects adjacency sets, and the
+    // exact three-way-join mirror in DuckDB checks it to the row
+    RegQuery("x04_triangles",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        // pair list per order via collect_set + in-row fan-out (orders
+        // hold ≤7 parts) — ONE shuffle on l_orderkey instead of a
+        // self-join; the same bounded-bucket explode as LSH
+        // candidatePairs
+        val pairs = graft.Tables(s, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+          .select(explode(flatten(transform(col("ps"), (a, i) =>
+            transform(slice(col("ps"), i + 2, size(col("ps"))), b =>
+              struct(a.as("p1"), b.as("p2")))))).as("e"))
+          .select(col("e.p1").cast("long").as("p1"),
+            col("e.p2").cast("long").as("p2"))
+          .distinct()
+        GraphAnalytics.triangleCounts(pairs)
+          .agg(expr("sum(n_tri) div 3").as("n_tri"),
+            count(lit(1)).as("n_in_tri"),
+            max(col("n_tri")).cast("long").as("max_tri"))
+      },
+      Some("""WITH pp AS (SELECT DISTINCT
+             |    least(a.l_partkey, b.l_partkey) AS p1,
+             |    greatest(a.l_partkey, b.l_partkey) AS p2
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |tri AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+             |  FROM pp e1 JOIN pp e2 ON e1.p2 = e2.p1
+             |  JOIN pp e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+             |pv AS (SELECT v, count(*) AS n FROM (
+             |  SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+             |  UNION ALL SELECT c FROM tri) GROUP BY v)
+             |SELECT (SELECT count(*) FROM tri) AS n_tri,
+             |  (SELECT count(*) FROM pv) AS n_in_tri,
+             |  (SELECT max(n) FROM pv) AS max_tri""".stripMargin))
   )
 }

@@ -63,4 +63,14 @@ class GraphXSpec extends SparkSpec {
       assert(got("d") == "a" && got("r") == "p" && got("z") == "z")
     } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
   }
+
+  test("triangleCounts: K4 plus a pendant edge") {
+    import spark.implicits._
+    // K4 on 1-4 (4 triangles, each vertex in 3) + pendant 4-5 (none)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("p1", "p2")
+    val got = GraphAnalytics.triangleCounts(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
+  }
 }
