@@ -98,9 +98,38 @@ final class Engine(val spark: SparkSession, attrs0: DataFrame,
         col("key_meta").cast(Value.schema).as("key_meta"),
         col("value_meta").cast(Value.schema).as("value_meta"))
     attrsDf = merge(attrsDf, fresh)
+    // sustained ingest (loadStream) would otherwise stack one
+    // union+aggregate lineage layer per micro-batch — cut it periodically
+    if (loadSeq.incrementAndGet() % 8 == 0)
+      attrsDf = attrsDf.localCheckpoint()
     edgesHint = None // graph mutated — derive edges from attrs again
     this
   }
+
+  private val loadSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Continuous put: stream an N-Triples directory into the graph, one
+    * merge per micro-batch — the reference's chunked `Load` with
+    * backpressure and a progress stream (WatService.cs:241-300;
+    * `maxFilesPerTrigger` ≙ the bounded Channel(1000), attach
+    * [[graft.ingest.LoadProgress]] for the 1 s ticks). AvailableNow
+    * drains everything present, then terminates — callers wanting a
+    * forever-tailing load pass a ProcessingTime trigger instead. */
+  def loadStream(dir: String, maxFilesPerTrigger: Int = 10,
+                 trigger: org.apache.spark.sql.streaming.Trigger =
+                   org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.ingest.NTriplesReader
+      .stream(spark, dir, maxFilesPerTrigger = maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[graft.ingest.AttrRow],
+         _: Long) => load(batch); ()
+      }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_load_ck").toString)
+      .trigger(trigger)
+      .start()
 
   /** Merge-on-write dedup: identical (id, key+key_meta, value+value_meta)
     * keeps min ts. Metadata is part of the dedup key — the reference

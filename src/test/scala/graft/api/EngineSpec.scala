@@ -140,6 +140,31 @@ class EngineSpec extends SparkSpec {
       """{"a":1,"b":"x"}""" + "\n" + """{"a":2,"b":"y"}""" + "\n")
     val js = spark.read.json(dir.toString + "/d.jsonl")
     assert(js.count() == 2 && js.columns.sorted.toSeq == Seq("a", "b"))
+    // ORC round-trip (columnar alternative; same DataFrameReader surface)
+    val orcPath = dir.resolve("d.orc").toString
+    js.write.mode("overwrite").orc(orcPath)
+    val orc = spark.read.orc(orcPath)
+    assert(orc.count() == 2 &&
+      orc.columns.sorted.toSeq == Seq("a", "b"), "orc round-trip")
+  }
+
+  test("loadStream: continuous NT put merges each micro-batch into the graph") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_nt_cput")
+    // duplicate triple across files: merge-on-write must collapse it
+    java.nio.file.Files.writeString(dir.resolve("a.nt"),
+      "<s/1> <name> \"a\" .\n<s/1> <tag> \"t\"@en .\n")
+    java.nio.file.Files.writeString(dir.resolve("b.nt"),
+      "<s/2> <name> \"b\" .\n<s/1> <name> \"a\" .\n")
+    val e = Engine.forEmpty(spark)
+    val q = e.loadStream(dir.toString, maxFilesPerTrigger = 1)
+    q.awaitTermination(60000)
+    val rows = e.nodes.select("id", "key").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.length == 3, s"merged rows: ${rows.toSeq}") // dup collapsed
+    assert(rows.count(_._1 == "s/1") == 2 && rows.count(_._1 == "s/2") == 1)
+    // metadata survived the streaming path into the merged graph
+    assert(e.nodes.where(col("value_meta").isNotNull).count() == 1)
   }
 
   test("foreachBatch sink receives every micro-batch") {
