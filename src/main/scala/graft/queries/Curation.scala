@@ -186,6 +186,39 @@ object Curation {
              |  / count(*) * 10000 + 0.5)/10000 AS rate
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ---- p23: unigram token entropy (perplexity-proxy quality signal) --
+    // Shannon entropy of each doc's token distribution,
+    // H = log2(n) − Σ c·log2(c) / n — low-entropy docs are boilerplate /
+    // keyword stuffing (the CCNet/Gopher-family signal). Same in-row
+    // count scan as p18, so one codegen pass and no shuffle but the
+    // sort; log2 ulp drift across engines dies in the 1e-4 rounding.
+    RegQuery("p23_token_entropy",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), toks.as("tk"))
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), size(col("tk")).as("n_tok"),
+            transform(array_distinct(col("tk")),
+              x => size(filter(col("tk"), y => y === x))).as("cs"))
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), col("n_tok"),
+            r4(log(2.0, col("n_tok"))
+              - aggregate(col("cs"), lit(0.0d),
+                  (acc, c) => acc + c.cast("double") * log(2.0, c))
+                / col("n_tok")).as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk
+             |  FROM documents),
+             |c AS (SELECT doc_id, len(tk) AS n_tok,
+             |    list_transform(list_distinct(tk),
+             |      x -> len(list_filter(tk, y -> y = x))) AS cs FROM t)
+             |SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+             |floor((log2(n_tok) - list_sum(list_transform(cs,
+             |    c -> c*log2(c))) / n_tok) * 10000 + 0.5)/10000 AS entropy
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // ---- p22: SemDeDup (embedding-cluster semantic dedup) --------------
     // Cluster the corpus (+planted twins) to 8 deterministic cells via
     // one broadcast-centroid pass, then mark as duplicates the higher id

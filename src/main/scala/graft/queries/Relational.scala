@@ -692,6 +692,36 @@ object Relational {
              |      WHERE event_type = 'purchase' AND tms > t_click GROUP BY e.user_id)
              |SELECT user_id, t_view, t_click, t_purchase
              |FROM v JOIN c USING (user_id) JOIN p USING (user_id)
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- time-series gap filling (dense hourly grid per series) --------
+    // `sequence` + explode generates each event type's full hour span and
+    // a left join pulls observed counts in, zero-filling gaps — the
+    // standard resample shape. The grid generator is one tiny row per
+    // series fanned out in-executor (no driver loop), and both the
+    // aggregate and the join shuffle on the same key.
+    RegQuery("q43_gapfill",
+      (s, d) => {
+        val counts = t(s, d, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val grid = counts.groupBy("event_type")
+          .agg(min("h").as("h0"), max("h").as("h1"))
+          .select(col("event_type"),
+            explode(sequence(col("h0"), col("h1"),
+              expr("INTERVAL 1 HOUR"))).as("h"))
+        grid.join(counts, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"))
+          .orderBy("event_type", "h")
+      },
+      Some("""WITH c AS (SELECT event_type, date_trunc('hour', ts) AS h,
+             |    count(*) AS cnt FROM events GROUP BY 1, 2),
+             |g AS (SELECT event_type,
+             |    unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+             |  FROM c GROUP BY event_type)
+             |SELECT g.event_type, g.h, COALESCE(c.cnt, 0) AS cnt
+             |FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h
+             |ORDER BY g.event_type, g.h""".stripMargin))
   )
 }

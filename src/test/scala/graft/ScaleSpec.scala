@@ -101,6 +101,30 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("p21 sampling plan: one scan, one aggregate exchange, no join") {
+    // the hash-gated sampler must stay embarrassingly parallel — a plan
+    // that grew a join or a second exchange would mean the sampler
+    // acquired coordination state somewhere
+    val plan = SparkEntry.queries("p21_stratified_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"sampler grew a join:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    // one partial→final agg exchange + the output sort's range exchange
+    assert(exchanges <= 2, s"sampler shuffles more than agg+sort:\n$plan")
+  }
+
+  test("p19 decontamination joins broadcast, not shuffle") {
+    // the benchmark side is tiny by construction (eval sets are) — the
+    // contamination probe must be a broadcast hash join so the corpus
+    // stream never re-shuffles on the gram key
+    val plan = SparkEntry.queries("p19_decontam")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"decontam gram join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"decontam shuffles the corpus on the gram key:\n$plan")
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val li = Tables(spark, sfDir, "lineitem")
     val direct = li.groupBy("l_returnflag")
