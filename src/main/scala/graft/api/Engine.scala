@@ -124,7 +124,12 @@ final class Engine(val spark: SparkSession, attrs0: DataFrame,
       .writeStream
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[graft.ingest.AttrRow],
-         _: Long) => load(batch); ()
+         _: Long) =>
+          // materialize INSIDE the micro-batch: the merge consumes the
+          // rows lazily, and an unexecuted batch would read its source
+          // after the trigger (fine for files, wrong for queues) and
+          // report numInputRows=0 to the progress stream
+          load(batch.localCheckpoint()); ()
       }
       .option("checkpointLocation", java.nio.file.Files
         .createTempDirectory("graft_load_ck").toString)

@@ -65,16 +65,59 @@ object Server {
 
     http.createContext("/load", (ex: HttpExchange) => guard(ex) {
       val path = body(ex).trim
-      val format = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val format = query
         .split("&").map(_.split("=", 2)).collectFirst {
           case Array("format", v) => v
         }.getOrElse("nt")
-      val rows = format match {
-        case "graphml" => GraphMlReader.read(engine.spark, path)
-        case _ => NTriplesReader.read(engine.spark, path)
+      if (query.contains("stream=progress")) {
+        // the reference's Load RETURNS a stream: one LoadFileResponse
+        // per second until ingest finishes (WatService.cs:262-300).
+        // Here: run the continuous put (nt dir source) and relay each
+        // micro-batch tick as an NDJSON line as it lands, then a final
+        // summary — the client watches rows accumulate, exactly the
+        // gRPC progress-stream shape
+        val progress = graft.ingest.LoadProgress.attach(engine.spark)
+        ex.getResponseHeaders.add("Content-Type", "application/x-ndjson")
+        ex.sendResponseHeaders(200, 0)
+        val out = ex.getResponseBody
+        try {
+          val sq = engine.loadStream(path)
+          var seen = 0
+          def relay(): Unit = {
+            val ticks = progress.snapshot()
+            while (seen < ticks.size) {
+              val t = ticks(seen)
+              out.write((s"""{"batch":${t.batchId},"rows":${t.rows}}""" +
+                "\n").getBytes(UTF_8))
+              out.flush()
+              seen += 1
+            }
+          }
+          while (sq.isActive) { relay(); Thread.sleep(100) }
+          sq.awaitTermination()
+          // listener delivery is async — grace-poll until the tick feed
+          // has delivered something and gone quiet, so the final
+          // batches aren't dropped
+          val deadline = System.nanoTime() + 10_000_000_000L
+          var quiet = 0
+          while (quiet < 3 && System.nanoTime() < deadline) {
+            val before = seen
+            Thread.sleep(200)
+            relay()
+            quiet = if (seen == before && seen > 0) quiet + 1 else 0
+          }
+          out.write((s"""{"done":true,"total_rows":${progress.totalRows}}""" +
+            "\n").getBytes(UTF_8))
+        } finally { progress.detach(); out.close() }
+      } else {
+        val rows = format match {
+          case "graphml" => GraphMlReader.read(engine.spark, path)
+          case _ => NTriplesReader.read(engine.spark, path)
+        }
+        engine.load(rows)
+        respond(ex, 200, """{"ok":true}""")
       }
-      engine.load(rows)
-      respond(ex, 200, """{"ok":true}""")
     })
 
     http.createContext("/stats", (ex: HttpExchange) => guard(ex) {

@@ -94,4 +94,28 @@ class ServerSpec extends SparkSpec {
         gb.contains("lang:@en"), gb)
     } finally { srv.stop(); fileSrv.stop(0) }
   }
+
+  test("POST /load?stream=progress relays per-batch ticks then a summary") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_srv_cput")
+    java.nio.file.Files.writeString(dir.resolve("a.nt"),
+      "<s/1> <name> \"a\" .\n<s/1> <size> \"1\"^^<http://t/int> .\n")
+    java.nio.file.Files.writeString(dir.resolve("b.nt"),
+      "<s/2> <name> \"b\" .\n")
+    val engine = Engine.forEmpty(spark)
+    val srv = Server.start(engine)
+    try {
+      val (code, text) = request(
+        s"http://localhost:${srv.port}/load?stream=progress", "POST",
+        Some(dir.toString))
+      assert(code == 200, text)
+      val lines = text.trim.split("\n")
+      // loadStream defaults to maxFilesPerTrigger=10: both files may land
+      // in one batch — require >=1 progress tick plus the summary
+      assert(lines.length >= 2, text)
+      assert(lines.init.forall(_.contains("\"rows\":")), text)
+      assert(lines.last.contains("\"done\":true") &&
+        lines.last.contains("\"total_rows\":3"), text)
+      assert(engine.nodes.count() == 3)
+    } finally srv.stop()
+  }
 }
