@@ -219,6 +219,36 @@ object Curation {
              |    c -> c*log2(c))) / n_tok) * 10000 + 0.5)/10000 AS entropy
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // ---- p24: corpus-wide heavy hitters (exact top-k bigrams) ----------
+    // The global frequency table curation pipelines cut boilerplate
+    // with. Explode → two-phase hash aggregate (map-side combine ships
+    // one row per distinct gram per partition, not per occurrence) →
+    // global top-k. At 100 TB the same plan holds because the partial
+    // aggregate bounds the shuffle by the distinct-gram count; ties
+    // break on the gram string so the result is total-ordered.
+    RegQuery("p24_top_ngrams",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val tk = col("tk")
+        val grams = transform(
+          sequence(lit(1), greatest(size(tk) - 1, lit(0))),
+          i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1)))
+        Tables(s, d, "documents")
+          .where(size(toks) >= 2)
+          .select(col("doc_id"), toks.as("tk"))
+          .repartition(col("doc_id"))
+          .select(explode(grams).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("g"))
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk
+             |  FROM documents WHERE len(string_split(text,' ')) >= 2),
+             |g AS (SELECT unnest(list_transform(range(1, len(tk)),
+             |    i -> tk[i] || ' ' || tk[i+1])) AS g FROM t)
+             |SELECT g, count(*) AS cnt FROM g GROUP BY g
+             |ORDER BY cnt DESC, g LIMIT 20""".stripMargin)),
+
     // ---- p22: SemDeDup (embedding-cluster semantic dedup) --------------
     // Cluster the corpus (+planted twins) to 8 deterministic cells via
     // one broadcast-centroid pass, then mark as duplicates the higher id
