@@ -78,23 +78,26 @@ object Bench {
       catch { case _: Throwable => (-1.0, -1.0) }
     val all = results ++ Seq("ingest_50k_nodes" -> ingestSec,
       "scan_merge_50k" -> scanSec)
-    // 3-decimal rounding keeps the whole line ~2 KB: round 1's full-precision
-    // line (~3.5 KB) overflowed the driver's tail-capture window and the
-    // head of the JSON was lost ("parsed": null in BENCH_r01.json)
+    // the driver tail-captures ~2 KB of stdout: round 1's full-precision
+    // line (~3.5 KB) lost its head ("parsed": null in BENCH_r01.json),
+    // and at 98 queries even 3-decimal full names (~2.4 KB) would again.
+    // stdout gets short ids (unique prefix per query: q01, p18, x04…);
+    // the full-name map lands in bench_out.json alongside
     def f3(v: Double): String = "%.3f".format(v)
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val total = all.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // redundant copy on disk in case stdout capture truncates again
+    def jsonLine(entries: Seq[(String, Double)]): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f3(all.map(_._2).sum)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val shortIds = all.map { case (k, v) => k.split("_").head -> v }
+    // redundant full-name copy on disk in case stdout capture truncates
     try {
       val w = new java.io.PrintWriter("bench_out.json")
-      try w.println(line) finally w.close()
+      try w.println(jsonLine(all)) finally w.close()
     } catch { case _: Throwable => () }
     spark.stop()
     // print LAST, after Spark shutdown, so no log line lands below it
-    println(line)
+    println(jsonLine(shortIds))
   }
 
   private def rmrf(f: java.io.File): Unit = {
