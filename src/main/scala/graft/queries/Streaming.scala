@@ -108,6 +108,38 @@ object Streaming {
              |count(*) FILTER (WHERE event_type = 'click') AS n_clicks
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // transformWithState (Spark 4 arbitrary-state API): typed ValueState
+    // per user in the state store — REQUIRES the RocksDB provider, i.e.
+    // this query runs the full production state config end-to-end
+    RegQuery("s07_stream_totals",
+      (s, d) => {
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val before = s.conf.getOption(key)
+        s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        try {
+          val q = withStatePartitions(s, 8) {
+            Streams.userTotals(streamEvents(s, d).as[Streams.EvV])
+              .writeStream.format("memory").queryName("s07_sink")
+              .outputMode("update")
+              .trigger(Trigger.AvailableNow()).start()
+          }
+          q.awaitTermination()
+          // totals grow monotonically → max per user = final state
+          s.table("s07_sink").groupBy("user_id")
+            .agg(max("n_events").as("n_events"),
+              (floor(max("total_value") * 100 + 0.5) / 100).as("total_value"))
+            .orderBy("user_id")
+        } finally before match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |floor(sum(value)*100 + 0.5)/100 AS total_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ---- s04: watermarked streaming dedup (bounded state) --------------
     // The source has unique event_ids, so the stream is unioned with
     // itself — the dedup must collapse every event back to one row.

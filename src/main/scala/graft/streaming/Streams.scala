@@ -103,4 +103,46 @@ object Streams {
 
   /** Update-mode sink for userStats. */
   val userStatsOutputMode: OutputMode = OutputMode.Update()
+
+  // --- transformWithState (Spark 4 arbitrary-state API) ----------------
+
+  case class EvV(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-user running totals as a [[StatefulProcessor]] — the
+    * `transformWithState` successor of mapGroupsWithState: named typed
+    * state handles (here one ValueState) living in the state store
+    * (RocksDB in the production config), with per-state TTL and timer
+    * support the old API lacked. State is one small row per user —
+    * bounded by key cardinality, not stream length. */
+  class TotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EvV, UserTotals] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    @transient private var state: ValueState[UserTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EvV],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserTotals] = {
+      var next = Option(state.get()).getOrElse(UserTotals(key, 0L, 0.0))
+      rows.foreach { e =>
+        next = UserTotals(key, next.n_events + 1, next.total_value + e.value)
+      }
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Per-user event counts + value totals via transformWithState. */
+  def userTotals(events: Dataset[EvV]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
 }
