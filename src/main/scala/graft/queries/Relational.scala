@@ -722,6 +722,29 @@ object Relational {
              |  FROM c GROUP BY event_type)
              |SELECT g.event_type, g.h, COALESCE(c.cnt, 0) AS cnt
              |FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h
-             |ORDER BY g.event_type, g.h""".stripMargin))
+             |ORDER BY g.event_type, g.h""".stripMargin)),
+
+    // ---- re-aggregatable sketches (DataSketches HLL merge) -------------
+    // Per-group sketches UNION-merge into a global one without touching
+    // the raw data again — the incremental-rollup pattern that makes
+    // distinct-count cubes feasible at 100 TB (persist partial sketches,
+    // re-combine on demand). Merge is lossless at fixed lgK, so the
+    // merged estimate must equal the direct whole-table sketch estimate
+    // (pinned in LshSpec); approximate by nature → rows-only here.
+    RegQuery("q44_sketch_merge",
+      (s, d) => {
+        val perGroup = t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(expr("hll_sketch_agg(l_partkey, 12)").as("sk"))
+        val merged = perGroup
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+          .select(lit("ALL").as("scope"), col("est"))
+        perGroup
+          .select(col("l_returnflag").as("scope"),
+            expr("hll_sketch_estimate(sk)").as("est"))
+          .unionAll(merged)
+          .orderBy("scope")
+      },
+      None) // sketch estimates are approximate → rows-only; LshSpec pins bounds
   )
 }

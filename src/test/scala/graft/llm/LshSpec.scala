@@ -103,4 +103,24 @@ class LshSpec extends SparkSpec {
       .count()
     assert(top1 >= 18, s"twin ranked top-1 for only $top1/20 queries")
   }
+
+  test("q44 sketch merge: lossless union, estimates within HLL error") {
+    val out = graft.SparkEntry.queries("q44_sketch_merge")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // merged-from-partials must equal the direct whole-table sketch
+    // (HLL union at fixed lgK is lossless)
+    val direct = graft.Tables(spark, sfDir, "lineitem")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 12))"))
+      .first().getLong(0)
+    assert(out("ALL") == direct,
+      s"merged ${out("ALL")} != direct $direct — union lost precision")
+    // and each estimate sits within the documented rel. error (~1.6% at
+    // lgK=12; allow 5%)
+    val exact = graft.Tables(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, d) =>
+      assert(math.abs(out(k) - d).toDouble / d < 0.05, s"$k: ${out(k)} vs $d")
+    }
+  }
 }
