@@ -41,10 +41,23 @@ object StepCompiler {
       v.bytes.map(lit(_)).getOrElse(n(BinaryType)).as("bytes"))
   }
 
+  private val numericTypes =
+    Seq(Value.I32, Value.I64, Value.UI32, Value.UI64, Value.D, Value.F)
+
+  /** The VALUE's magnitude on one shared numeric axis: `num` for D/F,
+    * `i64` for the int family (ui64 rides two's-complement — fold the
+    * wraparound back). Intent semantics (docs/index.md:202-206): `42`,
+    * `42.0f` and `42.0` are the same number to `filter`. */
+  private def numAxis(value: Column): Column = {
+    val asInt = when(value.getField("vtype") === Value.UI64 &&
+        value.getField("i64") < 0,
+      value.getField("i64").cast(DoubleType) + lit(1.8446744073709552E19))
+      .otherwise(value.getField("i64").cast(DoubleType))
+    coalesce(value.getField("num"), asInt)
+  }
+
   private def cmpCol(op: String, value: Column, litV: ValueRow): Column = {
-    val l = Value.sortKey(value)
-    val r = Value.sortKey(valueLit(litV))
-    op match {
+    def bin(l: Column, r: Column): Column = op match {
       case "==" => l === r
       case "!=" => l =!= r
       case "<" => l < r
@@ -52,6 +65,13 @@ object StepCompiler {
       case ">" => l > r
       case ">=" => l >= r
     }
+    if (numericTypes.contains(litV.vtype)) {
+      // numeric literals compare ACROSS the numeric family — a sniffed
+      // i32/f32 literal must still order against stored i64/double
+      // attrs (sortKey puts vtype first, which would order by type tag)
+      value.getField("vtype").isin(numericTypes.map(x => x: Any): _*) &&
+        bin(numAxis(value), numAxis(valueLit(litV)))
+    } else bin(Value.sortKey(value), Value.sortKey(valueLit(litV)))
   }
 
   /** Run a query against the full nodes_attrs table; returns the

@@ -108,6 +108,20 @@ object Lang {
              |('s/3', 'knows', '^s/1', NULL),
              |('s/3', 'name', 'Chloé', 'lang:@fr')
              |) AS t(id, attr_key, v, meta)
-             |ORDER BY id, attr_key""".stripMargin))
+             |ORDER BY id, attr_key""".stripMargin)),
+
+    // ---- a07: numeric inequality through the language ------------------
+    // the sniffed literal is an f32 while stored acctbal is a double —
+    // the filter must order them on the shared numeric axis, not by
+    // vtype tag (the intended-semantics fix for the reference's
+    // self-compare bug, FileStore.fs:147 / docs/index.md:202-206)
+    RegQuery("a07_lang_inequality",
+      (s, d) => eng(s, d)
+        .query("""get "*" |> filter "acctbal" > 9000.5 |> take 10""")
+        .select("id").distinct().orderBy("id"),
+      Some("""SELECT id FROM (
+             |  SELECT 'customer/' || c_custkey AS id FROM customer
+             |  WHERE c_acctbal > 9000.5 ORDER BY id LIMIT 10)
+             |ORDER BY id""".stripMargin))
   )
 }

@@ -112,4 +112,29 @@ class LangSpec extends SparkSpec {
       AhgheeParser.parse("""get "*" |> filter "name" != "x" |> take 2"""))
     assert(out.select("id").distinct().count() == 2)
   }
+
+  test("numeric filters compare across the numeric family, not by vtype") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // n stored as i32, f32, double, and ui64 (two's-complement > MaxLong)
+    val attrs = Seq(
+      ("i32", graft.ingest.ValueRow.i32(7)),
+      ("f32", graft.ingest.ValueRow.f32(7.5f)),
+      ("d", graft.ingest.ValueRow.d(8.25)),
+      ("ui64big", graft.ingest.ValueRow.ui64(-1L))) // 2^64 - 1
+      .map { case (id, v) => (id, "n", v) }
+      .toDF("id", "key", "value")
+      .withColumn("value", col("value").cast(graft.model.Value.schema))
+      .withColumn("ts", lit(0L))
+    def ids(q: String) = StepCompiler.run(spark, attrs, AhgheeParser.parse(q))
+      .select("id").as[String].collect().toSet
+    // int literal vs f32/double/ui64 storage
+    assert(ids("""get "*" |> filter "n" > 7""") == Set("f32", "d", "ui64big"))
+    // float literal vs i32 storage
+    assert(ids("""get "*" |> filter "n" <= 7.5""") == Set("i32", "f32"))
+    // equality across carriers: 7 == 7.0
+    assert(ids("""get "*" |> filter "n" == 7.0""") == Set("i32"))
+    // the ui64 two's-complement wraparound lands above every double here
+    assert(ids("""get "*" |> filter "n" > 1000000""") == Set("ui64big"))
+  }
 }
