@@ -125,6 +125,16 @@ class ScaleSpec extends SparkSpec {
       s"decontam shuffles the corpus on the gram key:\n$plan")
   }
 
+  test("x04 wedge stream probes a broadcast, never an exchange") {
+    // the Σ out-deg² wedge stream must flow straight into the closing
+    // semi-probe: a shuffle there would materialize 41M rows at sf0.1
+    val plan = SparkEntry.queries("x04_triangles")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"),
+      s"triangle closure is not a broadcast semi-join:\n$plan")
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val li = Tables(spark, sfDir, "lineitem")
     val direct = li.groupBy("l_returnflag")
