@@ -745,6 +745,63 @@ object Relational {
           .unionAll(merged)
           .orderBy("scope")
       },
-      None) // sketch estimates are approximate → rows-only; LshSpec pins bounds
+      None), // sketch estimates are approximate → rows-only; LshSpec pins bounds
+
+    // ---- null-aware anti join (NOT IN three-valued logic) --------------
+    // `x NOT IN (subquery)` is NOT an anti-join once the subquery can
+    // yield NULL: one NULL makes every row's predicate UNKNOWN and the
+    // result empty. Spark plans this as a null-aware anti join (NAAJ) —
+    // exercised here against the plain variant side by side.
+    RegQuery("q45_not_in_null",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("q45_customer")
+        t(s, d, "orders").createOrReplaceTempView("q45_orders")
+        s.sql("""
+          WITH sub AS (SELECT o_custkey FROM q45_orders
+                       WHERE o_totalprice > 450000),
+          subn AS (SELECT o_custkey FROM sub
+                   UNION ALL SELECT CAST(NULL AS BIGINT))
+          SELECT 'no_null' AS variant, count(*) AS cnt FROM q45_customer
+          WHERE c_custkey NOT IN (SELECT o_custkey FROM sub)
+          UNION ALL
+          SELECT 'with_null', count(*) FROM q45_customer
+          WHERE c_custkey NOT IN (SELECT o_custkey FROM subn)
+          ORDER BY variant""")
+      },
+      Some("""WITH sub AS (SELECT o_custkey FROM orders
+             |             WHERE o_totalprice > 450000),
+             |subn AS (SELECT o_custkey FROM sub
+             |         UNION ALL SELECT CAST(NULL AS BIGINT))
+             |SELECT 'no_null' AS variant, count(*) AS cnt FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM sub)
+             |UNION ALL
+             |SELECT 'with_null', count(*) FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM subn)
+             |ORDER BY variant""".stripMargin)),
+
+    // ---- lateral correlated subquery (top-1-per-row join form) ---------
+    // LATERAL runs the subquery once per outer row — the SQL spelling of
+    // top-k-per-group; Catalyst decorrelates it into a ranked join
+    // rather than executing per-row, which is what survives at scale.
+    RegQuery("q46_lateral",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("q46_customer")
+        t(s, d, "orders").createOrReplaceTempView("q46_orders")
+        s.sql("""
+          SELECT c_custkey, o.o_orderkey, o.o_totalprice
+          FROM q46_customer c,
+          LATERAL (SELECT o_orderkey, o_totalprice FROM q46_orders
+                   WHERE o_custkey = c.c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+          WHERE c_custkey <= 100
+          ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, o.o_orderkey, o.o_totalprice
+             |FROM customer c,
+             |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             |         WHERE o_custkey = c.c_custkey
+             |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+             |WHERE c_custkey <= 100
+             |ORDER BY c_custkey""".stripMargin))
   )
 }
