@@ -90,6 +90,11 @@ object Bench {
       s"""{"metric":"total","value":${f3(all.map(_._2).sum)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     val shortIds = all.map { case (k, v) => k.split("_").head -> v }
+    // a first-token collision would silently emit duplicate JSON keys
+    // (last-wins on parse) in the tail-captured line — fail loudly instead
+    require(shortIds.map(_._1).distinct.size == shortIds.size,
+      "bench short-id collision: " + shortIds.map(_._1).diff(
+        shortIds.map(_._1).distinct).mkString(","))
     // redundant full-name copy on disk in case stdout capture truncates
     try {
       val w = new java.io.PrintWriter("bench_out.json")

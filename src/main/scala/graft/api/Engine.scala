@@ -194,8 +194,12 @@ final class Engine(val spark: SparkSession, attrs0: DataFrame,
     * order plus its attributes. */
   def first(q: String): Option[DataFrame] = {
     val res = query(q)
-    res.select("id").orderBy("id").limit(1).collect().headOption
-      .map(r => res.where(col("id") === r.getString(0)))
+    // materialize ONLY the winning id (limit-pushdown keeps this job
+    // cheap), then semi-join: the attribute query runs once when the
+    // caller acts, instead of an eager collect + a from-scratch re-run
+    val firstId = res.select("id").orderBy("id").limit(1).localCheckpoint()
+    if (firstId.isEmpty) None
+    else Some(res.join(broadcast(firstId), Seq("id"), "left_semi"))
   }
 
   /** Delete nodes by id (reference Remove, MemoryStore.fs:18-22). */

@@ -26,9 +26,10 @@ import graft.ingest.{GraphMlReader, NTriplesReader}
   * response stream as they arrive); nothing is collected.
   */
 final class Server private (val engine: Engine, http: HttpServer,
-                            metrics: Metrics) {
+                            metrics: Metrics,
+                            pool: java.util.concurrent.ExecutorService) {
   def port: Int = http.getAddress.getPort
-  def stop(): Unit = { http.stop(0); metrics.close() }
+  def stop(): Unit = { http.stop(0); pool.shutdown(); metrics.close() }
 }
 
 object Server {
@@ -37,6 +38,17 @@ object Server {
   def start(engine: Engine, port: Int = 0): Server = {
     val metrics = Metrics.attach(engine.spark)
     val http = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+    // without an executor every handler runs on the single dispatcher
+    // thread — a minutes-long streaming /load would freeze /get and
+    // /metrics for its whole duration. Daemon threads so the JVM can
+    // still exit if stop() is never called.
+    val pool = java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-http")
+        t.setDaemon(true)
+        t
+      })
+    http.setExecutor(pool)
 
     http.createContext("/put", (ex: HttpExchange) => guard(ex) {
       engine.put(body(ex))
@@ -83,9 +95,15 @@ object Server {
         val out = ex.getResponseBody
         try {
           val sq = engine.loadStream(path)
+          // scope the relay to THIS load's ticks: any other streaming
+          // query active in the session (a concurrent load, a registry
+          // stream) reports through the same listener and would pollute
+          // the feed and inflate total_rows
+          val mine = Set(Option(sq.name), Some(sq.id.toString)).flatten
           var seen = 0
+          def myTicks() = progress.snapshot().filter(t => mine(t.name))
           def relay(): Unit = {
-            val ticks = progress.snapshot()
+            val ticks = myTicks()
             while (seen < ticks.size) {
               val t = ticks(seen)
               out.write((s"""{"batch":${t.batchId},"rows":${t.rows}}""" +
@@ -107,7 +125,7 @@ object Server {
             relay()
             quiet = if (seen == before && seen > 0) quiet + 1 else 0
           }
-          out.write((s"""{"done":true,"total_rows":${progress.totalRows}}""" +
+          out.write((s"""{"done":true,"total_rows":${myTicks().map(_.rows).sum}}""" +
             "\n").getBytes(UTF_8))
         } finally { progress.detach(); out.close() }
       } else {
@@ -118,6 +136,43 @@ object Server {
         engine.load(rows)
         respond(ex, 200, """{"ok":true}""")
       }
+    })
+
+    http.createContext("/policies", (ex: HttpExchange) => guard(ex) {
+      // the reference's ListPolicies RPC streams policy Nodes
+      // (types.proto:217-221,238; impl left at the unimplemented base,
+      // WatService.cs:392-394). Here the engine's tunables ARE the
+      // policy surface: one node per subsystem, long-form attribute
+      // rows in the same NDJSON shape /get streams, filterable by
+      // ?iris=policy/a,policy/b (ListPoliciesRequest.iris).
+      val iris = Option(ex.getRequestURI.getQuery)
+        .map(_.split("&")).flatMap(_.collectFirst {
+          case s if s.startsWith("iris=") =>
+            s.drop(5).split(",").filter(_.nonEmpty).toSet
+        }).filter(_.nonEmpty)
+      val conf = engine.spark.conf
+      val rows = Seq(
+        ("policy/storage", "bucket_count", "32"),
+        ("policy/storage", "layout", "bucketed_sorted_murmur3"),
+        ("policy/traversal", "point_path_max_frontier",
+          graft.graph.Traversal.PointPathMaxFrontier.toString),
+        ("policy/analytics", "cc_local_edge_threshold",
+          conf.get("spark.graft.cc.localEdgeThreshold", "1000000")),
+        ("policy/ingest", "lineage_cut_every_loads", "8"),
+        ("policy/ingest", "max_files_per_trigger", "10"),
+        ("policy/session", "shuffle_partitions",
+          conf.get("spark.sql.shuffle.partitions")),
+        ("policy/session", "state_store_provider",
+          conf.get("spark.sql.streaming.stateStore.providerClass",
+            "HDFSBackedStateStoreProvider").split("\\.").last))
+        .filter { case (id, _, _) => iris.forall(_(id)) }
+      ex.getResponseHeaders.add("Content-Type", "application/x-ndjson")
+      ex.sendResponseHeaders(200, 0)
+      val out = ex.getResponseBody
+      try rows.foreach { case (id, key, value) =>
+        out.write((s"""{"id":${q(id)},"key":${q(key)},"value":${q(value)}}""" +
+          "\n").getBytes(UTF_8))
+      } finally out.close()
     })
 
     http.createContext("/stats", (ex: HttpExchange) => guard(ex) {
@@ -136,7 +191,7 @@ object Server {
     })
 
     http.start()
-    new Server(engine, http, metrics)
+    new Server(engine, http, metrics, pool)
   }
 
   private def guard(ex: HttpExchange)(f: => Unit): Unit =

@@ -73,23 +73,27 @@ object IngestScan {
           .write.mode("overwrite").parquet(s"$path/batch=$b")
       }
     }
-    scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(writes),
-      scala.concurrent.duration.Duration.Inf)
-    pool.shutdown()
-    val ingestSec = (System.nanoTime() - t0) / 1e9
-
-    val t1 = System.nanoTime()
-    val merged = spark.read.parquet(path)
-      .groupBy("id", "key", "sval", "iri").agg(min("ts").as("ts"))
-    val nodeCount = merged.select(countDistinct("id")).first().getLong(0)
-    val scanSec = (System.nanoTime() - t1) / 1e9
-    require(nodeCount == universe, s"ingest-scan lost nodes: $nodeCount != $universe")
-
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
     }
-    rm(dir)
-    (ingestSec, scanSec)
+    // finally: a failed batch write must not strand the non-daemon pool
+    // threads (the bench JVM would never exit) or leak the temp dir
+    try {
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(writes),
+        scala.concurrent.duration.Duration.Inf)
+      val ingestSec = (System.nanoTime() - t0) / 1e9
+
+      val t1 = System.nanoTime()
+      val merged = spark.read.parquet(path)
+        .groupBy("id", "key", "sval", "iri").agg(min("ts").as("ts"))
+      val nodeCount = merged.select(countDistinct("id")).first().getLong(0)
+      val scanSec = (System.nanoTime() - t1) / 1e9
+      require(nodeCount == universe, s"ingest-scan lost nodes: $nodeCount != $universe")
+      (ingestSec, scanSec)
+    } finally {
+      pool.shutdown()
+      rm(dir)
+    }
   }
 }

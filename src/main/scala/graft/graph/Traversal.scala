@@ -46,7 +46,7 @@ object Traversal {
     * driver, each hop one scan with `src_id IN (...)` pushed to parquet.
     * Beyond it, the distributed join loop takes over. 10k ids ≈ a few
     * hundred KB in the IN-list — well under filter-pushdown limits. */
-  private val PointPathMaxFrontier = 10000
+  val PointPathMaxFrontier = 10000
 
   /** Same loop over an already-predicate-filtered edge set (the query
     * compiler passes arbitrary label predicates through here).

@@ -113,8 +113,13 @@ object StepCompiler {
         }
         val flagged = attrs.where(col("key").isin(leafKeys: _*))
           .groupBy("id").agg(flags.head, flags.tail: _*)
-        val keep = flagged.where(boolCol(pred, leaves)).select("id")
-        ids = keep
+        // materialize the surviving ids ONCE: DataFrame plans don't share
+        // common subtrees, so without the barrier this aggregate is
+        // re-inlined at every later reference (the attrs semi-join plus
+        // each subsequent skip/limit/follow step — measured 3× = 17 s on
+        // a07 at sf0.1, vs 2 s for the single-pass a01)
+        ids = flagged.where(boolCol(pred, leaves)).select("id")
+          .localCheckpoint()
         attrs = attrs.join(ids, Seq("id"), "left_semi")
 
       case Fields(clude) =>

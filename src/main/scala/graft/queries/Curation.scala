@@ -179,8 +179,8 @@ object Curation {
           .orderBy("source")
       },
       Some("""SELECT source, count(*) AS n_total,
-             |sum(CASE WHEN substr(md5(source || '#' || doc_id), 1, 2)
-             |  < substr(md5(source), 1, 2) THEN 1 ELSE 0 END) AS n_kept,
+             |CAST(sum(CASE WHEN substr(md5(source || '#' || doc_id), 1, 2)
+             |  < substr(md5(source), 1, 2) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              |floor(CAST(sum(CASE WHEN substr(md5(source || '#' || doc_id), 1, 2)
              |  < substr(md5(source), 1, 2) THEN 1 ELSE 0 END) AS DOUBLE)
              |  / count(*) * 10000 + 0.5)/10000 AS rate

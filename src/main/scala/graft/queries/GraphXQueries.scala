@@ -77,7 +77,10 @@ object GraphXQueries {
             col("e.p2").cast("long").as("p2"))
           .distinct()
         GraphAnalytics.triangleCounts(pairs)
-          .agg(expr("sum(n_tri) div 3").as("n_tri"),
+          // coalesce: a triangle-free pair list sums to NULL while the
+          // oracle's count(*) says 0 (latent corner — untriggered on the
+          // fixed testdata but a real divergence)
+          .agg(expr("coalesce(sum(n_tri), 0) div 3").as("n_tri"),
             count(lit(1)).as("n_in_tri"),
             max(col("n_tri")).cast("long").as("max_tri"))
       },

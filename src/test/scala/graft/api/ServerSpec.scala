@@ -71,6 +71,31 @@ class ServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("GET /policies streams the config surface; ?iris= filters") {
+    val srv = Server.start(Engine.forEmpty(spark))
+    val base = s"http://localhost:${srv.port}"
+    try {
+      val (pc, pb) = request(s"$base/policies", "GET")
+      assert(pc == 200, pb)
+      val lines = pb.trim.split("\n")
+      assert(lines.length >= 6, pb)
+      assert(lines.exists(l => l.contains("\"id\":\"policy/storage\"") &&
+        l.contains("\"key\":\"bucket_count\"") &&
+        l.contains("\"value\":\"32\"")), pb)
+      assert(lines.exists(l =>
+        l.contains("\"key\":\"point_path_max_frontier\"") &&
+        l.contains("\"value\":\"10000\"")), pb)
+      assert(lines.exists(l => l.contains("\"key\":\"shuffle_partitions\"")),
+        pb)
+
+      val (fc, fb) = request(s"$base/policies?iris=policy/storage", "GET")
+      assert(fc == 200, fb)
+      val fl = fb.trim.split("\n")
+      assert(fl.nonEmpty && fl.forall(_.contains("\"id\":\"policy/storage\"")),
+        fb)
+    } finally srv.stop()
+  }
+
   test("POST /load ingests N-Triples served over HTTP") {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     val nt = "<h/1> <title> \"Served\"@en .\n"

@@ -34,6 +34,45 @@ class LshSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("p05/p06 survivors: precision 1.0 vs independent exact recompute") {
+    // the verify stage is the precision guarantee — if its join keys or
+    // threshold silently weakened, false pairs would survive. Recompute
+    // ground truth over a path the queries DON'T use (string shingles
+    // instead of xxhash64'd longs; signatures re-derived from text) and
+    // require zero survivors below the documented thresholds.
+    val base = graft.Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val t = TextOps.tokens(col("text"))
+    val corpus = base.unionAll(base.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(t, lit(1), greatest(size(t) - 3, lit(1)))).as("text")))
+      .cache()
+
+    val sh = corpus.select(col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    val p05 = graft.SparkEntry.queries("p05_minhash_lsh")(spark, sfDir)
+    val p05Pairs = p05.count()
+    assert(p05Pairs > 0)
+    val belowJac = p05
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .where(TextOps.jaccard(col("a_sh"), col("b_sh")) < 0.5)
+      .count()
+    assert(belowJac == 0,
+      s"$belowJac of $p05Pairs p05 pairs below Jaccard 0.5 — verify stage weakened")
+
+    val sig = TextOps.simhash(corpus, "doc_id", TextOps.tokens(col("text")))
+    val p06 = graft.SparkEntry.queries("p06_simhash_neardup")(spark, sfDir)
+    val p06Pairs = p06.count()
+    assert(p06Pairs > 0)
+    val beyondHam = p06
+      .join(sig.select(col("doc_id").as("a_id"), col("simhash").as("a_s")), "a_id")
+      .join(sig.select(col("doc_id").as("b_id"), col("simhash").as("b_s")), "b_id")
+      .where(bit_count(col("a_s").bitwiseXOR(col("b_s"))) > 6)
+      .count()
+    assert(beyondHam == 0,
+      s"$beyondHam of $p06Pairs p06 pairs beyond Hamming 6 — verify stage weakened")
+  }
+
   test("sketch aggregates stay within documented error of exact") {
     val q33 = graft.SparkEntry.queries("q33_approx_sketch")(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
