@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   * out so memory stays bounded.
   *
   * IMAGE decode is REAL: JDK ImageIO (PNG/BMP/GIF/JPEG readers ship
-  * with the JVM — no new deps). VIDEO stays STUBBED with a
-  * deterministic fake (this container has no demuxer), clearly marked
-  * in sampleFrames; the plumbing is identical either way.
+  * with the JVM — no new deps). VIDEO is REAL too, as motion-JPEG:
+  * blobs are concatenated genuine JPEG frames, demuxed by SOI/EOI
+  * marker scan and decoded/resized through ImageIO + Graphics2D in
+  * sampleFrames (general-codec containers like MP4/H.264 would need a
+  * demuxer dependency this build doesn't ship).
   */
 object Multimodal {
 
@@ -28,21 +30,63 @@ object Multimodal {
     * (0-255; -1 dims flag an undecodable payload). */
   case class ImageFeat(doc_id: Long, width: Int, height: Int, mean_lum: Int)
 
-  /** One sampled+resized frame (STUB decode — see sampleFrames). */
+  /** One sampled+resized frame: target dims + mean luminance of the
+    * RESIZED pixels (the decode-side feature). */
   case class FrameRow(doc_id: Long, frame_idx: Int, width: Int, height: Int,
                       fhash: Int)
 
-  /** Wrap documents' text as fake video bytes under the media struct
-    * (the p15 stub corpus). */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    graft.Tables(spark, dir, "documents").select(
-      col("doc_id"),
-      struct(
-        lit("video/fake").as("media_type"),
-        encode(col("text"), "UTF-8").as("bytes"),
-        struct(col("source").as("origin"),
-               length(col("text")).cast("long").as("n_bytes")).as("meta")
+  /** REAL video corpus: one motion-JPEG blob per document — a
+    * concatenation of genuine JPEG frames (quality 1.0 grayscale:
+    * uniform frames round-trip bit-exact, verified for all 256 levels),
+    * the same byte layout MJPEG-over-HTTP streams use. Frame count and
+    * each frame's gray level derive from doc_id arithmetic so the
+    * decode side stays oracle-checkable while every byte is a real
+    * codec's output. At 100 TB the same struct wraps `binaryFile`
+    * blobs; only this generator is synthetic. */
+  def videoTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        // one encoder per partition, reused across rows and frames
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpeg").next()
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(1.0f)
+        ids.map { id =>
+          val nFrames = 25 + (id % 10).toInt
+          val w0 = 12 + (id % 8).toInt * 2
+          val h0 = 10 + (id % 6).toInt * 2
+          val blob = new java.io.ByteArrayOutputStream()
+          var f = 0
+          while (f < nFrames) {
+            val lum = ((id * 31 + f * 17) % 256).toInt
+            val img = new java.awt.image.BufferedImage(
+              w0, h0, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            var y = 0
+            while (y < h0) {
+              var x = 0
+              while (x < w0) { img.getRaster.setSample(x, y, 0, lum); x += 1 }
+              y += 1
+            }
+            val ios = javax.imageio.ImageIO.createImageOutputStream(blob)
+            writer.setOutput(ios)
+            writer.write(null,
+              new javax.imageio.IIOImage(img, null, null), param)
+            ios.close()
+            f += 1
+          }
+          (id, blob.toByteArray)
+        }
+      }
+      .toDF("doc_id", "bytes")
+      .select(col("doc_id"), struct(
+        lit("video/x-motion-jpeg").as("media_type"),
+        col("bytes"),
+        struct(lit("synthetic").as("origin"),
+               length(col("bytes")).cast("long").as("n_bytes")).as("meta")
       ).as("media"))
+  }
 
   /** REAL image corpus: one PNG per document, encoded with ImageIO in
     * the executors (dims and gray fill derived from doc_id, so the
@@ -192,27 +236,57 @@ object Multimodal {
       .toDF()
   }
 
-  /** Frame sampling + resize, the generator-shaped multimodal op: each
-    * media row fans out to every `every`-th frame, scaled to w×h. A
-    * real build initializes a demuxer + scaler once per partition and
-    * streams frames through the iterator (bounded memory, no per-row
-    * codec setup). STUB: frame count derives from payload size (1 frame
-    * per 50 bytes), the "decoded" frame hash from the byte at the
-    * frame's offset — pure functions of the payload, so the fan-out
-    * stays oracle-checkable. */
+  /** REAL frame sampling + resize, the generator-shaped multimodal op:
+    * demux the motion-JPEG blob by scanning SOI (FFD8) / EOI (FFD9)
+    * markers — valid inside entropy-coded data FF is stuffed as FF00 and
+    * restart markers are FFD0-D7, so FFD9 delimits frames — then decode
+    * every `every`-th frame with ImageIO, scale it to w×h through a real
+    * Graphics2D drawImage, and emit the resized frame's mean luminance.
+    * Only sampled frames are decoded (the demux scan is offsets-only);
+    * memory stays bounded at one frame. A payload with no JPEG frames
+    * yields one (-1, w, h, -1) flag row rather than failing the batch. */
   def sampleFrames(media: DataFrame, every: Int, w: Int, h: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("media.bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // (real impl: val demux = VideoDemuxer.open(); val scaler = ...)
         rows.flatMap { case (id, bytes) =>
-          val total = math.max(bytes.length / 50, 1)
-          (0 until total by every).iterator.map { f =>
-            // --- STUB decode+resize: deterministic fake ---
-            val fhash = if (bytes.isEmpty) 0 else bytes(f % bytes.length).toInt
-            FrameRow(id, f, w, h, fhash)
+          // demux: frame k spans [starts(k), ends(k))
+          val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+          val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var i = 0
+          var start = -1
+          while (i + 1 < bytes.length) {
+            val a = bytes(i) & 0xff
+            val b = bytes(i + 1) & 0xff
+            if (start < 0 && a == 0xFF && b == 0xD8) { start = i; i += 2 }
+            else if (start >= 0 && a == 0xFF && b == 0xD9) {
+              starts += start; ends += (i + 2); start = -1; i += 2
+            } else i += 1
+          }
+          if (starts.isEmpty) Iterator.single(FrameRow(id, -1, w, h, -1))
+          else (0 until starts.length by every).iterator.map { f =>
+            try {
+              val src = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(
+                  bytes, starts(f), ends(f) - starts(f)))
+              val dst = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val g = dst.createGraphics()
+              g.drawImage(src, 0, 0, w, h, null)
+              g.dispose()
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  sum += dst.getRaster.getSample(x, y, 0); x += 1
+                }
+                y += 1
+              }
+              FrameRow(id, f, w, h, (sum / (w.toLong * h)).toInt)
+            } catch { case _: Exception => FrameRow(id, f, w, h, -1) }
           }
         }
       }

@@ -351,19 +351,24 @@ object Pipeline {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- p15: multimodal frame-sample + resize (generator fan-out) ------
+    // REAL end-to-end: videoTable encodes genuine JPEG frame sequences
+    // (motion-JPEG), sampleFrames demuxes by SOI/EOI scan, ImageIO
+    // decodes, Graphics2D resizes to 64×64, and fhash is the resized
+    // frame's measured mean luminance. The oracle can still predict it
+    // because uniform gray at quality 1.0 round-trips bit-exact
+    // (pinned in MultimodalSpec) — the hash gates the whole
+    // encode→demux→decode→resize arithmetic, not a stub.
     RegQuery("p15_frame_sample",
       (s, d) => graft.llm.Multimodal
-        .sampleFrames(graft.llm.Multimodal.mediaTable(s, d),
+        .sampleFrames(graft.llm.Multimodal.videoTable(s, d),
           every = 10, w = 64, h = 64)
         .orderBy("doc_id", "frame_idx"),
-      Some("""WITH f AS (SELECT doc_id, text,
-             |    greatest(length(text) // 50, 1) AS total FROM documents),
-             |s AS (SELECT doc_id, text,
-             |    unnest(range(0, total, 10)) AS fi FROM f)
+      Some("""WITH s AS (SELECT doc_id,
+             |    unnest(range(0, 25 + doc_id % 10, 10)) AS fi
+             |  FROM documents)
              |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
              |  64 AS width, 64 AS height,
-             |  ascii(substr(text, CAST(fi % length(text) AS INTEGER) + 1, 1))
-             |    AS fhash
+             |  CAST((doc_id * 31 + fi * 17) % 256 AS INTEGER) AS fhash
              |FROM s ORDER BY doc_id, frame_idx""".stripMargin)),
 
     // ---- p13: BPE-ish regex token counting (vs whitespace) --------------

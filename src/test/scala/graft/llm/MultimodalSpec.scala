@@ -36,6 +36,40 @@ class MultimodalSpec extends SparkSpec {
     assert(feats == Set((3, 5, 40), (7, 2, 200)))
   }
 
+  test("motion-JPEG demux + decode + resize recovers the planted luminance") {
+    val media = Multimodal.videoTable(spark, sfDir)
+    val frames = Multimodal.sampleFrames(media, every = 10, w = 64, h = 64)
+    // the measured mean luminance of every decoded+resized frame must
+    // equal the planted gray level — gates encode, demux, decode AND
+    // resize arithmetic (uniform gray at q=1.0 round-trips bit-exact)
+    val bad = frames.where(col("fhash") =!=
+      (col("doc_id") * 31 + col("frame_idx") * 17) % 256).count()
+    assert(bad == 0, s"$bad frames decoded to a wrong luminance")
+    assert(frames.where(col("width") =!= 64 || col("height") =!= 64)
+      .count() == 0)
+
+    // every=1 walks EVERY demuxed frame: per-doc counts must equal the
+    // planted 25 + doc_id % 10 — no frame lost or invented by the scan
+    val counts = Multimodal.sampleFrames(media.limit(5), 1, 16, 16)
+      .groupBy("doc_id").count()
+      .where(col("count") =!= lit(25) + col("doc_id") % 10)
+      .count()
+    assert(counts == 0, "demux lost or invented frames")
+  }
+
+  test("payload with no JPEG frames yields a flag row, not a failure") {
+    import spark.implicits._
+    val junkVideo = Seq((9L, "no frames here".getBytes("UTF-8")))
+      .toDF("doc_id", "bytes")
+      .select(col("doc_id"), struct(
+        lit("video/x-motion-jpeg").as("media_type"), col("bytes"),
+        struct(lit("x").as("origin"), lit(1L).as("n_bytes")).as("meta"))
+        .as("media"))
+    val row = Multimodal.sampleFrames(junkVideo, 10, 64, 64).collect()
+    assert(row.length == 1 && row.head.getInt(1) == -1 &&
+      row.head.getInt(4) == -1)
+  }
+
   test("undecodable payloads flag (-1) instead of failing the batch") {
     import spark.implicits._
     val junk = Seq((1L, "not an image".getBytes("UTF-8")))
