@@ -121,8 +121,10 @@ object Traversal {
 
   /** Distributed iterative-join loop (large frontiers). `seed` is
     * [id, hop] already visited; `startFrontier` (if given) is the hop
-    * = startHop frontier, else the seed itself is the frontier. */
-  private def followDistributed(
+    * = startHop frontier, else the seed itself is the frontier.
+    * Package-visible so TraversalSpec can run it pure (no point-path
+    * prefix) and compare against the hand-off path. */
+  private[graph] def followDistributed(
       spark: SparkSession,
       edges: DataFrame,
       seed: DataFrame,

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Wall-time guards for the historically slowest queries: a plan
+  * regression (a lost broadcast hint, a new exchange, a de-pruned scan)
+  * should surface here in CI rather than in the round bench. Thresholds
+  * are ~3× the committed local[4]/sf0.01 times (min-of-2 to ride out
+  * this host's documented stochastic stalls, Bench.scala:8-11) — loose
+  * enough for noise, tight enough that an O(n²) or full-rescan
+  * regression (typically ≥5×) trips them.
+  */
+class BenchGuardSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  private def minOf2(name: String): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sf001).write
+        .format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
+  // committed min-of-2 local[4]/sf0.01 baselines (calibrated 2026-08:
+  // a07 1.0, x04 1.4, q40 0.4, x01 1.3, p05 0.7 s); threshold ≈ 3-5×
+  private val guards = Seq(
+    ("a07_lang_inequality", 4.0),
+    ("x04_triangles", 6.0),
+    ("q40_percentiles", 2.0),
+    ("x01_connected_components", 5.0),
+    ("p05_minhash_lsh", 3.0))
+
+  guards.foreach { case (name, limitSec) =>
+    test(s"$name stays under ${limitSec}s (3x committed time)") {
+      val sec = minOf2(name)
+      info(f"$name: $sec%.2f s (limit $limitSec)")
+      assert(sec < limitSec,
+        f"$name took $sec%.1f s (limit $limitSec) — plan regression?")
+    }
+  }
+}

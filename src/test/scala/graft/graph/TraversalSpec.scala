@@ -52,4 +52,31 @@ class TraversalSpec extends SparkSpec {
     // a reached again at hop 3 via c->a must not re-emit or re-expand
     assert(ids(None, 3, 3).isEmpty)
   }
+
+  test("hub frontier outgrows the point path; hand-off equals pure distributed") {
+    // one hub with 50k out-edges: hop-1 frontier (50k) blows past
+    // PointPathMaxFrontier (10k), so the driver loop MUST hand off
+    // mid-traversal to the distributed join loop; its output must be
+    // identical to running the distributed loop from the start.
+    val n = 5 * Traversal.PointPathMaxFrontier
+    val hubEdges = spark.range(n.toLong).selectExpr(
+        "'hub' as src_id", "'e' as label", "concat('t/', id) as dst_id")
+      .unionAll(spark.range(n.toLong).selectExpr(
+        "concat('t/', id) as src_id", "'e' as label",
+        "concat('u/', id % 7) as dst_id"))
+    val viaHandoff = Traversal
+      .follow(spark, hubEdges, Seq("hub").toDF("id"), None, 0, 2)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    // shape: hub at hop 0, all 50k targets at hop 1, u/0..u/6 at hop 2
+    assert(viaHandoff.size == 1 + n + 7)
+    assert(viaHandoff.count(_._2 == 1) == n)
+    assert(viaHandoff.filter(_._2 == 2).map(_._1) ==
+      (0 until 7).map(i => s"u/$i").toSet)
+
+    val viaDistributed = Traversal.followDistributed(spark, hubEdges,
+        Seq(("hub", 0)).toDF("id", "hop"), 0, 2)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(viaHandoff == viaDistributed,
+      "hand-off path diverged from the pure distributed loop")
+  }
 }

@@ -113,6 +113,24 @@ class LangSpec extends SparkSpec {
     assert(out.select("id").distinct().count() == 2)
   }
 
+  test("filter's flag aggregate is materialized once, not re-inlined") {
+    // the a07 regression: DataFrame plans don't share common subtrees,
+    // so the filter-step aggregate was re-computed at every downstream
+    // reference (3× in filter+limit queries, 17 s at sf0.1). The fix
+    // materializes surviving ids behind a localCheckpoint barrier — the
+    // final plan must contain ZERO flag aggregates (they ran inside the
+    // checkpoint job) and scan the checkpointed RDD instead.
+    import org.apache.spark.sql.functions._
+    val attrs = graft.graph.GraphView.nodesAttrs(spark, sfDir)
+    val out = StepCompiler.run(spark, attrs, AhgheeParser.parse(
+      """get "*" |> filter "acctbal" > 1000 |> take 5"""))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("f0#") && !plan.toLowerCase.contains("max(f0"),
+      s"flag aggregate re-inlined into the final plan:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected a checkpointed-ids scan in:\n$plan")
+  }
+
   test("numeric filters compare across the numeric family, not by vtype") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -89,6 +89,48 @@ class GraphStoreSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_test_append")
   }
 
+  test("repeated appends + killed-mid-append debris converge under merge") {
+    // the reference's idempotence property (Tests.fs:694-748: repeated
+    // flush/add converges) over the APPEND + merge-on-read path: the
+    // same batch appended 3x, plus the debris a mid-append kill leaves
+    // behind (an uncommitted _temporary task file — Spark's commit
+    // protocol only promotes files on job commit, and scans skip
+    // _/.-prefixed paths), must merge to the identical frame.
+    import graft.api.Engine
+    val e = Engine.forEmpty(spark)
+      .put("""put "cv/1" { "name": "n", "knows": ^"cv/2", "size": 3 }""",
+        ts = 1L)
+    GraphStore.materialize(spark, "graft_test_chaos", "id", e.nodes)
+    val clean = e.merge(spark.table("graft_test_chaos"),
+        Engine.emptyAttrs(spark))
+      .orderBy("id", "key").collect().toSeq
+
+    (1 to 3).foreach { _ =>
+      GraphStore.append(spark, "graft_test_chaos", "id", e.nodes)
+    }
+    // simulate the kill: a partial parquet left under _temporary (never
+    // committed). If the reader ever picked it up, the corrupt footer
+    // would fail the scan — invisibility IS the crash-safety property.
+    val loc = spark.sql("DESCRIBE EXTENDED graft_test_chaos")
+      .where(col("col_name") === "Location")
+      .select("data_type").first().getString(0).stripPrefix("file:")
+    val tmp = new java.io.File(s"$loc/_temporary/0/_temporary/attempt_0")
+    assert(tmp.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(tmp, "part-00000-killed.parquet").toPath,
+      Array.fill[Byte](128)(0x42))
+    spark.sql("REFRESH TABLE graft_test_chaos")
+
+    assert(spark.table("graft_test_chaos").count() == 12,
+      "3 appended fragment sets + original should be visible raw")
+    val merged = e.merge(spark.table("graft_test_chaos"),
+        Engine.emptyAttrs(spark))
+      .orderBy("id", "key").collect().toSeq
+    assert(merged == clean,
+      "merge-on-read did not converge to the pre-append frame")
+    spark.sql("DROP TABLE IF EXISTS graft_test_chaos")
+  }
+
   test("self-union aggregate needs restructure (Spark 4.1.2 planner fault)") {
     val a = GraphStore.nodesAttrs(spark, sfDir)
     val base = a.count()
