@@ -214,11 +214,16 @@ final class Engine(val spark: SparkSession, attrs0: DataFrame,
 object Engine {
   /** Engine over the bucketed graph store of a testdata dir: point
     * lookups and traversal hops filter a literal id column (pushdown +
-    * bucket pruning), and id-joins co-locate on the bucket hash. */
+    * bucket pruning), and id-joins co-locate on the bucket hash.
+    * Registers the `graft_nodes`/`graft_edges` SQL views so
+    * `spark.sql` composes with the relational surface immediately
+    * (latest forDir wins the names; call registerViews(prefix) for
+    * several engines side by side). */
   def forDir(spark: SparkSession, dir: String): Engine =
     new Engine(spark, graft.sources.GraphStore.nodesAttrs(spark, dir),
       Some(graft.sources.GraphStore.edges(spark, dir)
         .select("src_id", "label", "dst_id")))
+      .registerViews()
 
   /** Engine over an empty graph — populated purely by put/load. */
   def forEmpty(spark: SparkSession): Engine =

@@ -285,7 +285,189 @@ object Curation {
           .select(col("b_id").as("removed_id")).distinct()
           .orderBy("removed_id")
       },
-      Some(semdedupOracle))
+      Some(semdedupOracle)),
+
+    // ---- p25: chunk-level exact dedup ratio (C4-style) -----------------
+    // Split each doc into consecutive 8-token chunks, count how many of
+    // a doc's chunks occur anywhere else in the corpus (incl. within-doc
+    // repeats), and emit the duplicated fraction — the C4/RefinedWeb
+    // "remove boilerplate spans" signal at document granularity.
+    // Scale shape: chunks hash to longs at birth; one explode + one
+    // hash-agg on the chunk hash (map-side combine bounds the shuffle by
+    // distinct chunks) + one semi-join-shaped count back per doc —
+    // linear, never all-pairs. The twins corpus plants true dup mass.
+    RegQuery("p25_chunk_dedup",
+      (s, d) => {
+        val base = Pipeline.docsWithTwins(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .repartition(col("doc_id"))
+        val chunks = base.select(col("doc_id"),
+            when(size(col("tk")) >= 8,
+              transform(sequence(lit(0),
+                  floor(size(col("tk")) / 8).cast("int") - 1),
+                i => xxhash64(concat_ws(" ",
+                  slice(col("tk"), i * 8 + 1, lit(8))))))
+              .otherwise(array().cast("array<bigint>")).as("ch"))
+          .localCheckpoint() // feeds both the freq agg and the per-doc count
+        val ex = chunks.select(col("doc_id"), explode(col("ch")).as("h"))
+        val freq = ex.groupBy("h").agg(count(lit(1)).as("cnt"))
+        val agg = ex.join(freq, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        chunks.select("doc_id").join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+          .withColumn("dup_ratio", r4(col("n_dup").cast("double") /
+            greatest(col("n_chunks"), lit(1L))))
+          .orderBy("doc_id")
+      },
+      Some(Pipeline.twinsCte +
+        """, t AS (SELECT doc_id, string_split(text,' ') AS tk FROM alldocs),
+          |ch AS (SELECT doc_id,
+          |  CASE WHEN len(tk) >= 8 THEN list_transform(range(0, len(tk)//8),
+          |    i -> array_to_string(tk[i*8+1:i*8+8], ' '))
+          |  ELSE CAST([] AS VARCHAR[]) END AS ch FROM t),
+          |ex AS (SELECT doc_id, unnest(ch) AS c FROM ch),
+          |freq AS (SELECT c, count(*) AS cnt FROM ex GROUP BY c),
+          |agg AS (SELECT e.doc_id, count(*) AS n_chunks,
+          |    sum(CASE WHEN f.cnt >= 2 THEN 1 ELSE 0 END) AS n_dup
+          |  FROM ex e JOIN freq f ON e.c = f.c GROUP BY e.doc_id)
+          |SELECT ch.doc_id,
+          |  CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+          |  CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup,
+          |  floor(CAST(coalesce(a.n_dup, 0) AS DOUBLE)
+          |    / greatest(coalesce(a.n_chunks, 0), 1) * 10000 + 0.5)/10000
+          |    AS dup_ratio
+          |FROM ch LEFT JOIN agg a USING (doc_id)
+          |ORDER BY doc_id""".stripMargin)),
+
+    // ---- p26: quality score via a linear model (fastText-style) --------
+    // The standard learned-filter shape: handcrafted features (stopword
+    // ratio, mean word length, log2 token count) through fixed logistic
+    // weights. Pure per-row arithmetic — one codegen pass, no shuffle
+    // but the sort; the 1e-4 rounding absorbs cross-engine exp() ulps.
+    RegQuery("p26_quality_logreg",
+      (s, d) => {
+        val tk = col("tk")
+        val sr = TextOps.stopwordRatio(tk)
+        val mw = aggregate(tk, lit(0L), (a, x) => a + length(x))
+          .cast("double") / size(tk)
+        val z = lit(-3.0) + lit(4.0) * sr + lit(0.5) * mw +
+          lit(0.2) * log(2.0, size(tk))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), z.as("z"))
+          .select(col("doc_id"), r4(col("z")).as("z"),
+            r4(lit(1.0) / (lit(1.0) + exp(-col("z")))).as("score"))
+          .withColumn("keep",
+            (col("score") > 0.6).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk
+             |  FROM documents),
+             |f AS (SELECT doc_id,
+             |  -3.0 + 4.0 * (CAST(len(list_filter(tk, x -> list_contains(
+             |      ${TextOps.enStopwords.mkString("['", "','", "']")}, x)))
+             |      AS DOUBLE) / len(tk))
+             |  + 0.5 * (CAST(list_sum(list_transform(tk, x -> length(x)))
+             |      AS DOUBLE) / len(tk))
+             |  + 0.2 * log2(len(tk)) AS z FROM t)
+             |SELECT doc_id, floor(z*10000 + 0.5)/10000 AS z,
+             |  floor(1.0/(1.0 + exp(-z))*10000 + 0.5)/10000 AS score,
+             |  CAST(CASE WHEN floor(1.0/(1.0 + exp(-z))*10000 + 0.5)/10000
+             |    > 0.6 THEN 1 ELSE 0 END AS INTEGER) AS keep
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // ---- p27: domain-mixing weights (temperature sampling) -------------
+    // Per-source token mass → alpha=0.5 temperature weights → integer
+    // draw counts from a fixed budget: the data-mixing recipe
+    // (GPT-3/PaLM style upsampling of small high-quality sources).
+    // One aggregate (sources are few and bounded) + a global window sum
+    // over those few rows — coordination-free at any corpus size.
+    RegQuery("p27_domain_mixing",
+      (s, d) => {
+        val w = Window.partitionBy(lit(1))
+        Tables(s, d, "documents")
+          .select(col("source"), size(TextOps.tokens(col("text"))).as("n"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+          .withColumn("pw", pow(col("n_tokens").cast("double"), 0.5))
+          .withColumn("weight",
+            floor(col("pw") / sum(col("pw")).over(w) * 1000000 + 0.5) / 1000000)
+          .withColumn("draws", floor(lit(10000) * col("pw") /
+            sum(col("pw")).over(w)).cast("long"))
+          .select("source", "n_docs", "n_tokens", "weight", "draws")
+          .orderBy("source")
+      },
+      Some("""WITH s AS (SELECT source, count(*) AS n_docs,
+             |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source)
+             |SELECT source, n_docs, n_tokens,
+             |  floor(pow(n_tokens, 0.5) / sum(pow(n_tokens, 0.5)) OVER ()
+             |    * 1000000 + 0.5)/1000000 AS weight,
+             |  CAST(floor(10000 * pow(n_tokens, 0.5)
+             |    / sum(pow(n_tokens, 0.5)) OVER ()) AS BIGINT) AS draws
+             |FROM s ORDER BY source""".stripMargin)),
+
+    // ---- p28: dedup-cluster resolution (pairs → canonical doc) ---------
+    // Near-dup pairs are only half the job: production dedup groups them
+    // into clusters (connected components over the pair graph) and keeps
+    // one canonical doc per cluster. Pairs here are the p04 exact-Jaccard
+    // baseline (oracle-expressible); at scale the same plan consumes the
+    // p05 LSH pairs — the CC loop (leaf-peel + pointer-jump) is the
+    // scale-tested x01 machinery. Ids zero-pad to 9 digits so string min
+    // == numeric min on both sides.
+    RegQuery("p28_dedup_clusters",
+      (s, d) => {
+        val sub = Pipeline.docsWithTwins(s, d)
+          .where(col("doc_id") % 1000000 < 100)
+          .select(col("doc_id"),
+            TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+          .localCheckpoint()
+        val a = sub.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+        val b = sub.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+        val pairs = a.crossJoin(b).where(col("a_id") < col("b_id"))
+          .where(TextOps.jaccard(col("a_sh"), col("b_sh")) >= 0.5)
+          .select(lpad(col("a_id").cast("string"), 9, "0").as("src_id"),
+            lpad(col("b_id").cast("string"), 9, "0").as("dst_id"))
+        val cc = graft.graphx.GraphAnalytics.connectedComponents(pairs)
+          .select(col("id").cast("long").as("doc_id"),
+            col("component").cast("long").as("canonical_id"))
+        val sizes = cc.groupBy("canonical_id")
+          .agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, "canonical_id")
+          .select("doc_id", "canonical_id", "cluster_size")
+          .orderBy("doc_id")
+      },
+      Some((Pipeline.twinsCte +
+        """, sub AS (
+          |  SELECT doc_id, list_distinct(list_transform(
+          |    range(1, greatest(len(string_split(text,' '))-1, 2)),
+          |    i -> string_split(text,' ')[i] || ' ' ||
+          |         string_split(text,' ')[i+1] || ' ' ||
+          |         string_split(text,' ')[i+2])) AS sh
+          |  FROM alldocs WHERE doc_id % 1000000 < 100),
+          |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM sub a JOIN sub b ON a.doc_id < b.doc_id
+          |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+          |und AS (SELECT a_id AS u, b_id AS v FROM pairs
+          |  UNION SELECT b_id, a_id FROM pairs),
+          |reach AS (
+          |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+          |  UNION
+          |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+          |comp AS (SELECT u AS doc_id, min(v) AS canonical_id
+          |  FROM reach GROUP BY u)
+          |SELECT doc_id, canonical_id, cnt AS cluster_size
+          |FROM comp JOIN (SELECT canonical_id AS c2, count(*) AS cnt
+          |  FROM comp GROUP BY canonical_id) ON canonical_id = c2
+          |ORDER BY doc_id""".stripMargin)
+        // the `reach` CTE is recursive — flag the whole WITH chain
+        .replaceFirst("WITH ", "WITH RECURSIVE ")))
   )
 
   /** DuckDB mirror of p22: same seed centroids, same 1e-6 rounding. */

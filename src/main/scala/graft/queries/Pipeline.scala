@@ -27,7 +27,7 @@ import graft.llm.{TextOps, VectorOps}
 object Pipeline {
 
   /** documents ∪ perturbed twins (id+1M, last 3 tokens dropped). */
-  private def docsWithTwins(s: SparkSession, d: String): DataFrame = {
+  private[queries] def docsWithTwins(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d, "documents")
       .select("doc_id", "text", "lang", "source", "n_chars")
     val t = TextOps.tokens(col("text"))
@@ -39,7 +39,7 @@ object Pipeline {
   }
 
   /** Matching DuckDB CTE for docsWithTwins. */
-  private val twinsCte =
+  private[queries] val twinsCte =
     """WITH toks AS (SELECT *, string_split(text, ' ') AS t FROM documents),
       |alldocs AS (
       |  SELECT doc_id, text, lang, source, n_chars FROM documents

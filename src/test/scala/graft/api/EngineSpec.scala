@@ -129,6 +129,13 @@ class EngineSpec extends SparkSpec {
     assert(names == Seq("Bob"))
   }
 
+  test("forDir auto-registers the default SQL views") {
+    Engine.forDir(spark, sfDir)
+    assert(spark.catalog.tableExists("graft_nodes") &&
+      spark.catalog.tableExists("graft_edges"))
+    assert(spark.sql("SELECT count(*) FROM graft_nodes").first().getLong(0) > 0)
+  }
+
   test("csv, text, and json sources round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("srcs")
     java.nio.file.Files.writeString(dir.resolve("d.csv"), "a,b\n1,x\n2,y\n")
