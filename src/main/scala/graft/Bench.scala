@@ -14,7 +14,7 @@ object Bench {
       .config("spark.local.dir", localDir)
       // streaming state checkpoints default to /tmp (disk) — the same
       // stochastic-stall device; keep them on the tmpfs scratch too
-      .config("spark.sql.streaming.checkpointLocation", s"$localDir/stream-ck")
+      .config("spark.sql.streaming.checkpointLocation", s"$localDir/stream-ck-${ProcessHandle.current.pid}")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -33,7 +33,14 @@ object Bench {
       Option(f.listFiles()).foreach(_.foreach(rmStreamCk))
       f.delete(): Unit
     }
-    rmStreamCk(new java.io.File(s"$localDir/stream-ck"))
+    // sweep checkpoint dirs left by DEAD JVMs only — per-pid names keep
+    // live concurrent runs (verify + profile side by side) from
+    // clobbering each other's streaming state
+    Option(new java.io.File(localDir).listFiles()).foreach(_
+      .filter(f => f.getName.startsWith("stream-ck-") &&
+        !f.getName.stripPrefix("stream-ck-").toLongOption
+          .exists(pid => ProcessHandle.of(pid).isPresent()))
+      .foreach(rmStreamCk))
     // absorb one-time session/JIT/codegen warmup so it doesn't land on
     // whichever query happens to run first
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -65,7 +72,7 @@ object Bench {
         org.apache.spark.sql.GraftInternals.stopStateStores()
         // memory-sink queries can't recover a checkpoint — clear the
         // scratch so the second timed run starts fresh
-        rmrf(new java.io.File(s"$localDir/stream-ck"))
+        rmrf(new java.io.File(s"$localDir/stream-ck-${ProcessHandle.current.pid}"))
         System.gc()
         s
       }.min

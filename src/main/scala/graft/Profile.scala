@@ -21,7 +21,7 @@ object Profile {
       .config("spark.local.dir", localDir)
       // streaming state checkpoints default to /tmp (disk) — the same
       // stochastic-stall device; keep them on the tmpfs scratch too
-      .config("spark.sql.streaming.checkpointLocation", s"$localDir/stream-ck")
+      .config("spark.sql.streaming.checkpointLocation", s"$localDir/stream-ck-${ProcessHandle.current.pid}")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -40,7 +40,14 @@ object Profile {
       Option(f.listFiles()).foreach(_.foreach(rmStreamCk))
       f.delete(): Unit
     }
-    rmStreamCk(new java.io.File(s"$localDir/stream-ck"))
+    // sweep checkpoint dirs left by DEAD JVMs only — per-pid names keep
+    // live concurrent runs (verify + profile side by side) from
+    // clobbering each other's streaming state
+    Option(new java.io.File(localDir).listFiles()).foreach(_
+      .filter(f => f.getName.startsWith("stream-ck-") &&
+        !f.getName.stripPrefix("stream-ck-").toLongOption
+          .exists(pid => ProcessHandle.of(pid).isPresent()))
+      .foreach(rmStreamCk))
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -57,7 +64,7 @@ object Profile {
           Option(f.listFiles()).foreach(_.foreach(rmrf))
           f.delete(): Unit
         }
-        rmrf(new java.io.File(s"$localDir/stream-ck"))
+        rmrf(new java.io.File(s"$localDir/stream-ck-${ProcessHandle.current.pid}"))
         System.gc()
       }
       val cold = time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())

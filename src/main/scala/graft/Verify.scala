@@ -21,7 +21,7 @@ object Verify {
       .config("spark.local.dir", localDir)
       // streaming state checkpoints default to /tmp (disk) — the same
       // stochastic-stall device; keep them on the tmpfs scratch too
-      .config("spark.sql.streaming.checkpointLocation", s"$localDir/stream-ck")
+      .config("spark.sql.streaming.checkpointLocation", s"$localDir/stream-ck-${ProcessHandle.current.pid}")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -40,7 +40,14 @@ object Verify {
       Option(f.listFiles()).foreach(_.foreach(rmStreamCk))
       f.delete(): Unit
     }
-    rmStreamCk(new java.io.File(s"$localDir/stream-ck"))
+    // sweep checkpoint dirs left by DEAD JVMs only — per-pid names keep
+    // live concurrent runs (verify + profile side by side) from
+    // clobbering each other's streaming state
+    Option(new java.io.File(localDir).listFiles()).foreach(_
+      .filter(f => f.getName.startsWith("stream-ck-") &&
+        !f.getName.stripPrefix("stream-ck-").toLongOption
+          .exists(pid => ProcessHandle.of(pid).isPresent()))
+      .foreach(rmStreamCk))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

