@@ -60,6 +60,23 @@ object TextOps {
     sig.select(col(idCol), posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
   }
 
+  /** Per-row MinHash banding: identical math to `minhash` + `bands`
+    * (hash each shingle, k seeded rehashes, min per seed, bands of r)
+    * but as one array expression per document — no explode, no
+    * aggregate, no shuffle. The streaming-friendly form: a stateless
+    * row transform whose band hashes equal the batch pipeline's
+    * exactly, so a stream can band docs as they arrive and only the
+    * tiny bucket-state lookup is stateful. Returns an array of b band
+    * hashes. */
+  def bandsPerRow(shinglesCol: Column, k: Int, b: Int, r: Int): Column = {
+    val hashed = transform(shinglesCol, s => xxhash64(s))
+    val mh = (0 until k).map(i =>
+      array_min(transform(hashed, x => xxhash64(x, lit(i)))))
+    array((0 until b).map(bi =>
+      xxhash64(concat_ws(",",
+        (0 until r).map(ri => mh(bi * r + ri)): _*))): _*)
+  }
+
   /** Candidate pairs (a < b) sharing an LSH bucket. The bucket-size cap
     * guards against degenerate buckets (stopword-only docs) exploding
     * quadratically — the standard spam guard at scale. Bucket members

@@ -468,6 +468,69 @@ object Curation {
           |ORDER BY doc_id""".stripMargin)
         // the `reach` CTE is recursive — flag the whole WITH chain
         .replaceFirst("WITH ", "WITH RECURSIVE ")))
+  ,
+
+    // ---- p29: end-to-end curation funnel (composition proof) -----------
+    // The report every curation run produces: per source, how many docs
+    // survive quality gating (p26 weights) → exact dedup (min doc per
+    // content hash among quality survivors) → stratified hash sampling
+    // (p21 gate). All three stages compose as FLAGS on one frame — one
+    // scan, one window, one aggregate; no stage materializes an
+    // intermediate corpus. The dedup-among-survivors trick: rank within
+    // md5(text) ordering quality-passers first, so rn=1 ∧ q=1 marks the
+    // kept copy without a second pass.
+    RegQuery("p29_pipeline_funnel",
+      (s, d) => {
+        val tk = col("tk")
+        val sr = TextOps.stopwordRatio(tk)
+        val mw = aggregate(tk, lit(0L), (a, x) => a + length(x))
+          .cast("double") / size(tk)
+        val z = lit(-3.0) + lit(4.0) * sr + lit(0.5) * mw +
+          lit(0.2) * log(2.0, size(tk))
+        val score = r4(lit(1.0) / (lit(1.0) + exp(-z)))
+        val gate = substring(md5(concat(col("source"), lit("#"),
+          col("doc_id").cast("string"))), 1, 2) <
+          substring(md5(col("source")), 1, 2)
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"),
+            TextOps.tokens(col("text")).as("tk"))
+          .repartition(col("doc_id"))
+          .withColumn("q", (score > 0.5).cast("int"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(md5(col("text")))
+              .orderBy(col("q").desc, col("doc_id"))))
+          .withColumn("keeper",
+            (col("q") === 1 && col("rn") === 1).cast("int"))
+          .withColumn("samp", (col("keeper") === 1 && gate).cast("int"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_in"), sum("q").as("n_quality"),
+            sum("keeper").as("n_unique"), sum("samp").as("n_sampled"))
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, text,
+             |    string_split(text,' ') AS tk FROM documents),
+             |f AS (SELECT doc_id, source, text,
+             |  CASE WHEN floor(1.0/(1.0+exp(-(-3.0
+             |    + 4.0*(CAST(len(list_filter(tk, x -> list_contains(
+             |        ${TextOps.enStopwords.mkString("['", "','", "']")}, x)))
+             |        AS DOUBLE)/len(tk))
+             |    + 0.5*(CAST(list_sum(list_transform(tk, x -> length(x)))
+             |        AS DOUBLE)/len(tk))
+             |    + 0.2*log2(len(tk)))))*10000 + 0.5)/10000 > 0.5
+             |    THEN 1 ELSE 0 END AS q FROM t),
+             |w AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+             |    ORDER BY q DESC, doc_id) AS rn FROM f),
+             |g AS (SELECT source, q,
+             |  CASE WHEN q = 1 AND rn = 1 THEN 1 ELSE 0 END AS keeper,
+             |  CASE WHEN q = 1 AND rn = 1
+             |    AND substr(md5(source || '#' || doc_id), 1, 2)
+             |      < substr(md5(source), 1, 2) THEN 1 ELSE 0 END AS samp
+             |  FROM w)
+             |SELECT source, count(*) AS n_in,
+             |  CAST(sum(q) AS BIGINT) AS n_quality,
+             |  CAST(sum(keeper) AS BIGINT) AS n_unique,
+             |  CAST(sum(samp) AS BIGINT) AS n_sampled
+             |FROM g GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** DuckDB mirror of p22: same seed centroids, same 1e-6 rounding. */

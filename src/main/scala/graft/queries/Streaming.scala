@@ -114,11 +114,7 @@ object Streaming {
     RegQuery("s07_stream_totals",
       (s, d) => {
         import s.implicits._
-        val key = "spark.sql.streaming.stateStore.providerClass"
-        val before = s.conf.getOption(key)
-        s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-          "state.RocksDBStateStoreProvider")
-        try {
+        Streams.withRocksDB(s) {
           val q = withStatePartitions(s, 8) {
             Streams.userTotals(streamEvents(s, d).as[Streams.EvV])
               .writeStream.format("memory").queryName("s07_sink")
@@ -131,9 +127,6 @@ object Streaming {
             .agg(max("n_events").as("n_events"),
               (floor(max("total_value") * 100 + 0.5) / 100).as("total_value"))
             .orderBy("user_id")
-        } finally before match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
         }
       },
       Some("""SELECT user_id, count(*) AS n_events,
@@ -215,6 +208,56 @@ object Streaming {
              | AND c.user_id = v.user_id
              | AND v.ts BETWEEN c.ts - INTERVAL 6 HOUR AND c.ts
              |WHERE c.user_id % 7 = 0
-             |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin))
+             |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin)),
+
+    // ---- s08: streaming incremental near-dup (continuous-ingest dedup) --
+    // Docs arrive as a stream; banding is a STATELESS per-row transform
+    // (TextOps.bandsPerRow — same hashes as the batch MinHash pipeline),
+    // and only the band-bucket min lives in the state store. Each new
+    // doc that lands in a seen bucket emits a (first_doc, new_doc)
+    // candidate pair immediately — dedup keeps up with ingest instead
+    // of re-running batch LSH over the whole corpus. Emission is linear
+    // in bucket size and deterministic under any micro-batch split
+    // (equality with the batch min-anchored pairs pinned in
+    // StreamingSpec). xxhash64 has no DuckDB analog → rows-only check.
+    RegQuery("s08_stream_neardup",
+      (s, d) => {
+        import s.implicits._
+        val tk = graft.llm.TextOps.tokens(col("text"))
+        val twins = streamDocs(s, d).select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ",
+            slice(tk, lit(1), greatest(size(tk) - 3, lit(1)))).as("text"))
+        val all = streamDocs(s, d).select("doc_id", "text").unionAll(twins)
+        val bands = graft.llm.TextOps.bandsPerRow(
+          graft.llm.TextOps.shingles(
+            graft.llm.TextOps.tokens(col("text")), 3), k = 32, b = 8, r = 4)
+        val banded = all
+          .select(col("doc_id"),
+            posexplode(bands).as(Seq("band_idx", "band_hash")))
+          .select(col("band_idx").cast("int").as("band_idx"),
+            col("band_hash"), col("doc_id"))
+          .as[graft.streaming.Streams.BandDoc]
+        graft.streaming.Streams.withRocksDB(s) {
+          val q = withStatePartitions(s, 8) {
+            graft.streaming.Streams.bandDedup(banded)
+              .writeStream.format("memory").queryName("s08_sink")
+              .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          }
+          q.awaitTermination()
+        }
+        s.table("s08_sink").distinct().orderBy("a_id", "b_id")
+      },
+      None)
   )
+
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** documents.parquet as a stream. */
+  private def streamDocs(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
 }

@@ -145,4 +145,73 @@ object Streams {
       .transformWithState(new TotalsProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
+
+  /** Run `f` with the RocksDB state store provider (required by
+    * transformWithState's column families; also the production 100 TB
+    * state config), restoring the prior provider after. */
+  def withRocksDB[T](s: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try f finally before match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  // --- streaming incremental near-dup (LSH band-bucket state) ----------
+
+  case class BandDoc(band_idx: Int, band_hash: Long, doc_id: Long)
+  case class DupPair(a_id: Long, b_id: Long)
+  // public: the state encoder's generated code instantiates it
+  case class BucketMin(doc: Long)
+
+  /** Per band bucket keep the MIN doc_id ever seen; every other doc
+    * sharing the bucket emits a (min, doc) candidate pair — the
+    * continuous-ingest half of MinHash dedup. Emission is linear in
+    * bucket size (a star around the min, not all-pairs — the spam-guard
+    * cap becomes unnecessary) and DETERMINISTIC under any micro-batch
+    * split: rows sort by doc_id inside a batch, and a later batch that
+    * brings a smaller doc re-anchors the bucket, emitting the demoted
+    * min as the b-side. The final pair set always equals the batch
+    * min-anchored pairs over the same buckets (pinned in StreamingSpec).
+    * State is one long per bucket — bounded by bucket cardinality, with
+    * TTL available for time-decayed corpora. */
+  class BandDedupProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Int, Long), BandDoc, DupPair] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    @transient private var minDoc: ValueState[BucketMin] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      minDoc = getHandle.getValueState[BucketMin]("minDoc",
+        org.apache.spark.sql.Encoders.product[BucketMin], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandDoc],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[DupPair] = {
+      val ds = rows.map(_.doc_id).toArray.sorted.distinct
+      val out = scala.collection.mutable.ArrayBuffer.empty[DupPair]
+      var cur = Option(minDoc.get()).map(_.doc)
+      ds.foreach { d =>
+        cur match {
+          case None => cur = Some(d)
+          case Some(m) if d == m => ()
+          case Some(m) if d < m => out += DupPair(d, m); cur = Some(d)
+          case Some(m) => out += DupPair(m, d)
+        }
+      }
+      cur.foreach(m => minDoc.update(BucketMin(m)))
+      out.iterator
+    }
+  }
+
+  /** Stream of banded docs → candidate near-dup pairs. */
+  def bandDedup(bands: Dataset[BandDoc]): Dataset[DupPair] = {
+    import bands.sparkSession.implicits._
+    bands.groupByKey(b => (b.band_idx, b.band_hash))
+      .transformWithState(new BandDedupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
 }

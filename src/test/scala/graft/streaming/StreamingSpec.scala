@@ -103,4 +103,58 @@ class StreamingSpec extends SparkSpec {
     assert(last(10L) == UserStat(10, 4, 2))
     assert(last(11L) == UserStat(11, 2, 1))
   }
+
+  test("streaming LSH dedup equals batch min-anchored bucket pairs") {
+    import graft.llm.TextOps
+    val streamed = graft.SparkEntry
+      .queries("s08_stream_neardup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // batch expectation over the SAME corpus: band every doc with the
+    // batch pipeline, star-anchor each >=2 bucket at its min doc
+    val base = graft.Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val t = TextOps.tokens(col("text"))
+    val corpus = base.unionAll(base.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(t, lit(1), greatest(size(t) - 3, lit(1)))).as("text")))
+    val sh = corpus.select(col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    val bands = TextOps.bands(
+      TextOps.minhash(sh, "doc_id", col("sh"), k = 32), "doc_id", b = 8, r = 4)
+    val expected = bands.groupBy("band_idx", "band_hash")
+      .agg(min("doc_id").as("m"), collect_set("doc_id").as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(col("m"), explode(col("ids")).as("d"))
+      .where(col("d") =!= col("m"))
+      .select(col("m").as("a_id"), col("d").as("b_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == expected,
+      s"stream/batch diverge: only-stream=${(streamed -- expected).take(5)} " +
+        s"only-batch=${(expected -- streamed).take(5)}")
+
+    // and the planted twins are recovered like the batch path (p05 pin)
+    val nDocs = base.count()
+    val twins = streamed.count { case (a, b) => b == a + 1000000L }
+    assert(twins >= 0.9 * nDocs, s"twin recall $twins/$nDocs")
+  }
+
+  test("band-bucket state re-anchors when a smaller doc arrives later") {
+    import graft.streaming.Streams.{BandDoc, DupPair}
+    implicit val sqlCtx = spark.sqlContext
+    Streams.withRocksDB(spark) {
+      val src = MemoryStream[BandDoc]
+      val q = Streams.bandDedup(src.toDS()).writeStream.format("memory")
+        .queryName("t_band").outputMode(OutputMode.Append()).start()
+      // bucket (0, 100): doc 5 first, then a SMALLER doc 3, then doc 4 —
+      // the min must re-anchor and the final pair set equal the batch
+      // star {(3,5),(3,4)} no matter the arrival order
+      src.addData(BandDoc(0, 100L, 5)); q.processAllAvailable()
+      src.addData(BandDoc(0, 100L, 3)); q.processAllAvailable()
+      src.addData(BandDoc(0, 100L, 4)); q.processAllAvailable()
+      q.stop()
+    }
+    val pairs = spark.table("t_band").as[DupPair].collect()
+      .map(p => (p.a_id, p.b_id)).toSet
+    assert(pairs == Set((3L, 5L), (3L, 4L)), pairs.toString)
+  }
 }
