@@ -494,7 +494,11 @@ object Curation {
         Tables(s, d, "documents")
           .select(col("doc_id"), col("source"), col("text"),
             TextOps.tokens(col("text")).as("tk"))
-          .repartition(col("doc_id"))
+          // barrier on the SAME key the dedup window needs: one shuffle
+          // serves both the CollapseProject barrier (tk feeds 3 features)
+          // and the window's clustering — Catalyst elides the second
+          // exchange (pinned in ScaleSpec)
+          .repartition(md5(col("text")))
           .withColumn("q", (score > 0.5).cast("int"))
           .withColumn("rn", row_number().over(
             Window.partitionBy(md5(col("text")))

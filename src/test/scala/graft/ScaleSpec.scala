@@ -135,6 +135,31 @@ class ScaleSpec extends SparkSpec {
       s"triangle closure is not a broadcast semi-join:\n$plan")
   }
 
+  test("p29 funnel: the barrier shuffle doubles as the window exchange") {
+    // the barrier repartition keys on md5(text) — the SAME clustering
+    // the dedup window needs — so Catalyst must elide the window's own
+    // exchange. Plan shape: repartition + agg exchange + sort range
+    // exchange and nothing else; a 4th exchange means the barrier and
+    // the window stopped sharing a shuffle.
+    val plan = SparkEntry.queries("p29_pipeline_funnel")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"funnel grew a join:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"funnel shuffles beyond barrier+agg+sort:\n$plan")
+  }
+
+  test("p25 chunk dedup: hash-aggregate freq join, never a cartesian") {
+    // the C4-style chunk-dup ratio must stay linear: chunk freq is a
+    // two-phase hash aggregate and the per-doc count is an equi-join on
+    // the chunk hash — any NestedLoop/Cartesian means an all-pairs
+    // regression
+    val plan = SparkEntry.queries("p25_chunk_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"chunk dedup went quadratic:\n$plan")
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val li = Tables(spark, sfDir, "lineitem")
     val direct = li.groupBy("l_returnflag")
