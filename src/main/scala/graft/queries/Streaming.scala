@@ -223,16 +223,37 @@ object Streaming {
     RegQuery("s08_stream_neardup",
       (s, d) => {
         import s.implicits._
+        // doc + perturbed twin fan out from ONE scan (a union of two
+        // streamDocs() would read and parse the source twice)
         val tk = graft.llm.TextOps.tokens(col("text"))
-        val twins = streamDocs(s, d).select(
-          (col("doc_id") + 1000000L).as("doc_id"),
-          concat_ws(" ",
-            slice(tk, lit(1), greatest(size(tk) - 3, lit(1)))).as("text"))
-        val all = streamDocs(s, d).select("doc_id", "text").unionAll(twins)
-        val bands = graft.llm.TextOps.bandsPerRow(
-          graft.llm.TextOps.shingles(
-            graft.llm.TextOps.tokens(col("text")), 3), k = 32, b = 8, r = 4)
+        val all = streamDocs(s, d)
+          .select(explode(array(
+            struct(col("doc_id"), col("text")),
+            struct((col("doc_id") + 1000000L).as("doc_id"),
+              concat_ws(" ", slice(tk, lit(1),
+                greatest(size(tk) - 3, lit(1)))).as("text")))).as("r"))
+          .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+        // hash shingles to longs ONCE behind a shuffle barrier: the 32
+        // minhash exprs each reference the shingle array, and
+        // CollapseProject would inline the whole split→shingle→hash
+        // chain into every one (measured 110 s/run at sf0.1 without the
+        // barrier, ~3 s with). A stream can't localCheckpoint — the
+        // exchange is the streaming-legal materialization point.
+        val bands = graft.llm.TextOps.bandsPerRow(col("hs"),
+          k = 32, b = 8, r = 4)
         val banded = all
+          // first shuffle = PARALLELISM: the file source is one small
+          // file (1-2 input partitions), and the shingle+hash chain at
+          // ~1 ms/doc would otherwise run serial in the scan task
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), transform(
+            graft.llm.TextOps.shingles(
+              graft.llm.TextOps.tokens(col("text")), 3),
+            sh => xxhash64(sh)).as("hs"))
+          // second shuffle = BARRIER (user repartitions with a project
+          // between survive CollapseRepartition): hs materializes once
+          // instead of being re-inlined into all 32 band expressions
+          .repartition(col("doc_id"))
           .select(col("doc_id"),
             posexplode(bands).as(Seq("band_idx", "band_hash")))
           .select(col("band_idx").cast("int").as("band_idx"),

@@ -111,14 +111,16 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
     // batch expectation over the SAME corpus: band every doc with the
-    // batch pipeline, star-anchor each >=2 bucket at its min doc
+    // batch pipeline (shingles pre-hashed to longs, like the stream and
+    // like p05), star-anchor each >=2 bucket at its min doc
     val base = graft.Tables(spark, sfDir, "documents").select("doc_id", "text")
     val t = TextOps.tokens(col("text"))
     val corpus = base.unionAll(base.select(
       (col("doc_id") + 1000000L).as("doc_id"),
       concat_ws(" ", slice(t, lit(1), greatest(size(t) - 3, lit(1)))).as("text")))
     val sh = corpus.select(col("doc_id"),
-      TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      transform(TextOps.shingles(TextOps.tokens(col("text")), 3),
+        s => xxhash64(s)).as("sh"))
     val bands = TextOps.bands(
       TextOps.minhash(sh, "doc_id", col("sh"), k = 32), "doc_id", b = 8, r = 4)
     val expected = bands.groupBy("band_idx", "band_hash")
