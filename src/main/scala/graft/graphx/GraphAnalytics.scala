@@ -141,6 +141,39 @@ object GraphAnalytics {
       .groupBy("v").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** k-core decomposition (undirected): iteratively peel vertices of
+    * degree < k until the residual graph is stable; returns the core's
+    * [v, core_deg]. Each round is one degree aggregate + two semi-joins
+    * (both sides of every surviving edge must be core candidates) with
+    * a `localCheckpoint` to cut the iterative lineage — the same
+    * round-shape as the CC loop, so it scales the same way: rounds are
+    * O(peeling depth), each a bounded number of shuffles on the
+    * shrinking edge set. The removed-count convergence check rides the
+    * same job as the checkpoint. */
+  def kCore(pairs: DataFrame, k: Int): DataFrame = {
+    var edges = pairs
+      .select(col("p1").as("u"), col("p2").as("v"))
+      .unionAll(pairs.select(col("p2").as("u"), col("p1").as("v")))
+      .distinct().localCheckpoint()
+    var n = edges.count()
+    var changed = n > 0
+    while (changed) {
+      val keep = edges.groupBy("u").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select(col("u").as("kv"))
+        .localCheckpoint()
+      val next = edges
+        .join(keep.select(col("kv").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("kv").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+      val m = next.count()
+      changed = m != n && m > 0
+      n = m
+      edges = next
+    }
+    edges.groupBy("u").agg(count(lit(1)).as("core_deg"))
+      .select(col("u").as("v"), col("core_deg"))
+  }
+
   /** Connected components (undirected); returns [id, component] with
     * component = lexicographically-smallest member id.
     *

@@ -534,7 +534,48 @@ object Curation {
              |  CAST(sum(q) AS BIGINT) AS n_quality,
              |  CAST(sum(keeper) AS BIGINT) AS n_unique,
              |  CAST(sum(samp) AS BIGINT) AS n_sampled
-             |FROM g GROUP BY source ORDER BY source""".stripMargin))
+             |FROM g GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- p30: cross-source contamination matrix ------------------------
+    // Which sources leak into each other: near-dup pairs rolled up by
+    // the (ordered) source pair — the report that tells a pipeline
+    // owner "crawl B is 40% re-hosted crawl A". Pairs here are the p04
+    // exact-Jaccard baseline so DuckDB checks the whole rollup; at
+    // scale the same rollup consumes the p05/s08 LSH pairs.
+    RegQuery("p30_contamination_matrix",
+      (s, d) => {
+        val sub = Pipeline.docsWithTwins(s, d)
+          .where(col("doc_id") % 1000000 < 100)
+          .select(col("doc_id"), col("source"),
+            TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+          .localCheckpoint()
+        val a = sub.select(col("doc_id").as("a_id"),
+          col("source").as("src_a"), col("sh").as("a_sh"))
+        val b = sub.select(col("doc_id").as("b_id"),
+          col("source").as("src_b"), col("sh").as("b_sh"))
+        a.crossJoin(b).where(col("a_id") < col("b_id"))
+          .where(TextOps.jaccard(col("a_sh"), col("b_sh")) >= 0.5)
+          .select(least(col("src_a"), col("src_b")).as("src_lo"),
+            greatest(col("src_a"), col("src_b")).as("src_hi"))
+          .groupBy("src_lo", "src_hi")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("src_lo", "src_hi")
+      },
+      Some(Pipeline.twinsCte +
+        """, sub AS (
+          |  SELECT doc_id, source, list_distinct(list_transform(
+          |    range(1, greatest(len(string_split(text,' '))-1, 2)),
+          |    i -> string_split(text,' ')[i] || ' ' ||
+          |         string_split(text,' ')[i+1] || ' ' ||
+          |         string_split(text,' ')[i+2])) AS sh
+          |  FROM alldocs WHERE doc_id % 1000000 < 100)
+          |SELECT least(a.source, b.source) AS src_lo,
+          |  greatest(a.source, b.source) AS src_hi,
+          |  count(*) AS n_pairs
+          |FROM sub a JOIN sub b ON a.doc_id < b.doc_id
+          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+          |GROUP BY src_lo, src_hi ORDER BY src_lo, src_hi""".stripMargin))
   )
 
   /** DuckDB mirror of p22: same seed centroids, same 1e-6 rounding. */

@@ -62,21 +62,7 @@ object GraphXQueries {
     // exact three-way-join mirror in DuckDB checks it to the row
     RegQuery("x04_triangles",
       (s, d) => {
-        import org.apache.spark.sql.functions._
-        // pair list per order via collect_set + in-row fan-out (orders
-        // hold ≤7 parts) — ONE shuffle on l_orderkey instead of a
-        // self-join; the same bounded-bucket explode as LSH
-        // candidatePairs
-        val pairs = graft.Tables(s, d, "lineitem")
-          .groupBy("l_orderkey")
-          .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-          .select(explode(flatten(transform(col("ps"), (a, i) =>
-            transform(slice(col("ps"), i + 2, size(col("ps"))), b =>
-              struct(a.as("p1"), b.as("p2")))))).as("e"))
-          .select(col("e.p1").cast("long").as("p1"),
-            col("e.p2").cast("long").as("p2"))
-          .distinct()
-        GraphAnalytics.triangleCounts(pairs)
+        GraphAnalytics.triangleCounts(coPurchasePairs(s, d))
           // coalesce: a triangle-free pair list sums to NULL while the
           // oracle's count(*) says 0 (latent corner — untriggered on the
           // fixed testdata but a real divergence)
@@ -97,6 +83,38 @@ object GraphXQueries {
              |  UNION ALL SELECT c FROM tri) GROUP BY v)
              |SELECT (SELECT count(*) FROM tri) AS n_tri,
              |  (SELECT count(*) FROM pv) AS n_in_tri,
-             |  (SELECT max(n) FROM pv) AS max_tri""".stripMargin))
+             |  (SELECT max(n) FROM pv) AS max_tri""".stripMargin)),
+
+    // k-core decomposition of the same co-purchase graph: the dense
+    // backbone left after iteratively peeling degree<k vertices — the
+    // "who actually co-occurs a lot" subgraph community pipelines start
+    // from. Iterate-to-fixpoint has no DuckDB expression → rows-only;
+    // the core invariants (every member keeps >=k core neighbors, no
+    // peeled vertex does) are pinned in GraphXSpec.
+    RegQuery("x05_kcore",
+      (s, d) => {
+        val core = GraphAnalytics.kCore(coPurchasePairs(s, d), k = 3)
+        core.agg(count(lit(1)).as("n_core_vertices"),
+          (sum("core_deg") / 2).cast("long").as("n_core_edges"),
+          coalesce(min("core_deg"), lit(0L)).as("min_core_deg"),
+          coalesce(max("core_deg"), lit(0L)).as("max_core_deg"))
+      },
+      None)
   )
+
+  /** Co-purchase pair list (parts sharing an order, p1 < p2): one
+    * shuffle on l_orderkey + in-row fan-out (orders hold ≤7 parts) —
+    * the same bounded-bucket explode as LSH candidatePairs, never a
+    * self-join. Shared by x04 and x05. */
+  private def coPurchasePairs(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame =
+    graft.Tables(s, d, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (a, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))), b =>
+          struct(a.as("p1"), b.as("p2")))))).as("e"))
+      .select(col("e.p1").cast("long").as("p1"),
+        col("e.p2").cast("long").as("p2"))
+      .distinct()
 }

@@ -73,4 +73,30 @@ class GraphXSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
   }
+
+  test("kCore: peels the tail, keeps the clique; cascade peel works") {
+    // K4 on 1-4 + path 4-5-6: the 3-core is exactly the K4, and vertex
+    // 5 only drops below degree 2 AFTER 6 is peeled — exercising the
+    // multi-round cascade, not just one sweep
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("p1", "p2")
+    val core3 = GraphAnalytics.kCore(pairs, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), core3.toString)
+    // k=2: 5 has degree 2 initially but 6 (degree 1) peels first,
+    // dropping 5 to 1 → both go; the 2-core is again the K4
+    val core2 = GraphAnalytics.kCore(pairs, 2)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(core2 == Set(1L, 2L, 3L, 4L), core2.toString)
+    // empty graph and over-peeled graph return empty, not error
+    assert(GraphAnalytics.kCore(pairs, 10).count() == 0)
+  }
+
+  test("kCore invariants on the co-purchase graph") {
+    val out = graft.SparkEntry.queries("x05_kcore")(spark, sfDir).head()
+    val (nv, minDeg) = (out.getLong(0), out.getLong(2))
+    // every core member keeps >= k neighbors inside the core
+    assert(nv == 0 || minDeg >= 3,
+      s"core vertex below k: n=$nv minDeg=$minDeg")
+  }
 }
