@@ -73,6 +73,40 @@ object GraphAnalytics {
       .select("id", "landmark", "dist")
   }
 
+  /** Multi-landmark directed hop counts as plain DataFrame joins — the
+    * scale path for [[shortestPaths]] (identical output; equality
+    * pinned in GraphXSpec). One BFS wave per hop walking REVERSE edges
+    * from all landmarks at once, state keyed (id, landmark), per-hop
+    * `localCheckpoint` to cut lineage: the same loop the traversal and
+    * CC use, so it stays in Tungsten rows with AQE planning every hop —
+    * no RDD conversion, no per-vertex hash maps shipped around (the
+    * GraphX Pregel version serializes a Map per vertex per round). */
+  def shortestPathsDF(edges: DataFrame, landmarks: Seq[String]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val rev = edges.select(col("dst_id").as("from"), col("src_id").as("to"))
+      .distinct().localCheckpoint()
+    var visited = landmarks.toDF("id")
+      .select(col("id"), col("id").as("landmark"), lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = visited.select("id", "landmark")
+    var hop = 0
+    var done = frontier.isEmpty
+    while (!done) {
+      hop += 1
+      val next = frontier.join(rev, frontier("id") === rev("from"))
+        .select(col("to").as("id"), col("landmark")).distinct()
+        .join(visited.select("id", "landmark"),
+          Seq("id", "landmark"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint()
+      done = next.isEmpty
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = next.select("id", "landmark")
+    }
+    visited
+  }
+
   /** Per-vertex triangle counts over an undirected pair list [p1, p2]
     * (long ids, canonical p1 < p2, deduped by the caller), the
     * degree-ordered wedge-check algorithm as plain DataFrame joins:

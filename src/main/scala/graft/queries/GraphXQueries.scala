@@ -39,8 +39,10 @@ object GraphXQueries {
     // directed hop distances TO two landmarks — exercises direction
     // semantics (orders→customer→nation, never the reverse) and
     // reachability filtering; exact, so fully oracle-checked
+    // DataFrame BFS (scale path); the GraphX Pregel variant remains in
+    // GraphAnalytics.shortestPaths, equality-pinned in GraphXSpec
     RegQuery("x03_shortest_paths",
-      (s, d) => GraphAnalytics.shortestPaths(GraphStore.edges(s, d),
+      (s, d) => GraphAnalytics.shortestPathsDF(GraphStore.edges(s, d),
           Seq("nation/1", "customer/7"))
         .orderBy("id", "landmark"),
       Some("""SELECT id, landmark, dist FROM (

@@ -74,6 +74,18 @@ class GraphXSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
   }
 
+  test("DataFrame BFS shortest paths == GraphX Pregel on the derived graph") {
+    val edges = graft.sources.GraphStore.edges(spark, sfDir)
+      .select("src_id", "label", "dst_id")
+    val lms = Seq("nation/1", "customer/7")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val viaDF = rows(GraphAnalytics.shortestPathsDF(edges, lms))
+    val viaGraphX = rows(GraphAnalytics.shortestPaths(edges, lms))
+    assert(viaDF == viaGraphX,
+      s"only-DF=${(viaDF -- viaGraphX).take(5)} only-GX=${(viaGraphX -- viaDF).take(5)}")
+  }
+
   test("kCore: peels the tail, keeps the clique; cascade peel works") {
     // K4 on 1-4 + path 4-5-6: the 3-core is exactly the K4, and vertex
     // 5 only drops below degree 2 AFTER 6 is peeled — exercising the
