@@ -138,6 +138,22 @@ object Server {
       }
     })
 
+    http.createContext("/export", (ex: HttpExchange) => guard(ex) {
+      // the export half of Load: body = AHGHEE get query (default
+      // `get "*"`), response = the surviving subgraph as N-Triples,
+      // streamed line-at-a-time from toLocalIterator — the graph leaves
+      // the engine in the same standard format it arrived in
+      val q = Option(body(ex).trim).filter(_.nonEmpty).getOrElse("""get "*"""")
+      val lines = graft.ingest.NTriplesWriter.lines(engine.query(q))
+      ex.getResponseHeaders.add("Content-Type", "application/n-triples")
+      ex.sendResponseHeaders(200, 0)
+      val out = ex.getResponseBody
+      try {
+        val it = lines.toLocalIterator()
+        while (it.hasNext) out.write((it.next() + "\n").getBytes(UTF_8))
+      } finally out.close()
+    })
+
     http.createContext("/policies", (ex: HttpExchange) => guard(ex) {
       // the reference's ListPolicies RPC streams policy Nodes
       // (types.proto:217-221,238; impl left at the unimplemented base,

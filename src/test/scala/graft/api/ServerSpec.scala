@@ -71,6 +71,26 @@ class ServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("POST /export streams the queried subgraph as N-Triples") {
+    val srv = Server.start(Engine.forEmpty(spark))
+    val base = s"http://localhost:${srv.port}"
+    try {
+      request(s"$base/put", "POST",
+        Some("""put "e/1" { "name": "Ada", "knows": ^"e/2" }"""))
+      val (c, b) = request(s"$base/export", "POST", Some("""get "e/1""""))
+      assert(c == 200, b)
+      val lines = b.trim.split("\n").sorted
+      assert(lines.length == 2, b)
+      assert(lines.contains("<e/1> <knows> <e/2> ."), b)
+      assert(lines.exists(l => l.startsWith("<e/1> <name> \"Ada\"")), b)
+      // exported triples re-load losslessly (NT-native subset)
+      val reparsed = lines.flatMap(l =>
+        graft.ingest.NTriplesReader.parseLine(l))
+      assert(reparsed.length == 2 &&
+        reparsed.exists(_.value.iri.contains("e/2")))
+    } finally srv.stop()
+  }
+
   test("GET /policies streams the config surface; ?iris= filters") {
     val srv = Server.start(Engine.forEmpty(spark))
     val base = s"http://localhost:${srv.port}"

@@ -219,4 +219,37 @@ class IngestSpec extends SparkSpec {
     assert(rows.map(r => r.key -> r.value.b.get).toMap ==
       Map("ok" -> true, "bad" -> false))
   }
+
+  test("N-Triples export: load → write → reload is the identical graph") {
+    // every NT-native form: edge, plain / escaped / lang-tagged /
+    // typed literal, blank node
+    val nt = Seq(
+      "<d/1> <knows> <d/2> .",
+      """<d/1> <name> "A \"quoted\" name\nline" .""",
+      """<d/1> <title> "Chef"@en .""",
+      """<d/2> <size> "42"^^<http://t/int> .""",
+      "_:b0 <ref> <d/1> .").mkString("\n")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntw")
+    java.nio.file.Files.writeString(dir.resolve("in.nt"), nt)
+    val loaded = NTriplesReader.read(spark, dir.resolve("in.nt").toString)
+      .toDF()
+    NTriplesWriter.write(loaded, dir.resolve("out").toString)
+    val reloaded = NTriplesReader.read(spark,
+      dir.resolve("out").toString).toDF()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(reloaded) == canon(loaded),
+      s"round-trip diverged:\n${canon(reloaded)}\nvs\n${canon(loaded)}")
+    assert(canon(loaded).size == 5)
+
+    // engine-native scalars exit as XSD-typed literals (documented
+    // lossy-by-format: NT has no native numbers)
+    import spark.implicits._
+    val putRows = spark.createDataset(
+      AhgheePut.parse("""put "a" { "n": 7, "f": 1.5, "ok": true }""")).toDF()
+    val lines = NTriplesWriter.lines(putRows).collect().sorted
+    assert(lines.exists(_.contains("\"7\"^^<http://www.w3.org/2001/XMLSchema#long>")), lines.mkString("\n"))
+    assert(lines.exists(_.contains("XMLSchema#double")))
+    assert(lines.exists(_.contains("\"true\"^^")))
+  }
 }
