@@ -25,13 +25,16 @@ class BenchGuardSpec extends SparkSpec {
   }
 
   // committed min-of-2 local[4]/sf0.01 baselines (calibrated 2026-08:
-  // a07 1.0, x04 1.4, q40 0.4, x01 1.3, p05 0.7 s); threshold ≈ 3-5×
+  // a07 1.0, x04 1.4, q40 0.4, x01 1.3, p05 0.7, s08 ~2.5 s);
+  // threshold ≈ 3-5×. s08 guards the inlined-projection failure mode
+  // specifically — losing its barrier repartition measured 30× slower.
   private val guards = Seq(
     ("a07_lang_inequality", 4.0),
     ("x04_triangles", 6.0),
     ("q40_percentiles", 2.0),
     ("x01_connected_components", 5.0),
-    ("p05_minhash_lsh", 3.0))
+    ("p05_minhash_lsh", 3.0),
+    ("s08_stream_neardup", 10.0))
 
   guards.foreach { case (name, limitSec) =>
     test(s"$name stays under ${limitSec}s (3x committed time)") {
