@@ -93,8 +93,25 @@ object Cli {
     !inStr && depth <= 0
   }
 
+  private val ExportCmd = """(?s)export\s+"([^"]+)"\s*(.*)""".r
+
   private def execute(engine: Engine, text: String, out: PrintWriter): Unit = {
     if (text.trim.isEmpty) return
+    text.trim match {
+      case ExportCmd(path, rest) =>
+        // export "dir" [get ...] — subgraph leaves as N-Triples
+        val t0 = System.nanoTime()
+        try {
+          val q = if (rest.trim.isEmpty) """get "*"""" else rest.trim
+          engine.export(path, q)
+          out.println(
+            s"status> export.done $path in ${(System.nanoTime() - t0) / 1000000}ms")
+        } catch {
+          case e: Exception => out.println(s"status> err(${e.getMessage})")
+        }
+        return
+      case _ =>
+    }
     try ScriptRunner.parse(text).foreach { st =>
       val t0 = System.nanoTime()
       def ms = (System.nanoTime() - t0) / 1000000

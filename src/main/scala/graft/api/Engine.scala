@@ -202,6 +202,13 @@ final class Engine(val spark: SparkSession, attrs0: DataFrame,
     else Some(res.join(broadcast(firstId), Seq("id"), "left_semi"))
   }
 
+  /** Export a query's surviving subgraph as N-Triples text files —
+    * the write half of `load` (default: the whole graph). */
+  def export(path: String, q: String = """get "*""""): Engine = {
+    graft.ingest.NTriplesWriter.write(query(q), path)
+    this
+  }
+
   /** Delete nodes by id (reference Remove, MemoryStore.fs:18-22). */
   def remove(ids: Seq[String]): Engine = {
     import spark.implicits._

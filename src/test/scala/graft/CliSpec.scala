@@ -34,6 +34,19 @@ class CliSpec extends SparkSpec {
     assert(o.contains("status> get.done 1 nodes"), o)
   }
 
+  test("export command writes the subgraph as N-Triples") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_exp")
+    val o = session(
+      s"""put "x/1" { "name": "Exp", "knows": ^"x/2" }
+         |export "$dir/out" get "x/1"
+         |exit""".stripMargin)
+    assert(o.contains("status> export.done"), o)
+    val lines = graft.ingest.NTriplesReader
+      .read(spark, s"$dir/out").collect()
+    assert(lines.length == 2, lines.mkString("\n"))
+    assert(lines.exists(_.value.iri.contains("x/2")))
+  }
+
   test("a parse error reports and the loop keeps going") {
     val o = session(
       """put oops
