@@ -140,6 +140,38 @@ class ServerSpec extends SparkSpec {
     } finally { srv.stop(); fileSrv.stop(0) }
   }
 
+  test("endpoints stay responsive while a streaming load runs") {
+    // the dispatcher-thread hazard: without the handler pool, a
+    // minutes-long /load?stream=progress froze every other endpoint.
+    // Drive a streaming load in one thread and require /stats to
+    // answer DURING it.
+    val dir = java.nio.file.Files.createTempDirectory("graft_srv_conc")
+    (1 to 40).foreach { i =>
+      java.nio.file.Files.writeString(dir.resolve(f"f$i%02d.nt"),
+        s"<c/$i> <name> \"n$i\" .\n")
+    }
+    val srv = Server.start(Engine.forEmpty(spark))
+    val base = s"http://localhost:${srv.port}"
+    try {
+      val loader = new Thread(() => {
+        try request(s"$base/load?stream=progress", "POST",
+          Some(dir.toString)) catch { case _: Exception => () }
+      })
+      loader.start()
+      Thread.sleep(300) // let the load start occupying its handler
+      val t0 = System.nanoTime()
+      val (sc, _) = request(s"$base/stats", "GET")
+      val statsMs = (System.nanoTime() - t0) / 1000000
+      assert(loader.isAlive,
+        "load finished before the concurrency window — enlarge the corpus")
+      assert(sc == 200)
+      // generous bound: a frozen dispatcher would park until the load
+      // ends (tens of seconds); a live pool answers in well under 10 s
+      assert(statsMs < 10000, s"/stats took $statsMs ms during a load")
+      loader.join(60000)
+    } finally srv.stop()
+  }
+
   test("POST /load?stream=progress relays per-batch ticks then a summary") {
     val dir = java.nio.file.Files.createTempDirectory("graft_srv_cput")
     java.nio.file.Files.writeString(dir.resolve("a.nt"),
