@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
-import graft.functions.CosineSim
+import graft.functions.{CosineSim, JaccardSorted}
 
 /** Engine extension point (the Spark-native answer to the reference's
   * WASM plugin vision, reference README.md:34-57): custom Catalyst
@@ -22,5 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSim(Cast(children(0), ArrayType(DoubleType)),
           Cast(children(1), ArrayType(DoubleType)))))
+    e.injectFunction((
+      new FunctionIdentifier("jaccard_sorted"),
+      new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        JaccardSorted(Cast(children(0), ArrayType(LongType)),
+          Cast(children(1), ArrayType(LongType)))))
   }
 }

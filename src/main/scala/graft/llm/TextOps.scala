@@ -97,6 +97,17 @@ object TextOps {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Exact set Jaccard between two SORTED deduped long arrays via the
+    * native [[graft.functions.JaccardSorted]] expression — one fused
+    * merge-walk per pair instead of array_intersect + array_union each
+    * building a hash set. Callers `array_sort` once at materialization;
+    * the per-pair op (the inner loop of every verify join) gets cheap. */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftInternals
+    GraftInternals.column(graft.functions.JaccardSorted(
+      GraftInternals.expression(a), GraftInternals.expression(b)))
+  }
+
   /** 64-bit SimHash over whitespace tokens (term-frequency weighted):
     * bit j of the fingerprint is the sign of Σ_tokens tf·(±1) where the
     * sign is bit j of xxhash64(token). One explode + 64 conditional sums

@@ -425,12 +425,14 @@ object Curation {
         val sub = Pipeline.docsWithTwins(s, d)
           .where(col("doc_id") % 1000000 < 100)
           .select(col("doc_id"),
-            TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+            array_sort(transform(
+              TextOps.shingles(TextOps.tokens(col("text")), 3),
+              sh => xxhash64(sh))).as("sh"))
           .localCheckpoint()
         val a = sub.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
         val b = sub.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
         val pairs = a.crossJoin(b).where(col("a_id") < col("b_id"))
-          .where(TextOps.jaccard(col("a_sh"), col("b_sh")) >= 0.5)
+          .where(TextOps.jaccardSorted(col("a_sh"), col("b_sh")) >= 0.5)
           .select(lpad(col("a_id").cast("string"), 9, "0").as("src_id"),
             lpad(col("b_id").cast("string"), 9, "0").as("dst_id"))
         val cc = graft.graphx.GraphAnalytics.connectedComponents(pairs)
@@ -547,14 +549,16 @@ object Curation {
         val sub = Pipeline.docsWithTwins(s, d)
           .where(col("doc_id") % 1000000 < 100)
           .select(col("doc_id"), col("source"),
-            TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+            array_sort(transform(
+              TextOps.shingles(TextOps.tokens(col("text")), 3),
+              sh => xxhash64(sh))).as("sh"))
           .localCheckpoint()
         val a = sub.select(col("doc_id").as("a_id"),
           col("source").as("src_a"), col("sh").as("a_sh"))
         val b = sub.select(col("doc_id").as("b_id"),
           col("source").as("src_b"), col("sh").as("b_sh"))
         a.crossJoin(b).where(col("a_id") < col("b_id"))
-          .where(TextOps.jaccard(col("a_sh"), col("b_sh")) >= 0.5)
+          .where(TextOps.jaccardSorted(col("a_sh"), col("b_sh")) >= 0.5)
           .select(least(col("src_a"), col("src_b")).as("src_lo"),
             greatest(col("src_a"), col("src_b")).as("src_hi"))
           .groupBy("src_lo", "src_hi")

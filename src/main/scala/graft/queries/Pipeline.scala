@@ -111,15 +111,20 @@ object Pipeline {
       (s, d) => {
         // materialize the 200 shingle arrays once — inlined into the
         // cross join they'd be rebuilt (split + concat per position)
-        // for every pair comparison
+        // for every pair comparison. Hashed to SORTED longs so the
+        // pairwise op is the native merge-walk (jaccard_sorted) — set
+        // Jaccard is hash-invariant, so the value the oracle computes
+        // on strings is identical (modulo 2^-64 collisions)
         val sub = docsWithTwins(s, d).where(col("doc_id") % 1000000 < 100)
           .select(col("doc_id"),
-            TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+            array_sort(transform(
+              TextOps.shingles(TextOps.tokens(col("text")), 3),
+              sh => xxhash64(sh))).as("sh"))
           .localCheckpoint()
         val a = sub.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
         val b = sub.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
         a.crossJoin(b).where(col("a_id") < col("b_id"))
-          .withColumn("jac", TextOps.jaccard(col("a_sh"), col("b_sh")))
+          .withColumn("jac", TextOps.jaccardSorted(col("a_sh"), col("b_sh")))
           .where(col("jac") >= 0.5)
           .select("a_id", "b_id", "jac")
           .orderBy("a_id", "b_id")
@@ -155,17 +160,19 @@ object Pipeline {
           .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
           .repartition(col("doc_id"))
           .select(col("doc_id"),
-            transform(TextOps.shingles(col("tk"), 3),
-              sh => xxhash64(sh)).as("sh"))
+            array_sort(transform(TextOps.shingles(col("tk"), 3),
+              sh => xxhash64(sh))).as("sh"))
           .localCheckpoint()
         val sig = TextOps.minhash(docs, "doc_id", col("sh"), k = 32)
         val cand = TextOps.candidatePairs(
           TextOps.bands(sig, "doc_id", b = 8, r = 4), "doc_id")
-        // verify candidates with exact Jaccard (join shingles back)
+        // verify candidates with exact Jaccard (join shingles back);
+        // arrays were sorted at the checkpoint so each pair is one
+        // native merge-walk, not two hash-set builds
         val withSh = cand
           .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
           .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
-        withSh.withColumn("jac", TextOps.jaccard(col("a_sh"), col("b_sh")))
+        withSh.withColumn("jac", TextOps.jaccardSorted(col("a_sh"), col("b_sh")))
           .where(col("jac") >= 0.5)
           .select("a_id", "b_id")
           .orderBy("a_id", "b_id")

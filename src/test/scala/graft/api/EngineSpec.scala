@@ -108,6 +108,29 @@ class EngineSpec extends SparkSpec {
     assert(both.where(col("slow") =!= col("fast")).count() == 0)
   }
 
+  test("jaccard_sorted matches array_intersect/union on random sets") {
+    import graft.llm.TextOps
+    // random token sets → hashed sorted longs; the native merge-walk
+    // must equal the composed built-in formula on every pair
+    val docs = graft.Tables(spark, sfDir, "documents").limit(60)
+      .select(col("doc_id"),
+        array_sort(transform(
+          array_distinct(TextOps.tokens(col("text"))),
+          t => xxhash64(t))).as("sh"))
+      .localCheckpoint()
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val both = a.crossJoin(b).where(col("a_id") < col("b_id"))
+      .select(TextOps.jaccard(col("a_sh"), col("b_sh")).as("slow"),
+        TextOps.jaccardSorted(col("a_sh"), col("b_sh")).as("fast"))
+    assert(both.where(col("slow") =!= col("fast")).count() == 0)
+    // SQL registration + empty∪empty = 0.0 (the defined corner)
+    val r = spark.sql(
+      "SELECT jaccard_sorted(array(1L,2L,3L), array(2L,3L,4L)) AS j, " +
+      "jaccard_sorted(array(), array()) AS z").head()
+    assert(r.getDouble(0) == 0.5 && r.getDouble(1) == 0.0)
+  }
+
   test("approx_count_distinct within documented relative error") {
     val li = graft.Tables(spark, sfDir, "lineitem")
     val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
