@@ -93,6 +93,23 @@ object GraphStore {
     spark.table(table)
   }
 
+  /** Rewrite an appended-to table as one merged generation — the
+    * compaction that bounds merge-on-read amplification (the reference
+    * checkpoints its FASTER stores on a cadence for the same reason,
+    * NodeAttrIndex.cs:74,115-121: readers must not pay for every
+    * historical fragment forever). `merge` is the reader's reconcile
+    * function (Engine.merge — min-ts dedup); the merged frame is
+    * materialized (localCheckpoint) BEFORE the old generation drops,
+    * so the rewrite never reads the table it is replacing. At 100 TB
+    * this is the periodic background job; the bucketed layout is
+    * preserved so post-compaction scans keep pruning and co-located
+    * joins. */
+  def compact(spark: SparkSession, table: String, bucketCol: String,
+              merge: DataFrame => DataFrame): DataFrame = synchronized {
+    val merged = merge(spark.table(table)).localCheckpoint()
+    materialize(spark, table, bucketCol, merged)
+  }
+
   private def rm(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rm))
     f.delete(): Unit

@@ -131,6 +131,28 @@ class GraphStoreSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_test_chaos")
   }
 
+  test("compaction folds appended fragments into one merged generation") {
+    import graft.api.Engine
+    val e = Engine.forEmpty(spark)
+      .put("""put "cp/1" { "name": "n", "knows": ^"cp/2" }""", ts = 1L)
+    GraphStore.materialize(spark, "graft_test_compact", "id", e.nodes)
+    (1 to 3).foreach { _ =>
+      GraphStore.append(spark, "graft_test_compact", "id", e.nodes)
+    }
+    assert(spark.table("graft_test_compact").count() == 8) // 4 generations
+    val before = spark.table("graft_test_compact").inputFiles.length
+    val compacted = GraphStore.compact(spark, "graft_test_compact", "id",
+      df => e.merge(df, Engine.emptyAttrs(spark)))
+    assert(compacted.count() == 2, "merge-dedup must collapse fragments")
+    assert(spark.table("graft_test_compact").inputFiles.length < before,
+      "compaction should shrink the file count")
+    // content equals the reader's merge-on-read view, now materialized
+    val expect = e.nodes.orderBy("id", "key").collect().toSeq
+    assert(spark.table("graft_test_compact").orderBy("id", "key")
+      .collect().toSeq == expect)
+    spark.sql("DROP TABLE IF EXISTS graft_test_compact")
+  }
+
   test("self-union aggregate needs restructure (Spark 4.1.2 planner fault)") {
     val a = GraphStore.nodesAttrs(spark, sfDir)
     val base = a.count()
