@@ -61,6 +61,43 @@ class EngineSpec extends SparkSpec {
       Node("n/2", Seq(NodeAttr("a", ValueRow.str("y"))))))
   }
 
+  test("merge algebra: idempotent, commutative, associative on random batches") {
+    // the storage contract: fragments may arrive in ANY grouping and
+    // order (concurrent appends, retried batches, compaction passes)
+    // and the merged graph must be identical. Random attr batches with
+    // deliberate overlap (small key space) and conflicting timestamps.
+    import org.scalacheck.Gen
+    import graft.ingest.{AttrRow, ValueRow}
+    val genRow: Gen[AttrRow] = for {
+      id <- Gen.choose(1, 5).map(i => s"m/$i")
+      key <- Gen.oneOf("a", "b", "c")
+      v <- Gen.oneOf(ValueRow.str("x"), ValueRow.str("y"), ValueRow.i32(1))
+      ts <- Gen.choose(0L, 3L)
+    } yield AttrRow("", id, key, v, ts, None, None)
+    def frame(rows: Seq[AttrRow]) = {
+      import spark.implicits._
+      Engine.withMeta(spark.createDataset(rows).toDF()
+        .withColumn("graph", lit(""))
+        .select("graph", "id", "key", "value", "ts", "key_meta", "value_meta"))
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val e = Engine.forEmpty(spark)
+    val batches = Gen.listOfN(3, Gen.listOfN(15, genRow)).sample.get
+      .map(frame)
+    val Seq(a, b, c) = batches
+    val leftFold = e.merge(e.merge(a, b), c)
+    val rightFold = e.merge(a, e.merge(b, c))
+    val reversed = e.merge(c, e.merge(b, a))
+    assert(canon(leftFold) == canon(rightFold), "merge not associative")
+    assert(canon(leftFold) == canon(reversed), "merge not commutative")
+    assert(canon(e.merge(leftFold, leftFold)) == canon(leftFold),
+      "merge not idempotent")
+    // replaying any single batch into the merged whole changes nothing
+    assert(canon(e.merge(leftFold, b)) == canon(leftFold),
+      "replayed fragment changed the merged graph")
+  }
+
   test("merge keeps metadata in the dedup key but collapses true duplicates") {
     import graft.ingest.NTriplesReader
     val nt = spark.createDataset(Seq(
