@@ -144,14 +144,28 @@ object Server {
       // streamed line-at-a-time from toLocalIterator — the graph leaves
       // the engine in the same standard format it arrived in
       val q = Option(body(ex).trim).filter(_.nonEmpty).getOrElse("""get "*"""")
-      val lines = graft.ingest.NTriplesWriter.lines(engine.query(q))
-      ex.getResponseHeaders.add("Content-Type", "application/n-triples")
-      ex.sendResponseHeaders(200, 0)
-      val out = ex.getResponseBody
-      try {
-        val it = lines.toLocalIterator()
-        while (it.hasNext) out.write((it.next() + "\n").getBytes(UTF_8))
-      } finally out.close()
+      val fmt = Option(ex.getRequestURI.getQuery).getOrElse("")
+        .split("&").map(_.split("=", 2)).collectFirst {
+          case Array("format", v) => v
+        }.getOrElse("nt")
+      if (fmt == "graphml") {
+        // one XML document by nature — rendered id-at-a-time, then sent
+        val xml = graft.ingest.GraphMlWriter.render(engine.query(q))
+        ex.getResponseHeaders.add("Content-Type", "application/xml")
+        val bytes = xml.getBytes(UTF_8)
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        val out = ex.getResponseBody
+        try out.write(bytes) finally out.close()
+      } else {
+        val lines = graft.ingest.NTriplesWriter.lines(engine.query(q))
+        ex.getResponseHeaders.add("Content-Type", "application/n-triples")
+        ex.sendResponseHeaders(200, 0)
+        val out = ex.getResponseBody
+        try {
+          val it = lines.toLocalIterator()
+          while (it.hasNext) out.write((it.next() + "\n").getBytes(UTF_8))
+        } finally out.close()
+      }
     })
 
     http.createContext("/policies", (ex: HttpExchange) => guard(ex) {

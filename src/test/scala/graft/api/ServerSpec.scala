@@ -88,6 +88,14 @@ class ServerSpec extends SparkSpec {
         graft.ingest.NTriplesReader.parseLine(l))
       assert(reparsed.length == 2 &&
         reparsed.exists(_.value.iri.contains("e/2")))
+
+      // graphml format: one XML doc, reparseable by our own reader
+      val (xc, xb) = request(s"$base/export?format=graphml", "POST",
+        Some("""get "e/1""""))
+      assert(xc == 200 && xb.startsWith("<?xml"), xb)
+      val back = graft.ingest.GraphMlReader.parse(xb)
+      assert(back.exists(r => r.id == "e/1" && r.key == "name" &&
+        r.value.str.contains("Ada")), xb)
     } finally srv.stop()
   }
 

@@ -220,6 +220,25 @@ class IngestSpec extends SparkSpec {
       Map("ok" -> true, "bad" -> false))
   }
 
+  test("GraphML export: read → write → read is the identical graph") {
+    import spark.implicits._
+    val loaded = spark.createDataset(rows).toDF()
+    val xml = GraphMlWriter.render(graft.api.Engine.withMeta(loaded))
+    val reparsed = GraphMlReader.parse(xml)
+    def canon(rs: Seq[AttrRow]) =
+      rs.map(r => (r.id, r.key, r.value)).sortBy(t => (t._1, t._2,
+        t._3.toString)).toSeq
+    assert(canon(reparsed) == canon(rows),
+      s"round-trip diverged: only-new=${(canon(reparsed).toSet --
+        canon(rows).toSet).take(3)} only-old=${(canon(rows).toSet --
+        canon(reparsed).toSet).take(3)}")
+    // typed values survived: ages back as i32, weights as double
+    assert(reparsed.exists(r => r.id == "1" && r.key == "age" &&
+      r.value == ValueRow.i32(29)))
+    assert(reparsed.exists(r => r.id == "7" && r.key == "weight" &&
+      r.value == ValueRow.d(0.5)))
+  }
+
   test("N-Triples export: load → write → reload is the identical graph") {
     // every NT-native form: edge, plain / escaped / lang-tagged /
     // typed literal, blank node
