@@ -34,7 +34,10 @@ class BenchGuardSpec extends SparkSpec {
     ("q40_percentiles", 2.0),
     ("x01_connected_components", 5.0),
     ("p05_minhash_lsh", 3.0),
-    ("s08_stream_neardup", 10.0))
+    ("s08_stream_neardup", 10.0),
+    // the k-core peel loop: losing a localCheckpoint re-inlines every
+    // prior round's joins into the next (exponential plan growth)
+    ("x05_kcore", 8.0))
 
   guards.foreach { case (name, limitSec) =>
     test(s"$name stays under ${limitSec}s (3x committed time)") {
