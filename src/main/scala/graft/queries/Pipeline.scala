@@ -451,6 +451,9 @@ object Pipeline {
       },
       Some(ivfOracle)),
 
+    // ---- p31: product-quantization ANN (see pqQuery scaladoc) ----------
+    RegQuery("p31_ann_pq", (s, d) => pqQuery(s, d), Some(pqOracle)),
+
     // ---- p16: winnowing document fingerprints ---------------------------
     // Winnowing (Schleimer et al., SIGMOD'03 — the MOSS algorithm): slide
     // a w=4 window over the positional 3-gram sequence, keep each
@@ -514,6 +517,127 @@ object Pipeline {
   /** DuckDB mirror of p14's trained IVF. The 64-dim centroid means are
     * generated per dimension; every float lands through the same
     * floor(x*1e6+0.5)/1e6 rounding as the Spark side. */
+  /** p31: product quantization — the MEMORY-side ANN scale story (IVF
+    * prunes compute; PQ shrinks residency). 64-dim doubles → 8 blocks
+    * of 8 dims, one 16-centroid sub-quantizer per block (seeded from
+    * the first 16 vectors' blocks, one Lloyd step — deterministic like
+    * p14), each vector stored as 8 small codes: 512 B → 8 B, 64×. Query =
+    * ADC: per (query, block) a 16-entry distance table to the
+    * sub-centroids, approx distance = Σ_blocks table[code] — the
+    * codes⋈tables equi-join below, never touching raw vectors at
+    * search time. All stages round at 1e-6 so the DuckDB mirror is
+    * value-identical. */
+  private def pqQuery(s: SparkSession, d: String): DataFrame = {
+    val e = Tables(s, d, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+    def bdist(a: Column, b: Column) = r6(aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), _ + _))
+    val blocks = e.select(col("vec_id"), posexplode(
+        array((0 until 8).map(m => slice(col("v"), m * 8 + 1, 8)): _*))
+        .as(Seq("block", "bv")))
+      .localCheckpoint() // feeds training, encoding, and the query side
+    def nearestB(bl: DataFrame, cents: DataFrame) =
+      bl.join(broadcast(cents), "block")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id", "block")
+            .orderBy(bdist(col("bv"), col("cv")), col("c_id"))))
+        .where(col("rn") === 1)
+    val centroid = udaf(graft.functions.VectorCentroid)
+    var cents = blocks.where(col("vec_id") < 16)
+      .select(col("block"), col("vec_id").as("c_id"), col("bv").as("cv"))
+    for (_ <- 1 to 2) // Lloyd: assign → per-(block, cell) mean, rounded
+      cents = nearestB(blocks, cents)
+        .groupBy("block", "c_id")
+        .agg(transform(centroid(col("bv")), x => r6(x)).as("cv"))
+    val trained = cents
+      .localCheckpoint() // train once; reused by encode + both scans
+    val codes = nearestB(blocks, trained)
+      .select(col("vec_id"), col("block"), col("c_id").as("code"))
+    val tables = blocks.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("block"), col("bv").as("qbv"))
+      .join(broadcast(trained), "block")
+      .select(col("q_id"), col("block"), col("c_id").as("code"),
+        bdist(col("qbv"), col("cv")).as("qd"))
+    // ADC shortlist (top-50 by approximate distance) → exact re-rank:
+    // the production IVFADC shape — the scan ranks COMPRESSED codes
+    // only, raw vectors are touched for just 50 candidates per query
+    val shortlist = codes.join(broadcast(tables), Seq("block", "code"))
+      .where(col("q_id") =!= col("vec_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(r6(sum(col("qd"))).as("adist"))
+      .withColumn("arn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("adist"), col("vec_id"))))
+      .where(col("arn") <= 50)
+    shortlist
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(e, "vec_id")
+      .withColumn("dist", r6(aggregate(
+        zip_with(col("qv"), col("v"), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), _ + _)))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("dist"), col("vec_id"))))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        col("dist"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** DuckDB mirror of p31: same seeds, same single Lloyd step, same
+    * 1e-6 rounding at every stage boundary. */
+  private def pqOracle: String = {
+    def bdist(a: String, b: String) =
+      s"""floor(list_sum(list_transform(range(1, 9),
+         |    i -> ($a[i]-$b[i])*($a[i]-$b[i])))*1000000+0.5)/1000000""".stripMargin
+    val avg8 = (1 to 8)
+      .map(i => s"floor(avg(bv[$i])*1000000+0.5)/1000000")
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |bl AS (SELECT vec_id, m AS block, list_slice(v, m*8+1, m*8+8) AS bv
+       |  FROM e, (SELECT unnest(range(0, 8)) AS m)),
+       |seeds AS (SELECT block, vec_id AS c_id, bv AS cv FROM bl
+       |  WHERE vec_id < 16),
+       |a1 AS (SELECT vec_id, block, bv, c_id FROM (
+       |  SELECT b.vec_id, b.block, b.bv, s.c_id, ROW_NUMBER() OVER (
+       |    PARTITION BY b.vec_id, b.block
+       |    ORDER BY ${bdist("b.bv", "s.cv")}, s.c_id) AS rn
+       |  FROM bl b JOIN seeds s ON b.block = s.block) WHERE rn = 1),
+       |c1 AS (SELECT block, c_id, $avg8 AS cv FROM a1 GROUP BY block, c_id),
+       |a2 AS (SELECT vec_id, block, bv, c_id FROM (
+       |  SELECT b.vec_id, b.block, b.bv, s.c_id, ROW_NUMBER() OVER (
+       |    PARTITION BY b.vec_id, b.block
+       |    ORDER BY ${bdist("b.bv", "s.cv")}, s.c_id) AS rn
+       |  FROM bl b JOIN c1 s ON b.block = s.block) WHERE rn = 1),
+       |tr AS (SELECT block, c_id, $avg8 AS cv FROM a2 GROUP BY block, c_id),
+       |codes AS (SELECT vec_id, block, c_id AS code FROM (
+       |  SELECT b.vec_id, b.block, t.c_id, ROW_NUMBER() OVER (
+       |    PARTITION BY b.vec_id, b.block
+       |    ORDER BY ${bdist("b.bv", "t.cv")}, t.c_id) AS rn
+       |  FROM bl b JOIN tr t ON b.block = t.block) WHERE rn = 1),
+       |tab AS (SELECT b.vec_id AS q_id, b.block, t.c_id AS code,
+       |    ${bdist("b.bv", "t.cv")} AS qd
+       |  FROM bl b JOIN tr t ON b.block = t.block WHERE b.vec_id < 3),
+       |ad AS (SELECT t.q_id, c.vec_id,
+       |    floor(sum(t.qd)*1000000+0.5)/1000000 AS adist
+       |  FROM codes c JOIN tab t ON c.block = t.block AND c.code = t.code
+       |  WHERE t.q_id != c.vec_id GROUP BY t.q_id, c.vec_id),
+       |sl AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, ROW_NUMBER()
+       |  OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS arn FROM ad)
+       |  WHERE arn <= 50),
+       |rr AS (SELECT s.q_id, s.vec_id,
+       |    floor(list_sum(list_transform(range(1, 65),
+       |      i -> (qe.v[i]-ne.v[i])*(qe.v[i]-ne.v[i])))*1000000+0.5)/1000000
+       |      AS dist
+       |  FROM sl s JOIN e qe ON s.q_id = qe.vec_id
+       |  JOIN e ne ON s.vec_id = ne.vec_id),
+       |r AS (SELECT q_id, vec_id, dist, ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY dist, vec_id) AS rn FROM rr)
+       |SELECT q_id, CAST(rn AS INTEGER) AS rank, vec_id AS n_id, dist
+       |FROM r WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   private def ivfOracle: String = {
     def cos(a: String, b: String) =
       s"""floor(list_sum(list_transform(range(1, len($a)+1),

@@ -143,6 +143,30 @@ class LshSpec extends SparkSpec {
     assert(top1 >= 18, s"twin ranked top-1 for only $top1/20 queries")
   }
 
+  test("PQ ANN recovers most of the exact L2 top-5 (quantization recall)") {
+    val e = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    // exact L2 top-5 for the same 3 query vectors p31 uses
+    val q = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val exact = q.crossJoin(e).where(col("q_id") =!= col("vec_id"))
+      .withColumn("d", aggregate(
+        zip_with(col("qv"), col("v"), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), _ + _))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("d"), col("vec_id"))))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = graft.SparkEntry.queries("p31_ann_pq")(spark, sfDir)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    assert(recall >= 0.4,
+      s"PQ recall $recall — 8x16 codebooks shouldn't quantize this badly")
+  }
+
   test("q44 sketch merge: lossless union, estimates within HLL error") {
     val out = graft.SparkEntry.queries("q44_sketch_merge")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
