@@ -54,8 +54,14 @@ object GraphMlWriter {
     val sb = new StringBuilder
     sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
     sb ++= "<graphml xmlns=\"http://graphml.graphdrawing.org/xmlns\">\n"
-    // key declarations from the observed (key, vtype) pairs
-    flat.where(col("key") =!= "source" && col("key") =!= "target")
+    // key declarations from the observed (key, vtype) pairs. Only the
+    // NODEID-typed source/target rows are edge reification (suppressed
+    // from <data> below) — a plain node attribute that happens to be
+    // named "source" (documents.source, say) still emits <data>, so it
+    // must still be declared or the document is non-conformant for
+    // external TinkerPop consumers.
+    flat.where(!(col("key").isin("source", "target") &&
+        col("vtype") === Value.NODEID))
       .select(col("key"), col("vtype")).distinct()
       .orderBy("key").collect().foreach { r =>
         val k = xmlEsc(r.getString(0))

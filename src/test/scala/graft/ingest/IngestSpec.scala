@@ -239,6 +239,37 @@ class IngestSpec extends SparkSpec {
       r.value == ValueRow.d(0.5)))
   }
 
+  test("GraphML export of a put-script graph: documented loss only") {
+    import spark.implicits._
+    // non-GraphML-origin data: no edge reification, typed scalars, a
+    // nodeid attr, and a plain STRING attribute named "source" (the
+    // documents table's shape) that must not be mistaken for
+    // edge-reification metadata
+    val put = AhgheePut.parse(
+      """put "d/1" { "name": "Ada", "age": 36, "knows": ^"d/2", "source": "web" }""") ++
+      AhgheePut.parse("""put "d/2" { "name": "Bob", "ok": true, "score": 1.5 }""")
+    val xml = GraphMlWriter.render(
+      graft.api.Engine.withMeta(spark.createDataset(put).toDF()))
+    // ADVICE r3: the string-typed source attr gets a <key> declaration
+    // (only NODEID-typed source/target pairs are reification-suppressed)
+    assert(xml.contains("<key id=\"source\""), xml)
+    assert(xml.contains("<key id=\"knows\""))
+    assert(xml.contains("<data key=\"source\">web</data>"), xml)
+    val reparsed = GraphMlReader.parse(xml)
+    // the documented loss (GraphMlWriter.scala:8-18) and nothing more:
+    // nodeid attrs on non-edge nodes come back as plain strings;
+    // every other (id, key, typed value) triple is bit-identical
+    val expected = put.map { r =>
+      if (r.value.vtype == Value.NODEID)
+        r.copy(value = ValueRow.str(r.value.iri.get))
+      else r
+    }
+    def canon(rs: Seq[AttrRow]) =
+      rs.map(r => (r.id, r.key, r.value.toString)).sorted
+    assert(canon(reparsed) == canon(expected),
+      s"expected exactly the documented loss:\n${canon(reparsed)}\nvs\n${canon(expected)}")
+  }
+
   test("N-Triples export: load → write → reload is the identical graph") {
     // every NT-native form: edge, plain / escaped / lang-tagged /
     // typed literal, blank node
