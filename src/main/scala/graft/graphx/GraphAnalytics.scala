@@ -41,13 +41,44 @@ object GraphAnalytics {
     (XGraph(vertRdd, edgeRdd), verts)
   }
 
-  /** PageRank to `tol` fixed-point; returns [id, rank]. */
-  def pageRank(edges: DataFrame, tol: Double = 1e-4): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val (g, verts) = build(edges)
-    val ranks = g.pageRank(tol).vertices.toDF("vid", "rank")
-    ranks.join(verts, "vid").select("id", "rank")
+  /** PageRank, fixed-iteration deterministic form: damping 0.85,
+    * `iters` synchronized iterations, INTEGER micro-rank arithmetic
+    * (rank ×1e6 as BIGINT, truncating division each step — per-
+    * iteration 1e-6 rounding). Floating-point PageRank sums are
+    * partition-order-dependent; the all-integer recurrence is bit-exact
+    * on any partitioning AND expressible in plain SQL, so x02 is
+    * hash-checked against a DuckDB recursive CTE (the p14/p31
+    * determinization trick applied to the fixpoint loop). Dangling
+    * vertices keep the GraphX convention — their mass evaporates, no
+    * redistribution. DataFrame-native: per iteration ONE equi-join on
+    * src + ONE hash aggregate on dst with a `localCheckpoint` to cut
+    * lineage — the same round shape as the CC loop, so it scales the
+    * same way (the reference names PageRank as its flagship plugin
+    * goal, README.md:55-57, but ships none). Zero-weight self-edges
+    * keep every vertex (dangling or in-edge-free) present in each
+    * iteration's aggregate without contributing mass.
+    * Returns [id, rank_micro]; true rank = rank_micro / 1e6. */
+  def pageRank(edges: DataFrame, iters: Int = 20): DataFrame = {
+    val e = edges.select(col("src_id"), col("dst_id"))
+    val verts = e.select(col("src_id").as("id"))
+      .unionAll(e.select(col("dst_id").as("id"))).distinct()
+    val outdeg = e.groupBy("src_id").agg(count(lit(1)).as("od"))
+    val ec = e.join(outdeg, "src_id")
+      .select(col("src_id").as("src"), col("dst_id").as("dst"), col("od"))
+      .unionAll(verts.select(col("id"), col("id"), lit(0L)))
+      .localCheckpoint()
+    var ranks = verts.select(col("id"), lit(1000000L).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      ranks = ec.join(ranks, ec("src") === ranks("id"))
+        .groupBy(col("dst"))
+        .agg((lit(150000L) + expr(
+          "(85 * sum(CASE WHEN od > 0 THEN r div od ELSE 0 END)) div 100"))
+          .as("r"))
+        .withColumnRenamed("dst", "id")
+        .localCheckpoint()
+    }
+    ranks.select(col("id"), col("r").as("rank_micro"))
   }
 
   /** Single-source-set shortest paths (directed, hop count): distance
@@ -71,6 +102,26 @@ object GraphAnalytics {
     val lmDf = lm.toSeq.toDF("lvid", "landmark")
     res.join(verts, "vid").join(broadcast(lmDf), "lvid")
       .select("id", "landmark", "dist")
+  }
+
+  /** Landmark shortest paths with scale dispatch — the CC-style seam:
+    * at or below `spark.graft.sp.pregelEdgeThreshold` edges (default
+    * 100k) the GraphX Pregel program runs (lower constant factors on
+    * small graphs — one tight RDD loop, no per-hop planning); above it
+    * the DataFrame BFS loop is chosen, so THE SCALE PATH IS THE DEFAULT
+    * AT SCALE (no per-vertex hash maps serialized around, AQE replans
+    * every hop, same loop shape as traversal/CC). The two are proven
+    * output-identical in GraphXSpec. The edge count rides the count the
+    * caller's plan needs anyway and the choice lands in the
+    * `graft.sp.impl` local property so tests pin the dispatch. */
+  def shortestPathsAuto(edges: DataFrame, landmarks: Seq[String]): DataFrame = {
+    val spark = edges.sparkSession
+    val threshold = spark.conf
+      .get("spark.graft.sp.pregelEdgeThreshold", "100000").toLong
+    val impl = if (edges.count() <= threshold) "pregel" else "df"
+    spark.sparkContext.setLocalProperty("graft.sp.impl", impl)
+    if (impl == "pregel") shortestPaths(edges, landmarks)
+    else shortestPathsDF(edges, landmarks)
   }
 
   /** Multi-landmark directed hop counts as plain DataFrame joins — the
@@ -147,18 +198,24 @@ object GraphAnalytics {
     // fan-out from collected adjacency arrays — the LSH candidatePairs
     // shape — measured ~1.5× slower here: 24k-struct arrays per hub
     // row are allocation churn, while the self-join streams.)
-    // single-long probe key when ids fit 31 bits (the common case —
-    // part/doc keys): the broadcast side becomes a LongHashedRelation
-    // (primitive open-addressing probe) instead of a two-field
-    // UnsafeRow hash map — measured ~1.3× on the 41M-wedge probe.
-    // Wider ids fall back to the two-key join, same semantics.
-    val maxId = pairs.agg(greatest(max("p1"), max("p2")).as("m"))
-      .select(coalesce(col("m"), lit(0L))).first().getLong(0)
+    // single-long probe key when ids fit UNSIGNED 31 bits (the common
+    // case — part/doc keys): the broadcast side becomes a
+    // LongHashedRelation (primitive open-addressing probe) instead of a
+    // two-field UnsafeRow hash map — measured ~1.3× on the 41M-wedge
+    // probe. The guard needs BOTH bounds: a negative id (legal — e.g.
+    // raw xxhash64-derived) would set the high 32 bits through
+    // bitwiseOR and corrupt the packed key, so minId < 0 falls back to
+    // the two-key join, same as ids past 2^31.
+    val bounds = pairs.agg(
+        coalesce(greatest(max("p1"), max("p2")), lit(0L)).as("mx"),
+        coalesce(least(min("p1"), min("p2")), lit(0L)).as("mn"))
+      .first()
+    val (maxId, minId) = (bounds.getLong(0), bounds.getLong(1))
     val wedges = dpp.select(col("s"), col("t").as("b"), col("dt").as("db"))
       .join(dpp.select(col("s"), col("t").as("c"), col("dt").as("dc")), "s")
       .where(col("db") < col("dc") ||
         (col("db") === col("dc") && col("b") < col("c")))
-    val tri = (if (maxId < (1L << 31)) {
+    val tri = (if (minId >= 0L && maxId < (1L << 31)) {
       wedges
         .withColumn("bc", shiftleft(col("b"), 32).bitwiseOR(col("c")))
         .join(broadcast(dpp.select(

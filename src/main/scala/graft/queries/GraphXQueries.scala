@@ -30,19 +30,48 @@ object GraphXQueries {
              |SELECT min(id) AS component, count(*) AS cnt
              |FROM mem GROUP BY rk ORDER BY component""".stripMargin)),
 
+    // fixed 20-iteration integer micro-rank PageRank — deterministic,
+    // so the fixpoint loop itself is hash-checked against a DuckDB
+    // RECURSIVE CTE running the identical recurrence (the working
+    // table of a UNION ALL recursion is exactly "previous iteration")
     RegQuery("x02_pagerank",
-      (s, d) => GraphAnalytics.pageRank(GraphStore.edges(s, d), tol = 1e-4)
-        .orderBy(col("rank").desc, col("id"))
+      (s, d) => GraphAnalytics.pageRank(GraphStore.edges(s, d), iters = 20)
+        .orderBy(col("rank_micro").desc, col("id"))
         .limit(20),
-      None), // iterative float fixed-point → rows-only; invariants in GraphXSpec
+      Some("""WITH RECURSIVE
+             |edges AS (
+             |  SELECT 'nation/' || n_nationkey AS src,
+             |         'region/' || n_regionkey AS dst FROM nation
+             |  UNION ALL SELECT 'customer/' || c_custkey,
+             |    'nation/' || c_nationkey FROM customer
+             |  UNION ALL SELECT 'orders/' || o_orderkey,
+             |    'customer/' || o_custkey FROM orders),
+             |verts AS (SELECT src AS id FROM edges
+             |  UNION SELECT dst FROM edges),
+             |od AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+             |ec AS (SELECT e.src, e.dst, od.od FROM edges e
+             |    JOIN od ON e.src = od.src
+             |  UNION ALL SELECT id, id, 0 FROM verts),
+             |pr AS (
+             |  SELECT 0 AS i, id, CAST(1000000 AS BIGINT) AS r FROM verts
+             |  UNION ALL
+             |  SELECT p.i + 1, ec.dst,
+             |    CAST(150000 + (85 * sum(
+             |      CASE WHEN ec.od > 0 THEN p.r // ec.od ELSE 0 END)) // 100
+             |      AS BIGINT)
+             |  FROM pr p JOIN ec ON ec.src = p.id
+             |  WHERE p.i < 20
+             |  GROUP BY p.i, ec.dst)
+             |SELECT id, r AS rank_micro FROM pr WHERE i = 20
+             |ORDER BY rank_micro DESC, id LIMIT 20""".stripMargin)),
 
     // directed hop distances TO two landmarks — exercises direction
     // semantics (orders→customer→nation, never the reverse) and
-    // reachability filtering; exact, so fully oracle-checked
-    // DataFrame BFS (scale path); the GraphX Pregel variant remains in
-    // GraphAnalytics.shortestPaths, equality-pinned in GraphXSpec
+    // reachability filtering; exact, so fully oracle-checked.
+    // Dispatched like CC: Pregel under the edge threshold, DataFrame
+    // BFS (the scale path) above it — both equality-pinned in GraphXSpec
     RegQuery("x03_shortest_paths",
-      (s, d) => GraphAnalytics.shortestPathsDF(GraphStore.edges(s, d),
+      (s, d) => GraphAnalytics.shortestPathsAuto(GraphStore.edges(s, d),
           Seq("nation/1", "customer/7"))
         .orderBy("id", "landmark"),
       Some("""SELECT id, landmark, dist FROM (

@@ -15,13 +15,15 @@ class GraphXSpec extends SparkSpec {
     es.toDF("src_id", "dst_id").withColumn("label", lit("e"))
       .select("src_id", "label", "dst_id")
 
-  test("pageRank: star graph centre dominates; ranks sum ≈ n") {
+  test("pageRank: star graph reaches the exact integer fixpoint") {
     val edges = edgeDf("a" -> "hub", "b" -> "hub", "c" -> "hub", "d" -> "hub")
-    val ranks = GraphAnalytics.pageRank(edges, tol = 1e-6)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(ranks("hub") > ranks("a") * 3)
-    val sum = ranks.values.sum
-    assert(math.abs(sum - 5.0) < 0.15, s"rank sum $sum")
+    val ranks = GraphAnalytics.pageRank(edges, iters = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hand-computable: leaves have no in-edges → 0.15 (150000 micro)
+    // from iteration 1 on; hub = 0.15 + 0.85·4·0.15 = 0.66 from
+    // iteration 2 on (dangling hub mass evaporates — GraphX convention)
+    assert(ranks == Map("a" -> 150000L, "b" -> 150000L, "c" -> 150000L,
+      "d" -> 150000L, "hub" -> 660000L), ranks.toString)
   }
 
   test("connectedComponents: two disjoint chains get two components") {
@@ -74,6 +76,19 @@ class GraphXSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
   }
 
+  test("triangleCounts: negative ids (raw-hash keys) stay correct") {
+    import spark.implicits._
+    // ADVICE r3: negative longs are legal ids (e.g. raw xxhash64) but
+    // would corrupt the packed single-long probe key — the guard must
+    // route them to the two-key join. Same K4+pendant, ids negated.
+    val pairs = Seq((-2L, -1L), (-3L, -1L), (-4L, -1L), (-3L, -2L),
+      (-4L, -2L), (-4L, -3L), (-5L, -4L)).toDF("p1", "p2")
+    val got = GraphAnalytics.triangleCounts(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(-1L -> 3L, -2L -> 3L, -3L -> 3L, -4L -> 3L),
+      got.toString)
+  }
+
   test("DataFrame BFS shortest paths == GraphX Pregel on the derived graph") {
     val edges = graft.sources.GraphStore.edges(spark, sfDir)
       .select("src_id", "label", "dst_id")
@@ -84,6 +99,25 @@ class GraphXSpec extends SparkSpec {
     val viaGraphX = rows(GraphAnalytics.shortestPaths(edges, lms))
     assert(viaDF == viaGraphX,
       s"only-DF=${(viaDF -- viaGraphX).take(5)} only-GX=${(viaGraphX -- viaDF).take(5)}")
+  }
+
+  test("shortest-paths dispatch: DF above threshold, Pregel below, equal") {
+    val edges = graft.sources.GraphStore.edges(spark, sfDir)
+      .select("src_id", "label", "dst_id")
+    val lms = Seq("nation/1", "customer/7")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    try {
+      spark.conf.set("spark.graft.sp.pregelEdgeThreshold", "0")
+      val viaDf = rows(GraphAnalytics.shortestPathsAuto(edges, lms))
+      assert(spark.sparkContext.getLocalProperty("graft.sp.impl") == "df",
+        "every graph is above threshold 0 — the DF loop must be chosen")
+      spark.conf.set("spark.graft.sp.pregelEdgeThreshold",
+        Long.MaxValue.toString)
+      val viaPregel = rows(GraphAnalytics.shortestPathsAuto(edges, lms))
+      assert(spark.sparkContext.getLocalProperty("graft.sp.impl") == "pregel")
+      assert(viaDf == viaPregel, "dispatch arms diverged")
+    } finally spark.conf.unset("spark.graft.sp.pregelEdgeThreshold")
   }
 
   test("kCore: peels the tail, keeps the clique; cascade peel works") {
