@@ -579,7 +579,47 @@ object Curation {
           |FROM sub a JOIN sub b ON a.doc_id < b.doc_id
           |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
-          |GROUP BY src_lo, src_hi ORDER BY src_lo, src_hi""".stripMargin))
+          |GROUP BY src_lo, src_hi ORDER BY src_lo, src_hi""".stripMargin)),
+
+    // ---- p32: the executed LSH dedup composition (bands → CC → keep) ---
+    // THE production dedup path at 100 TB, end-to-end as one query: p05's
+    // verified LSH pairs (linear banding — no all-pairs stage anywhere)
+    // feed the scale-tested CC loop (leaf-peel + pointer-jump, x01
+    // machinery), clusters resolve to min-id canonicals, and every
+    // corpus doc leaves with a keep/duplicate disposition. p28 proves
+    // the resolution against DuckDB's recursive CTE on bounded exact
+    // pairs; this entry proves the same plan COMPOSES with the linear
+    // pair source — cluster-partition equality with the exact-Jaccard
+    // baseline on the planted-twins corpus is pinned in LshSpec.
+    // Banding is the high-recall production setting, 32 bands × 2 rows
+    // (k=64): candidate-miss probability AT the J=0.5 verify threshold
+    // is (1-0.5²)³² ≈ 1e-4 (p05's 8×4 misses ~60% of J≈0.5 pairs —
+    // fine for a recall-90% detector, not for a deduper whose clusters
+    // must close); precision stays exact — the verify join drops every
+    // false candidate. Ids zero-pad to 9 digits (string min == numeric
+    // min).
+    RegQuery("p32_lsh_dedup_pipeline",
+      (s, d) => {
+        val pairs = Pipeline.lshVerifiedPairs(s, d, k = 64, b = 32, r = 2)
+        val edges = pairs.select(
+          lpad(col("a_id").cast("string"), 9, "0").as("src_id"),
+          lpad(col("b_id").cast("string"), 9, "0").as("dst_id"))
+        val cc = graft.graphx.GraphAnalytics.connectedComponents(edges)
+          .select(col("id").cast("long").as("doc_id"),
+            col("component").cast("long").as("canonical_id"))
+        val all = Pipeline.docsWithTwins(s, d).select("doc_id")
+          .join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+        val sizes = all.groupBy("canonical_id")
+          .agg(count(lit(1)).as("cluster_size"))
+        all.join(sizes, "canonical_id")
+          .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
+            (col("doc_id") === col("canonical_id")).as("keep"))
+          .orderBy("doc_id")
+      },
+      None) // LSH pair source not SQL-expressible → rows-only;
+            // cluster equality vs exact baseline pinned in LshSpec
   )
 
   /** DuckDB mirror of p22: same seed centroids, same 1e-6 rounding. */

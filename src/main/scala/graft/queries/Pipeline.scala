@@ -62,6 +62,40 @@ object Pipeline {
 
   private def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
 
+  /** Verified LSH near-dup pairs (a_id < b_id, exact Jaccard ≥ 0.5)
+    * over the planted-twins corpus — the p05 pipeline as a reusable
+    * pair source (p32 composes it with connected components).
+    *
+    * Shingle arrays feed three consumers (signature build + both sides
+    * of the verify join) — hash each 3-gram to a long FIRST (set
+    * Jaccard is hash-invariant modulo 2^-64 collisions), then
+    * materialize once: long arrays checkpoint and intersect far cheaper
+    * than 3-gram strings. Token barrier first: the shingle lambda reads
+    * the token array 3× per position, and CollapseProject would inline
+    * the regex split into every read (the p16 blowup — measured ~2×
+    * here). Verify joins shingles back; arrays were sorted at the
+    * checkpoint so each pair is one native merge-walk, not two hash-set
+    * builds. */
+  private[queries] def lshVerifiedPairs(s: SparkSession, d: String,
+      k: Int = 32, b: Int = 8, r: Int = 4): DataFrame = {
+    val docs = docsWithTwins(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        array_sort(transform(TextOps.shingles(col("tk"), 3),
+          sh => xxhash64(sh))).as("sh"))
+      .localCheckpoint()
+    val sig = TextOps.minhash(docs, "doc_id", col("sh"), k = k)
+    val cand = TextOps.candidatePairs(
+      TextOps.bands(sig, "doc_id", b = b, r = r), "doc_id")
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("jac", TextOps.jaccardSorted(col("a_sh"), col("b_sh")))
+      .where(col("jac") >= 0.5)
+      .select("a_id", "b_id")
+  }
+
   val registry: Seq[RegQuery] = Seq(
 
     // ---- p01: exact dedup by content hash ------------------------------
@@ -147,36 +181,7 @@ object Pipeline {
 
     // ---- p05: MinHash + LSH near-dup (the linear scale path) -----------
     RegQuery("p05_minhash_lsh",
-      (s, d) => {
-        // shingle arrays feed three consumers (signature build + both
-        // sides of the verify join) — hash each 3-gram to a long FIRST
-        // (set Jaccard is hash-invariant modulo 2^-64 collisions), then
-        // materialize once: long arrays checkpoint and intersect far
-        // cheaper than 3-gram strings
-        // token barrier first: the shingle lambda reads the token array
-        // 3× per position, and CollapseProject would inline the regex
-        // split into every read (the p16 blowup — measured ~2× here)
-        val docs = docsWithTwins(s, d)
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-          .repartition(col("doc_id"))
-          .select(col("doc_id"),
-            array_sort(transform(TextOps.shingles(col("tk"), 3),
-              sh => xxhash64(sh))).as("sh"))
-          .localCheckpoint()
-        val sig = TextOps.minhash(docs, "doc_id", col("sh"), k = 32)
-        val cand = TextOps.candidatePairs(
-          TextOps.bands(sig, "doc_id", b = 8, r = 4), "doc_id")
-        // verify candidates with exact Jaccard (join shingles back);
-        // arrays were sorted at the checkpoint so each pair is one
-        // native merge-walk, not two hash-set builds
-        val withSh = cand
-          .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-          .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
-        withSh.withColumn("jac", TextOps.jaccardSorted(col("a_sh"), col("b_sh")))
-          .where(col("jac") >= 0.5)
-          .select("a_id", "b_id")
-          .orderBy("a_id", "b_id")
-      },
+      (s, d) => lshVerifiedPairs(s, d).orderBy("a_id", "b_id"),
       None), // LSH banding not SQL-expressible → driver rows-only check
 
     // ---- p06: SimHash near-dup (Hamming ≤ 6, chunk blocking) ------------

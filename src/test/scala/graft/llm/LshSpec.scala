@@ -73,6 +73,63 @@ class LshSpec extends SparkSpec {
       s"$beyondHam of $p06Pairs p06 pairs beyond Hamming 6 — verify stage weakened")
   }
 
+  test("p32: LSH dedup clusters == exact-Jaccard clusters (composition)") {
+    // ground truth by an independent path (string shingles, exact
+    // all-pairs Jaccard, test-side union-find); the executed pipeline
+    // (LSH bands → connectedComponents → canonical resolution) must
+    // produce the IDENTICAL partition of the planted-twins corpus —
+    // this is the "at scale the same plan consumes LSH pairs" claim as
+    // tested code rather than a comment.
+    val base = graft.Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val t = TextOps.tokens(col("text"))
+    val corpus = base.unionAll(base.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(t, lit(1), greatest(size(t) - 3, lit(1)))).as("text")))
+    val sh = corpus.select(col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh")).cache()
+    val exactPairs = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      .crossJoin(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")))
+      .where(col("a_id") < col("b_id"))
+      .where(TextOps.jaccard(col("a_sh"), col("b_sh")) >= 0.5)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(exactPairs.nonEmpty)
+
+    // min-root union-find: canonical = min member id, the p32 contract
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      r
+    }
+    exactPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val allIds = corpus.select("doc_id").as[Long].collect()
+    val expected = allIds.map(i => i -> find(i)).toMap
+    val expectedSizes = expected.values.groupBy(identity).map {
+      case (c, xs) => c -> xs.size.toLong
+    }
+
+    val got = graft.SparkEntry.queries("p32_lsh_dedup_pipeline")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    val gotMap = got.map(g => g._1 -> g._2).toMap
+    assert(gotMap == expected, {
+      val diff = gotMap.collect {
+        case (k, v) if expected.get(k) != Some(v) => (k, v, expected.get(k))
+      }
+      s"partition diverged on ${diff.size} docs: ${diff.take(5)}"
+    })
+    // per-row consistency: cluster_size matches the partition, keep
+    // marks exactly the canonical member
+    got.foreach { case (id, canon, size, keep) =>
+      assert(size == expectedSizes(canon), s"doc $id size")
+      assert(keep == (id == canon), s"doc $id keep flag")
+    }
+  }
+
   test("sketch aggregates stay within documented error of exact") {
     val q33 = graft.SparkEntry.queries("q33_approx_sketch")(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
