@@ -216,10 +216,16 @@ object Streaming {
     // and only the band-bucket min lives in the state store. Each new
     // doc that lands in a seen bucket emits a (first_doc, new_doc)
     // candidate pair immediately — dedup keeps up with ingest instead
-    // of re-running batch LSH over the whole corpus. Emission is linear
-    // in bucket size and deterministic under any micro-batch split
-    // (equality with the batch min-anchored pairs pinned in
-    // StreamingSpec). xxhash64 has no DuckDB analog → rows-only check.
+    // of re-running batch LSH over the whole corpus. Under any
+    // micro-batch split the emitted pairs connect each bucket member to
+    // its bucket min (component equality with the batch star — pinned
+    // in StreamingSpec, incl. an adversarial split). Candidates then
+    // pass the SAME exact-Jaccard ≥0.5 verify gate as p05, as a batch
+    // join over the tiny emitted pair set only (shingles recomputed for
+    // just the docs appearing in pairs — never the corpus twice), so
+    // the stream path cannot silently weaken p05's precision guarantee
+    // (no-false-pair assertion pinned in StreamingSpec). xxhash64 has
+    // no DuckDB analog → rows-only check.
     RegQuery("s08_stream_neardup",
       (s, d) => {
         import s.implicits._
@@ -267,7 +273,34 @@ object Streaming {
           }
           q.awaitTermination()
         }
-        s.table("s08_sink").distinct().orderBy("a_id", "b_id")
+        val cand = s.table("s08_sink").distinct()
+        // verify (batch — the sink table is static once the
+        // AvailableNow trigger drains): prune the corpus to docs that
+        // appear in a candidate pair BEFORE shingling, so the exact-
+        // Jaccard gate costs O(pairs), not a second corpus pass
+        val pairIds = cand.select(col("a_id").as("doc_id"))
+          .unionAll(cand.select(col("b_id").as("doc_id"))).distinct()
+        val btk = graft.llm.TextOps.tokens(col("text"))
+        val corpus = graft.Tables(s, d, "documents").select("doc_id", "text")
+          .select(explode(array(
+            struct(col("doc_id"), col("text")),
+            struct((col("doc_id") + 1000000L).as("doc_id"),
+              concat_ws(" ", slice(btk, lit(1),
+                greatest(size(btk) - 3, lit(1)))).as("text")))).as("r"))
+          .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+        val sh = corpus.join(pairIds, "doc_id")
+          .select(col("doc_id"), array_sort(transform(
+            graft.llm.TextOps.shingles(
+              graft.llm.TextOps.tokens(col("text")), 3),
+            x => xxhash64(x))).as("sh"))
+          .localCheckpoint()
+        cand
+          .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+          .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+          .where(graft.llm.TextOps.jaccardSorted(
+            col("a_sh"), col("b_sh")) >= 0.5)
+          .select("a_id", "b_id")
+          .orderBy("a_id", "b_id")
       },
       None)
   )

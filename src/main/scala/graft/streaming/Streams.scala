@@ -170,12 +170,19 @@ object Streams {
   /** Per band bucket keep the MIN doc_id ever seen; every other doc
     * sharing the bucket emits a (min, doc) candidate pair — the
     * continuous-ingest half of MinHash dedup. Emission is linear in
-    * bucket size (a star around the min, not all-pairs — the spam-guard
-    * cap becomes unnecessary) and DETERMINISTIC under any micro-batch
-    * split: rows sort by doc_id inside a batch, and a later batch that
-    * brings a smaller doc re-anchors the bucket, emitting the demoted
-    * min as the b-side. The final pair set always equals the batch
-    * min-anchored pairs over the same buckets (pinned in StreamingSpec).
+    * bucket size (anchored at the running min, not all-pairs — the
+    * spam-guard cap becomes unnecessary). The guarantee under ANY
+    * micro-batch split is CONNECTIVITY, not a fixed pair set: a later
+    * batch that brings a smaller doc re-anchors the bucket and emits
+    * the demoted min as the b-side, so a bucket split across batches
+    * can yield a CHAIN ({3,5} then {1} → (3,5),(1,3)) where one batch
+    * yields the min-star ((1,3),(1,5)). Both connect every bucket
+    * member to the bucket min — same connected components, same
+    * duplicate coverage (every non-min member appears in ≥1 pair) —
+    * which is exactly what the downstream consumer (p32's
+    * CC → canonical resolution) is invariant to. Pinned in
+    * StreamingSpec: star equality when order delivers the min first,
+    * chain-vs-star component equality under an adversarial split.
     * State is one long per bucket — bounded by bucket cardinality, with
     * TTL available for time-decayed corpora. */
   class BandDedupProcessor

@@ -104,7 +104,7 @@ class StreamingSpec extends SparkSpec {
     assert(last(11L) == UserStat(11, 2, 1))
   }
 
-  test("streaming LSH dedup equals batch min-anchored bucket pairs") {
+  test("streaming LSH dedup equals verified batch min-anchored pairs") {
     import graft.llm.TextOps
     val streamed = graft.SparkEntry
       .queries("s08_stream_neardup")(spark, sfDir)
@@ -112,7 +112,12 @@ class StreamingSpec extends SparkSpec {
 
     // batch expectation over the SAME corpus: band every doc with the
     // batch pipeline (shingles pre-hashed to longs, like the stream and
-    // like p05), star-anchor each >=2 bucket at its min doc
+    // like p05), star-anchor each >=2 bucket at its min doc, then apply
+    // the same exact-Jaccard >=0.5 verify gate the query applies.
+    // (Pair-SET equality holds here because the file source delivers
+    // ascending doc_ids — the bucket min arrives first; under an
+    // arbitrary split only component equality is guaranteed, pinned in
+    // the adversarial-split test below.)
     val base = graft.Tables(spark, sfDir, "documents").select("doc_id", "text")
     val t = TextOps.tokens(col("text"))
     val corpus = base.unionAll(base.select(
@@ -123,12 +128,17 @@ class StreamingSpec extends SparkSpec {
         s => xxhash64(s)).as("sh"))
     val bands = TextOps.bands(
       TextOps.minhash(sh, "doc_id", col("sh"), k = 32), "doc_id", b = 8, r = 4)
+    val shSorted = sh.select(col("doc_id"), array_sort(col("sh")).as("ssh"))
     val expected = bands.groupBy("band_idx", "band_hash")
       .agg(min("doc_id").as("m"), collect_set("doc_id").as("ids"))
       .where(size(col("ids")) >= 2)
       .select(col("m"), explode(col("ids")).as("d"))
       .where(col("d") =!= col("m"))
       .select(col("m").as("a_id"), col("d").as("b_id")).distinct()
+      .join(shSorted.select(col("doc_id").as("a_id"), col("ssh").as("a_sh")), "a_id")
+      .join(shSorted.select(col("doc_id").as("b_id"), col("ssh").as("b_sh")), "b_id")
+      .where(TextOps.jaccardSorted(col("a_sh"), col("b_sh")) >= 0.5)
+      .select("a_id", "b_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed == expected,
       s"stream/batch diverge: only-stream=${(streamed -- expected).take(5)} " +
@@ -138,6 +148,56 @@ class StreamingSpec extends SparkSpec {
     val nDocs = base.count()
     val twins = streamed.count { case (a, b) => b == a + 1000000L }
     assert(twins >= 0.9 * nDocs, s"twin recall $twins/$nDocs")
+
+    // precision: the stream path must not weaken p05's verify
+    // guarantee — recompute Jaccard over an INDEPENDENT representation
+    // (string shingles, no xxhash64) and require zero emitted pairs
+    // below the documented 0.5 threshold
+    import spark.implicits._
+    val strSh = corpus.select(col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    val below = streamed.toSeq.toDF("a_id", "b_id")
+      .join(strSh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(strSh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .where(TextOps.jaccard(col("a_sh"), col("b_sh")) < 0.5)
+      .count()
+    assert(below == 0,
+      s"$below of ${streamed.size} streamed pairs below Jaccard 0.5")
+  }
+
+  test("band-bucket split across batches: chain output, star components") {
+    import graft.streaming.Streams.{BandDoc, DupPair}
+    implicit val sqlCtx = spark.sqlContext
+    // ADVICE r3's counterexample, executed: bucket {3,5} in batch 1,
+    // then {1} in batch 2. The emitted set is the CHAIN {(3,5),(1,3)} —
+    // not the batch star {(1,3),(1,5)} — but connectivity and duplicate
+    // coverage match the star exactly, which is the processor's real
+    // contract (and all its CC-consuming downstream needs).
+    Streams.withRocksDB(spark) {
+      val src = MemoryStream[BandDoc]
+      val q = Streams.bandDedup(src.toDS()).writeStream.format("memory")
+        .queryName("t_chain").outputMode(OutputMode.Append()).start()
+      src.addData(BandDoc(0, 7L, 3), BandDoc(0, 7L, 5)); q.processAllAvailable()
+      src.addData(BandDoc(0, 7L, 1)); q.processAllAvailable()
+      q.stop()
+    }
+    val pairs = spark.table("t_chain").as[DupPair].collect()
+      .map(p => (p.a_id, p.b_id)).toSet
+    assert(pairs == Set((3L, 5L), (1L, 3L)), pairs.toString)
+    // component equality with the star via union-find over the chain
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    assert(Seq(1L, 3L, 5L).map(find).distinct == Seq(1L),
+      "chain must connect the whole bucket to its min")
+    // duplicate coverage: every non-min member appears in >=1 pair
+    val covered = pairs.flatMap(p => Seq(p._1, p._2))
+    assert(covered == Set(1L, 3L, 5L))
   }
 
   test("band-bucket state re-anchors when a smaller doc arrives later") {
