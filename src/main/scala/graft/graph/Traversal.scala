@@ -73,12 +73,16 @@ object Traversal {
 
     val rootSample = roots.select(col("id")).distinct()
       .limit(PointPathMaxFrontier + 1).collect().map(_.getString(0))
-    if (rootSample.length <= PointPathMaxFrontier)
+    if (rootSample.length <= PointPathMaxFrontier) {
+      spark.sparkContext.setLocalProperty("graft.traversal.impl", "point")
       followPoint(spark, edges, rootSample, fromHop, toHop)
-    else
+    } else {
+      spark.sparkContext.setLocalProperty("graft.traversal.impl",
+        "distributed")
       followDistributed(spark, edges,
         roots.select(col("id")).distinct().withColumn("hop", lit(0)),
         fromHop, toHop)
+    }
   }
 
   /** Driver-side frontier loop; falls back to the distributed loop if a
@@ -108,6 +112,10 @@ object Traversal {
         import spark.implicits._
         next.foreach(id => visited(id) = hop)
         val seed = visited.toSeq.toDF("id", "hop")
+        // observability for the scale-rehearsal pin: hand-off happened,
+        // and at which hop
+        spark.sparkContext.setLocalProperty("graft.traversal.impl",
+          s"handoff@$hop")
         return followDistributed(spark, edges, seed, fromHop, toHop,
           startHop = hop, startFrontier = Some(next))
       }

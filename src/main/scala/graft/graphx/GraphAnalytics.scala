@@ -248,6 +248,7 @@ object GraphAnalytics {
       .distinct().localCheckpoint()
     var n = edges.count()
     var changed = n > 0
+    var rounds = 0
     while (changed) {
       val keep = edges.groupBy("u").agg(count(lit(1)).as("d"))
         .where(col("d") >= k).select(col("u").as("kv"))
@@ -260,7 +261,11 @@ object GraphAnalytics {
       changed = m != n && m > 0
       n = m
       edges = next
+      rounds += 1
     }
+    // peel-depth observability for the scale-rehearsal pins
+    pairs.sparkSession.sparkContext
+      .setLocalProperty("graft.kcore.rounds", rounds.toString)
     edges.groupBy("u").agg(count(lit(1)).as("core_deg"))
       .select(col("u").as("v"), col("core_deg"))
   }
@@ -333,8 +338,12 @@ object GraphAnalytics {
       .get("spark.graft.cc.localEdgeThreshold", "1000000").toLong
     // und carries both directions, so rows/2 = undirected edge count;
     // the count is a cheap scan of the just-checkpointed partitions
-    if (und.count() / 2 <= threshold) localUnionFind(und)
-    else distributedCcLoop(und)
+    val local = und.count() / 2 <= threshold
+    // observability for the scale-rehearsal pins (ScaleRehearsalSpec):
+    // which arm ran, and how many rounds the distributed loop took
+    und.sparkSession.sparkContext.setLocalProperty("graft.cc.impl",
+      if (local) "local" else "distributed")
+    if (local) localUnionFind(und) else distributedCcLoop(und)
   }
 
   /** Exact union-find over a collected edge list; comp = min member id
@@ -405,6 +414,8 @@ object GraphAnalytics {
       labels = next.select("id", "comp")
       round += 1
     }
+    und.sparkSession.sparkContext
+      .setLocalProperty("graft.cc.rounds", round.toString)
     labels
   }
 }
