@@ -59,26 +59,100 @@ object GraphAnalytics {
     * iteration's aggregate without contributing mass.
     * Returns [id, rank_micro]; true rank = rank_micro / 1e6. */
   def pageRank(edges: DataFrame, iters: Int = 20): DataFrame = {
-    val e = edges.select(col("src_id"), col("dst_id"))
-    val verts = e.select(col("src_id").as("id"))
-      .unionAll(e.select(col("dst_id").as("id"))).distinct()
-    val outdeg = e.groupBy("src_id").agg(count(lit(1)).as("od"))
-    val ec = e.join(outdeg, "src_id")
-      .select(col("src_id").as("src"), col("dst_id").as("dst"), col("od"))
-      .unionAll(verts.select(col("id"), col("id"), lit(0L)))
+    // loop on xxhash64 vids, not string ids: the 40+ shuffles below
+    // move fixed 8-byte keys instead of URI strings (the id rides back
+    // via one join at the end — same trick as build()). Bijective on
+    // real corpora (64-bit collision odds negligible) and fully
+    // deterministic either way, so oracle parity is unaffected.
+    val e0 = edges.select(col("src_id"), col("dst_id"))
+    val verts = e0.select(col("src_id").as("id"))
+      .unionAll(e0.select(col("dst_id").as("id"))).distinct()
+      .select(col("id"), xxhash64(col("id")).as("vid"))
       .localCheckpoint()
-    var ranks = verts.select(col("id"), lit(1000000L).as("r"))
+    val e = e0.select(xxhash64(col("src_id")).as("src"),
+      xxhash64(col("dst_id")).as("dst"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val ec = e.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("od"))
+      .unionAll(verts.select(col("vid"), col("vid"), lit(0L)))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
-      ranks = ec.join(ranks, ec("src") === ranks("id"))
-        .groupBy(col("dst"))
-        .agg((lit(150000L) + expr(
-          "(85 * sum(CASE WHEN od > 0 THEN r div od ELSE 0 END)) div 100"))
-          .as("r"))
-        .withColumnRenamed("dst", "id")
-        .localCheckpoint()
+    // adaptive dispatch, the CC-loop pattern: a 20-round synchronous
+    // fixpoint is 40+ sequential shuffle stages whose scheduling
+    // overhead dwarfs the arithmetic while the graph fits the driver —
+    // under `spark.graft.pr.localEdgeThreshold` edges (default 1M,
+    // tens of MB of longs) the identical integer recurrence runs as a
+    // driver array loop (milliseconds); above it the distributed
+    // join+agg loop runs, checkpointed every 5 rounds. Both arms are
+    // the same exact integer math — equality pinned in GraphXSpec —
+    // and the count rides the just-checkpointed ec partitions.
+    val threshold = edges.sparkSession.conf
+      .get("spark.graft.pr.localEdgeThreshold", "1000000").toLong
+    val local = ec.count() <= threshold
+    edges.sparkSession.sparkContext.setLocalProperty("graft.pr.impl",
+      if (local) "local" else "distributed")
+    val ranks = if (local) localPageRank(ec, iters)
+      else distributedPageRank(ec, verts, iters)
+    ranks.join(verts, ranks("v") === verts("vid"))
+      .select(col("id"), col("r").as("rank_micro"))
+  }
+
+  /** Driver-side arm of [[pageRank]]: the same truncating integer
+    * recurrence over collected (src, dst, od) triples. The self-edges
+    * already register every vertex, so the triple list is the whole
+    * graph state; 20 rounds over a ≤1M-edge array is microseconds. */
+  private def localPageRank(ec: DataFrame, iters: Int): DataFrame = {
+    val spark = ec.sparkSession
+    import spark.implicits._
+    val triples = ec.select("src", "dst", "od").as[(Long, Long, Long)]
+      .collect()
+    val idx = scala.collection.mutable.HashMap.empty[Long, Int]
+    triples.foreach { case (s, d, _) =>
+      idx.getOrElseUpdate(s, idx.size)
+      idx.getOrElseUpdate(d, idx.size): Unit
     }
-    ranks.select(col("id"), col("r").as("rank_micro"))
+    val n = idx.size
+    var r = Array.fill(n)(1000000L)
+    for (_ <- 1 to iters) {
+      val acc = new Array[Long](n)
+      triples.foreach { case (s, d, od) =>
+        if (od > 0) acc(idx(d)) += r(idx(s)) / od
+      }
+      r = acc.map(c => 150000L + (85L * c) / 100L)
+    }
+    val vids = new Array[Long](n)
+    idx.foreach { case (vid, i) => vids(i) = vid }
+    spark.createDataset((0 until n).map(i => (vids(i), r(i))))
+      .toDF("v", "r")
+  }
+
+  /** Distributed arm of [[pageRank]]: one equi-join + one hash
+    * aggregate per round. Checkpoint every 5 rounds, not every round:
+    * the materialization barrier (not the shuffles) dominated
+    * per-round cost — 20 per-round checkpoints measured 14 s at sf0.1,
+    * batches of 5 run the same 40 shuffles inside 4 job DAGs. Five
+    * joins of lineage is far below the plan-growth regime the
+    * CC/k-core loops guard against (they re-inline a SHRINKING input
+    * per round; here the chain is linear). */
+  private def distributedPageRank(ec: DataFrame, verts: DataFrame,
+      iters: Int): DataFrame = {
+    var ranks = verts.select(col("vid").as("v"), lit(1000000L).as("r"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val step = math.min(5, iters - i)
+      var cur = ranks
+      for (_ <- 1 to step) {
+        cur = ec.join(cur, ec("src") === cur("v"))
+          .groupBy(col("dst"))
+          .agg((lit(150000L) + expr(
+            "(85 * sum(CASE WHEN od > 0 THEN r div od ELSE 0 END)) div 100"))
+            .as("r"))
+          .withColumnRenamed("dst", "v")
+      }
+      ranks = cur.localCheckpoint()
+      i += step
+    }
+    ranks
   }
 
   /** Single-source-set shortest paths (directed, hop count): distance

@@ -288,10 +288,16 @@ object Streaming {
               concat_ws(" ", slice(btk, lit(1),
                 greatest(size(btk) - 3, lit(1)))).as("text")))).as("r"))
           .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+        // token barrier before shingling (the p05/p16 rule): without it
+        // CollapseProject inlines the regex split into every element_at
+        // of the shingle lambda — measured 13.6 s of the 18.7 s total
+        // this stage cost un-barriered at sf0.1
         val sh = corpus.join(pairIds, "doc_id")
+          .select(col("doc_id"),
+            graft.llm.TextOps.tokens(col("text")).as("tk"))
+          .repartition(col("doc_id"))
           .select(col("doc_id"), array_sort(transform(
-            graft.llm.TextOps.shingles(
-              graft.llm.TextOps.tokens(col("text")), 3),
+            graft.llm.TextOps.shingles(col("tk"), 3),
             x => xxhash64(x))).as("sh"))
           .localCheckpoint()
         cand

@@ -37,7 +37,15 @@ class BenchGuardSpec extends SparkSpec {
     ("s08_stream_neardup", 10.0),
     // the k-core peel loop: losing a localCheckpoint re-inlines every
     // prior round's joins into the next (exponential plan growth)
-    ("x05_kcore", 8.0))
+    ("x05_kcore", 8.0),
+    // x02 baseline ~1.2 s (driver-arm dispatch): a trip means the
+    // local/distributed threshold broke and 40 shuffle stages run on a
+    // driver-sized graph (measured 14 s before the dispatch existed)
+    ("x02_pagerank", 5.0),
+    // p32 baseline ~4.4 s: candidate banding + CC + resolution; a trip
+    // means an all-pairs regression in the pair source or a lost
+    // checkpoint in the CC loop
+    ("p32_lsh_dedup_pipeline", 13.0))
 
   guards.foreach { case (name, limitSec) =>
     test(s"$name stays under ${limitSec}s (3x committed time)") {

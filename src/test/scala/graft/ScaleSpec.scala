@@ -160,6 +160,22 @@ class ScaleSpec extends SparkSpec {
       s"chunk dedup went quadratic:\n$plan")
   }
 
+  test("p32 dedup pipeline: pair source and resolution stay cartesian-free") {
+    // the whole point of p32 is that near-dup clustering never goes
+    // all-pairs: candidates come from the band hash-aggregate + in-row
+    // explode, verify/resolution are equi-joins. A NestedLoop/Cartesian
+    // anywhere in either plan is the quadratic regression this exists
+    // to prevent. (p05 shares the pair-source shape pre-checkpoint;
+    // p32's visible plan covers verify + CC-output resolution joins.)
+    for (q <- Seq("p05_minhash_lsh", "p32_lsh_dedup_pipeline")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q went quadratic:\n$plan")
+    }
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val li = Tables(spark, sfDir, "lineitem")
     val direct = li.groupBy("l_returnflag")

@@ -26,6 +26,27 @@ class GraphXSpec extends SparkSpec {
       "d" -> 150000L, "hub" -> 660000L), ranks.toString)
   }
 
+  test("pageRank arms: driver loop == distributed loop, dispatch observable") {
+    val edges = graft.graph.GraphView.edges(spark, sfDir)
+      .select("src_id", "label", "dst_id")
+    val viaLocal = GraphAnalytics.pageRank(edges, iters = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spark.sparkContext.getLocalProperty("graft.pr.impl") == "local")
+    try {
+      spark.conf.set("spark.graft.pr.localEdgeThreshold", "0")
+      val viaDist = GraphAnalytics.pageRank(edges, iters = 20)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(spark.sparkContext.getLocalProperty("graft.pr.impl")
+        == "distributed")
+      assert(viaLocal == viaDist, {
+        val d = viaDist.collect {
+          case (k, v) if viaLocal.get(k) != Some(v) => (k, viaLocal.get(k), v)
+        }
+        s"arms diverged on ${d.size} vertices: ${d.take(5)}"
+      })
+    } finally spark.conf.unset("spark.graft.pr.localEdgeThreshold")
+  }
+
   test("connectedComponents: two disjoint chains get two components") {
     val edges = edgeDf("a" -> "b", "b" -> "c", "x" -> "y")
     val cc = GraphAnalytics.connectedComponents(edges)
