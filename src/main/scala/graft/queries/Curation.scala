@@ -618,8 +618,35 @@ object Curation {
             (col("doc_id") === col("canonical_id")).as("keep"))
           .orderBy("doc_id")
       },
+      None), // LSH pair source not SQL-expressible → rows-only;
+             // cluster equality vs exact baseline pinned in LshSpec
+
+    // ---- p33: contamination matrix over the LINEAR pair source ---------
+    // p30's rollup executed the way it runs at 100 TB: the same
+    // (src_lo, src_hi) near-dup report, but consuming the p32
+    // high-recall LSH pairs over the FULL corpus instead of the bounded
+    // exact baseline — no all-pairs stage anywhere. Rollup equality
+    // with the exact-Jaccard pair set on the planted corpus is pinned
+    // in LshSpec (closes the last "at scale this consumes LSH pairs"
+    // comment-only claim from the r3 verdict).
+    RegQuery("p33_contamination_lsh",
+      (s, d) => {
+        val pairs = Pipeline.lshVerifiedPairs(s, d, k = 64, b = 32, r = 2)
+        val src = Pipeline.docsWithTwins(s, d)
+          .select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("a_id"),
+            col("source").as("src_a")), "a_id")
+          .join(src.select(col("doc_id").as("b_id"),
+            col("source").as("src_b")), "b_id")
+          .select(least(col("src_a"), col("src_b")).as("src_lo"),
+            greatest(col("src_a"), col("src_b")).as("src_hi"))
+          .groupBy("src_lo", "src_hi")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("src_lo", "src_hi")
+      },
       None) // LSH pair source not SQL-expressible → rows-only;
-            // cluster equality vs exact baseline pinned in LshSpec
+            // rollup equality vs exact pairs pinned in LshSpec
   )
 
   /** DuckDB mirror of p22: same seed centroids, same 1e-6 rounding. */

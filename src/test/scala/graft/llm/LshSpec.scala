@@ -21,6 +21,29 @@ class LshSpec extends SparkSpec {
     base.unionAll(twins)
   }
 
+  /** Full planted-twins corpus (no limit) — the p32/p33 queries' input. */
+  private lazy val twinsCorpus = {
+    val base = graft.Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val t = TextOps.tokens(col("text"))
+    base.unionAll(base.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(t, lit(1), greatest(size(t) - 3, lit(1)))).as("text")))
+  }
+
+  /** Exact-Jaccard ≥0.5 ground-truth pairs over [[twinsCorpus]] by an
+    * independent path (string shingles, all-pairs cross join) — shared
+    * by the p32 partition pin and the p33 rollup pin. */
+  private lazy val exactPairs: Array[(Long, Long)] = {
+    val sh = twinsCorpus.select(col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh")).cache()
+    sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      .crossJoin(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")))
+      .where(col("a_id") < col("b_id"))
+      .where(TextOps.jaccard(col("a_sh"), col("b_sh")) >= 0.5)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+  }
+
   test("minhash-LSH recovers >=90% of planted near-dup twins") {
     val withSh = docs.select(col("doc_id"),
       TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
@@ -80,19 +103,6 @@ class LshSpec extends SparkSpec {
     // produce the IDENTICAL partition of the planted-twins corpus —
     // this is the "at scale the same plan consumes LSH pairs" claim as
     // tested code rather than a comment.
-    val base = graft.Tables(spark, sfDir, "documents").select("doc_id", "text")
-    val t = TextOps.tokens(col("text"))
-    val corpus = base.unionAll(base.select(
-      (col("doc_id") + 1000000L).as("doc_id"),
-      concat_ws(" ", slice(t, lit(1), greatest(size(t) - 3, lit(1)))).as("text")))
-    val sh = corpus.select(col("doc_id"),
-      TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh")).cache()
-    val exactPairs = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
-      .crossJoin(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")))
-      .where(col("a_id") < col("b_id"))
-      .where(TextOps.jaccard(col("a_sh"), col("b_sh")) >= 0.5)
-      .select("a_id", "b_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
     assert(exactPairs.nonEmpty)
 
     // min-root union-find: canonical = min member id, the p32 contract
@@ -106,7 +116,7 @@ class LshSpec extends SparkSpec {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
     }
-    val allIds = corpus.select("doc_id").as[Long].collect()
+    val allIds = twinsCorpus.select("doc_id").as[Long].collect()
     val expected = allIds.map(i => i -> find(i)).toMap
     val expectedSizes = expected.values.groupBy(identity).map {
       case (c, xs) => c -> xs.size.toLong
@@ -128,6 +138,31 @@ class LshSpec extends SparkSpec {
       assert(size == expectedSizes(canon), s"doc $id size")
       assert(keep == (id == canon), s"doc $id keep flag")
     }
+  }
+
+  test("p33: LSH contamination rollup == exact-pair rollup") {
+    // the rollup is only as good as its pair source: require the
+    // (src_lo, src_hi) counts over the 32×2 LSH pairs to equal the
+    // counts over the independently computed exact-Jaccard pair set —
+    // on the planted corpus the high-recall banding recovers the exact
+    // pair SET (stronger than p32's partition equality, which larger
+    // clusters could satisfy with missing internal pairs)
+    val srcOf = graft.Tables(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def src(id: Long) = srcOf(id % 1000000L)
+    val expected = exactPairs.toSeq
+      .map { case (a, b) =>
+        val (x, y) = (src(a), src(b))
+        (if (x <= y) (x, y) else (y, x)) -> 1L
+      }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.size.toLong }
+    val got = graft.SparkEntry.queries("p33_contamination_lsh")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == expected,
+      s"rollup diverged: only-got=${(got.toSet -- expected.toSet).take(3)} " +
+        s"only-expected=${(expected.toSet -- got.toSet).take(3)}")
   }
 
   test("sketch aggregates stay within documented error of exact") {
