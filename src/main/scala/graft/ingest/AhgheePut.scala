@@ -60,7 +60,9 @@ object AhgheePut {
   private final class P(s: String) {
     private var i = 0
     def eof: Boolean = i >= s.length
-    def peek: Char = s.charAt(i)
+    // total at EOF — same hardening as AhgheeParser.Q.peek: truncated
+    // input must surface the parser's typed error, not the JDK's
+    def peek: Char = if (eof) ' ' else s.charAt(i)
     def ws(): Unit = {
       while (!eof && (peek.isWhitespace || peek == '#')) {
         if (peek == '#') while (!eof && peek != '\n') i += 1
@@ -80,9 +82,10 @@ object AhgheePut {
     def string(): String = {
       ws(); expect('"')
       val sb = new StringBuilder
-      while (peek != '"') {
+      while (!eof && peek != '"') {
         if (peek == '\\') {
           i += 1
+          if (eof) fail("escaped char in string")
           sb.append(peek match {
             case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
             case c => c
@@ -90,6 +93,7 @@ object AhgheePut {
         } else sb.append(peek)
         i += 1
       }
+      if (eof) fail("closing '\"'")
       i += 1
       sb.toString
     }
@@ -154,6 +158,10 @@ object AhgheePut {
         }
         i += 1
       } while (depth > 0 && !eof)
+      // a trailing backslash inside a string can step i one past the
+      // end before the eof check — clamp so truncated input yields the
+      // partial block, not StringIndexOutOfBounds
+      i = math.min(i, s.length)
       s.substring(st, i)
     }
 

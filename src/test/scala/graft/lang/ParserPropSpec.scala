@@ -90,6 +90,41 @@ class ParserPropSpec extends AnyFunSuite {
       }
   }
 
+  test("truncated input fails typed: unterminated strings and escapes") {
+    // regression: the junk generator found `get " ...` (an unterminated
+    // string) driving the cursor past the end — a raw
+    // StringIndexOutOfBoundsException instead of the parser's typed
+    // error. Pin the exact shape plus the related truncations.
+    val cases = Seq(
+      """get " get ^ { ^ filter |> } ^ filter : get { put { put filte""",
+      """get "a""", // unterminated id string
+      """get "unterminated""" + "\\", // trailing escape
+      """get "a" |> filter""", // eof where a compare must start
+      """get "a" |> filter "k""", // unterminated compare key
+      """get "a" |> fields""", // eof where a clude must start
+      """get "a" |> follow""") // eof where an edge pred must start
+    cases.foreach { q =>
+      try { AhgheeParser.parse(q); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"non-parser error on $q: $e")
+      }
+    }
+    val putCases = Seq(
+      """put "a" { "k": "unterminated""",
+      """put "a" { "k": "x\""" + "\\",
+      """put "a" { "cfg": {"x": "y\""" + "\\",
+      """put "a" {""",
+      """put "a" { "k":""")
+    putCases.foreach { q =>
+      try { graft.ingest.AhgheePut.parse(q); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"non-parser error on $q: $e")
+      }
+    }
+  }
+
   test("junk input fails with ParseException, never hangs or leaks") {
     val junk = Gen.listOfN(200, Gen.oneOf(
       Gen.asciiPrintableStr,
