@@ -79,10 +79,11 @@ object GraphAnalytics {
     // adaptive dispatch, the CC-loop pattern: a 20-round synchronous
     // fixpoint is 40+ sequential shuffle stages whose scheduling
     // overhead dwarfs the arithmetic while the graph fits the driver —
-    // under `spark.graft.pr.localEdgeThreshold` edges (default 1M,
-    // tens of MB of longs) the identical integer recurrence runs as a
-    // driver array loop (milliseconds); above it the distributed
-    // join+agg loop runs, checkpointed every 5 rounds. Both arms are
+    // at or under `spark.graft.pr.localEdgeThreshold` ec rows (edges +
+    // one self-edge per vertex; default 1M ≈ tens of MB of longs) the
+    // identical integer recurrence runs as a driver array loop
+    // (milliseconds); above it the distributed join+agg loop runs,
+    // checkpointed every 5 rounds. Both arms are
     // the same exact integer math — equality pinned in GraphXSpec —
     // and the count rides the just-checkpointed ec partitions.
     val threshold = edges.sparkSession.conf
