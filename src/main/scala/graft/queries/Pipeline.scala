@@ -516,7 +516,187 @@ object Pipeline {
              |      i -> list_min(gs[i:i+3])) AS fp FROM g)
              |SELECT doc_id, CAST(len(list_distinct(fp)) AS BIGINT) AS n_fp,
              |  list_min(fp) AS min_fp
-             |FROM f ORDER BY doc_id""".stripMargin))
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // ---- p34: BM25 top-k retrieval over inverted postings ---------------
+    // Okapi BM25 (Robertson et al., TREC-3; k1=1.2, b=0.75): the corpus
+    // becomes an inverted-postings frame — one explode + hash-agg, the
+    // exact layout a 100 TB engine would bucket by term — and each query
+    // is a broadcast join against it. Scores are summed as BIGINT
+    // micro-units (floor at 1e-4 per term contribution) so the
+    // aggregation is exact integer math — float sum order can never
+    // break rank stability or oracle parity; the 1e-4 floor also
+    // absorbs cross-engine ln() ulps (the p26 trick). At scale: postings
+    // are hash-partitioned by term, df/avgdl are tiny broadcast sides,
+    // and per-query top-k is one window over the matched docs only.
+    RegQuery("p34_bm25_search",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .repartition(col("doc_id")) // token barrier: dl + explode both read tk
+          .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+            col("tk"))
+          .localCheckpoint() // feeds postings AND the corpus stats row
+        val post = docs
+          .select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
+          .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        val qterms = Seq((1, "spark"), (1, "join"), (2, "hash"),
+          (2, "table"), (2, "scan"), (3, "window"), (3, "agg"), (3, "data"))
+          .toDF("q_id", "term")
+        val dfreq = post.join(broadcast(qterms.select("term").distinct()), "term")
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val st = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        val avgdl = col("sum_dl").cast("double") / col("n_docs")
+        val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+        val tfn = col("tf") * 2.2 / (col("tf") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+        post.join(broadcast(qterms), "term")
+          .join(broadcast(dfreq), "term")
+          .crossJoin(broadcast(st))
+          .withColumn("u", floor(idf * tfn * 10000 + 0.5).cast("long"))
+          .groupBy("q_id", "doc_id").agg(sum(col("u")).as("score_u"))
+          .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("score_u").desc, col("doc_id"))))
+          .where(col("rank") <= 10)
+          .select("q_id", "rank", "doc_id", "score_u")
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH docs AS (SELECT doc_id,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS dl,
+             |    string_split(text,' ') AS t FROM documents),
+             |post AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM docs)
+             |  GROUP BY doc_id, dl, term),
+             |q(q_id, term) AS (VALUES (1,'spark'),(1,'join'),(2,'hash'),
+             |  (2,'table'),(2,'scan'),(3,'window'),(3,'agg'),(3,'data')),
+             |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
+             |  WHERE term IN (SELECT term FROM q) GROUP BY term),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM docs),
+             |sc AS (SELECT q.q_id, p.doc_id,
+             |  CAST(floor(ln(1.0 + (st.n_docs - f.df + 0.5)/(f.df + 0.5))
+             |    * (p.tf*2.2/(p.tf + 1.2*(0.25 + 0.75*p.dl
+             |        /(CAST(st.sum_dl AS DOUBLE)/st.n_docs))))
+             |    * 10000 + 0.5) AS BIGINT) AS u
+             |  FROM post p JOIN q ON p.term = q.term
+             |  JOIN dfreq f ON p.term = f.term CROSS JOIN st),
+             |a AS (SELECT q_id, doc_id, CAST(sum(u) AS BIGINT) AS score_u
+             |  FROM sc GROUP BY q_id, doc_id),
+             |r AS (SELECT q_id, doc_id, score_u, ROW_NUMBER() OVER
+             |  (PARTITION BY q_id ORDER BY score_u DESC, doc_id) AS rn FROM a)
+             |SELECT CAST(q_id AS INTEGER) AS q_id, CAST(rn AS INTEGER) AS rank,
+             |  doc_id, score_u
+             |FROM r WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- p35: exact duplicated-span detection (substring dedup) ---------
+    // Lee et al., "Deduplicating Training Data Makes Language Models
+    // Better" (ACL'22): find exact K-token spans shared across documents
+    // and score each doc by its duplicated-span fraction. Spans hash to
+    // a long (xxhash64) AT BIRTH inside the row — the corpus-wide state
+    // is (hash, count), never span text (the oracle groups the strings
+    // themselves; identical modulo 2^-64 collisions, the p04 contract).
+    // One explode + one hash-agg + one co-partitioned join back — all
+    // linear, the suffix-array result at Spark cost. Runs over the
+    // planted-twins corpus so real cross-doc duplicates exist.
+    RegQuery("p35_span_dedup",
+      (s, d) => {
+        val K = 8
+        val tk = col("tk")
+        val sp = docsWithTwins(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .where(size(col("tk")) >= K)
+          .repartition(col("doc_id")) // token barrier: span lambda reads tk K×/pos
+          .select(col("doc_id"), explode(array_distinct(transform(
+            sequence(lit(1), size(tk) - (K - 1)),
+            i => xxhash64(concat_ws(" ", slice(tk, i, lit(K))))))).as("h"))
+          .localCheckpoint() // feeds the span-count agg AND the join back
+        val dup = sp.groupBy("h").agg(count(lit(1)).as("nd"))
+        sp.join(dup, "h") // co-partitioned with the agg above (same key)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum((col("nd") >= 2).cast("long")).as("n_dup"))
+          .select(col("doc_id"), col("n_spans"), col("n_dup"),
+            r4(col("n_dup").cast("double") / col("n_spans")).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some(twinsCte +
+        """, tt AS (SELECT doc_id, string_split(text,' ') AS tk FROM alldocs
+          |  WHERE len(string_split(text,' ')) >= 8),
+          |sp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          |    range(1, len(tk)-6),
+          |    i -> array_to_string(tk[i:i+7], ' ')))) AS h FROM tt),
+          |dup AS (SELECT h, CAST(count(*) AS BIGINT) AS nd FROM sp GROUP BY h)
+          |SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+          |  CAST(sum(CASE WHEN dup.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+          |  floor(CAST(sum(CASE WHEN dup.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+          |    /count(*)*10000 + 0.5)/10000 AS dup_frac
+          |FROM sp JOIN dup USING(h) GROUP BY sp.doc_id
+          |ORDER BY doc_id""".stripMargin)),
+
+    // ---- p36: bigram-LM perplexity scoring (KenLM-style filter) ---------
+    // The CCNet quality gate: train an add-one-smoothed bigram model ON
+    // the corpus (two hash-aggs: c(w1,w2) and context totals c(w1·)),
+    // then score every doc by average negative log-likelihood. Per-bigram
+    // log-probs floor to BIGINT 1e-4 units before the weighted sum, so
+    // the per-doc total is exact integer math (no float-sum order, ln()
+    // ulps absorbed — the p34 discipline). At 100 TB the count tables
+    // are vocab-bounded (≪ corpus), shuffle-joined on (w1,w2) with
+    // map-side partial aggs; the vocab size is one broadcast scalar.
+    RegQuery("p36_bigram_lm",
+      (s, d) => {
+        val tk = col("tk")
+        val base = Tables(s, d, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .where(size(col("tk")) >= 2)
+          .repartition(col("doc_id")) // token barrier (lambda reads tk 2×/pos)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(tk) - 1),
+            i => struct(element_at(tk, i).as("w1"),
+              element_at(tk, i + 1).as("w2")))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .localCheckpoint() // feeds c12, c1, and the per-doc side
+        val c12 = base.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = base.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val vocab = Tables(s, d, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .agg(countDistinct(col("w")).as("vsz"))
+        val u = floor(log((col("c12") + lit(1.0)) / (col("c1") + col("vsz")))
+          * 10000 + 0.5).cast("long")
+        base.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+          .join(c12, Seq("w1", "w2"))
+          .join(c1, Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .withColumn("u", u)
+          .groupBy("doc_id")
+          .agg(sum(col("n")).as("n_bg"), (-sum(col("u") * col("n"))).as("nll_u"))
+          .select(col("doc_id"), col("n_bg"), col("nll_u"),
+            r4(col("nll_u").cast("double") / col("n_bg") / 10000).as("avg_nll"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk
+             |  FROM documents WHERE len(string_split(text,' ')) >= 2),
+             |bb AS (SELECT doc_id,
+             |  unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+             |  unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+             |  FROM t),
+             |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bb
+             |  GROUP BY w1, w2),
+             |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bb
+             |  GROUP BY w1),
+             |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vsz FROM
+             |  (SELECT unnest(string_split(text,' ')) AS w FROM documents)),
+             |dt AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n
+             |  FROM bb GROUP BY doc_id, w1, w2),
+             |sc AS (SELECT dt.doc_id, dt.n,
+             |  CAST(floor(ln((c12.c12 + 1.0)/(c1.c1 + v.vsz))*10000 + 0.5)
+             |    AS BIGINT) AS u
+             |  FROM dt JOIN c12 USING(w1, w2) JOIN c1 USING(w1) CROSS JOIN v)
+             |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bg,
+             |  CAST(-sum(u*n) AS BIGINT) AS nll_u,
+             |  floor(CAST(-sum(u*n) AS DOUBLE)/sum(n)/10000*10000 + 0.5)/10000
+             |    AS avg_nll
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB mirror of p14's trained IVF. The 64-dim centroid means are

@@ -176,6 +176,42 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("p34 retrieval: postings meet the query side by broadcast only") {
+    // the inverted-postings frame is the 100 TB side — it may shuffle
+    // for its own aggregates, but the query terms / df / corpus-stats
+    // sides are tiny and must reach it as broadcasts. A SortMergeJoin
+    // would mean the whole postings table re-shuffles per query set.
+    val plan = SparkEntry.queries("p34_bm25_search")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"BM25 query join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"BM25 shuffles postings against the query side:\n$plan")
+  }
+
+  test("p35 span dedup stays linear: explode + hash-agg, no all-pairs") {
+    // substring dedup must never compare documents pairwise — the span
+    // hash-agg + co-partitioned join back IS the algorithm; any
+    // NestedLoop/Cartesian is the quadratic regression
+    val plan = SparkEntry.queries("p35_span_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span dedup went quadratic:\n$plan")
+  }
+
+  test("p36 bigram LM: count tables join by key, no cartesian blowup") {
+    // c12/c1 are vocab-bounded equi-joins; the only permitted nested
+    // loop is the 1-row vocab-size broadcast (crossJoin(broadcast)) —
+    // a CartesianProduct of non-broadcast sides means the LM scoring
+    // stopped being linear in the corpus
+    val plan = SparkEntry.queries("p36_bigram_lm")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"bigram LM went quadratic:\n$plan")
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val li = Tables(spark, sfDir, "lineitem")
     val direct = li.groupBy("l_returnflag")
