@@ -345,6 +345,42 @@ object GraphAnalytics {
       .select(col("u").as("v"), col("core_deg"))
   }
 
+  /** Deterministic synchronous label propagation (Raghavan et al. 2007)
+    * over an undirected pair list [p1, p2]: every vertex starts as its
+    * own label; each round it adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label — a total order, so
+    * the whole fixpoint is reproducible and (unlike classic randomized
+    * LPA) hash-checkable against a DuckDB recursive CTE running the
+    * identical recurrence. Semantically distinct from [[connectedComponents]]:
+    * majority voting lets sparse bridges survive without merging the
+    * communities they connect.
+    *
+    * Round = one join (neighbor labels) + two hash aggregates — the
+    * (vertex, label) count, then a `max_by` argmax per vertex (partial
+    * aggs on both; no window, so one fewer exchange per round). Fixed
+    * `iters` rounds, `localCheckpoint` per round to cut the iterative
+    * lineage — the CC/k-core loop discipline. Returns [id, lbl]. */
+  def labelPropagation(pairs: DataFrame, iters: Int = 5): DataFrame = {
+    val ed = pairs
+      .select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(pairs.select(col("p2").as("src"), col("p1").as("dst")))
+      .localCheckpoint()
+    var labels = ed.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      labels = ed
+        .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("n"))
+        .groupBy(col("src"))
+        .agg(max_by(col("lbl"), struct(col("n"), (-col("lbl")).as("neg")))
+          .as("lbl"))
+        .select(col("src").as("id"), col("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Connected components (undirected); returns [id, component] with
     * component = lexicographically-smallest member id.
     *

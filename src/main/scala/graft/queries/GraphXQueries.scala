@@ -122,6 +122,58 @@ object GraphXQueries {
     // from. Iterate-to-fixpoint has no DuckDB expression → rows-only;
     // the core invariants (every member keeps >=k core neighbors, no
     // peeled vertex does) are pinned in GraphXSpec.
+    // deterministic label-propagation community detection on a graph
+    // with PLANTED communities (the docsWithTwins pattern applied to
+    // graphs): parts bucket into ~10-member cliques by (brand, partkey
+    // rank), cliques chain together through single bridge edges. LPA's
+    // majority vote must keep every clique a separate community even
+    // though the bridge chain connects them all — exactly what
+    // distinguishes it from x01's connected components, which would
+    // merge the chain into one blob. Min-label tie-breaking makes the
+    // fixpoint a total order, so the whole 5-round recurrence is
+    // hash-checked against a DuckDB RECURSIVE CTE (the x02 pattern;
+    // arg_max key n*2^32 - lbl = "most frequent, then smallest").
+    // Output is the community-size histogram — a global structural
+    // check, stronger than a top-k sample.
+    RegQuery("x06_label_propagation",
+      (s, d) => {
+        GraphAnalytics.labelPropagation(brandCliqueChain(s, d), iters = 5)
+          .groupBy("lbl").agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("n_comm"))
+          .orderBy("sz")
+      },
+      Some("""WITH RECURSIVE
+             |gp AS (SELECT p_partkey AS id, p_brand,
+             |    CAST((ROW_NUMBER() OVER (PARTITION BY p_brand
+             |      ORDER BY p_partkey) - 1) // 10 AS BIGINT) AS grp
+             |  FROM part),
+             |cl AS (SELECT a.id AS p1, b.id AS p2 FROM gp a JOIN gp b
+             |  ON a.p_brand = b.p_brand AND a.grp = b.grp AND a.id < b.id),
+             |gm AS (SELECT p_brand, grp, min(id) AS mid FROM gp
+             |  GROUP BY p_brand, grp),
+             |br AS (SELECT mid AS p1, lead(mid) OVER (ORDER BY p_brand, grp)
+             |  AS p2 FROM gm),
+             |edges AS (SELECT p1, p2 FROM cl
+             |  UNION ALL SELECT p1, p2 FROM br WHERE p2 IS NOT NULL),
+             |ed AS (SELECT p1 AS src, p2 AS dst FROM edges
+             |  UNION ALL SELECT p2, p1 FROM edges),
+             |verts AS (SELECT DISTINCT src AS id FROM ed),
+             |lp AS (
+             |  SELECT 0 AS i, id, id AS lbl FROM verts
+             |  UNION ALL
+             |  SELECT i, src AS id, arg_max(lbl, n * 4294967296 - lbl) AS lbl
+             |  FROM (
+             |    SELECT l.i + 1 AS i, e.src, l.lbl,
+             |      CAST(count(*) AS BIGINT) AS n
+             |    FROM lp l JOIN ed e ON e.dst = l.id
+             |    WHERE l.i < 5
+             |    GROUP BY l.i + 1, e.src, l.lbl)
+             |  GROUP BY i, src)
+             |SELECT sz, CAST(count(*) AS BIGINT) AS n_comm FROM (
+             |  SELECT lbl, CAST(count(*) AS BIGINT) AS sz FROM lp
+             |  WHERE i = 5 GROUP BY lbl)
+             |GROUP BY sz ORDER BY sz""".stripMargin)),
+
     RegQuery("x05_kcore",
       (s, d) => {
         val core = GraphAnalytics.kCore(coPurchasePairs(s, d), k = 3)
@@ -132,6 +184,38 @@ object GraphXQueries {
       },
       None)
   )
+
+  /** Planted-community graph for x06: parts grouped into ~10-member
+    * cliques by (brand, partkey-rank div 10) — the clique pair fan-out
+    * is the bounded in-row explode from coPurchasePairs — plus one
+    * bridge edge from each clique's min vertex to the next clique's
+    * (brand, grp order), chaining every community together. The bridge
+    * builder's global lead() window runs over one row per CLIQUE
+    * (|parts|/10 — pre-aggregated, the p27 bounded-window shape), not
+    * per vertex. */
+  private def brandCliqueChain(s: org.apache.spark.sql.SparkSession,
+                               d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gp = graft.Tables(s, d, "part")
+      .select(col("p_partkey").cast("long").as("id"), col("p_brand"))
+      .withColumn("grp", floor((row_number().over(
+        Window.partitionBy("p_brand").orderBy("id")) - 1) / 10).cast("long"))
+    val cl = gp.groupBy("p_brand", "grp")
+      .agg(array_sort(collect_set(col("id"))).as("ps"))
+      .select(col("p_brand"), col("grp"), col("ps"))
+    val cliquePairs = cl
+      .select(explode(flatten(transform(col("ps"), (a, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))), b =>
+          struct(a.as("p1"), b.as("p2")))))).as("e"))
+      .select(col("e.p1"), col("e.p2"))
+    val bridges = cl
+      .select(col("p_brand"), col("grp"), element_at(col("ps"), 1).as("mid"))
+      .withColumn("p2", lead(col("mid"), 1).over(
+        Window.orderBy("p_brand", "grp")))
+      .where(col("p2").isNotNull)
+      .select(col("mid").as("p1"), col("p2"))
+    cliquePairs.unionAll(bridges)
+  }
 
   /** Co-purchase pair list (parts sharing an order, p1 < p2): one
     * shuffle on l_orderkey + in-row fan-out (orders hold ≤7 parts) —

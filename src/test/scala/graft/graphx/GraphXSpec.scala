@@ -55,6 +55,31 @@ class GraphXSpec extends SparkSpec {
     assert(cc("x") == "x" && cc("y") == "x")
   }
 
+  test("labelPropagation: majority vote survives a bridge that CC merges") {
+    // two 4-cliques joined by one bridge edge: LPA must report two
+    // communities (each clique converges to its min label; the bridge
+    // endpoint sees 3 clique votes vs 1 bridge vote) while CC on the
+    // same pairs merges everything — the semantic difference x06 exists
+    // to demonstrate. Also pins determinism: two runs, identical labels.
+    import spark.implicits._
+    val cliques = for {
+      base <- Seq(0L, 100L)
+      a <- 0L until 4L; b <- 0L until 4L if a < b
+    } yield (base + a, base + b)
+    val pairs = (cliques :+ (0L -> 100L)).toDF("p1", "p2")
+    def run() = GraphAnalytics.labelPropagation(pairs, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lpa = run()
+    assert((0L until 4L).forall(v => lpa(v) == 0L), s"clique A: $lpa")
+    assert((0L until 4L).forall(v => lpa(100L + v) == 100L), s"clique B: $lpa")
+    assert(run() == lpa, "LPA fixpoint is not deterministic")
+    val cc = GraphAnalytics.connectedComponents(
+      pairs.select(concat(lit("v/"), col("p1")).as("src_id"), lit("e").as("label"),
+        concat(lit("v/"), col("p2")).as("dst_id")))
+    assert(cc.select("component").distinct().count() == 1,
+      "bridge should merge CC into one component")
+  }
+
   test("connectedComponents on the derived graph = one component per region") {
     val cc = GraphAnalytics.connectedComponents(
       graft.graph.GraphView.edges(spark, sfDir))
