@@ -645,8 +645,87 @@ object Curation {
           .agg(count(lit(1)).as("n_pairs"))
           .orderBy("src_lo", "src_hi")
       },
-      None) // LSH pair source not SQL-expressible → rows-only;
-            // rollup equality vs exact pairs pinned in LshSpec
+      None), // LSH pair source not SQL-expressible → rows-only;
+             // rollup equality vs exact pairs pinned in LshSpec
+
+    // ---- p37: Bloom-filter decontamination (8 KB bitmap, not a set) ----
+    // p19's exact gram join needs the whole benchmark gram SET shipped
+    // to every executor; the production shape for huge eval suites is a
+    // Bloom bitmap: m=65536 bits, k=2 hashes — constant 8 KB broadcast
+    // no matter how many grams. The hashes are polynomial rolling
+    // hashes over the gram's characters (seed·131^n + Σc·131^i mod
+    // 1e9+7, then mod m) — pure integer recurrences both engines
+    // compute bit-identically, so even the Bloom FALSE POSITIVES match
+    // and the filter is hash-checked end-to-end (vs the usual
+    // "approximate → rows-only" cop-out). Output carries bloom_hit AND
+    // exact_hit per doc, so the FP rate is measured, not assumed. The
+    // bit-set "bitmap" executes as two broadcast semi-joins on bit
+    // position — semantically identical membership (bit1 AND bit2 set),
+    // Catalyst-native instead of a binary blob.
+    RegQuery("p37_bloom_decontam",
+      (s, d) => {
+        val P = 1000000007L
+        def polyBits(g: Column, seed: Long, mult: Int): Column =
+          (aggregate(transform(split(g, ""), c => ascii(c).cast("long")),
+            lit(seed), (acc, x) => (acc * mult + x) % P) % 65536).cast("long")
+        // token barrier (p16/p19 rule), then hash each distinct gram
+        // once; the frame feeds bench bits + bloom probe + exact probe
+        val grams = Tables(s, d, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .where(size(col("tk")) >= 3)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"),
+            explode(TextOps.shingles(col("tk"), 3)).as("g"))
+          .withColumn("b1", polyBits(col("g"), 7L, 131))
+          .withColumn("b2", polyBits(col("g"), 11L, 137))
+          .localCheckpoint()
+        val bench = grams.where(col("doc_id") % 97 === 0)
+        val bits = bench
+          .select(explode(array(col("b1"), col("b2"))).as("bit")).distinct()
+        val gb = grams
+          .join(broadcast(bits.select(col("bit").as("b1"))), Seq("b1"), "left_semi")
+          .join(broadcast(bits.select(col("bit").as("b2"))), Seq("b2"), "left_semi")
+          .select("doc_id").distinct().withColumn("bloom_hit", lit(1))
+        val ex = grams
+          .join(broadcast(bench.select("g").distinct()), "g")
+          .select("doc_id").distinct().withColumn("exact_hit", lit(1))
+        Tables(s, d, "documents").select("doc_id")
+          .join(gb, Seq("doc_id"), "left")
+          .join(ex, Seq("doc_id"), "left")
+          .na.fill(0, Seq("bloom_hit", "exact_hit"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk
+             |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+             |g AS (SELECT doc_id, unnest(list_distinct(
+             |    list_transform(range(1, len(tk)-1),
+             |      i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]))) AS g FROM t),
+             |hb AS (SELECT doc_id, g,
+             |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+             |    list_transform(string_split(g,''),
+             |      c -> CAST(ord(c) AS BIGINT))),
+             |    (acc, x) -> (acc*131 + x) % 1000000007) % 65536 AS b1,
+             |  list_reduce(list_prepend(CAST(11 AS BIGINT),
+             |    list_transform(string_split(g,''),
+             |      c -> CAST(ord(c) AS BIGINT))),
+             |    (acc, x) -> (acc*137 + x) % 1000000007) % 65536 AS b2
+             |  FROM g),
+             |bench AS (SELECT * FROM hb WHERE doc_id % 97 = 0),
+             |bits AS (SELECT DISTINCT bit FROM (
+             |  SELECT b1 AS bit FROM bench UNION ALL SELECT b2 FROM bench)),
+             |gb AS (SELECT DISTINCT doc_id FROM hb
+             |  WHERE b1 IN (SELECT bit FROM bits)
+             |    AND b2 IN (SELECT bit FROM bits)),
+             |ex AS (SELECT DISTINCT h.doc_id FROM hb h
+             |  JOIN (SELECT DISTINCT g FROM bench) b USING (g))
+             |SELECT d.doc_id,
+             |  CAST(CASE WHEN gb.doc_id IS NOT NULL THEN 1 ELSE 0 END
+             |    AS INTEGER) AS bloom_hit,
+             |  CAST(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END
+             |    AS INTEGER) AS exact_hit
+             |FROM documents d LEFT JOIN gb ON d.doc_id = gb.doc_id
+             |LEFT JOIN ex ON d.doc_id = ex.doc_id
+             |ORDER BY d.doc_id""".stripMargin))
   )
 
   /** DuckDB mirror of p22: same seed centroids, same 1e-6 rounding. */

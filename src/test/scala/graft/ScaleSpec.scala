@@ -201,6 +201,20 @@ class ScaleSpec extends SparkSpec {
       s"span dedup went quadratic:\n$plan")
   }
 
+  test("p37 bloom membership probes broadcasts, never shuffles the corpus") {
+    // the whole point of the bitmap: membership is a constant-size
+    // broadcast (bit positions + bench grams), so the corpus gram
+    // stream must meet it as BroadcastHashJoins — a SortMergeJoin
+    // means the 100 TB side re-shuffled on the probe key
+    val plan = SparkEntry.queries("p37_bloom_decontam")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bloom probe is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"bloom probe shuffles the corpus:\n$plan")
+  }
+
   test("p36 bigram LM: count tables join by key, no cartesian blowup") {
     // c12/c1 are vocab-bounded equi-joins; the only permitted nested
     // loop is the 1-row vocab-size broadcast (crossJoin(broadcast)) —

@@ -54,6 +54,21 @@ class CurationSpec extends SparkSpec {
     assert(flagged == expect, s"flagged ${flagged.size} vs expected ${expect.size}")
   }
 
+  test("p37 bloom decontamination: no false negatives, bounded FP rate") {
+    // THE Bloom guarantee: every exact hit must also be a bloom hit
+    // (a false negative means the bitmap lost a set bit — broken), and
+    // the FP surplus stays small (m=65536 bits vs a few thousand grams
+    // → per-gram FP odds well under 1%, so doc-level surplus is a few
+    // percent of the corpus at most)
+    val out = graft.SparkEntry.queries("p37_bloom_decontam")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val falseNeg = out.filter { case (_, bloom, exact) => exact == 1 && bloom == 0 }
+    assert(falseNeg.isEmpty, s"bloom false negatives: ${falseNeg.take(5).toSeq}")
+    val fps = out.count { case (_, bloom, exact) => bloom == 1 && exact == 0 }
+    assert(fps <= out.length / 10,
+      s"bloom FP surplus $fps of ${out.length} docs — bitmap too saturated")
+  }
+
   test("p20 redaction scrubs every planted PII token") {
     val out = graft.SparkEntry.queries("p20_pii_redact")(spark, sfDir)
     assert(out.where(col("n_email") =!= 1 || col("n_url") =!= 1).count() == 0,
