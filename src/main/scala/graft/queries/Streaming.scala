@@ -308,7 +308,62 @@ object Streaming {
           .select("a_id", "b_id")
           .orderBy("a_id", "b_id")
       },
-      None)
+      None),
+
+    // ---- s09: streaming quality gate (continuous curation funnel) ------
+    // The p26 logistic quality filter as a CONTINUOUS operator: docs
+    // stream in, the per-row score is stateless codegen arithmetic, and
+    // the per-source funnel (arrivals / survivors / score mass) is a
+    // streaming aggregate — the monitoring surface a 100 TB ingest
+    // pipeline watches while data lands, not a batch afterthought.
+    // Scores are floored to BIGINT 1e-4 units BEFORE the sum (the p34
+    // integer-aggregation discipline), so the streaming aggregate is
+    // exact integer math — micro-batch boundaries can't perturb a
+    // float-sum order — and the gate (score > 0.6 ⟺ u > 6000) is the
+    // identical keep rule p26 applies batch-side. Token barrier via
+    // repartition (the s08 lesson: streams can't localCheckpoint; the
+    // exchange is the streaming-legal materialization point).
+    RegQuery("s09_stream_quality",
+      (s, d) => {
+        import graft.llm.TextOps
+        val tk = col("tk")
+        val sr = TextOps.stopwordRatio(tk)
+        val mw = aggregate(tk, lit(0L), (a, x) => a + length(x))
+          .cast("double") / size(tk)
+        val z = lit(-3.0) + lit(4.0) * sr + lit(0.5) * mw +
+          lit(0.2) * log(2.0, size(tk))
+        val u = floor((lit(1.0) / (lit(1.0) + exp(-z))) * 10000 + 0.5)
+          .cast("long")
+        val q = withStatePartitions(s, 8) {
+          streamDocs(s, d)
+            .select(col("doc_id"), col("source"),
+              TextOps.tokens(col("text")).as("tk"))
+            .repartition(col("doc_id"))
+            .select(col("source"), u.as("u"))
+            .groupBy("source")
+            .agg(count(lit(1)).as("n_docs"),
+              sum((col("u") > 6000).cast("long")).as("n_keep"),
+              sum(col("u")).as("sum_score_u"))
+            .writeStream.format("memory").queryName("s09_sink")
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination()
+        s.table("s09_sink").orderBy("source")
+      },
+      Some(s"""WITH t AS (SELECT source, string_split(text,' ') AS tk
+             |  FROM documents),
+             |f AS (SELECT source, CAST(floor(1.0/(1.0 + exp(-(
+             |  -3.0 + 4.0 * (CAST(len(list_filter(tk, x -> list_contains(
+             |      ${graft.llm.TextOps.enStopwords.mkString("['", "','", "']")}, x)))
+             |      AS DOUBLE) / len(tk))
+             |  + 0.5 * (CAST(list_sum(list_transform(tk, x -> length(x)))
+             |      AS DOUBLE) / len(tk))
+             |  + 0.2 * log2(len(tk)))))*10000 + 0.5) AS BIGINT) AS u FROM t)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN u > 6000 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_keep,
+             |  CAST(sum(u) AS BIGINT) AS sum_score_u
+             |FROM f GROUP BY source ORDER BY source""".stripMargin))
   )
 
   private val docsSchema = StructType(Seq(
