@@ -725,7 +725,86 @@ object Curation {
              |    AS INTEGER) AS exact_hit
              |FROM documents d LEFT JOIN gb ON d.doc_id = gb.doc_id
              |LEFT JOIN ex ON d.doc_id = ex.doc_id
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- p38: count-min-sketch heavy hitters (mergeable, bounded) ------
+    // p24's exact top-k shuffles one row per DISTINCT gram; the
+    // count-min sketch caps frequency state at d×w counters (3×1024
+    // here) no matter how many distinct items — the bounded-memory
+    // shape for unbounded vocabularies, and the partial aggregate IS
+    // the sketch merge (counters add), so the same plan spans
+    // partitions, days, or streams. Unlike q33/q44 (engine sketches,
+    // no DuckDB analog → rows-only), the hashes here are the p37
+    // polynomial recurrences both engines compute bit-identically, so
+    // the sketch itself is hash-checked — estimates INCLUDING their
+    // collision overestimates match exactly. Output pairs every exact
+    // top-20 count with its sketch estimate: the ε = e·N/w
+    // overestimation is measured next to the truth, and est ≥ cnt (the
+    // one-sided count-min guarantee) is pinned in CurationSpec.
+    RegQuery("p38_countmin",
+      (s, d) => {
+        val P = 1000000007L
+        def polyB(g: Column, seed: Long, mult: Int): Column =
+          (aggregate(transform(split(g, ""), c => ascii(c).cast("long")),
+            lit(seed), (acc, x) => (acc * mult + x) % P) % 1024).cast("long")
+        val tk = col("tk")
+        val grams = transform(
+          sequence(lit(1), greatest(size(tk) - 1, lit(0))),
+          i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1)))
+        val hb = Tables(s, d, "documents")
+          .where(size(TextOps.tokens(col("text"))) >= 2)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .repartition(col("doc_id")) // token barrier (p16/p24 rule)
+          .select(explode(grams).as("g"))
+          .withColumn("b0", polyB(col("g"), 7L, 131))
+          .withColumn("b1", polyB(col("g"), 11L, 137))
+          .withColumn("b2", polyB(col("g"), 13L, 139))
+          .localCheckpoint() // feeds sketch build + exact truth + probe
+        val cm = hb.select(posexplode(
+            array(col("b0"), col("b1"), col("b2"))).as(Seq("r", "bucket")))
+          .groupBy("r", "bucket").agg(count(lit(1)).as("ccnt"))
+        val ex = hb.groupBy("g").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("g")).limit(20)
+        ex.join(hb.select("g", "b0", "b1", "b2").distinct(), "g")
+          .select(col("g"), col("cnt"), posexplode(
+            array(col("b0"), col("b1"), col("b2"))).as(Seq("r", "bucket")))
+          .join(broadcast(cm), Seq("r", "bucket"))
+          .groupBy("g", "cnt").agg(min(col("ccnt")).as("est"))
+          .select("g", "cnt", "est")
+          .orderBy(col("cnt").desc, col("g"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk
+             |  FROM documents WHERE len(string_split(text,' ')) >= 2),
+             |g AS (SELECT unnest(list_transform(range(1, len(tk)),
+             |    i -> tk[i] || ' ' || tk[i+1])) AS g FROM t),
+             |hb AS (SELECT g,
+             |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+             |    list_transform(string_split(g,''),
+             |      c -> CAST(ord(c) AS BIGINT))),
+             |    (acc, x) -> (acc*131 + x) % 1000000007) % 1024 AS b0,
+             |  list_reduce(list_prepend(CAST(11 AS BIGINT),
+             |    list_transform(string_split(g,''),
+             |      c -> CAST(ord(c) AS BIGINT))),
+             |    (acc, x) -> (acc*137 + x) % 1000000007) % 1024 AS b1,
+             |  list_reduce(list_prepend(CAST(13 AS BIGINT),
+             |    list_transform(string_split(g,''),
+             |      c -> CAST(ord(c) AS BIGINT))),
+             |    (acc, x) -> (acc*139 + x) % 1000000007) % 1024 AS b2
+             |  FROM g),
+             |cm AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS ccnt
+             |  FROM (SELECT unnest([0,1,2]) AS r,
+             |    unnest([b0,b1,b2]) AS bucket FROM hb)
+             |  GROUP BY r, bucket),
+             |ex AS (SELECT g, CAST(count(*) AS BIGINT) AS cnt FROM hb
+             |  GROUP BY g ORDER BY cnt DESC, g LIMIT 20),
+             |eb AS (SELECT e.g, e.cnt, unnest([0,1,2]) AS r,
+             |  unnest([h.b0, h.b1, h.b2]) AS bucket
+             |  FROM ex e JOIN (SELECT DISTINCT g, b0, b1, b2 FROM hb) h
+             |    USING (g))
+             |SELECT eb.g, min(eb.cnt) AS cnt,
+             |  CAST(min(cm.ccnt) AS BIGINT) AS est
+             |FROM eb JOIN cm USING (r, bucket)
+             |GROUP BY eb.g ORDER BY cnt DESC, g""".stripMargin))
   )
 
   /** DuckDB mirror of p22: same seed centroids, same 1e-6 rounding. */

@@ -69,6 +69,26 @@ class CurationSpec extends SparkSpec {
       s"bloom FP surplus $fps of ${out.length} docs — bitmap too saturated")
   }
 
+  test("p38 count-min: one-sided estimates, exact top-k order preserved") {
+    // the count-min guarantee is one-sided: collisions only ADD, so
+    // est >= cnt for every item, always — a single violation means the
+    // sketch lost an increment. The overestimate should also stay
+    // within a loose multiple of the ε=e·N/w bound (w=1024, 3 rows).
+    val rows = graft.SparkEntry.queries("p38_countmin")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (g, cnt, est) =>
+      assert(est >= cnt, s"count-min underestimated '$g': $est < $cnt")
+    }
+    val n = graft.Tables(spark, sfDir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("w")).count()
+    val bound = math.ceil(math.E * n / 1024).toLong * 3
+    rows.foreach { case (g, cnt, est) =>
+      assert(est - cnt <= bound,
+        s"'$g' overestimate ${est - cnt} blows past 3x the eps-N bound $bound")
+    }
+  }
+
   test("p20 redaction scrubs every planted PII token") {
     val out = graft.SparkEntry.queries("p20_pii_redact")(spark, sfDir)
     assert(out.where(col("n_email") =!= 1 || col("n_url") =!= 1).count() == 0,
