@@ -696,7 +696,42 @@ object Pipeline {
              |  CAST(-sum(u*n) AS BIGINT) AS nll_u,
              |  floor(CAST(-sum(u*n) AS DOUBLE)/sum(n)/10000*10000 + 0.5)/10000
              |    AS avg_nll
-             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- p39: sequence packing (context-window assignment) --------------
+    // The last hop of a pretraining pipeline: concatenate documents and
+    // chunk into fixed 2048-token sequences. "Concat then chunk" is
+    // pure running-sum arithmetic — each doc's sequence id and offset
+    // fall out of the cumulative token count before it — so packing is
+    // a WINDOW, not a sequential loop. Packing is per-shard (source),
+    // the way a 1000-executor job does it: each shard packs
+    // independently in parallel (window partitioned by source — no
+    // global ordering bottleneck), at the cost of at most one
+    // part-filled tail sequence per shard. Integers end to end: the
+    // oracle is bit-trivially identical.
+    RegQuery("p39_seq_packing",
+      (s, d) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+          .withColumn("cum_before", sum(col("n_tok")).over(w) - col("n_tok"))
+          .select(col("doc_id"), col("source"), col("n_tok"),
+            (col("cum_before") / 2048).cast("long").as("seq_id"),
+            (col("cum_before") % 2048).as("off"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |c AS (SELECT doc_id, source, n_tok,
+             |  sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             |    ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before FROM t)
+             |SELECT doc_id, source, n_tok,
+             |  CAST(cum_before // 2048 AS BIGINT) AS seq_id,
+             |  CAST(cum_before % 2048 AS BIGINT) AS off
+             |FROM c ORDER BY source, doc_id""".stripMargin))
   )
 
   /** DuckDB mirror of p14's trained IVF. The 64-dim centroid means are

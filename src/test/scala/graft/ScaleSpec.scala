@@ -176,6 +176,18 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("p39 packing: one scan, one window exchange per shard, no join") {
+    // sequence packing must stay embarrassingly shard-parallel: a plan
+    // with a join or a third exchange means packing acquired global
+    // coordination (the sequential-loop regression the window form
+    // exists to avoid)
+    val plan = SparkEntry.queries("p39_seq_packing")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"packing grew a join:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"packing shuffles beyond window+sort:\n$plan")
+  }
+
   test("p34 retrieval: postings meet the query side by broadcast only") {
     // the inverted-postings frame is the 100 TB side — it may shuffle
     // for its own aggregates, but the query terms / df / corpus-stats
