@@ -45,7 +45,12 @@ class BenchGuardSpec extends SparkSpec {
     // p32 baseline ~4.4 s: candidate banding + CC + resolution; a trip
     // means an all-pairs regression in the pair source or a lost
     // checkpoint in the CC loop
-    ("p32_lsh_dedup_pipeline", 13.0))
+    ("p32_lsh_dedup_pipeline", 13.0),
+    // x06 baseline ~1.5 s: 5 LPA rounds, each join+agg on a ~2k-edge
+    // clique-chain; a trip means a lost per-round localCheckpoint
+    // (round lineage re-inlines — the x05 failure mode) or the graph
+    // construction went quadratic
+    ("x06_label_propagation", 6.0))
 
   guards.foreach { case (name, limitSec) =>
     test(s"$name stays under ${limitSec}s (3x committed time)") {
