@@ -117,9 +117,13 @@ object Bench {
       "bench short-id collision: " + shortIds.map(_._1).diff(
         shortIds.map(_._1).distinct).mkString(","))
     // redundant full-name copy on disk in case stdout capture truncates;
-    // carries the raw per-query samples (stdout only gets the min)
+    // carries the raw per-query samples (stdout only gets the min).
+    // A filtered (SPARK_GRAFT_ONLY) run is a profiling run — write the
+    // sidecar file instead so it can never clobber the committed
+    // full-registry artifact (bit us twice in round 4)
     try {
-      val w = new java.io.PrintWriter("bench_out.json")
+      val outName = if (only.isDefined) "bench_only.json" else "bench_out.json"
+      val w = new java.io.PrintWriter(outName)
       val samples = runLog.map { case (k, vs) =>
         "\"" + k + "\":" + vs.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
