@@ -116,12 +116,6 @@ object GraphXQueries {
              |  (SELECT count(*) FROM pv) AS n_in_tri,
              |  (SELECT max(n) FROM pv) AS max_tri""".stripMargin)),
 
-    // k-core decomposition of the same co-purchase graph: the dense
-    // backbone left after iteratively peeling degree<k vertices — the
-    // "who actually co-occurs a lot" subgraph community pipelines start
-    // from. Iterate-to-fixpoint has no DuckDB expression → rows-only;
-    // the core invariants (every member keeps >=k core neighbors, no
-    // peeled vertex does) are pinned in GraphXSpec.
     // deterministic label-propagation community detection on a graph
     // with PLANTED communities (the docsWithTwins pattern applied to
     // graphs): parts bucket into ~10-member cliques by (brand, partkey
@@ -174,15 +168,54 @@ object GraphXQueries {
              |  WHERE i = 5 GROUP BY lbl)
              |GROUP BY sz ORDER BY sz""".stripMargin)),
 
+    // k-core decomposition of the same co-purchase graph: the dense
+    // backbone left after iteratively peeling degree<k vertices — the
+    // "who actually co-occurs a lot" subgraph community pipelines start
+    // from. k=60 sits inside the degree distribution at every SF, so
+    // peeling genuinely fires (low-degree parts cascade out) — k=3 was
+    // a no-op peel on this dense graph. Oracle-checked since round 4:
+    // the peel fixpoint is a DuckDB RECURSIVE CTE whose round is one
+    // COUNT() OVER (PARTITION BY endpoint) pair on the single recursive
+    // reference (windows in the recursive arm make iterate-to-fixpoint
+    // SQL-expressible without a second self-reference), capped at 12
+    // rounds: past convergence the edge set is stable so extra rounds
+    // are identity, and if real peel depth ever exceeded the cap the
+    // hash gate fails loudly instead of silently passing. Core
+    // invariants (every member keeps >=k core neighbors, no peeled
+    // vertex does) stay pinned in GraphXSpec.
     RegQuery("x05_kcore",
       (s, d) => {
-        val core = GraphAnalytics.kCore(coPurchasePairs(s, d), k = 3)
+        val core = GraphAnalytics.kCore(coPurchasePairs(s, d), k = 60)
         core.agg(count(lit(1)).as("n_core_vertices"),
           (sum("core_deg") / 2).cast("long").as("n_core_edges"),
           coalesce(min("core_deg"), lit(0L)).as("min_core_deg"),
           coalesce(max("core_deg"), lit(0L)).as("max_core_deg"))
       },
-      None)
+      Some("""WITH RECURSIVE
+             |pp AS (SELECT DISTINCT
+             |    least(a.l_partkey, b.l_partkey) AS p1,
+             |    greatest(a.l_partkey, b.l_partkey) AS p2
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |ed AS (SELECT p1 AS u, p2 AS v FROM pp
+             |  UNION ALL SELECT p2, p1 FROM pp),
+             |es AS (
+             |  SELECT 0 AS i, u, v FROM ed
+             |  UNION ALL
+             |  SELECT i + 1, u, v FROM (
+             |    SELECT e.i, e.u, e.v,
+             |      COUNT(*) OVER (PARTITION BY e.u) AS du,
+             |      COUNT(*) OVER (PARTITION BY e.v) AS dv
+             |    FROM es e WHERE e.i < 12)
+             |  WHERE du >= 60 AND dv >= 60),
+             |core AS (SELECT u, CAST(count(*) AS BIGINT) AS core_deg
+             |  FROM es WHERE i = 12 GROUP BY u)
+             |SELECT CAST(count(*) AS BIGINT) AS n_core_vertices,
+             |  CAST(coalesce(CAST(sum(core_deg) AS BIGINT), 0)/2 AS BIGINT)
+             |    AS n_core_edges,
+             |  coalesce(min(core_deg), CAST(0 AS BIGINT)) AS min_core_deg,
+             |  coalesce(max(core_deg), CAST(0 AS BIGINT)) AS max_core_deg
+             |FROM core""".stripMargin))
   )
 
   /** Planted-community graph for x06: parts grouped into ~10-member
