@@ -731,7 +731,87 @@ object Pipeline {
              |SELECT doc_id, source, n_tok,
              |  CAST(cum_before // 2048 AS BIGINT) AS seq_id,
              |  CAST(cum_before % 2048 AS BIGINT) AS off
-             |FROM c ORDER BY source, doc_id""".stripMargin))
+             |FROM c ORDER BY source, doc_id""".stripMargin)),
+
+    // ---- p40: MinHash-LSH near-dup, hash-checked END TO END -------------
+    // p05's pipeline (shingle → MinHash signature → banded candidates →
+    // exact-Jaccard verify) is rows-only because xxhash64 has no DuckDB
+    // analog. This is the SAME algorithm built from mirrorable pieces —
+    // p37's polynomial shingle hash, an affine rehash family
+    // ((2i+3)·h + 5i+7 mod 1e9+7, no overflow possible), band keys as
+    // exact BIGINT pairs (mh₂ⱼ·P + mh₂ⱼ₊₁) — so every stage, including
+    // which near-miss candidates the bands happen to emit, hash-matches
+    // the DuckDB mirror. Recovers 499/500 planted twins at sf0.01 plus
+    // the genuine near-dup tail, same as p05. The fast path stays p05
+    // (native codegen'd xxhash64); this is its correctness witness —
+    // the banding/verify structure is now oracle-proven, not just
+    // invariant-bounded. k=16, b=8, r=2 (recall at J=0.5:
+    // 1-(1-J²)⁸ ≈ 0.90, ≈1 for the J≈0.9 twins).
+    RegQuery("p40_lsh_mirror",
+      (s, d) => {
+        val P = 1000000007L
+        def polyH(g: Column): Column =
+          aggregate(transform(split(g, ""), c => ascii(c).cast("long")),
+            lit(7L), (acc, x) => (acc * 131 + x) % P)
+        // token barrier, then hash+sort shingles ONCE behind a
+        // checkpoint: 16 minhash lambdas + both verify sides read hs —
+        // inlined, CollapseProject would re-run the split→shingle→fold
+        // chain into every reference (the p05/p16 blowup)
+        val hs = docsWithTwins(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .where(size(col("tk")) >= 3)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), array_sort(array_distinct(
+            transform(TextOps.shingles(col("tk"), 3), g => polyH(g)))).as("hs"))
+          .localCheckpoint()
+        val mh = hs.select(col("doc_id"), col("hs"),
+          transform(sequence(lit(0), lit(15)), i =>
+            array_min(transform(col("hs"), h =>
+              (h * (i * 2 + 3) + (i * 5 + 7)) % P))).as("mh"))
+        val bands = mh.select(col("doc_id"), posexplode(
+            transform(sequence(lit(0), lit(7)), j =>
+              element_at(col("mh"), j * 2 + 1) * P +
+                element_at(col("mh"), j * 2 + 2))).as(Seq("bi", "bv")))
+        val cand = bands.select(col("bi"), col("bv"), col("doc_id").as("a_id"))
+          .join(bands.select(col("bi"), col("bv"), col("doc_id").as("b_id")),
+            Seq("bi", "bv"))
+          .where(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        cand
+          .join(hs.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
+          .join(hs.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
+          .withColumn("jac", TextOps.jaccardSorted(col("a_hs"), col("b_hs")))
+          .where(col("jac") >= 0.5)
+          .select(col("a_id"), col("b_id"),
+            (floor(col("jac") * 10000 + 0.5) / 10000).as("jac"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(twinsCte +
+        """, tt AS (SELECT doc_id, string_split(text,' ') AS tk FROM alldocs
+          |  WHERE len(string_split(text,' ')) >= 3),
+          |sh AS (SELECT doc_id, list_distinct(list_transform(
+          |    list_distinct(list_transform(range(1, len(tk)-1),
+          |      i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])),
+          |    g -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+          |      list_transform(string_split(g,''),
+          |        c -> CAST(ord(c) AS BIGINT))),
+          |      (acc, x) -> (acc*131 + x) % 1000000007))) AS hs FROM tt),
+          |mh AS (SELECT doc_id, hs, list_transform(range(0, 16),
+          |    i -> list_min(list_transform(hs,
+          |      h -> (h*(2*i+3) + (5*i+7)) % 1000000007))) AS mh FROM sh),
+          |bands AS (SELECT doc_id, unnest(range(0, 8)) AS bi,
+          |  unnest(list_transform(range(0, 8),
+          |    j -> mh[2*j+1]*1000000007 + mh[2*j+2])) AS bv FROM mh),
+          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+          |    AND a.doc_id < b.doc_id),
+          |j AS (SELECT c.a_id, c.b_id,
+          |  CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+          |    / len(list_distinct(list_concat(x.hs, y.hs))) AS jac
+          |  FROM cand c JOIN sh x ON c.a_id = x.doc_id
+          |  JOIN sh y ON c.b_id = y.doc_id)
+          |SELECT a_id, b_id, floor(jac*10000 + 0.5)/10000 AS jac FROM j
+          |WHERE jac >= 0.5 ORDER BY a_id, b_id""".stripMargin))
   )
 
   /** DuckDB mirror of p14's trained IVF. The 64-dim centroid means are

@@ -167,7 +167,8 @@ class ScaleSpec extends SparkSpec {
     // anywhere in either plan is the quadratic regression this exists
     // to prevent. (p05 shares the pair-source shape pre-checkpoint;
     // p32's visible plan covers verify + CC-output resolution joins.)
-    for (q <- Seq("p05_minhash_lsh", "p32_lsh_dedup_pipeline")) {
+    for (q <- Seq("p05_minhash_lsh", "p32_lsh_dedup_pipeline",
+        "p40_lsh_mirror")) {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") &&
