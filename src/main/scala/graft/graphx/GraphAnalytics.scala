@@ -156,6 +156,105 @@ object GraphAnalytics {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999), fixed-iteration integer
+    * form: `iters` synchronized rounds of a(v) = Σ_{u→v} h(u),
+    * h(u) = Σ_{u→v} a(v), each side rescaled to max 1e6 per round with
+    * TRUNCATING integer division — the x02 determinization applied to
+    * the two-score fixpoint, so x08 is hash-checked against a DuckDB
+    * recursive CTE running the identical recurrence. The mutual
+    * recursion folds into ONE join per round by direction-tagging the
+    * edge list ('a' rows carry hub mass src→dst, 'h' rows carry
+    * authority mass dst→src, 'z' self rows keep contribution-free
+    * vertices present at zero — the x02 self-edge trick), so a round is
+    * one equi-join + one hash aggregate + one O(1) max reduce, the same
+    * shape as the PageRank loop and dispatched the same way (driver
+    * array at or under `spark.graft.hits.localEdgeThreshold` tagged
+    * rows, distributed join+agg loop above; arms equality-pinned in
+    * GraphXSpec, choice observable in `graft.hits.impl`).
+    * Returns [id, hub_micro, auth_micro]; true score = micro / 1e6 of
+    * the per-round max. */
+  def hits(edges: DataFrame, iters: Int = 10): DataFrame = {
+    val e0 = edges.select(col("src_id"), col("dst_id"))
+    val verts = e0.select(col("src_id").as("id"))
+      .unionAll(e0.select(col("dst_id").as("id"))).distinct()
+      .select(col("id"), xxhash64(col("id")).as("vid"))
+      .localCheckpoint()
+    val e = e0.select(xxhash64(col("src_id")).as("src"),
+      xxhash64(col("dst_id")).as("dst"))
+    val ced = e.select(col("src").as("f"), col("dst").as("t"),
+        lit("a").as("kind"))
+      .unionAll(e.select(col("dst"), col("src"), lit("h")))
+      .unionAll(verts.select(col("vid"), col("vid"), lit("z")))
+      .localCheckpoint()
+    val threshold = edges.sparkSession.conf
+      .get("spark.graft.hits.localEdgeThreshold", "1000000").toLong
+    val local = ced.count() <= threshold
+    edges.sparkSession.sparkContext.setLocalProperty("graft.hits.impl",
+      if (local) "local" else "distributed")
+    val hs = if (local) localHits(ced, iters)
+      else distributedHits(ced, verts, iters)
+    hs.join(verts, hs("v") === verts("vid"))
+      .select(col("id"), col("h").as("hub_micro"), col("a").as("auth_micro"))
+  }
+
+  /** Driver-side arm of [[hits]]: the identical truncating integer
+    * recurrence over collected (f, t, kind) rows. The 'z' self rows
+    * register every vertex, so the tag list is the whole graph state. */
+  private def localHits(ced: DataFrame, iters: Int): DataFrame = {
+    val spark = ced.sparkSession
+    import spark.implicits._
+    val tags = ced.select("f", "t", "kind").as[(Long, Long, String)].collect()
+    val idx = scala.collection.mutable.HashMap.empty[Long, Int]
+    tags.foreach { case (f, t, _) =>
+      idx.getOrElseUpdate(f, idx.size)
+      idx.getOrElseUpdate(t, idx.size): Unit
+    }
+    val n = idx.size
+    var h = Array.fill(n)(1000000L)
+    var a = Array.fill(n)(1000000L)
+    for (_ <- 1 to iters) {
+      val rh = new Array[Long](n)
+      val ra = new Array[Long](n)
+      tags.foreach { case (f, t, kind) =>
+        if (kind == "a") ra(idx(t)) += h(idx(f))
+        else if (kind == "h") rh(idx(t)) += a(idx(f))
+      }
+      val mh = math.max(rh.max, 1L)
+      val ma = math.max(ra.max, 1L)
+      h = rh.map(x => x * 1000000L / mh)
+      a = ra.map(x => x * 1000000L / ma)
+    }
+    val vids = new Array[Long](n)
+    idx.foreach { case (vid, i) => vids(i) = vid }
+    spark.createDataset((0 until n).map(i => (vids(i), h(i), a(i))))
+      .toDF("v", "h", "a")
+  }
+
+  /** Distributed arm of [[hits]]: one equi-join + one hash aggregate
+    * per round, then one scalar max-pair reduce feeding the rescale as
+    * literals. Unlike PageRank's batched checkpoints, the per-round max
+    * forces a per-round materialization — that is the honest cost of a
+    * globally-normalized fixpoint (the reduce itself is a tree agg over
+    * the just-checkpointed partitions, O(1) rows to the driver). */
+  private def distributedHits(ced: DataFrame, verts: DataFrame,
+      iters: Int): DataFrame = {
+    var st = verts.select(col("vid").as("v"), lit(1000000L).as("h"),
+      lit(1000000L).as("a")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val raw = ced.join(st, ced("f") === st("v"))
+        .groupBy(col("t"))
+        .agg(sum(when(col("kind") === "h", col("a")).otherwise(0L)).as("rh"),
+          sum(when(col("kind") === "a", col("h")).otherwise(0L)).as("ra"))
+        .localCheckpoint()
+      val m = raw.agg(greatest(max("rh"), lit(1L)),
+        greatest(max("ra"), lit(1L))).first()
+      st = raw.select(col("t").as("v"),
+        expr(s"rh * 1000000 div ${m.getLong(0)}").as("h"),
+        expr(s"ra * 1000000 div ${m.getLong(1)}").as("a"))
+    }
+    st
+  }
+
   /** Single-source-set shortest paths (directed, hop count): distance
     * from every vertex TO each reachable landmark along edge direction —
     * GraphX's ShortestPaths Pregel program. Returns [id, landmark, dist]

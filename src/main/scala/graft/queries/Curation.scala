@@ -804,7 +804,59 @@ object Curation {
              |SELECT eb.g, min(eb.cnt) AS cnt,
              |  CAST(min(cm.ccnt) AS BIGINT) AS est
              |FROM eb JOIN cm USING (r, bucket)
-             |GROUP BY eb.g ORDER BY cnt DESC, g""".stripMargin))
+             |GROUP BY eb.g ORDER BY cnt DESC, g""".stripMargin)),
+
+    // ---- p42: DSIR importance-resampling weights ------------------------
+    // Xie et al. 2023 ("Data Selection for Language Models via
+    // Importance Resampling"): score every raw document by how much its
+    // hashed-unigram distribution looks like a TARGET corpus (here
+    // source src0 plays the curated target), weight = Σ_f c_doc(f) ·
+    // ln(p̂_target(f)/p̂_raw(f)) with add-one smoothing over B=1024
+    // hash buckets. The feature hash is the p37 polynomial recurrence
+    // (bit-identical in DuckDB), per-bucket log-ratios floor to BIGINT
+    // micro-units BEFORE the per-doc sum (p34 discipline) — so an
+    // importance-weighted selection pass, the paper's core op, is
+    // hash-checked end to end. The weight table is ≤1024 rows no matter
+    // the corpus (the paper's point: a bucketed bag-of-hashed-ngrams LM
+    // fits in one broadcast) — scoring is one broadcast join + one
+    // hash-agg over token counts; selection is a rank over pre-
+    // aggregated per-doc rows (bounded window, the p27 shape).
+    RegQuery("p42_dsir_weights",
+      (s, d) => dsirWeights(Tables(s, d, "documents"),
+          targetSource = "src0", nSelect = 100)
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id, source,
+             |    unnest(string_split(text,' ')) AS tok FROM documents),
+             |hf AS (SELECT doc_id, source,
+             |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+             |    list_transform(string_split(tok,''),
+             |      c -> CAST(ord(c) AS BIGINT))),
+             |    (acc, x) -> (acc*131 + x) % 1000000007) % 1024 AS f
+             |  FROM tok),
+             |docf AS (SELECT doc_id, source, f,
+             |  CAST(count(*) AS BIGINT) AS c FROM hf GROUP BY 1, 2, 3),
+             |raw AS (SELECT f, CAST(sum(c) AS BIGINT) AS rc FROM docf
+             |  GROUP BY f),
+             |tgt AS (SELECT f, CAST(sum(c) AS BIGINT) AS tc FROM docf
+             |  WHERE source = 'src0' GROUP BY f),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS rtot,
+             |  CAST(sum(CASE WHEN source = 'src0' THEN c ELSE 0 END)
+             |    AS BIGINT) AS ttot FROM docf),
+             |w AS (SELECT raw.f,
+             |  CAST(floor(1000000.0 * ln(
+             |    (CAST(coalesce(tgt.tc, 0) + 1 AS DOUBLE) * (tot.rtot + 1024))
+             |    / (CAST(raw.rc + 1 AS DOUBLE) * (tot.ttot + 1024))))
+             |    AS BIGINT) AS w_micro
+             |  FROM raw LEFT JOIN tgt ON raw.f = tgt.f CROSS JOIN tot),
+             |sc AS (SELECT doc_id, source,
+             |  CAST(sum(c * w_micro) AS BIGINT) AS score_micro
+             |  FROM docf JOIN w USING (f) GROUP BY doc_id, source),
+             |r AS (SELECT *, ROW_NUMBER() OVER
+             |  (ORDER BY score_micro DESC, doc_id) AS rk FROM sc)
+             |SELECT doc_id, source, score_micro,
+             |  CAST(CASE WHEN rk <= 100 THEN 1 ELSE 0 END AS INTEGER)
+             |    AS selected
+             |FROM r ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB mirror of p22: same seed centroids, same 1e-6 rounding. */
@@ -832,5 +884,51 @@ object Curation {
        |FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |WHERE ${cos("a.v", "b.v")} > 0.95
        |ORDER BY removed_id""".stripMargin
+  }
+
+  /** p42 core over any [doc_id, source, text] frame (factored so the
+    * spec can plant a corpus whose target source HAS a distinctive
+    * vocabulary — the driver testdata's sources share one generator, so
+    * the registry run only pins determinism + the hash gate).
+    * Hashed-unigram importance weights w(f) = floor(1e6·ln-ratio of
+    * add-one-smoothed target/raw bucket frequencies), per-doc
+    * score = Σ c·w exact BIGINT. Returns [doc_id, source, score_micro,
+    * selected(0/1 top-`nSelect` by score desc, doc_id)], unordered. */
+  def dsirWeights(docs: DataFrame, targetSource: String,
+      nSelect: Int): DataFrame = {
+    val P = 1000000007L
+    def bucket(t: Column): Column =
+      (aggregate(transform(split(t, ""), c => ascii(c).cast("long")),
+        lit(7L), (acc, x) => (acc * 131 + x) % P) % 1024).cast("long")
+    // checkpoint: per-doc bucket counts feed the raw agg, the target
+    // agg, the totals row, AND the score join — four consumers
+    val docf = docs
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("tk"))
+      .repartition(col("doc_id")) // token barrier (p16 rule)
+      .select(col("doc_id"), col("source"), explode(col("tk")).as("tok"))
+      .withColumn("f", bucket(col("tok")))
+      .groupBy("doc_id", "source", "f").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val raw = docf.groupBy("f").agg(sum("c").as("rc"))
+    val tgt = docf.where(col("source") === targetSource)
+      .groupBy("f").agg(sum("c").as("tc"))
+    val tot = docf.agg(sum("c").as("rtot"),
+      sum(when(col("source") === targetSource, col("c")).otherwise(0L))
+        .as("ttot"))
+    val w = raw.join(tgt, Seq("f"), "left").na.fill(0L, Seq("tc"))
+      .crossJoin(broadcast(tot))
+      .select(col("f"), floor(lit(1000000.0) * log(
+        ((col("tc") + 1).cast("double") * (col("rtot") + 1024)) /
+          ((col("rc") + 1).cast("double") * (col("ttot") + 1024))))
+        .cast("long").as("w_micro"))
+    docf.join(broadcast(w), "f")
+      .groupBy("doc_id", "source")
+      .agg(sum(col("c") * col("w_micro")).as("score_micro"))
+      // bounded window: one row per DOC is already aggregated — the
+      // p27 pre-aggregated-rows justification for the global sort
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))))
+      .select(col("doc_id"), col("source"), col("score_micro"),
+        (col("rk") <= nSelect).cast("int").as("selected"))
   }
 }

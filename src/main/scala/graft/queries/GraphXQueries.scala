@@ -46,8 +46,8 @@ object GraphXQueries {
              |    'nation/' || c_nationkey FROM customer
              |  UNION ALL SELECT 'orders/' || o_orderkey,
              |    'customer/' || o_custkey FROM orders),
-             |verts AS (SELECT src AS id FROM edges
-             |  UNION SELECT dst FROM edges),
+             |verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges
+             |  UNION ALL SELECT dst FROM edges)),
              |od AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
              |ec AS (SELECT e.src, e.dst, od.od FROM edges e
              |    JOIN od ON e.src = od.src
@@ -215,7 +215,184 @@ object GraphXQueries {
              |    AS n_core_edges,
              |  coalesce(min(core_deg), CAST(0 AS BIGINT)) AS min_core_deg,
              |  coalesce(max(core_deg), CAST(0 AS BIGINT)) AS max_core_deg
-             |FROM core""".stripMargin))
+             |FROM core""".stripMargin)),
+
+    // link prediction on the co-purchase graph: for a sample of query
+    // vertices (partkey % 97), score every non-adjacent candidate two
+    // hops away by common-neighbor count and Adamic-Adar (Σ 1/ln(deg w)
+    // over shared neighbors w, floored to BIGINT micro-units per neighbor
+    // BEFORE the sum — exact integer aggregation, ln() ulps absorbed: the
+    // p34 discipline). The wedge fan-out is anchored at the query set, so
+    // volume is Σ_{q∈Q} Σ_{w∈N(q)} deg(w) — per-query cost, independent
+    // of graph size beyond the 2-hop ball: the production shape for
+    // "suggest related items" at 100 TB (batch all-pairs variants bound
+    // by x04's degree-ordered wedges instead). Wedge centers always have
+    // deg ≥ 2 (they touch both q and c), so ln(deg) > 0.
+    RegQuery("x07_link_prediction",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pp = coPurchasePairs(s, d)
+        // checkpoint: und feeds the query side, wedge right side, degree
+        // agg, and the existing-edge anti-join — inlined it would
+        // recompute the order-bucket explode 4×
+        val und = pp.select(col("p1").as("u"), col("p2").as("v"))
+          .unionAll(pp.select(col("p2").as("u"), col("p1").as("v")))
+          .localCheckpoint()
+        val deg = und.groupBy("u").agg(count(lit(1)).as("dg"))
+        val wed = und.where(col("u") % 97 === 0)
+          .select(col("u").as("q"), col("v").as("w"))
+          .join(und.select(col("u").as("w"), col("v").as("c")), "w")
+          .where(col("c") =!= col("q"))
+        val sc = wed
+          .join(broadcast(deg.select(col("u").as("w"),
+            floor(lit(1000000.0) / log(col("dg"))).cast("long").as("aa_w"))),
+            "w")
+          .groupBy("q", "c")
+          .agg(count(lit(1)).as("cn"), sum("aa_w").as("aa_micro"))
+        sc.join(und.select(col("u").as("q"), col("v").as("c")),
+            Seq("q", "c"), "left_anti")
+          .withColumn("rk", row_number().over(Window.partitionBy("q")
+            .orderBy(col("cn").desc, col("aa_micro").desc, col("c"))))
+          .where(col("rk") <= 3)
+          .select(col("q"), col("rk"), col("c"), col("cn"), col("aa_micro"))
+          .orderBy("q", "rk")
+      },
+      Some("""WITH pp AS (SELECT DISTINCT
+             |    least(a.l_partkey, b.l_partkey) AS p1,
+             |    greatest(a.l_partkey, b.l_partkey) AS p2
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |und AS (SELECT p1 AS u, p2 AS v FROM pp
+             |  UNION ALL SELECT p2, p1 FROM pp),
+             |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM und
+             |  GROUP BY u),
+             |wed AS (SELECT q.u AS q, c.v AS c, q.v AS w FROM und q
+             |  JOIN und c ON q.v = c.u AND c.v <> q.u
+             |  WHERE q.u % 97 = 0),
+             |sc AS (SELECT wed.q, wed.c,
+             |    CAST(count(*) AS BIGINT) AS cn,
+             |    CAST(sum(CAST(floor(1000000.0 / ln(deg.dg)) AS BIGINT))
+             |      AS BIGINT) AS aa_micro
+             |  FROM wed JOIN deg ON wed.w = deg.u
+             |  GROUP BY wed.q, wed.c),
+             |nb AS (SELECT sc.* FROM sc
+             |  WHERE NOT EXISTS (SELECT 1 FROM und
+             |    WHERE und.u = sc.q AND und.v = sc.c)),
+             |r AS (SELECT q, c, cn, aa_micro, ROW_NUMBER() OVER
+             |  (PARTITION BY q ORDER BY cn DESC, aa_micro DESC, c) AS rk
+             |  FROM nb)
+             |SELECT q, CAST(rk AS INTEGER) AS rk, c, cn, aa_micro
+             |FROM r WHERE rk <= 3 ORDER BY q, rk""".stripMargin)),
+
+    // HITS hubs & authorities on the directed edges view — the second
+    // classic eigenvector fixpoint next to x02, and like x02 fully
+    // hash-checked: fixed 10 rounds of integer micro-score mutual
+    // recursion (rescale-to-max with truncating division each round)
+    // mirror as a DuckDB RECURSIVE CTE whose single recursive reference
+    // feeds BOTH score updates via direction-tagged contribution edges,
+    // with the per-round normalizer as a window max over the grouped
+    // subquery (the x05 windows-in-the-recursive-arm trick). On this
+    // view authorities are pointed-at vertices (customers, nations)
+    // and pure sources (orders) keep authority 0 — direction semantics
+    // the oracle checks to the row.
+    // GOTCHA (cost a debugging session): inside WITH RECURSIVE, DuckDB
+    // 1.0 does NOT deduplicate a plain UNION in a sibling CTE — verts
+    // as `src UNION dst` silently seeds every vertex once PER INCIDENT
+    // EDGE (75× for a 74-customer nation). x02 survived the same bug
+    // only because this DAG drains the inflated mass into rank-
+    // evaporating sinks before iteration 20; HITS's normalized
+    // two-direction recurrence never flushes it. Both oracles now use
+    // DISTINCT over UNION ALL.
+    RegQuery("x08_hits",
+      (s, d) => GraphAnalytics.hits(GraphStore.edges(s, d), iters = 10)
+        .orderBy(col("auth_micro").desc, col("hub_micro").desc, col("id"))
+        .limit(20),
+      Some("""WITH RECURSIVE
+             |edges AS (
+             |  SELECT 'nation/' || n_nationkey AS src,
+             |         'region/' || n_regionkey AS dst FROM nation
+             |  UNION ALL SELECT 'customer/' || c_custkey,
+             |    'nation/' || c_nationkey FROM customer
+             |  UNION ALL SELECT 'orders/' || o_orderkey,
+             |    'customer/' || o_custkey FROM orders),
+             |verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges
+             |  UNION ALL SELECT dst FROM edges)),
+             |ced AS (
+             |  SELECT src AS f, dst AS t, 'a' AS kind FROM edges
+             |  UNION ALL SELECT dst, src, 'h' FROM edges
+             |  UNION ALL SELECT id, id, 'z' FROM verts),
+             |hits AS (
+             |  SELECT 0 AS i, id, CAST(1000000 AS BIGINT) AS h,
+             |    CAST(1000000 AS BIGINT) AS a FROM verts
+             |  UNION ALL
+             |  SELECT i, id,
+             |    CAST(rh * 1000000 // greatest(max(rh) OVER (), 1)
+             |      AS BIGINT) AS h,
+             |    CAST(ra * 1000000 // greatest(max(ra) OVER (), 1)
+             |      AS BIGINT) AS a
+             |  FROM (
+             |    SELECT s.i + 1 AS i, e.t AS id,
+             |      SUM(CASE WHEN e.kind = 'h' THEN s.a ELSE 0 END) AS rh,
+             |      SUM(CASE WHEN e.kind = 'a' THEN s.h ELSE 0 END) AS ra
+             |    FROM hits s JOIN ced e ON e.f = s.id
+             |    WHERE s.i < 10
+             |    GROUP BY s.i + 1, e.t))
+             |SELECT id, h AS hub_micro, a AS auth_micro FROM hits
+             |WHERE i = 10
+             |ORDER BY auth_micro DESC, hub_micro DESC, id
+             |LIMIT 20""".stripMargin)),
+
+    // GNN-style neighborhood aggregation (the GraphSAGE-mean /
+    // message-passing layer shape): two rounds of "replace every
+    // vertex's feature with the mean of its neighbors' features" over
+    // the co-purchase graph, feature = retail price in integer cents
+    // (floor-form rounding, the q16 trick) and mean = TRUNCATING
+    // integer division — so a two-layer propagation is exact integer
+    // math, hash-checked to the row. Each round is one equi-join on the
+    // adjacency + one hash aggregate — embarrassingly shuffle-parallel,
+    // the same per-round shape a distributed GNN feature pipeline runs
+    // at 100 TB (layers = rounds; features here are 1-dim cents but the
+    // plan is unchanged for vectors).
+    RegQuery("x09_neighbor_agg",
+      (s, d) => {
+        val pp = coPurchasePairs(s, d)
+        // checkpoint: adjacency feeds both propagation rounds
+        val und = pp.select(col("p1").as("u"), col("p2").as("v"))
+          .unionAll(pp.select(col("p2").as("u"), col("p1").as("v")))
+          .localCheckpoint()
+        val ft = graft.Tables(s, d, "part")
+          .select(col("p_partkey").cast("long").as("id"),
+            floor(col("p_retailprice") * 100 + 0.5).cast("long").as("f0"))
+        def meanRound(state: org.apache.spark.sql.DataFrame,
+            vcol: String, out: String): org.apache.spark.sql.DataFrame =
+          und.join(state.select(col("id").as("v"), col(vcol).as("x")), "v")
+            .groupBy(col("u").as("id"))
+            .agg(expr("sum(x) div count(1)").as(out))
+        val h1 = meanRound(ft, "f0", "h1")
+        val h2 = meanRound(h1, "h1", "h2")
+        ft.join(h1, "id").join(h2, "id")
+          .select("id", "f0", "h1", "h2")
+          .orderBy("id")
+      },
+      Some("""WITH pp AS (SELECT DISTINCT
+             |    least(a.l_partkey, b.l_partkey) AS p1,
+             |    greatest(a.l_partkey, b.l_partkey) AS p2
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |und AS (SELECT p1 AS u, p2 AS v FROM pp
+             |  UNION ALL SELECT p2, p1 FROM pp),
+             |ft AS (SELECT p_partkey AS id,
+             |    CAST(floor(p_retailprice*100 + 0.5) AS BIGINT) AS f0
+             |  FROM part),
+             |h1 AS (SELECT und.u AS id,
+             |    CAST(sum(ft.f0) // count(*) AS BIGINT) AS h1
+             |  FROM und JOIN ft ON und.v = ft.id GROUP BY und.u),
+             |h2 AS (SELECT und.u AS id,
+             |    CAST(sum(h1.h1) // count(*) AS BIGINT) AS h2
+             |  FROM und JOIN h1 ON und.v = h1.id GROUP BY und.u)
+             |SELECT ft.id, ft.f0, h1.h1, h2.h2 FROM ft
+             |JOIN h1 ON ft.id = h1.id JOIN h2 ON ft.id = h2.id
+             |ORDER BY ft.id""".stripMargin))
   )
 
   /** Planted-community graph for x06: parts grouped into ~10-member

@@ -811,7 +811,40 @@ object Pipeline {
           |  FROM cand c JOIN sh x ON c.a_id = x.doc_id
           |  JOIN sh y ON c.b_id = y.doc_id)
           |SELECT a_id, b_id, floor(jac*10000 + 0.5)/10000 AS jac FROM j
-          |WHERE jac >= 0.5 ORDER BY a_id, b_id""".stripMargin))
+          |WHERE jac >= 0.5 ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- p41: TF-IDF keyword extraction ---------------------------------
+    // Top-3 characteristic terms per document — the classic corpus
+    // statistic behind search indexing, topic labeling, and keyword
+    // metadata columns. idf = ln(N/df) floors to BIGINT micro-units
+    // BEFORE the tf multiply (p34 discipline: exact integer scores, ln()
+    // ulps absorbed), so ranking and oracle parity are bit-stable. Two
+    // vocab-bounded hash-aggs (tf, then df over the tf frame — the
+    // second is co-partitioned once tf shuffles on its group key) + one
+    // per-doc window over that doc's distinct terms only: all linear,
+    // the df side is vocabulary-sized (≪ corpus) like p36's count
+    // tables, and N is one broadcast scalar row.
+    RegQuery("p41_tfidf_keywords",
+      (s, d) => tfidfKeywords(Tables(s, d, "documents"), topK = 3)
+        .orderBy("doc_id", "rk"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk
+             |  FROM documents),
+             |tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+             |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             |  FROM tok GROUP BY doc_id, tok),
+             |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf
+             |  GROUP BY tok),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM documents),
+             |sc AS (SELECT tf.doc_id, tf.tok, tf.tf,
+             |  tf.tf * CAST(floor(1000000.0 *
+             |    ln(CAST(st.n_docs AS DOUBLE)/dfq.df)) AS BIGINT)
+             |    AS score_micro
+             |  FROM tf JOIN dfq USING (tok) CROSS JOIN st),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |  ORDER BY score_micro DESC, tok) AS rk FROM sc)
+             |SELECT doc_id, CAST(rk AS INTEGER) AS rk, tok, tf, score_micro
+             |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
   )
 
   /** DuckDB mirror of p14's trained IVF. The 64-dim centroid means are
@@ -976,5 +1009,33 @@ object Pipeline {
        |  PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rn FROM cand)
        |SELECT q_id, CAST(rn AS INTEGER) AS rank, n_id, cos_r FROM r
        |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** p41 core over any [doc_id, text] frame (factored so the spec can
+    * plant a corpus with a known rare term): per-doc top-`topK` terms by
+    * tf × idf_micro where idf_micro = floor(1e6·ln(N/df)) — integer
+    * scores, exact aggregation, deterministic (score desc, tok) order.
+    * Returns [doc_id, rk, tok, tf, score_micro], unordered. */
+  def tfidfKeywords(docs: DataFrame, topK: Int): DataFrame = {
+    // checkpoint: the tf frame feeds the df aggregate AND the score
+    // join back — inlined it would re-run tokenize+explode+agg twice
+    val tf = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .repartition(col("doc_id")) // token barrier (p16 rule)
+      .select(col("doc_id"), explode(col("tk")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val st = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfq, "tok")
+      .crossJoin(broadcast(st))
+      .withColumn("score_micro", col("tf") *
+        floor(lit(1000000.0) *
+          log(col("n_docs").cast("double") / col("df"))).cast("long"))
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score_micro").desc, col("tok"))))
+      .where(col("rk") <= topK)
+      .select(col("doc_id"), col("rk"), col("tok"), col("tf"),
+        col("score_micro"))
   }
 }

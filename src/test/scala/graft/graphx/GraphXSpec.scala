@@ -191,4 +191,85 @@ class GraphXSpec extends SparkSpec {
     assert(nv == 0 || minDeg >= 3,
       s"core vertex below k: n=$nv minDeg=$minDeg")
   }
+
+  test("hits: star graph reaches the exact two-sided fixpoint") {
+    val edges = edgeDf("a" -> "hub", "b" -> "hub", "c" -> "hub", "d" -> "hub")
+    val hs = GraphAnalytics.hits(edges, iters = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // iteration 1 on: hub is the sole authority (4 in-edges, rescaled to
+    // 1e6), leaves are equal pure hubs; hub has no out-edge so its hub
+    // score is 0, leaves have no in-edge so their authority is 0
+    assert(hs("hub") == ((0L, 1000000L)), hs.toString)
+    for (v <- Seq("a", "b", "c", "d"))
+      assert(hs(v) == ((1000000L, 0L)), s"$v: ${hs(v)}")
+  }
+
+  test("hits arms: driver loop == distributed loop, dispatch observable") {
+    val edges = graft.graph.GraphView.edges(spark, sfDir)
+      .select("src_id", "label", "dst_id")
+    val viaLocal = GraphAnalytics.hits(edges, iters = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(spark.sparkContext.getLocalProperty("graft.hits.impl") == "local")
+    try {
+      spark.conf.set("spark.graft.hits.localEdgeThreshold", "0")
+      val viaDist = GraphAnalytics.hits(edges, iters = 10)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(spark.sparkContext.getLocalProperty("graft.hits.impl")
+        == "distributed")
+      assert(viaLocal == viaDist, {
+        val d = viaDist.collect {
+          case (k, v) if viaLocal.get(k) != Some(v) => (k, viaLocal.get(k), v)
+        }
+        s"arms diverged on ${d.size} vertices: ${d.take(5)}"
+      })
+    } finally spark.conf.unset("spark.graft.hits.localEdgeThreshold")
+  }
+
+  /** Exact co-purchase adjacency for the x07/x09 structural checks,
+    * built independently of the engine's explode path (plain self-join
+    * — fine at sf0.001). */
+  private def coPurchaseAdj(): Map[Long, Set[Long]] = {
+    val li = graft.Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey").cast("long").as("p"))
+    val pairs = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .where(col("a.p") < col("b.p"))
+      .select(col("a.p").as("p1"), col("b.p").as("p2")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    pairs.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    adj.toMap.withDefaultValue(Set.empty)
+  }
+
+  test("x07 link prediction: non-adjacent candidates, true CN counts") {
+    val adj = coPurchaseAdj()
+    val rows = graft.SparkEntry.queries("x07_link_prediction")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, rk, c, cn) =
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))
+      assert(q % 97 == 0 && rk >= 1 && rk <= 3)
+      assert(!adj(q).contains(c), s"($q,$c) is an existing edge")
+      assert(cn == (adj(q) & adj(c)).size,
+        s"($q,$c) cn=$cn != |N∩N|=${(adj(q) & adj(c)).size}")
+    }
+  }
+
+  test("x09 neighborhood agg: means bounded by feature extremes") {
+    val adj = coPurchaseAdj()
+    val out = graft.SparkEntry.queries("x09_neighbor_agg")(spark, sfDir)
+      .collect()
+    assert(out.length == adj.size, s"${out.length} rows vs ${adj.size} verts")
+    val f0s = out.map(_.getLong(1))
+    val (lo, hi) = (f0s.min, f0s.max)
+    out.foreach { r =>
+      val (h1, h2) = (r.getLong(2), r.getLong(3))
+      // a truncating mean of values in [lo, hi] stays in [lo, hi]
+      assert(h1 >= lo && h1 <= hi, s"h1 $h1 outside [$lo,$hi]")
+      assert(h2 >= lo && h2 <= hi, s"h2 $h2 outside [$lo,$hi]")
+    }
+  }
 }

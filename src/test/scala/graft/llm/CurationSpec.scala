@@ -136,4 +136,41 @@ class CurationSpec extends SparkSpec {
     val recall = caught.toDouble / originals.length
     assert(recall >= 0.85, s"twin recall $recall")
   }
+
+  test("p41 tf-idf: a planted rare term tops its document") {
+    val docs = Seq(
+      (1L, "alpha beta gamma zzqq zzqq zzqq"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma eta theta iota"),
+      (4L, "alpha beta gamma kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val out = graft.queries.Pipeline.tfidfKeywords(docs, topK = 3).collect()
+    val top1 = out.filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(top1(1L) == "zzqq", top1.toString)
+    // ubiquitous terms (df == N → idf 0) never top a doc with rare terms
+    assert(!top1.values.exists(Set("alpha", "beta", "gamma")), top1.toString)
+    // every doc yields exactly topK ranked rows, scores non-negative
+    assert(out.length == 12 && out.forall(_.getLong(4) >= 0))
+  }
+
+  test("p42 DSIR: target-vocabulary docs outrank off-vocabulary docs") {
+    val docs = Seq(
+      (1L, "tgt", "apple banana cherry apple banana"),
+      (2L, "tgt", "banana cherry apple cherry"),
+      (3L, "raw", "apple banana cherry banana apple"), // target-like
+      (4L, "raw", "xylo ygg zubr xylo ygg"),           // off-vocabulary
+      (5L, "raw", "zubr ygg xylo zubr")
+    ).toDF("doc_id", "source", "text")
+    val out = graft.queries.Curation.dsirWeights(docs, "tgt", nSelect = 3)
+      .collect()
+    val sc = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sc(3L) > sc(4L) && sc(3L) > sc(5L),
+      s"target-like raw doc must outrank off-vocab docs: $sc")
+    assert(out.map(_.getInt(3)).sum == 3, "selection flags != nSelect")
+    // determinism: identical rerun, identical scores
+    val sc2 = graft.queries.Curation.dsirWeights(docs, "tgt", nSelect = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sc == sc2)
+  }
 }
