@@ -255,6 +255,118 @@ object GraphAnalytics {
     st
   }
 
+  /** Personalized PageRank (random walk with restart to a SEED set —
+    * the "related items from here" primitive behind recommendation and
+    * local-community queries): the [[pageRank]] integer recurrence with
+    * the restart mass concentrated on `seeds` instead of spread
+    * uniformly. r_0(v) = 1e6·[v∈S]; r_{i+1}(v) = 150000·[v∈S] +
+    * (85·Σ_{u→v} r_i(u) div od(u)) div 100, truncating division
+    * throughout — bit-exact on any partitioning, so x10 hash-checks the
+    * whole fixpoint against a DuckDB recursive CTE (x02's mirror with a
+    * seed-conditional restart term). Off-ball vertices stay at exactly
+    * 0 and never acquire mass: at scale the touched set is the seeds'
+    * forward ball, not the graph. Same adaptive dispatch as [[pageRank]]
+    * (`spark.graft.ppr.localEdgeThreshold`, choice in `graft.ppr.impl`,
+    * arms equality-pinned in GraphXSpec).
+    * Returns [id, rank_micro] for TOUCHED vertices only (rank > 0) —
+    * the distributed loop carries just the positive frontier, so state
+    * is ball-sized, not graph-sized; true score = rank_micro / 1e6. */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[String],
+      iters: Int = 20): DataFrame = {
+    val e0 = edges.select(col("src_id"), col("dst_id"))
+    val verts = e0.select(col("src_id").as("id"))
+      .unionAll(e0.select(col("dst_id").as("id"))).distinct()
+      .select(col("id"), xxhash64(col("id")).as("vid"))
+      .localCheckpoint()
+    val seedVids = verts.where(col("id").isin(seeds: _*))
+      .select("vid").collect().map(_.getLong(0)).toSet
+    require(seedVids.nonEmpty, s"no seed of ${seeds} present in the graph")
+    val e = e0.select(xxhash64(col("src_id")).as("src"),
+      xxhash64(col("dst_id")).as("dst"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val ec = e.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("od"))
+      .unionAll(verts.select(col("vid"), col("vid"), lit(0L)))
+      .localCheckpoint()
+    val threshold = edges.sparkSession.conf
+      .get("spark.graft.ppr.localEdgeThreshold", "1000000").toLong
+    val local = ec.count() <= threshold
+    edges.sparkSession.sparkContext.setLocalProperty("graft.ppr.impl",
+      if (local) "local" else "distributed")
+    val ranks = if (local) localPpr(ec, seedVids, iters)
+      else distributedPpr(ec, verts, seedVids, iters)
+    ranks.join(verts, ranks("v") === verts("vid"))
+      .select(col("id"), col("r").as("rank_micro"))
+  }
+
+  /** Driver-side arm of [[personalizedPageRank]] — the localPageRank
+    * loop with seed-conditional init and restart. */
+  private def localPpr(ec: DataFrame, seedVids: Set[Long],
+      iters: Int): DataFrame = {
+    val spark = ec.sparkSession
+    import spark.implicits._
+    val triples = ec.select("src", "dst", "od").as[(Long, Long, Long)]
+      .collect()
+    val idx = scala.collection.mutable.HashMap.empty[Long, Int]
+    triples.foreach { case (s, d, _) =>
+      idx.getOrElseUpdate(s, idx.size)
+      idx.getOrElseUpdate(d, idx.size): Unit
+    }
+    val n = idx.size
+    val vids = new Array[Long](n)
+    idx.foreach { case (vid, i) => vids(i) = vid }
+    val restart = Array.tabulate(n)(i => if (seedVids(vids(i))) 1L else 0L)
+    var r = restart.map(_ * 1000000L)
+    for (_ <- 1 to iters) {
+      val acc = new Array[Long](n)
+      triples.foreach { case (s, d, od) =>
+        if (od > 0) acc(idx(d)) += r(idx(s)) / od
+      }
+      r = Array.tabulate(n)(i => restart(i) * 150000L + (85L * acc(i)) / 100L)
+    }
+    spark.createDataset((0 until n).filter(r(_) > 0L)
+        .map(i => (vids(i), r(i))))
+      .toDF("v", "r")
+  }
+
+  /** Distributed arm of [[personalizedPageRank]]: the
+    * distributedPageRank round shape (join + agg, checkpoint every 5)
+    * with the restart as a literal IN-list branch — seed sets are
+    * query-sized, so the branch codegens, no extra join. */
+  private def distributedPpr(ec: DataFrame, verts: DataFrame,
+      seedVids: Set[Long], iters: Int): DataFrame = {
+    val sv = seedVids.toSeq
+    def restart(c: org.apache.spark.sql.Column) =
+      when(c.isin(sv: _*), lit(150000L)).otherwise(lit(0L))
+    // only the positive frontier rides the loop: a zero-rank vertex
+    // contributes nothing and (not being a seed) restarts to nothing,
+    // so dropping its row each round is semantics-preserving — state
+    // stays ball-sized while ec remains the full (static) edge list.
+    // An absent vertex re-enters through a real in-edge the moment a
+    // positive neighbor touches it (restart(dst) is position-based).
+    var ranks = verts.select(col("vid").as("v"),
+      when(col("vid").isin(sv: _*), lit(1000000L)).otherwise(lit(0L)).as("r"))
+      .where(col("r") > 0L)
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val step = math.min(5, iters - i)
+      var cur = ranks
+      for (_ <- 1 to step) {
+        cur = ec.join(cur, ec("src") === cur("v"))
+          .groupBy(col("dst"))
+          .agg((restart(col("dst")) + expr(
+            "(85 * sum(CASE WHEN od > 0 THEN r div od ELSE 0 END)) div 100"))
+            .as("r"))
+          .where(col("r") > 0L)
+          .withColumnRenamed("dst", "v")
+      }
+      ranks = cur.localCheckpoint()
+      i += step
+    }
+    ranks
+  }
+
   /** Single-source-set shortest paths (directed, hop count): distance
     * from every vertex TO each reachable landmark along edge direction —
     * GraphX's ShortestPaths Pregel program. Returns [id, landmark, dist]

@@ -392,7 +392,93 @@ object GraphXQueries {
              |  FROM und JOIN h1 ON und.v = h1.id GROUP BY und.u)
              |SELECT ft.id, ft.f0, h1.h1, h2.h2 FROM ft
              |JOIN h1 ON ft.id = h1.id JOIN h2 ON ft.id = h2.id
-             |ORDER BY ft.id""".stripMargin))
+             |ORDER BY ft.id""".stripMargin)),
+
+    // personalized PageRank from a two-customer seed set — the "related
+    // items from here" primitive: x02's hash-checked integer recurrence
+    // with restart mass pinned to the seeds (init 1e6·[seed], restart
+    // 150000·[seed]), so only the seeds' forward ball ever holds mass
+    // (here: the two customers, their nations, those nations' regions —
+    // order vertices have no in-mass and stay absent). The DuckDB
+    // mirror is x02's recursive CTE with a seed-conditional CASE in
+    // both the anchor and the recursive arm.
+    RegQuery("x10_personalized_pagerank",
+      (s, d) => GraphAnalytics.personalizedPageRank(GraphStore.edges(s, d),
+          Seq("customer/1", "customer/7"), iters = 20)
+        .orderBy(col("rank_micro").desc, col("id"))
+        .limit(20),
+      Some("""WITH RECURSIVE
+             |edges AS (
+             |  SELECT 'nation/' || n_nationkey AS src,
+             |         'region/' || n_regionkey AS dst FROM nation
+             |  UNION ALL SELECT 'customer/' || c_custkey,
+             |    'nation/' || c_nationkey FROM customer
+             |  UNION ALL SELECT 'orders/' || o_orderkey,
+             |    'customer/' || o_custkey FROM orders),
+             |verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges
+             |  UNION ALL SELECT dst FROM edges)),
+             |od AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+             |ec AS (SELECT e.src, e.dst, od.od FROM edges e
+             |    JOIN od ON e.src = od.src
+             |  UNION ALL SELECT id, id, 0 FROM verts),
+             |pr AS (
+             |  SELECT 0 AS i, id, CAST(1000000 AS BIGINT) AS r FROM verts
+             |  WHERE id IN ('customer/1', 'customer/7')
+             |  UNION ALL
+             |  SELECT p.i + 1, ec.dst,
+             |    CAST(CASE WHEN ec.dst IN ('customer/1', 'customer/7')
+             |        THEN 150000 ELSE 0 END
+             |      + (85 * sum(
+             |        CASE WHEN ec.od > 0 THEN p.r // ec.od ELSE 0 END)) // 100
+             |      AS BIGINT) AS r
+             |  FROM pr p JOIN ec ON ec.src = p.id
+             |  WHERE p.i < 20
+             |  GROUP BY p.i, ec.dst
+             |  HAVING CASE WHEN ec.dst IN ('customer/1', 'customer/7')
+             |      THEN 150000 ELSE 0 END
+             |    + (85 * sum(
+             |      CASE WHEN ec.od > 0 THEN p.r // ec.od ELSE 0 END)) // 100
+             |    > 0)
+             |SELECT id, r AS rank_micro FROM pr WHERE i = 20
+             |ORDER BY rank_micro DESC, id LIMIT 20""".stripMargin)),
+
+    // harmonic centrality over a landmark set (the sampled-pivot form
+    // every at-scale centrality uses — HyperBall's estimator with exact
+    // per-landmark BFS distances): H(v) = Σ_l 1e6 div d(v,l) over
+    // reachable landmarks, d > 0. Integer division on integer hop
+    // counts — no floats anywhere, fully hash-checked. Rides
+    // shortestPathsAuto (Pregel / DF-BFS dispatch), so the per-landmark
+    // cost is one BFS wave per hop; landmarks scale out as columns of
+    // the same waves, not extra passes over the graph.
+    RegQuery("x11_harmonic_centrality",
+      (s, d) => GraphAnalytics.shortestPathsAuto(GraphStore.edges(s, d),
+          Seq("region/1", "nation/1", "customer/7"))
+        .where(col("dist") > 0)
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_reach"),
+          sum(expr("1000000 div dist")).cast("long").as("harm_micro"))
+        .orderBy(col("harm_micro").desc, col("id")),
+      Some("""WITH dist AS (
+             |  SELECT 'nation/' || n_nationkey AS id, 1 AS d FROM nation
+             |    WHERE n_regionkey = 1
+             |  UNION ALL SELECT 'customer/' || c_custkey, 2
+             |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |    WHERE n_regionkey = 1
+             |  UNION ALL SELECT 'orders/' || o_orderkey, 3
+             |    FROM orders JOIN customer ON o_custkey = c_custkey
+             |    JOIN nation ON c_nationkey = n_nationkey
+             |    WHERE n_regionkey = 1
+             |  UNION ALL SELECT 'customer/' || c_custkey, 1 FROM customer
+             |    WHERE c_nationkey = 1
+             |  UNION ALL SELECT 'orders/' || o_orderkey, 2
+             |    FROM orders JOIN customer ON o_custkey = c_custkey
+             |    WHERE c_nationkey = 1
+             |  UNION ALL SELECT 'orders/' || o_orderkey, 1 FROM orders
+             |    WHERE o_custkey = 7)
+             |SELECT id, CAST(count(*) AS BIGINT) AS n_reach,
+             |  CAST(sum(1000000 // d) AS BIGINT) AS harm_micro
+             |FROM dist GROUP BY id
+             |ORDER BY harm_micro DESC, id""".stripMargin))
   )
 
   /** Planted-community graph for x06: parts grouped into ~10-member

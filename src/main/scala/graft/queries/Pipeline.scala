@@ -38,6 +38,32 @@ object Pipeline {
     docs.unionAll(pert)
   }
 
+  /** documents ∪ excerpt docs (doc_id + 2M, the first half of the
+    * tokens, floor ≥ 3): planted one-sided containment — an excerpt's
+    * shingle set is a SUBSET of its source's, so containment is 1.0
+    * while Jaccard sits near 0.5, under p04's near-dup radar. */
+  private[queries] def docsWithExcerpts(s: SparkSession,
+      d: String): DataFrame = {
+    val docs = Tables(s, d, "documents").select("doc_id", "text")
+    val t = TextOps.tokens(col("text"))
+    val exc = docs.select(
+      (col("doc_id") + 2000000L).as("doc_id"),
+      concat_ws(" ", slice(t, lit(1),
+        greatest((size(t).cast("double") / 2).cast("int"), lit(3)))).as("text"))
+    docs.unionAll(exc)
+  }
+
+  /** Matching DuckDB CTE for docsWithExcerpts. */
+  private[queries] val excerptsCte =
+    """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t
+      |  FROM documents),
+      |alldocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    array_to_string(t[1:greatest(len(t)//2, 3)], ' ') FROM toks)
+      |""".stripMargin
+
   /** Matching DuckDB CTE for docsWithTwins. */
   private[queries] val twinsCte =
     """WITH toks AS (SELECT *, string_split(text, ' ') AS t FROM documents),
@@ -844,7 +870,46 @@ object Pipeline {
              |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
              |  ORDER BY score_micro DESC, tok) AS rk FROM sc)
              |SELECT doc_id, CAST(rk AS INTEGER) AS rk, tok, tf, score_micro
-             |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
+             |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
+    // ---- p43: containment dedup (one-sided near-dup) --------------------
+    // Quoted/excerpted/subset documents: containment C = |A∩B| / min(|A|,
+    // |B|) over 3-shingle sets catches a short doc embedded in a long one
+    // (C = 1.0) where symmetric Jaccard sits at |A|/|B| ≈ 0.5, under
+    // p04/p05's radar — the asymmetric second pass every serious dedup
+    // stack runs next to MinHash. Pure integer: cont_bp = shared·10000
+    // div min-size basis points, so the gate and the output hash exactly.
+    // Scale shape: inverted shingle index (explode + self-equi-join on
+    // the shingle hash — shared count IS the intersection size) instead
+    // of p04's crossJoin; a df ≤ 50 stop-shingle cap bounds any bucket's
+    // pair fan-out to df² (the standard index-pruning move — dropped
+    // shingles vanish from BOTH numerator and denominators, so the
+    // planted subset pairs stay at exactly 10000 bp).
+    RegQuery("p43_containment_dedup",
+      (s, d) => containmentPairs(docsWithExcerpts(s, d),
+          dfCap = 50, minBp = 9000)
+        .orderBy("a_id", "b_id"),
+      Some(excerptsCte +
+        """, sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          |    range(1, greatest(len(string_split(text,' '))-1, 2)),
+          |    i -> string_split(text,' ')[i] || ' ' ||
+          |         string_split(text,' ')[i+1] || ' ' ||
+          |         string_split(text,' ')[i+2]))) AS sh FROM alldocs),
+          |keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 50),
+          |idx AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN keep USING (sh)),
+          |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM idx
+          |  GROUP BY doc_id),
+          |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |    CAST(count(*) AS BIGINT) AS shared
+          |  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          |  GROUP BY a.doc_id, b.doc_id)
+          |SELECT a_id, b_id, shared,
+          |  least(sa.sz, sb.sz) AS min_sz,
+          |  CAST(shared * 10000 // least(sa.sz, sb.sz) AS BIGINT) AS cont_bp
+          |FROM pr JOIN sz sa ON pr.a_id = sa.doc_id
+          |  JOIN sz sb ON pr.b_id = sb.doc_id
+          |WHERE shared * 10000 // least(sa.sz, sb.sz) >= 9000
+          |ORDER BY a_id, b_id""".stripMargin))
   )
 
   /** DuckDB mirror of p14's trained IVF. The 64-dim centroid means are
@@ -1037,5 +1102,43 @@ object Pipeline {
       .where(col("rk") <= topK)
       .select(col("doc_id"), col("rk"), col("tok"), col("tf"),
         col("score_micro"))
+  }
+
+  /** p43 core over any [doc_id, text] frame (factored so the spec can
+    * plant exact subset/overlap corpora): asymmetric 3-shingle
+    * containment via an inverted index. Shingles hash to longs
+    * (xxhash64) so the equi-join moves 8-byte keys — set sizes and
+    * intersection counts are hash-invariant (modulo 2^-64 collisions,
+    * the p04 acceptance). Shingles appearing in more than `dfCap` docs
+    * are dropped from the index AND both denominators (symmetric, so
+    * true subset pairs keep cont_bp = 10000). Returns [a_id, b_id,
+    * shared, min_sz, cont_bp] for pairs with cont_bp ≥ `minBp`,
+    * unordered; cont_bp = shared·10000 div min(|A|,|B|) exact BIGINT. */
+  def containmentPairs(docs: DataFrame, dfCap: Long,
+      minBp: Long): DataFrame = {
+    // checkpoints: the raw index feeds the df agg and the kept join
+    // (tokenize+shingle+hash once); the kept index feeds the size agg
+    // and BOTH pair-join sides
+    val idx = docs
+      .select(col("doc_id"),
+        TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      .repartition(col("doc_id")) // token barrier (p16 rule)
+      .select(col("doc_id"),
+        explode(transform(col("sh"), x => xxhash64(x))).as("h"))
+      .localCheckpoint()
+    val keep = idx.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap).select("h")
+    val kept = idx.join(keep, "h").localCheckpoint()
+    val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    kept.select(col("h"), col("doc_id").as("a_id"))
+      .join(kept.select(col("h"), col("doc_id").as("b_id")), "h")
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+      .join(sz.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sz.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
+      .withColumn("min_sz", least(col("a_sz"), col("b_sz")))
+      .withColumn("cont_bp", expr("shared * 10000 div min_sz"))
+      .where(col("cont_bp") >= minBp)
+      .select("a_id", "b_id", "shared", "min_sz", "cont_bp")
   }
 }

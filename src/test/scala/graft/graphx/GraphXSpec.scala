@@ -258,6 +258,74 @@ class GraphXSpec extends SparkSpec {
     }
   }
 
+  test("personalized pagerank: chain fixpoint, untouched component absent") {
+    val edges = edgeDf("a" -> "b", "b" -> "c", "x" -> "y")
+    val pr = GraphAnalytics.personalizedPageRank(edges, Seq("a"), iters = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hand fixpoint: a has no in-edges → pure restart 150000 from
+    // iteration 1; b = 85%·a = 127500 from iteration 2; c = 85%·b =
+    // 108375 from iteration 3. The x→y component never holds seed mass
+    // and must be ABSENT (positive-frontier contract), not zero.
+    assert(pr == Map("a" -> 150000L, "b" -> 127500L, "c" -> 108375L),
+      pr.toString)
+  }
+
+  test("ppr arms: driver loop == distributed loop, dispatch observable") {
+    val edges = graft.graph.GraphView.edges(spark, sfDir)
+      .select("src_id", "label", "dst_id")
+    val seeds = Seq("customer/1", "customer/7")
+    val viaLocal = GraphAnalytics.personalizedPageRank(edges, seeds, 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spark.sparkContext.getLocalProperty("graft.ppr.impl") == "local")
+    try {
+      spark.conf.set("spark.graft.ppr.localEdgeThreshold", "0")
+      val viaDist = GraphAnalytics.personalizedPageRank(edges, seeds, 20)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(spark.sparkContext.getLocalProperty("graft.ppr.impl")
+        == "distributed")
+      assert(viaLocal == viaDist, {
+        val d = viaDist.collect {
+          case (k, v) if viaLocal.get(k) != Some(v) => (k, viaLocal.get(k), v)
+        }
+        s"arms diverged on ${d.size} vertices: ${d.take(5)}"
+      })
+    } finally spark.conf.unset("spark.graft.ppr.localEdgeThreshold")
+  }
+
+  test("x11 harmonic centrality matches an independent driver BFS") {
+    val edges = graft.sources.GraphStore.edges(spark, sfDir)
+      .select("src_id", "dst_id").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val radj = edges.groupBy(_._2).map { case (k, vs) =>
+      k -> vs.map(_._1).toSet }
+    def distsTo(l: String): Map[String, Int] = {
+      val dist = scala.collection.mutable.Map(l -> 0)
+      var frontier = Set(l)
+      var d = 0
+      while (frontier.nonEmpty) {
+        d += 1
+        val next = frontier.flatMap(v => radj.getOrElse(v, Set.empty))
+          .filterNot(dist.contains)
+        next.foreach(v => dist(v) = d)
+        frontier = next
+      }
+      dist.toMap
+    }
+    val exp = Seq("region/1", "nation/1", "customer/7")
+      .flatMap(l => distsTo(l).toSeq.collect {
+        case (v, dd) if dd > 0 => (v, 1000000L / dd) })
+      .groupBy(_._1).map { case (v, xs) =>
+        v -> ((xs.size.toLong, xs.map(_._2).sum)) }
+    val got = graft.SparkEntry.queries("x11_harmonic_centrality")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == exp, {
+      val d = (got.keySet ++ exp.keySet).filter(k => got.get(k) != exp.get(k))
+      s"${d.size} vertices diverge, e.g. ${d.take(3).map(k =>
+        (k, got.get(k), exp.get(k)))}"
+    })
+  }
+
   test("x09 neighborhood agg: means bounded by feature extremes") {
     val adj = coPurchaseAdj()
     val out = graft.SparkEntry.queries("x09_neighbor_agg")(spark, sfDir)

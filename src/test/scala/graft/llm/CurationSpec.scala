@@ -173,4 +173,41 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(sc == sc2)
   }
+
+  test("p43 containment: subset pair at 10000 bp, Jaccard-invisible") {
+    val base = "q w e r t y u i o p a s d f g h j k l z"
+    val docs = Seq(
+      (1L, base),                                   // 20 tokens, 18 shingles
+      (2L, base.split(" ").take(10).mkString(" ")), // prefix half: subset
+      (3L, "m n b v c x q1 w1 e1 r1")               // disjoint
+    ).toDF("doc_id", "text")
+    val out = graft.queries.Pipeline.containmentPairs(docs,
+      dfCap = 50, minBp = 9000).collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    // exact subset: shared == |B|, containment exactly 10000 bp — while
+    // symmetric Jaccard is 8/18 ≈ 0.44, under p04's 0.5 gate
+    assert(r.getLong(2) == r.getLong(3) && r.getLong(4) == 10000L,
+      r.toString)
+  }
+
+  test("p43 containment: df cap drops stop-shingles from both sides") {
+    // the stop-shingle "x x x" appears in all 4 docs; with dfCap = 3 it
+    // leaves the index, so the disjoint pair (3,4) loses its only link
+    // while the subset pair (1,2) stays at exactly 10000 bp
+    val docs = Seq(
+      (1L, "x x x a b c d e f g h"),
+      (2L, "x x x a b c d e"),
+      (3L, "x x x p q r s t"),
+      (4L, "x x x m n o u v")
+    ).toDF("doc_id", "text")
+    val out = graft.queries.Pipeline.containmentPairs(docs,
+      dfCap = 3, minBp = 9000).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 >= 3L || p._2 >= 3L),
+      s"stop-shingle-only pairs leaked: $pairs")
+    val sub = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(sub.exists(_.getLong(4) == 10000L), out.mkString(";"))
+  }
 }
