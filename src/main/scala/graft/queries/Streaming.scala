@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -363,7 +363,100 @@ object Streaming {
              |  CAST(sum(CASE WHEN u > 6000 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_keep,
              |  CAST(sum(u) AS BIGINT) AS sum_score_u
-             |FROM f GROUP BY source ORDER BY source""".stripMargin))
+             |FROM f GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- s10: streaming count-min sketch maintenance -------------------
+    // p38's heavy-hitter sketch built BY the stream: the d×w counter
+    // grid is a complete-mode streaming aggregate over (row, bucket) —
+    // p38's "the partial aggregate IS the sketch merge" taken to its
+    // streaming conclusion: counter adds commute, so micro-batch
+    // boundaries can't perturb a single cell, and the stateful
+    // operator's state is O(d·w) = 3×1024 rows NO MATTER how long the
+    // stream runs (the bounded-state sketch story, vs s04's per-key
+    // dedup state that grows with the keyspace). After the AvailableNow
+    // drain, a batch probe joins the exact top-20 bigrams against the
+    // streamed counters — same polynomial bucket hashes both sides and
+    // in DuckDB, so the oracle (p38's, verbatim) checks the streamed
+    // sketch cell-exactly, collision overestimates included.
+    RegQuery("s10_stream_countmin",
+      (s, d) => {
+        import graft.llm.TextOps
+        val P = 1000000007L
+        def polyB(g: Column, seed: Long, mult: Int): Column =
+          (aggregate(transform(split(g, ""), c => ascii(c).cast("long")),
+            lit(seed), (acc, x) => (acc * mult + x) % P) % 1024).cast("long")
+        val tk = col("tk")
+        val grams = transform(
+          sequence(lit(1), greatest(size(tk) - 1, lit(0))),
+          i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1)))
+        val q = withStatePartitions(s, 8) {
+          streamDocs(s, d)
+            .where(size(TextOps.tokens(col("text"))) >= 2)
+            .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+            .repartition(col("doc_id")) // token barrier (s08/s09 lesson)
+            .select(explode(grams).as("g"))
+            .select(posexplode(array(
+              polyB(col("g"), 7L, 131), polyB(col("g"), 11L, 137),
+              polyB(col("g"), 13L, 139))).as(Seq("r", "bucket")))
+            .groupBy("r", "bucket").agg(count(lit(1)).as("ccnt"))
+            .writeStream.format("memory").queryName("s10_sink")
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination()
+        val cm = s.table("s10_sink")
+        // batch probe: the exact truth the streamed estimates are judged
+        // against, re-hashed with the same polynomials (p38's shape)
+        val hb = graft.Tables(s, d, "documents")
+          .where(size(TextOps.tokens(col("text"))) >= 2)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .repartition(col("doc_id")) // token barrier (p16 rule)
+          .select(explode(grams).as("g"))
+          .withColumn("b0", polyB(col("g"), 7L, 131))
+          .withColumn("b1", polyB(col("g"), 11L, 137))
+          .withColumn("b2", polyB(col("g"), 13L, 139))
+          .localCheckpoint()
+        val ex = hb.groupBy("g").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("g")).limit(20)
+        ex.join(hb.select("g", "b0", "b1", "b2").distinct(), "g")
+          .select(col("g"), col("cnt"), posexplode(
+            array(col("b0"), col("b1"), col("b2"))).as(Seq("r", "bucket")))
+          .join(broadcast(cm), Seq("r", "bucket"))
+          .groupBy("g", "cnt").agg(min(col("ccnt")).as("est"))
+          .select("g", "cnt", "est")
+          .orderBy(col("cnt").desc, col("g"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk
+             |  FROM documents WHERE len(string_split(text,' ')) >= 2),
+             |g AS (SELECT unnest(list_transform(range(1, len(tk)),
+             |    i -> tk[i] || ' ' || tk[i+1])) AS g FROM t),
+             |hb AS (SELECT g,
+             |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+             |    list_transform(string_split(g,''),
+             |      c -> CAST(ord(c) AS BIGINT))),
+             |    (acc, x) -> (acc*131 + x) % 1000000007) % 1024 AS b0,
+             |  list_reduce(list_prepend(CAST(11 AS BIGINT),
+             |    list_transform(string_split(g,''),
+             |      c -> CAST(ord(c) AS BIGINT))),
+             |    (acc, x) -> (acc*137 + x) % 1000000007) % 1024 AS b1,
+             |  list_reduce(list_prepend(CAST(13 AS BIGINT),
+             |    list_transform(string_split(g,''),
+             |      c -> CAST(ord(c) AS BIGINT))),
+             |    (acc, x) -> (acc*139 + x) % 1000000007) % 1024 AS b2
+             |  FROM g),
+             |cm AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS ccnt
+             |  FROM (SELECT unnest([0,1,2]) AS r,
+             |    unnest([b0,b1,b2]) AS bucket FROM hb)
+             |  GROUP BY r, bucket),
+             |ex AS (SELECT g, CAST(count(*) AS BIGINT) AS cnt FROM hb
+             |  GROUP BY g ORDER BY cnt DESC, g LIMIT 20),
+             |eb AS (SELECT e.g, e.cnt, unnest([0,1,2]) AS r,
+             |  unnest([h.b0, h.b1, h.b2]) AS bucket
+             |  FROM ex e JOIN (SELECT DISTINCT g, b0, b1, b2 FROM hb) h
+             |    USING (g))
+             |SELECT eb.g, min(eb.cnt) AS cnt,
+             |  CAST(min(cm.ccnt) AS BIGINT) AS est
+             |FROM eb JOIN cm USING (r, bucket)
+             |GROUP BY eb.g ORDER BY cnt DESC, g""".stripMargin))
   )
 
   private val docsSchema = StructType(Seq(

@@ -219,4 +219,22 @@ class StreamingSpec extends SparkSpec {
       .map(p => (p.a_id, p.b_id)).toSet
     assert(pairs == Set((3L, 5L), (3L, 4L)), pairs.toString)
   }
+
+  test("s10 streamed count-min: bounded state, one-sided estimates") {
+    val rows = graft.SparkEntry.queries("s10_stream_countmin")(spark, sfDir)
+      .collect()
+    assert(rows.length == 20)
+    // the count-min guarantee survives the micro-batched build: every
+    // streamed-sketch estimate is >= the exact count
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(1), r.toString))
+    // the streamed counter grid itself is bounded by d×w, the whole
+    // point of sketch-as-streaming-state (3 rows × 1024 buckets)
+    val grid = spark.table("s10_sink")
+    assert(grid.count() <= 3L * 1024L)
+    // total mass per sketch row = total bigram count (nothing lost in
+    // the complete-mode aggregate)
+    val perRow = grid.groupBy("r").agg(sum("ccnt").as("m"))
+      .collect().map(_.getLong(1)).toSet
+    assert(perRow.size == 1, s"sketch rows disagree on mass: $perRow")
+  }
 }
