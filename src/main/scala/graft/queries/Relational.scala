@@ -802,6 +802,57 @@ object Relational {
              |         WHERE o_custkey = c.c_custkey
              |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
              |WHERE c_custkey <= 100
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- q47: WITH RECURSIVE through the engine's OWN SQL surface ------
+    // Spark 4 executes recursive CTEs natively (UnionLoop — each
+    // iteration joins the previous working table, exactly the fixpoint
+    // loop x01-x11 hand-build with DataFrames): descendant counts by
+    // depth from each region root over the derived edge relation, the
+    // recursion every hierarchy/BOM/org query runs. Depth-bounded (< 3,
+    // the schema's diameter) so the working table is the BFS wave —
+    // per-wave cost is one equi-join + the same plan a hand-rolled loop
+    // gets, but declared in pure SQL on BOTH engines (identical text
+    // modulo the view prefix).
+    RegQuery("q47_recursive_cte",
+      (s, d) => {
+        t(s, d, "region").createOrReplaceTempView("q47_region")
+        t(s, d, "nation").createOrReplaceTempView("q47_nation")
+        t(s, d, "customer").createOrReplaceTempView("q47_customer")
+        t(s, d, "orders").createOrReplaceTempView("q47_orders")
+        s.sql("""
+          WITH RECURSIVE edges AS (
+            SELECT 'nation/' || n_nationkey AS src,
+                   'region/' || n_regionkey AS dst FROM q47_nation
+            UNION ALL SELECT 'customer/' || c_custkey,
+              'nation/' || c_nationkey FROM q47_customer
+            UNION ALL SELECT 'orders/' || o_orderkey,
+              'customer/' || o_custkey FROM q47_orders),
+          down(id, root, d) AS (
+            SELECT 'region/' || r_regionkey, 'region/' || r_regionkey, 0
+            FROM q47_region
+            UNION ALL
+            SELECT e.src, down.root, down.d + 1
+            FROM edges e JOIN down ON e.dst = down.id
+            WHERE down.d < 3)
+          SELECT root, d, count(*) AS n FROM down
+          GROUP BY root, d ORDER BY root, d""")
+      },
+      Some("""WITH RECURSIVE edges AS (
+             |  SELECT 'nation/' || n_nationkey AS src,
+             |         'region/' || n_regionkey AS dst FROM nation
+             |  UNION ALL SELECT 'customer/' || c_custkey,
+             |    'nation/' || c_nationkey FROM customer
+             |  UNION ALL SELECT 'orders/' || o_orderkey,
+             |    'customer/' || o_custkey FROM orders),
+             |down(id, root, d) AS (
+             |  SELECT 'region/' || r_regionkey, 'region/' || r_regionkey, 0
+             |  FROM region
+             |  UNION ALL
+             |  SELECT e.src, down.root, down.d + 1
+             |  FROM edges e JOIN down ON e.dst = down.id
+             |  WHERE down.d < 3)
+             |SELECT root, d, CAST(count(*) AS BIGINT) AS n FROM down
+             |GROUP BY root, d ORDER BY root, d""".stripMargin))
   )
 }
