@@ -856,7 +856,111 @@ object Curation {
              |SELECT doc_id, source, score_micro,
              |  CAST(CASE WHEN rk <= 100 THEN 1 ELSE 0 END AS INTEGER)
              |    AS selected
-             |FROM r ORDER BY doc_id""".stripMargin))
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // ---- p44: the executed EPOCH BUILD (composition capstone) -----------
+    // The whole "raw corpus → training epoch" path as ONE DAG, each
+    // stage feeding the next (where p29 reports a census, p44 emits the
+    // epoch): p26's logistic quality gate (integer micro-score) → exact
+    // dedup keeping the min-id quality survivor per content hash (the
+    // p29 shuffle-sharing trick: ONE repartition on md5(text) is both
+    // the token barrier and the dedup window's clustering) → p42's DSIR
+    // importance selection of the 200 most target-like survivors (one
+    // ≤1024-row broadcast weight table) → p39's per-shard sequence
+    // packing of the selected docs into 2048-token context windows.
+    // Everything integer or hash-mirrored, so the COMPOSITION — who
+    // survives, their scores, and exactly which sequence+offset each
+    // lands in — is oracle-checked end to end. At scale each stage is
+    // the proven shape of its standalone query: no stage materializes
+    // an intermediate wider than the keeper set.
+    RegQuery("p44_epoch_pipeline",
+      (s, d) => {
+        val tk = col("tk")
+        val sr = TextOps.stopwordRatio(tk)
+        val mw = aggregate(tk, lit(0L), (a, x) => a + length(x))
+          .cast("double") / size(tk)
+        val z = lit(-3.0) + lit(4.0) * sr + lit(0.5) * mw +
+          lit(0.2) * log(2.0, size(tk))
+        val u = floor((lit(1.0) / (lit(1.0) + exp(-z))) * 10000 + 0.5)
+          .cast("long")
+        // checkpoint: keepers feed the DSIR scorer (which re-tokenizes)
+        // AND the packing join
+        val keep = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"),
+            TextOps.tokens(col("text")).as("tk"))
+          .repartition(md5(col("text")))
+          .where(u > 6000)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+          .where(col("rn") === 1)
+          .select(col("doc_id"), col("source"), col("text"),
+            size(col("tk")).cast("long").as("n_tok"))
+          .localCheckpoint()
+        val sel = dsirWeights(keep.select("doc_id", "source", "text"),
+            targetSource = "src0", nSelect = 200)
+          .where(col("selected") === 1)
+          .select(col("doc_id"), col("score_micro"))
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        keep.join(sel, "doc_id")
+          .withColumn("cum_before", sum(col("n_tok")).over(w) - col("n_tok"))
+          .select(col("doc_id"), col("source"), col("score_micro"),
+            col("n_tok"),
+            (col("cum_before") / 2048).cast("long").as("seq_id"),
+            (col("cum_before") % 2048).as("off"))
+          .orderBy("source", "doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, text,
+             |    string_split(text,' ') AS tk FROM documents),
+             |f AS (SELECT doc_id, source, text, tk,
+             |  CAST(floor(1.0/(1.0 + exp(-(-3.0
+             |    + 4.0 * (CAST(len(list_filter(tk, x -> list_contains(
+             |        ${TextOps.enStopwords.mkString("['", "','", "']")}, x)))
+             |        AS DOUBLE) / len(tk))
+             |    + 0.5 * (CAST(list_sum(list_transform(tk, x -> length(x)))
+             |        AS DOUBLE) / len(tk))
+             |    + 0.2 * log2(len(tk)))))*10000 + 0.5) AS BIGINT) AS u
+             |  FROM t),
+             |w AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+             |    ORDER BY doc_id) AS rn FROM f WHERE u > 6000),
+             |k AS (SELECT doc_id, source, tk FROM w WHERE rn = 1),
+             |tok AS (SELECT doc_id, source, unnest(tk) AS tok FROM k),
+             |hf AS (SELECT doc_id, source,
+             |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+             |    list_transform(string_split(tok,''),
+             |      c -> CAST(ord(c) AS BIGINT))),
+             |    (acc, x) -> (acc*131 + x) % 1000000007) % 1024 AS ff
+             |  FROM tok),
+             |docf AS (SELECT doc_id, source, ff,
+             |  CAST(count(*) AS BIGINT) AS c FROM hf GROUP BY 1, 2, 3),
+             |raw AS (SELECT ff, CAST(sum(c) AS BIGINT) AS rc FROM docf
+             |  GROUP BY ff),
+             |tgt AS (SELECT ff, CAST(sum(c) AS BIGINT) AS tc FROM docf
+             |  WHERE source = 'src0' GROUP BY ff),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS rtot,
+             |  CAST(sum(CASE WHEN source = 'src0' THEN c ELSE 0 END)
+             |    AS BIGINT) AS ttot FROM docf),
+             |wg AS (SELECT raw.ff,
+             |  CAST(floor(1000000.0 * ln(
+             |    (CAST(coalesce(tgt.tc, 0) + 1 AS DOUBLE) * (tot.rtot + 1024))
+             |    / (CAST(raw.rc + 1 AS DOUBLE) * (tot.ttot + 1024))))
+             |    AS BIGINT) AS w_micro
+             |  FROM raw LEFT JOIN tgt ON raw.ff = tgt.ff CROSS JOIN tot),
+             |sc AS (SELECT doc_id,
+             |  CAST(sum(c * w_micro) AS BIGINT) AS score_micro
+             |  FROM docf JOIN wg USING (ff) GROUP BY doc_id),
+             |sel AS (SELECT *, ROW_NUMBER() OVER
+             |  (ORDER BY score_micro DESC, doc_id) AS srk FROM sc),
+             |p AS (SELECT k.doc_id, k.source, sel.score_micro,
+             |    CAST(len(k.tk) AS BIGINT) AS n_tok
+             |  FROM k JOIN sel USING (doc_id) WHERE sel.srk <= 200),
+             |c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source
+             |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok
+             |    AS cum_before FROM p)
+             |SELECT doc_id, source, score_micro, n_tok,
+             |  CAST(cum_before // 2048 AS BIGINT) AS seq_id,
+             |  CAST(cum_before % 2048 AS BIGINT) AS off
+             |FROM c ORDER BY source, doc_id""".stripMargin))
   )
 
   /** DuckDB mirror of p22: same seed centroids, same 1e-6 rounding. */

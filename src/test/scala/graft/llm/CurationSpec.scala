@@ -174,6 +174,31 @@ class CurationSpec extends SparkSpec {
     assert(sc == sc2)
   }
 
+  test("p44 epoch build: gated, deduped, packed consistently") {
+    val out = graft.SparkEntry.queries("p44_epoch_pipeline")(spark, sfDir)
+      .collect()
+    assert(out.length == 200, s"epoch size ${out.length}")
+    val ids = out.map(_.getLong(0)).toSet
+    // stage 1 held: every packed doc clears p26's quality gate
+    val q = graft.SparkEntry.queries("p26_quality_logreg")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(ids.forall(q(_) == 1), "a packed doc failed the quality gate")
+    // stage 2 held: no two packed docs share content
+    val nDistinct = graft.Tables(spark, sfDir, "documents")
+      .where(col("doc_id").isin(ids.toSeq: _*))
+      .select(countDistinct(md5(col("text")))).head().getLong(0)
+    assert(nDistinct == 200L, s"content dups in the epoch: $nDistinct")
+    // stage 4 held: seq_id/off are the exact per-shard running sum
+    out.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(4) == cum / 2048 && r.getLong(5) == cum % 2048,
+          s"$src: $r at cum=$cum")
+        cum += r.getLong(3)
+      }
+    }
+  }
+
   test("p43 containment: subset pair at 10000 bp, Jaccard-invisible") {
     val base = "q w e r t y u i o p a s d f g h j k l z"
     val docs = Seq(
