@@ -740,4 +740,37 @@ object GraphAnalytics {
       .setLocalProperty("graft.cc.rounds", round.toString)
     labels
   }
+
+  /** Local clustering coefficient for a hash-sampled center cohort
+    * (id % centerMod == 0; pass 1 for every vertex): cc(v) = closed
+    * neighbor pairs / C(deg(v),2) over the undirected simple graph
+    * `pairs` [p1, p2] describes. Exact integers: cc_micro =
+    * tri·2e6 div (dg·(dg−1)). Returns [id, dg, tri, cc_micro] for
+    * centers with dg ≥ 2, unordered.
+    *
+    * Scale shape: per-center wedge volume is deg² — the cohort filter
+    * bounds the explode the way landmark selection bounds x11's BFS
+    * waves (for an exhaustive pass, direct wedges at each edge's
+    * lower-degree endpoint first, x04's discipline). The closure check
+    * is one equi-semi-join of wedges against the edge list; the edge
+    * list materializes once and feeds degrees, centers, and the probe. */
+  def localClusteringCoeff(pairs: DataFrame, centerMod: Long): DataFrame = {
+    val und = pairs.select(col("p1").as("u"), col("p2").as("v"))
+      .unionAll(pairs.select(col("p2").as("u"), col("p1").as("v")))
+      .localCheckpoint()
+    val deg = und.groupBy("u").agg(count(lit(1)).as("dg"))
+    val cent = und.where(col("u") % centerMod === 0)
+    val wed = cent.select(col("u").as("c"), col("v").as("a"))
+      .join(cent.select(col("u").as("c"), col("v").as("b")), "c")
+      .where(col("a") < col("b"))
+    val tri = wed.join(und.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_semi")
+      .groupBy("c").agg(count(lit(1)).as("tri"))
+    deg.where(col("u") % centerMod === 0 && col("dg") >= 2)
+      .select(col("u").as("c"), col("dg"))
+      .join(tri, Seq("c"), "left")
+      .na.fill(0L, Seq("tri"))
+      .withColumn("cc_micro", expr("tri * 2000000 div (dg * (dg - 1))"))
+      .select(col("c").as("id"), col("dg"), col("tri"), col("cc_micro"))
+  }
 }

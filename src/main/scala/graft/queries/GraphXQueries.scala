@@ -478,7 +478,48 @@ object GraphXQueries {
              |SELECT id, CAST(count(*) AS BIGINT) AS n_reach,
              |  CAST(sum(1000000 // d) AS BIGINT) AS harm_micro
              |FROM dist GROUP BY id
-             |ORDER BY harm_micro DESC, id""".stripMargin))
+             |ORDER BY harm_micro DESC, id""".stripMargin)),
+
+    // local clustering coefficient — x04's triangle machinery turned
+    // per-vertex: cc(v) = closed neighbor pairs / C(deg(v),2), THE
+    // standard "how clique-like is this node's neighborhood" metric
+    // (community seeding, spam/bot detection, graph feature columns).
+    // Exact integer: cc_micro = tri·2e6 div (dg·(dg−1)) — hash-checked.
+    // Scale shape: centers are a hash-sampled cohort (u % 11, the x07
+    // move — per-center wedge volume is deg², sampling bounds the
+    // explode exactly like landmark centrality bounds BFS waves); the
+    // closure check is one equi-semi-join of wedges against the edge
+    // list (never an all-pairs probe), and the full-graph variant
+    // inherits x04's degree-ordered wedge direction. und materializes
+    // once and feeds centers, degrees, and the closure probe.
+    RegQuery("x12_clustering_coeff",
+      (s, d) => GraphAnalytics
+        .localClusteringCoeff(coPurchasePairs(s, d), centerMod = 11)
+        .orderBy(col("cc_micro").desc, col("id"))
+        .limit(20),
+      Some("""WITH pp AS (SELECT DISTINCT
+             |    least(a.l_partkey, b.l_partkey) AS p1,
+             |    greatest(a.l_partkey, b.l_partkey) AS p2
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |und AS (SELECT p1 AS u, p2 AS v FROM pp
+             |  UNION ALL SELECT p2, p1 FROM pp),
+             |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM und
+             |  GROUP BY u),
+             |cent AS (SELECT u AS c, v FROM und WHERE u % 11 = 0),
+             |wed AS (SELECT x.c, x.v AS a, y.v AS b FROM cent x
+             |  JOIN cent y ON x.c = y.c AND x.v < y.v),
+             |tri AS (SELECT w.c, CAST(count(*) AS BIGINT) AS tri FROM wed w
+             |  WHERE EXISTS (SELECT 1 FROM und
+             |    WHERE und.u = w.a AND und.v = w.b)
+             |  GROUP BY w.c),
+             |r AS (SELECT deg.u AS id, deg.dg,
+             |    CAST(COALESCE(tri.tri, 0) AS BIGINT) AS tri
+             |  FROM deg LEFT JOIN tri ON deg.u = tri.c
+             |  WHERE deg.u % 11 = 0 AND deg.dg >= 2)
+             |SELECT id, dg, tri,
+             |  CAST(tri * 2000000 // (dg * (dg - 1)) AS BIGINT) AS cc_micro
+             |FROM r ORDER BY cc_micro DESC, id LIMIT 20""".stripMargin))
   )
 
   /** Planted-community graph for x06: parts grouped into ~10-member

@@ -909,7 +909,77 @@ object Pipeline {
           |FROM pr JOIN sz sa ON pr.a_id = sa.doc_id
           |  JOIN sz sb ON pr.b_id = sb.doc_id
           |WHERE shared * 10000 // least(sa.sz, sb.sz) >= 9000
-          |ORDER BY a_id, b_id""".stripMargin))
+          |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- p45: deterministic weighted priority sampling ------------------
+    // Weighted sampling without replacement, the Efraimidis–Spirakis
+    // priority shape: each doc draws a pseudo-random priority and the
+    // k smallest priorities per stratum win, with P(win) increasing in
+    // the weight. The "draw" is an affine hash of doc_id (Knuth
+    // multiplicative, mod 1e9+7) and the priority is hash·1e6 div
+    // weight — EXACT BIGINT end to end (integer truncating division,
+    // no ln()/pow() whose libm rounding differs across engines), so the
+    // sample is a pure function of the data and the DuckDB oracle
+    // reproduces it bit-for-bit. Per-source top-k via one window whose
+    // rank filter Spark turns into a WindowGroupLimit: every map task
+    // keeps only its local top-10 per source BEFORE the exchange, so
+    // the shuffle moves O(k·partitions), not the corpus — the property
+    // that makes "sample 10 of 25 TB" one cheap pass (pinned in
+    // ScaleSpec).
+    RegQuery("p45_weighted_sample",
+      (s, d) => {
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            expr("((doc_id * 2654435761 + 104729) % 1000000007)" +
+              " * 1000000 div n_chars").as("prio"))
+          .withColumn("rk", row_number().over(Window.partitionBy("source")
+            .orderBy(col("prio"), col("doc_id"))))
+          .where(col("rk") <= 10)
+          .select(col("source"), col("rk"), col("doc_id"), col("n_chars"),
+            col("prio"))
+          .orderBy("source", "rk")
+      },
+      Some("""WITH p AS (SELECT source, doc_id, n_chars,
+             |  ((doc_id * 2654435761 + 104729) % 1000000007) * 1000000
+             |    // n_chars AS prio FROM documents),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+             |  ORDER BY prio, doc_id) AS rk FROM p)
+             |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, n_chars,
+             |  prio
+             |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin)),
+
+    // ---- p46: RAG sliding-window chunking -------------------------------
+    // The retrieval-corpus builder: fixed-size token windows (C=64) with
+    // overlap (stride S=48), each chunk carrying its provenance (start
+    // token, length) and a polynomial content hash for downstream
+    // chunk-level dedup (p25 consumes exactly this shape). All per-row
+    // array arithmetic in one codegen span after the token barrier —
+    // chunking 100 TB is map-only, no shuffle until someone aggregates
+    // the chunks. Short docs (n ≤ C) emit one whole-doc chunk; the
+    // last window is allowed to be short rather than re-reading the
+    // tail twice (chunk count = 1 + ceil(max(n-C,0)/S), identical
+    // integer formula both engines).
+    RegQuery("p46_rag_chunks",
+      (s, d) => ragChunks(Tables(s, d, "documents"), chunkTok = 64,
+          stride = 48)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk
+             |  FROM documents),
+             |n AS (SELECT doc_id, tk, len(tk) AS n,
+             |  1 + (greatest(len(tk) - 64, 0) + 47) // 48 AS nch FROM t),
+             |c AS (SELECT doc_id, unnest(range(0, nch)) AS chunk_idx, tk, n
+             |  FROM n),
+             |ch AS (SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+             |  CAST(chunk_idx*48 + 1 AS INTEGER) AS start_tok,
+             |  tk[chunk_idx*48 + 1 : least(chunk_idx*48 + 64, n)] AS ck
+             |  FROM c)
+             |SELECT doc_id, chunk_idx, start_tok,
+             |  CAST(len(ck) AS INTEGER) AS n_tok,
+             |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+             |    list_transform(string_split(array_to_string(ck, ' '),''),
+             |      x -> CAST(ord(x) AS BIGINT))),
+             |    (acc, x) -> (acc*131 + x) % 1000000007) AS chunk_hash
+             |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 
   /** DuckDB mirror of p14's trained IVF. The 64-dim centroid means are
@@ -1102,6 +1172,39 @@ object Pipeline {
       .where(col("rk") <= topK)
       .select(col("doc_id"), col("rk"), col("tok"), col("tf"),
         col("score_micro"))
+  }
+
+  /** p46 core over any [doc_id, text] frame (factored so the spec can
+    * plant exact-length docs): fixed-size token windows of `chunkTok`
+    * tokens every `stride` tokens, the last window short rather than
+    * re-read; docs with ≤ chunkTok tokens emit one whole-doc chunk
+    * (chunk count = 1 + ceil(max(n−chunkTok,0)/stride), exact BIGINT).
+    * Each chunk carries provenance (1-based start token, length) and a
+    * polynomial content hash (seed 7, ×131 mod 1e9+7 — the p37/p40
+    * DuckDB-mirrorable family) for chunk-level dedup. Map-only: all
+    * per-row array arithmetic in one codegen span after the token
+    * barrier. Returns [doc_id, chunk_idx, start_tok, n_tok,
+    * chunk_hash], unordered. */
+  def ragChunks(docs: DataFrame, chunkTok: Int, stride: Int): DataFrame = {
+    val P = 1000000007L
+    def polyH(g: Column): Column =
+      aggregate(transform(split(g, ""), c => ascii(c).cast("long")),
+        lit(7L), (acc, x) => (acc * 131 + x) % P)
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .repartition(col("doc_id")) // token barrier (p16 rule)
+      .withColumn("nch",
+        expr(s"1 + (greatest(size(tk) - $chunkTok, 0)" +
+          s" + ${stride - 1}) div $stride"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), col("nch").cast("int") - 1), i => {
+          val chunk = slice(col("tk"), i * stride + 1, lit(chunkTok))
+          struct((i * stride + 1).as("start_tok"),
+            size(chunk).as("n_tok"),
+            polyH(concat_ws(" ", chunk)).as("chunk_hash"))
+        })).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx"), col("c.start_tok"),
+        col("c.n_tok"), col("c.chunk_hash"))
   }
 
   /** p43 core over any [doc_id, text] frame (factored so the spec can

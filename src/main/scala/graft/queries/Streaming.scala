@@ -456,7 +456,51 @@ object Streaming {
              |SELECT eb.g, min(eb.cnt) AS cnt,
              |  CAST(min(cm.ccnt) AS BIGINT) AS est
              |FROM eb JOIN cm USING (r, bucket)
-             |GROUP BY eb.g ORDER BY cnt DESC, g""".stripMargin))
+             |GROUP BY eb.g ORDER BY cnt DESC, g""".stripMargin)),
+
+    // ---- s11: streaming weighted priority sample -----------------------
+    // p45's deterministic Efraimidis–Spirakis sample maintained BY the
+    // stream: the stateless per-row priority (exact BIGINT, see p45)
+    // flows into a per-source top-k kept as mapGroupsWithState state.
+    // Because top-k under the (prio, doc_id) total order is an
+    // associative commutative merge, the drained state equals the batch
+    // sample under ANY micro-batch split — so this is that rare thing,
+    // a STREAMING sampler with a full DuckDB hash oracle (p45's SQL,
+    // verbatim). The 100 TB story: a continuously-ingesting corpus
+    // keeps a live, exactly-reproducible quality-audit sample per
+    // stratum in O(k) state, no batch re-scan.
+    RegQuery("s11_stream_sample",
+      (s, d) => {
+        import s.implicits._
+        val q = withStatePartitions(s, 8) {
+          streamDocs(s, d)
+            .select(col("source"), col("doc_id"), col("n_chars"),
+              expr("((doc_id * 2654435761 + 104729) % 1000000007)" +
+                " * 1000000 div n_chars").as("prio"))
+            .as[Streams.PrioDoc]
+            .transform(Streams.prioritySample(_, 10))
+            .writeStream.format("memory").queryName("s11_sink")
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination()
+        // n_seen monotone per source → max_by picks the final emission
+        s.table("s11_sink")
+          .groupBy("source")
+          .agg(max_by(col("top"), col("n_seen")).as("top"))
+          .select(col("source"), posexplode(col("top")).as(Seq("i", "p")))
+          .select(col("source"), (col("i") + 1).as("rk"),
+            col("p.doc_id").as("doc_id"), col("p.n_chars").as("n_chars"),
+            col("p.prio").as("prio"))
+          .orderBy("source", "rk")
+      },
+      Some("""WITH p AS (SELECT source, doc_id, n_chars,
+             |  ((doc_id * 2654435761 + 104729) % 1000000007) * 1000000
+             |    // n_chars AS prio FROM documents),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+             |  ORDER BY prio, doc_id) AS rk FROM p)
+             |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, n_chars,
+             |  prio
+             |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin))
   )
 
   private val docsSchema = StructType(Seq(

@@ -160,6 +160,40 @@ object Streams {
     }
   }
 
+  // --- streaming weighted priority sampler (s11) -----------------------
+
+  case class PrioDoc(source: String, doc_id: Long, n_chars: Long,
+                     prio: Long)
+  case class SampleState(n_seen: Long, top: List[PrioDoc])
+  case class SampleOut(source: String, n_seen: Long, top: Seq[PrioDoc])
+
+  /** The p45 weighted sample maintained BY the stream: per-source
+    * top-k smallest priorities as mapGroupsWithState state. Top-k of a
+    * multiset under a total order ((prio, doc_id) — no ties possible)
+    * is an associative commutative merge, so the final state equals the
+    * batch top-k under ANY micro-batch split of the corpus — unlike
+    * order-dependent reservoir algorithms, this streaming sample is
+    * exactly reproducible and therefore oracle-checkable. State is
+    * O(k) per source no matter how long the stream runs (the bounded-
+    * state discipline: a 100 TB ingest keeps a 10-row sample per
+    * stratum, not a 10-row-per-batch backlog). n_seen grows
+    * monotonically, so the max-n_seen emission per source is the final
+    * one (the s03 drain trick). */
+  def prioritySample(docs: Dataset[PrioDoc], k: Int): Dataset[SampleOut] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .mapGroupsWithState[SampleState, SampleOut](GroupStateTimeout.NoTimeout) {
+        case (src, rows, state: GroupState[SampleState]) =>
+          val prev = state.getOption.getOrElse(SampleState(0L, Nil))
+          val batch = rows.toList
+          val merged = (prev.top ++ batch)
+            .sortBy(p => (p.prio, p.doc_id)).take(k)
+          val next = SampleState(prev.n_seen + batch.size, merged)
+          state.update(next)
+          SampleOut(src, next.n_seen, merged)
+      }
+  }
+
   // --- streaming incremental near-dup (LSH band-bucket state) ----------
 
   case class BandDoc(band_idx: Int, band_hash: Long, doc_id: Long)

@@ -239,6 +239,31 @@ class ScaleSpec extends SparkSpec {
       s"bigram LM went quadratic:\n$plan")
   }
 
+  test("p45 sample: rank filter becomes a partial top-k, no join") {
+    // "sample 10 of 25 TB per stratum" must push the rank<=10 filter
+    // below the exchange: Spark's WindowGroupLimit keeps each map
+    // task's local top-10 per source, so the shuffle moves O(k·tasks)
+    // rows, not the corpus — losing it re-sorts whole partitions
+    val plan = SparkEntry.queries("p45_weighted_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed into a partial top-k:\n$plan")
+    assert(!plan.contains("Join"), s"sampler grew a join:\n$plan")
+  }
+
+  test("p46 chunking: map-only — no join, no aggregate exchange") {
+    // chunking 100 TB must stay embarrassingly parallel: the token
+    // barrier's exchange and the deterministic output sort are the only
+    // legal shuffles; a join or aggregate would mean the chunker
+    // acquired cross-row state
+    val plan = SparkEntry.queries("p46_rag_chunks")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"chunker grew a join:\n$plan")
+    assert(!plan.contains("Aggregate"), s"chunker aggregates:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"chunker shuffles beyond barrier+sort:\n$plan")
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val li = Tables(spark, sfDir, "lineitem")
     val direct = li.groupBy("l_returnflag")

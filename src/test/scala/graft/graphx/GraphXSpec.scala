@@ -340,4 +340,25 @@ class GraphXSpec extends SparkSpec {
       assert(h2 >= lo && h2 <= hi, s"h2 $h2 outside [$lo,$hi]")
     }
   }
+
+  test("localClusteringCoeff: K4 plus a pendant edge, exact micro-units") {
+    import spark.implicits._
+    // K4 vertices sit in fully-connected neighborhoods (cc = 1); vertex
+    // 4 gains pendant 5 (4 neighbors, 3 of 6 pairs closed → 0.5); the
+    // pendant itself (deg 1) has no defined coefficient and is absent
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("p1", "p2")
+    val got = GraphAnalytics.localClusteringCoeff(pairs, centerMod = 1)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(
+      1L -> ((3L, 3L, 1000000L)), 2L -> ((3L, 3L, 1000000L)),
+      3L -> ((3L, 3L, 1000000L)), 4L -> ((4L, 3L, 500000L))), got.toString)
+    // a center with zero closed wedges reports cc 0, not a missing row
+    val open = Seq((10L, 11L), (10L, 12L)).toDF("p1", "p2")
+    val g2 = GraphAnalytics.localClusteringCoeff(open, centerMod = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(g2 == Map(10L -> 0L), g2.toString)
+  }
 }

@@ -235,4 +235,29 @@ class CurationSpec extends SparkSpec {
     val sub = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
     assert(sub.exists(_.getLong(4) == 10000L), out.mkString(";"))
   }
+
+  test("p46 chunking: window arithmetic, overlap, short-doc edges") {
+    val docs = Seq(
+      (1L, (1 to 130).map(i => s"t$i").mkString(" ")), // 3 chunks
+      (2L, (1 to 10).map(i => s"t$i").mkString(" ")),  // short → whole doc
+      (3L, (1 to 64).map(i => s"t$i").mkString(" ")),  // exactly C → 1
+      (4L, (1 to 65).map(i => s"t$i").mkString(" "))   // C+1 → short tail
+    ).toDF("doc_id", "text")
+    val out = graft.queries.Pipeline
+      .ragChunks(docs, chunkTok = 64, stride = 48).collect()
+    val byDoc = out
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted.toSeq }
+    // stride-48 windows of 64: starts 1, 49, 97; tail is short, never
+    // re-read; consecutive full chunks overlap exactly 64-48 tokens
+    assert(byDoc(1L) == Seq((0, 1, 64), (1, 49, 64), (2, 97, 34)), byDoc(1L))
+    assert(byDoc(2L) == Seq((0, 1, 10)))
+    assert(byDoc(3L) == Seq((0, 1, 64)))
+    assert(byDoc(4L) == Seq((0, 1, 64), (1, 49, 17)))
+    // identical chunk TEXT hashes identically across docs — the
+    // chunk-level dedup key p25 consumes (doc 3 == doc 1's first window)
+    val h = out.map(r => ((r.getLong(0), r.getInt(1)), r.getLong(4))).toMap
+    assert(h((1L, 0)) == h((3L, 0)), "equal chunk text must hash equal")
+    assert(h((1L, 0)) != h((1L, 1)), "different windows must differ")
+  }
 }

@@ -220,6 +220,37 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((3L, 5L), (3L, 4L)), pairs.toString)
   }
 
+  test("priority sample state: any micro-batch split equals batch top-k") {
+    import graft.streaming.Streams.{PrioDoc, SampleOut}
+    implicit val sqlCtx = spark.sqlContext
+    // adversarial arrival: eventual winners arrive LAST and spread over
+    // three batches, two sources interleaved — top-k under the total
+    // order (prio, doc_id) must still equal the batch sort exactly
+    val src = MemoryStream[PrioDoc]
+    val q = Streams.prioritySample(src.toDS(), k = 3)
+      .writeStream.format("memory").queryName("t_samp")
+      .outputMode(OutputMode.Update()).start()
+    src.addData(PrioDoc("a", 1, 10, 900), PrioDoc("a", 2, 10, 800),
+      PrioDoc("b", 3, 10, 500))
+    q.processAllAvailable()
+    src.addData(PrioDoc("a", 4, 10, 100), PrioDoc("b", 5, 10, 400))
+    q.processAllAvailable()
+    src.addData(PrioDoc("a", 6, 10, 50), PrioDoc("a", 7, 10, 700),
+      PrioDoc("b", 8, 10, 600))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("t_samp").as[SampleOut].collect()
+      .groupBy(_.source)
+      .map { case (sc, rows) =>
+        sc -> rows.maxBy(_.n_seen).top.map(_.doc_id).toSeq }
+    assert(fin("a") == Seq(6L, 4L, 7L), fin.toString) // prios 50,100,700
+    assert(fin("b") == Seq(5L, 3L, 8L), fin.toString) // prios 400,500,600
+    // n_seen counts every arrival, not just survivors
+    val seen = spark.table("t_samp").as[SampleOut].collect()
+      .groupBy(_.source).map { case (sc, r) => sc -> r.map(_.n_seen).max }
+    assert(seen == Map("a" -> 5L, "b" -> 3L), seen.toString)
+  }
+
   test("s10 streamed count-min: bounded state, one-sided estimates") {
     val rows = graft.SparkEntry.queries("s10_stream_countmin")(spark, sfDir)
       .collect()
