@@ -519,7 +519,53 @@ object GraphXQueries {
              |  WHERE deg.u % 11 = 0 AND deg.dg >= 2)
              |SELECT id, dg, tri,
              |  CAST(tri * 2000000 // (dg * (dg - 1)) AS BIGINT) AS cc_micro
-             |FROM r ORDER BY cc_micro DESC, id LIMIT 20""".stripMargin))
+             |FROM r ORDER BY cc_micro DESC, id LIMIT 20""".stripMargin)),
+
+    // landmark eccentricity + diameter lower bound — the x11 landmark
+    // discipline applied to the other classic distance statistic:
+    // ecc(l) = max hop distance any vertex needs to REACH l, and
+    // max_l ecc(l) lower-bounds the directed diameter (the iFUB /
+    // double-sweep estimation family every at-scale diameter
+    // computation uses). Pure integer hop counts over the same BFS
+    // waves x03/x11 ride — landmarks are extra columns on one wave
+    // sweep, not extra graph passes; the diam_lb window runs over
+    // #landmarks pre-aggregated rows (the p27 bounded-window shape).
+    RegQuery("x13_eccentricity",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        GraphAnalytics.shortestPathsAuto(GraphStore.edges(s, d),
+            Seq("region/1", "nation/1", "customer/7"))
+          .groupBy("landmark")
+          .agg(count(lit(1)).as("n_reach"), max("dist").as("ecc"))
+          .withColumn("diam_lb",
+            max(col("ecc")).over(Window.partitionBy(lit(1))))
+          .select("landmark", "n_reach", "ecc", "diam_lb")
+          .orderBy("landmark")
+      },
+      Some("""WITH dist AS (
+             |  SELECT 'region/1' AS landmark, 'region/1' AS id, 0 AS d
+             |  UNION ALL SELECT 'region/1', 'nation/' || n_nationkey, 1
+             |    FROM nation WHERE n_regionkey = 1
+             |  UNION ALL SELECT 'region/1', 'customer/' || c_custkey, 2
+             |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |    WHERE n_regionkey = 1
+             |  UNION ALL SELECT 'region/1', 'orders/' || o_orderkey, 3
+             |    FROM orders JOIN customer ON o_custkey = c_custkey
+             |    JOIN nation ON c_nationkey = n_nationkey
+             |    WHERE n_regionkey = 1
+             |  UNION ALL SELECT 'nation/1', 'nation/1', 0
+             |  UNION ALL SELECT 'nation/1', 'customer/' || c_custkey, 1
+             |    FROM customer WHERE c_nationkey = 1
+             |  UNION ALL SELECT 'nation/1', 'orders/' || o_orderkey, 2
+             |    FROM orders JOIN customer ON o_custkey = c_custkey
+             |    WHERE c_nationkey = 1
+             |  UNION ALL SELECT 'customer/7', 'customer/7', 0
+             |  UNION ALL SELECT 'customer/7', 'orders/' || o_orderkey, 1
+             |    FROM orders WHERE o_custkey = 7)
+             |SELECT landmark, CAST(count(*) AS BIGINT) AS n_reach,
+             |  CAST(max(d) AS INTEGER) AS ecc,
+             |  CAST(MAX(max(d)) OVER () AS INTEGER) AS diam_lb
+             |FROM dist GROUP BY landmark ORDER BY landmark""".stripMargin))
   )
 
   /** Planted-community graph for x06: parts grouped into ~10-member
