@@ -752,9 +752,14 @@ object GraphAnalytics {
     * bounds the explode the way landmark selection bounds x11's BFS
     * waves (for an exhaustive pass, direct wedges at each edge's
     * lower-degree endpoint first, x04's discipline). The closure check
-    * is one equi-semi-join of wedges against the edge list; the edge
-    * list materializes once and feeds degrees, centers, and the probe. */
-  def localClusteringCoeff(pairs: DataFrame, centerMod: Long): DataFrame = {
+    * reuses x04's probe: the wedge stream semi-joins a BROADCAST of
+    * the canonical (least, greatest) edge list — packed to one long
+    * when ids fit unsigned 31 bits (LongHashedRelation probe; the
+    * minId guard routes negative raw-hash ids to the two-key join) —
+    * so wedges never hit an exchange. */
+  def localClusteringCoeff(pairs0: DataFrame, centerMod: Long): DataFrame = {
+    // checkpoint: pairs feed und (both directions) AND the probe side
+    val pairs = pairs0.localCheckpoint()
     val und = pairs.select(col("p1").as("u"), col("p2").as("v"))
       .unionAll(pairs.select(col("p2").as("u"), col("p1").as("v")))
       .localCheckpoint()
@@ -763,9 +768,22 @@ object GraphAnalytics {
     val wed = cent.select(col("u").as("c"), col("v").as("a"))
       .join(cent.select(col("u").as("c"), col("v").as("b")), "c")
       .where(col("a") < col("b"))
-    val tri = wed.join(und.select(col("u").as("a"), col("v").as("b")),
+    val canon = pairs.select(least(col("p1"), col("p2")).as("s"),
+      greatest(col("p1"), col("p2")).as("t"))
+    val bounds = pairs.agg(
+        coalesce(greatest(max("p1"), max("p2")), lit(0L)).as("mx"),
+        coalesce(least(min("p1"), min("p2")), lit(0L)).as("mn"))
+      .first()
+    val (maxId, minId) = (bounds.getLong(0), bounds.getLong(1))
+    val tri = (if (minId >= 0L && maxId < (1L << 31)) {
+      wed.withColumn("ab", shiftleft(col("a"), 32).bitwiseOR(col("b")))
+        .join(broadcast(canon.select(
+            shiftleft(col("s"), 32).bitwiseOR(col("t")).as("ab"))),
+          Seq("ab"), "left_semi")
+    } else {
+      wed.join(broadcast(canon.select(col("s").as("a"), col("t").as("b"))),
         Seq("a", "b"), "left_semi")
-      .groupBy("c").agg(count(lit(1)).as("tri"))
+    }).groupBy("c").agg(count(lit(1)).as("tri"))
     deg.where(col("u") % centerMod === 0 && col("dg") >= 2)
       .select(col("u").as("c"), col("dg"))
       .join(tri, Seq("c"), "left")

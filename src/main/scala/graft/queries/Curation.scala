@@ -960,7 +960,68 @@ object Curation {
              |SELECT doc_id, source, score_micro, n_tok,
              |  CAST(cum_before // 2048 AS BIGINT) AS seq_id,
              |  CAST(cum_before % 2048 AS BIGINT) AS off
-             |FROM c ORDER BY source, doc_id""".stripMargin))
+             |FROM c ORDER BY source, doc_id""".stripMargin)),
+
+    // ---- p47: token-budget mixture scheduler ----------------------------
+    // The step between "score everything" and "train": fill each
+    // source's token budget with its best documents. Docs rank by the
+    // p26/s09 integer micro-score (u desc, doc_id — a total order), the
+    // running token mass is a window prefix sum, and a doc is admitted
+    // iff the mass BEFORE it is still under budget (the first
+    // overflowing doc ships, then the stratum closes — the greedy
+    // knapsack rule every budgeted mix build uses). All-BIGINT: the
+    // admission gate and the reported cumulative hash exactly.
+    // Scale shape: the window is a per-stratum prefix scan; at 100 TB
+    // the move is a p21-style stateless quality pre-gate tuned to
+    // overshoot the budget ~2×, THEN this scan over the survivors —
+    // the sort touches candidates, not the corpus. The budget
+    // (800 tokens/source here — small enough to genuinely cut at every test SF) is the knob, not the shape.
+    RegQuery("p47_token_budget",
+      (s, d) => {
+        val tk = col("tk")
+        val sr = TextOps.stopwordRatio(tk)
+        val mw = aggregate(tk, lit(0L), (a, x) => a + length(x))
+          .cast("double") / size(tk)
+        val z = lit(-3.0) + lit(4.0) * sr + lit(0.5) * mw +
+          lit(0.2) * log(2.0, size(tk))
+        val u = floor((lit(1.0) / (lit(1.0) + exp(-z))) * 10000 + 0.5)
+          .cast("long")
+        val w = Window.partitionBy("source")
+          .orderBy(col("u").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            TextOps.tokens(col("text")).as("tk"))
+          .repartition(col("doc_id")) // token barrier (p16 rule)
+          .select(col("doc_id"), col("source"), u.as("u"),
+            size(col("tk")).cast("long").as("n_tok"))
+          .withColumn("cum_before",
+            coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .where(col("cum_before") < 800)
+          .withColumn("cum_tokens", col("cum_before") + col("n_tok"))
+          .select("source", "doc_id", "u", "n_tok", "cum_tokens")
+          .orderBy("source", "doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, string_split(text,' ')
+             |    AS tk FROM documents),
+             |f AS (SELECT doc_id, source,
+             |  CAST(len(tk) AS BIGINT) AS n_tok,
+             |  CAST(floor(1.0/(1.0 + exp(-(
+             |  -3.0 + 4.0 * (CAST(len(list_filter(tk, x -> list_contains(
+             |      ${TextOps.enStopwords.mkString("['", "','", "']")}, x)))
+             |      AS DOUBLE) / len(tk))
+             |  + 0.5 * (CAST(list_sum(list_transform(tk, x -> length(x)))
+             |      AS DOUBLE) / len(tk))
+             |  + 0.2 * log2(len(tk)))))*10000 + 0.5) AS BIGINT) AS u
+             |  FROM t),
+             |c AS (SELECT *, COALESCE(SUM(n_tok) OVER (
+             |    PARTITION BY source ORDER BY u DESC, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS cum_before FROM f)
+             |SELECT source, doc_id, u, n_tok,
+             |  cum_before + n_tok AS cum_tokens
+             |FROM c WHERE cum_before < 800
+             |ORDER BY source, doc_id""".stripMargin))
   )
 
   /** DuckDB mirror of p22: same seed centroids, same 1e-6 rounding. */

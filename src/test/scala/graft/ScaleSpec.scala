@@ -135,6 +135,17 @@ class ScaleSpec extends SparkSpec {
       s"triangle closure is not a broadcast semi-join:\n$plan")
   }
 
+  test("x12 wedge closure probes a broadcast, never an exchange") {
+    // same discipline as x04: the per-center neighbor-pair stream must
+    // flow straight into the packed-key broadcast semi-probe — a
+    // shuffle there would materialize the deg² wedge volume
+    val plan = SparkEntry.queries("x12_clustering_coeff")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"),
+      s"cc closure is not a broadcast semi-join:\n$plan")
+  }
+
   test("p29 funnel: the barrier shuffle doubles as the window exchange") {
     // the barrier repartition keys on md5(text) — the SAME clustering
     // the dedup window needs — so Catalyst must elide the window's own
