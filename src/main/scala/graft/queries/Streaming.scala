@@ -500,7 +500,73 @@ object Streaming {
              |  ORDER BY prio, doc_id) AS rk FROM p)
              |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, n_chars,
              |  prio
-             |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin))
+             |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin)),
+
+    // ---- s12: streaming token-budget admission --------------------------
+    // p47's mix builder as a CONTINUOUS operator: per-row integer
+    // micro-score (stateless), then per-source greedy budget admission
+    // as mapGroupsWithState whose state is only the admitted prefix —
+    // bounded by the budget itself, not the stream length. Admission
+    // monotonicity (see Streams.budgetAdmission) makes the drained
+    // state equal the batch computation under any micro-batch split,
+    // so the continuously-built mix is hash-checked against p47's
+    // oracle (budget 800). The 100 TB story: the training mix exists
+    // at every moment of ingest, and re-planning a mix after more data
+    // lands is a state update, not a corpus re-scan.
+    RegQuery("s12_stream_budget",
+      (s, d) => {
+        import s.implicits._
+        import graft.llm.TextOps
+        val tk = col("tk")
+        val sr = TextOps.stopwordRatio(tk)
+        val mw = aggregate(tk, lit(0L), (a, x) => a + length(x))
+          .cast("double") / size(tk)
+        val z = lit(-3.0) + lit(4.0) * sr + lit(0.5) * mw +
+          lit(0.2) * log(2.0, size(tk))
+        val u = floor((lit(1.0) / (lit(1.0) + exp(-z))) * 10000 + 0.5)
+          .cast("long")
+        val q = withStatePartitions(s, 8) {
+          streamDocs(s, d)
+            .select(col("doc_id"), col("source"),
+              TextOps.tokens(col("text")).as("tk"))
+            .repartition(col("doc_id")) // token barrier (s08/s09 lesson)
+            .select(col("source"), col("doc_id"), u.as("u"),
+              size(col("tk")).cast("long").as("n_tok"))
+            .as[Streams.BudgetDoc]
+            .transform(Streams.budgetAdmission(_, budget = 800L))
+            .writeStream.format("memory").queryName("s12_sink")
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination()
+        s.table("s12_sink")
+          .groupBy("source")
+          .agg(max_by(col("admitted"), col("n_seen")).as("admitted"))
+          .select(col("source"), explode(col("admitted")).as("a"))
+          .select(col("source"), col("a.doc_id").as("doc_id"),
+            col("a.u").as("u"), col("a.n_tok").as("n_tok"),
+            col("a.cum_tokens").as("cum_tokens"))
+          .orderBy("source", "doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, string_split(text,' ')
+             |    AS tk FROM documents),
+             |f AS (SELECT doc_id, source,
+             |  CAST(len(tk) AS BIGINT) AS n_tok,
+             |  CAST(floor(1.0/(1.0 + exp(-(
+             |  -3.0 + 4.0 * (CAST(len(list_filter(tk, x -> list_contains(
+             |      ${graft.llm.TextOps.enStopwords.mkString("['", "','", "']")}, x)))
+             |      AS DOUBLE) / len(tk))
+             |  + 0.5 * (CAST(list_sum(list_transform(tk, x -> length(x)))
+             |      AS DOUBLE) / len(tk))
+             |  + 0.2 * log2(len(tk)))))*10000 + 0.5) AS BIGINT) AS u
+             |  FROM t),
+             |c AS (SELECT *, COALESCE(SUM(n_tok) OVER (
+             |    PARTITION BY source ORDER BY u DESC, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS cum_before FROM f)
+             |SELECT source, doc_id, u, n_tok,
+             |  cum_before + n_tok AS cum_tokens
+             |FROM c WHERE cum_before < 800
+             |ORDER BY source, doc_id""".stripMargin))
   )
 
   private val docsSchema = StructType(Seq(

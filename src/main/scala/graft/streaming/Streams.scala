@@ -194,6 +194,49 @@ object Streams {
       }
   }
 
+  // --- streaming token-budget admission (s12) --------------------------
+
+  case class BudgetDoc(source: String, doc_id: Long, u: Long, n_tok: Long)
+  case class BudgetAdmit(doc_id: Long, u: Long, n_tok: Long,
+                         cum_tokens: Long)
+  case class BudgetState(n_seen: Long, admitted: List[BudgetAdmit])
+  case class BudgetOut(source: String, n_seen: Long,
+                       admitted: Seq[BudgetAdmit])
+
+  /** p47's greedy token-budget admission maintained BY the stream.
+    * State per source is ONLY the currently-admitted prefix (≤ budget
+    * tokens + one overflow doc) — sufficient because admission is
+    * monotone: docs ahead of x in the (u desc, doc_id) order only ever
+    * accumulate, so a doc rejected once (cum_before ≥ budget at its
+    * position) can never re-enter, and an admitted doc can only be
+    * evicted by better arrivals, never readmitted after. Hence
+    * Admit(S ∪ B) = Admit(Admit(S) ∪ B): folding batches through the
+    * admitted prefix equals the batch computation under ANY micro-batch
+    * split, and the drained state hash-matches p47's DuckDB oracle.
+    * The eviction case (a late high-score doc displacing an earlier
+    * admit) is pinned in StreamingSpec. */
+  def budgetAdmission(docs: Dataset[BudgetDoc],
+                      budget: Long): Dataset[BudgetOut] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .mapGroupsWithState[BudgetState, BudgetOut](GroupStateTimeout.NoTimeout) {
+        case (src, rows, state: GroupState[BudgetState]) =>
+          val prev = state.getOption.getOrElse(BudgetState(0L, Nil))
+          val batch = rows.toList
+          val cands = (prev.admitted.map(a => (a.u, a.doc_id, a.n_tok)) ++
+            batch.map(b => (b.u, b.doc_id, b.n_tok)))
+            .sortBy { case (u, id, _) => (-u, id) }
+          var cum = 0L
+          val kept = List.newBuilder[BudgetAdmit]
+          cands.foreach { case (u, id, n) =>
+            if (cum < budget) { cum += n; kept += BudgetAdmit(id, u, n, cum) }
+          }
+          val next = BudgetState(prev.n_seen + batch.size, kept.result())
+          state.update(next)
+          BudgetOut(src, next.n_seen, next.admitted)
+      }
+  }
+
   // --- streaming incremental near-dup (LSH band-bucket state) ----------
 
   case class BandDoc(band_idx: Int, band_hash: Long, doc_id: Long)

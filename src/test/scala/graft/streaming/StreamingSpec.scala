@@ -251,6 +251,32 @@ class StreamingSpec extends SparkSpec {
     assert(seen == Map("a" -> 5L, "b" -> 3L), seen.toString)
   }
 
+  test("budget admission: late high-score doc evicts, split == batch") {
+    import graft.streaming.Streams.{BudgetDoc, BudgetOut}
+    implicit val sqlCtx = spark.sqlContext
+    // budget 10: A(u5,n6) and B(u4,n6) both admit in batch 1 (B is the
+    // overflow doc that ships). C(u9,n6) arrives in batch 2, outranks
+    // both, and must EVICT B — the final admitted set has to equal the
+    // batch computation over {A,B,C}, i.e. C(cum 6), A(cum 12)
+    val src = MemoryStream[BudgetDoc]
+    val q = Streams.budgetAdmission(src.toDS(), budget = 10L)
+      .writeStream.format("memory").queryName("t_budget")
+      .outputMode(OutputMode.Update()).start()
+    src.addData(BudgetDoc("a", 1, 5, 6), BudgetDoc("a", 2, 4, 6))
+    q.processAllAvailable()
+    val mid = spark.table("t_budget").as[BudgetOut].collect()
+      .maxBy(_.n_seen).admitted.map(a => (a.doc_id, a.cum_tokens))
+    assert(mid == Seq((1L, 6L), (2L, 12L)), mid.toString)
+    src.addData(BudgetDoc("a", 3, 9, 6))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("t_budget").as[BudgetOut].collect()
+      .maxBy(_.n_seen).admitted.map(a => (a.doc_id, a.u, a.cum_tokens))
+    assert(fin == Seq((3L, 9L, 6L), (1L, 5L, 12L)), fin.toString)
+    // a doc rejected at arrival never re-enters: nothing readmits B
+    assert(!fin.exists(_._1 == 2L))
+  }
+
   test("s10 streamed count-min: bounded state, one-sided estimates") {
     val rows = graft.SparkEntry.queries("s10_stream_countmin")(spark, sfDir)
       .collect()
