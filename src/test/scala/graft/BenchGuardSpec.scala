@@ -50,7 +50,12 @@ class BenchGuardSpec extends SparkSpec {
     // clique-chain; a trip means a lost per-round localCheckpoint
     // (round lineage re-inlines — the x05 failure mode) or the graph
     // construction went quadratic
-    ("x06_label_propagation", 6.0))
+    ("x06_label_propagation", 6.0),
+    // x12 baseline ~1.5 s at sf0.01: sampled-center wedges into the
+    // broadcast packed-key probe; a trip means the probe fell back to
+    // an exchange (the wedge volume materializes) or a lost checkpoint
+    // re-runs the pair build per consumer
+    ("x12_clustering_coeff", 6.0))
 
   guards.foreach { case (name, limitSec) =>
     test(s"$name stays under ${limitSec}s (3x committed time)") {
