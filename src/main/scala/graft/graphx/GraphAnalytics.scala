@@ -784,11 +784,35 @@ object GraphAnalytics {
       wed.join(broadcast(canon.select(col("s").as("a"), col("t").as("b"))),
         Seq("a", "b"), "left_semi")
     }).groupBy("c").agg(count(lit(1)).as("tri"))
-    deg.where(col("u") % centerMod === 0 && col("dg") >= 2)
+    ccFromTri(deg.where(col("u") % centerMod === 0), tri)
+  }
+
+  /** EXHAUSTIVE local clustering coefficients — every vertex, via the
+    * degree-ordered triangle counter: per-vertex triangle membership is
+    * exactly the closed-neighbor-pair count, so cc rides
+    * [[triangleCounts]]'s O(m^1.5) wedge volume instead of the sampled
+    * variant's Σ deg² — THE full-graph shape at scale (a hub's deg²
+    * wedge list never materializes; its triangles are found from their
+    * two low-degree corners). Same output contract as
+    * [[localClusteringCoeff]] with centerMod = 1; equality pinned in
+    * GraphXSpec. */
+  def localClusteringCoeffAll(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.localCheckpoint()
+    val deg = pairs.select(col("p1").as("u"))
+      .unionAll(pairs.select(col("p2").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("dg"))
+    val tri = triangleCounts(pairs)
+      .select(col("v").as("c"), col("n_tri").as("tri"))
+    ccFromTri(deg, tri)
+  }
+
+  /** cc_micro = tri·2e6 div (dg·(dg−1)) over [u, dg] ⨝ [c, tri]
+    * (absent tri rows count 0; dg < 2 vertices have no coefficient). */
+  private def ccFromTri(deg: DataFrame, tri: DataFrame): DataFrame =
+    deg.where(col("dg") >= 2)
       .select(col("u").as("c"), col("dg"))
       .join(tri, Seq("c"), "left")
       .na.fill(0L, Seq("tri"))
       .withColumn("cc_micro", expr("tri * 2000000 div (dg * (dg - 1))"))
       .select(col("c").as("id"), col("dg"), col("tri"), col("cc_micro"))
-  }
 }

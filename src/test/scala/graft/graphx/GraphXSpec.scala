@@ -361,4 +361,28 @@ class GraphXSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(g2 == Map(10L -> 0L), g2.toString)
   }
+
+  test("clustering coefficients: exhaustive triangle path == wedge path") {
+    import spark.implicits._
+    // the at-scale arm (degree-ordered triangles, O(m^1.5)) must agree
+    // with the sampled-wedge arm at centerMod=1 on a graph mixing a
+    // dense clique, a sparse ring, and pseudo-random chords
+    val raw = ((0L until 60L).flatMap(i =>
+        Seq((i, (i + 1) % 60), (i, (i * 7 + 3) % 60))) ++
+        (for (a <- 0L until 5L; b <- (a + 1) until 5L) yield (a, b)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val pairs = raw.toDF("p1", "p2")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val all = asSet(GraphAnalytics.localClusteringCoeffAll(pairs))
+    val wedge = asSet(GraphAnalytics.localClusteringCoeff(pairs, 1))
+    assert(all == wedge,
+      s"only-exhaustive=${(all -- wedge).take(3)} " +
+        s"only-wedge=${(wedge -- all).take(3)}")
+    // the clique really produced closed wedges (the test isn't vacuous):
+    // each K5 vertex closes at least its C(4,2) = 6 within-clique pairs
+    assert(all.exists(_._3 >= 6), all.take(5).toString)
+  }
 }
