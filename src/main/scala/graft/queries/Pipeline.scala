@@ -979,8 +979,99 @@ object Pipeline {
              |    list_transform(string_split(array_to_string(ck, ' '),''),
              |      x -> CAST(ord(x) AS BIGINT))),
              |    (acc, x) -> (acc*131 + x) % 1000000007) AS chunk_hash
-             |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin))
+             |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- p48: hyperplane-LSH ANN, fully mirrored ------------------------
+    // p40's move applied to the EMBEDDING side: p10 stays the fast
+    // xxhash64 hyperplane path (no DuckDB analog), and this twin runs
+    // the identical algorithm with deterministic integer-derived planes
+    // so every stage — plane weights, sign bits, bucket signatures,
+    // candidate set, exact-cosine re-rank — hash-matches DuckDB. Plane
+    // weights are integers in [-500, 500] from an affine congruence of
+    // (table, plane, dim); the dot products are the same left-fold of
+    // double·integer products on both engines, so even the sign of a
+    // near-zero projection agrees bit-for-bit. Scale shape is p10's:
+    // signature build is per-row arithmetic, candidates come from an
+    // equi-join on (table, signature) — linear, never all-pairs — and
+    // only the candidate set touches raw vectors again.
+    RegQuery("p48_ann_lsh_mirror",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+          .localCheckpoint() // feeds buckets, queries, and both rerank sides
+        def dot(t: Int, p: Int): Column = {
+          val seed = (t * 31 + p).toLong
+          val w = transform(sequence(lit(0), lit(63)), j =>
+            ((lit(seed) * lit(2654435761L) +
+              j.cast("long") * lit(104729L)) % lit(1000000007L))
+              % lit(1001L) - lit(500L))
+          aggregate(zip_with(col("v"), w, (x, wj) => x * wj.cast("double")),
+            lit(0.0d), _ + _)
+        }
+        def sig(t: Int): Column = (0 until 8)
+          .map(p => when(dot(t, p) > 0, lit(1L << p)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        val buckets = e.select(col("vec_id"),
+          posexplode(array((0 until 4).map(sig): _*)).as(Seq("t", "sig")))
+        val q = buckets.where(col("vec_id") < 3)
+          .select(col("t"), col("sig"), col("vec_id").as("q_id"))
+        val cand = q.join(buckets, Seq("t", "sig"))
+          .where(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+        cand
+          .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+          .join(e.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
+          .withColumn("cos_r", floor(
+            VectorOps.cosineFast(col("qv"), col("nv")) * 1000000 + 0.5)
+            / 1000000)
+          .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("cos_r").desc, col("n_id"))))
+          .where(col("rank") <= 3)
+          .select("q_id", "rank", "n_id", "cos_r")
+          .orderBy("q_id", "rank")
+      },
+      Some(lshMirrorOracle))
   )
+
+  /** DuckDB mirror of p48: identical plane congruence, fold order, and
+    * rounding at every stage. */
+  private def lshMirrorOracle: String = {
+    def dotp(t: Int, p: Int): String = {
+      val seed = t * 31 + p
+      s"""list_sum(list_transform(range(1, 65),
+         |      j -> v[j] * CAST((($seed * 2654435761 + (j-1) * 104729)
+         |        % 1000000007) % 1001 - 500 AS DOUBLE)))""".stripMargin
+    }
+    def sig(t: Int): String = (0 until 8)
+      .map(p => s"(CASE WHEN ${dotp(t, p)} > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    val cos =
+      """floor(list_sum(list_transform(range(1, 65),
+        |      i -> qv[i]*nv[i]))
+        |    / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+        |       * sqrt(list_sum(list_transform(nv, x -> x*x))))
+        |    * 1000000 + 0.5)/1000000""".stripMargin
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sigs AS (SELECT vec_id,
+       |  ${(0 until 4).map(t => s"${sig(t)} AS s$t").mkString(",\n  ")}
+       |  FROM e),
+       |bk AS (SELECT vec_id, unnest([0, 1, 2, 3]) AS t,
+       |  unnest([s0, s1, s2, s3]) AS sig FROM sigs),
+       |cand AS (SELECT DISTINCT q.vec_id AS q_id, b.vec_id AS n_id
+       |  FROM bk q JOIN bk b ON q.t = b.t AND q.sig = b.sig
+       |    AND b.vec_id != q.vec_id
+       |  WHERE q.vec_id < 3),
+       |sc AS (SELECT c.q_id, c.n_id, $cos AS cos_r
+       |  FROM cand c JOIN (SELECT vec_id, v AS qv FROM e) qe
+       |    ON c.q_id = qe.vec_id
+       |  JOIN (SELECT vec_id, v AS nv FROM e) ne ON c.n_id = ne.vec_id),
+       |r AS (SELECT q_id, n_id, cos_r, ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rank FROM sc)
+       |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, cos_r FROM r
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
 
   /** DuckDB mirror of p14's trained IVF. The 64-dim centroid means are
     * generated per dimension; every float lands through the same
