@@ -1030,7 +1030,98 @@ object Pipeline {
           .select("q_id", "rank", "n_id", "cos_r")
           .orderBy("q_id", "rank")
       },
-      Some(lshMirrorOracle))
+      Some(lshMirrorOracle)),
+
+    // ---- p49: SimHash near-dup, fully mirrored --------------------------
+    // p40's move applied to the SIMHASH family: p06 stays the fast
+    // xxhash64 64-bit path (no DuckDB analog), and this twin runs the
+    // identical algorithm — tf-weighted bit votes, sign fingerprint,
+    // chunk blocking, Hamming verify — from integer-only pieces, so
+    // every stage including which chance collisions the chunks emit
+    // hash-matches DuckDB. The poly fold alone is NOT enough here:
+    // tokens differing in one trailing char hash Δ apart, so their bit
+    // patterns correlate and every doc pair collapses toward Hamming 0
+    // (measured: 116k pairs at sf0.01, 11.5M at sf0.1). SimHash needs
+    // avalanche, which MinHash never did (only order matters there) —
+    // one multiply-mod round by a large odd constant sends Δ=1 to
+    // Δ≈6.5e8 and restores the separation (422/500 twins ≤ 6, chance
+    // rate 1.3e-5). Two such rounds with different multipliers give 60
+    // independent bits; blocking = 6 chunks of 10 bits (pigeonhole:
+    // any pair at Hamming ≤ 5 must share a chunk — recall at the ≤ 6
+    // gate is structural, not luck). Scale shape is p06's: one explode
+    // + 60 conditional sums in a single hash aggregate (linear),
+    // candidates from an equi-join on (chunk_idx, chunk_val) — never
+    // all-pairs; the signature frame is one row per doc, checkpointed
+    // once because three consumers (chunk explode + both join sides)
+    // would otherwise re-run the corpus aggregate per reference.
+    RegQuery("p49_simhash_mirror",
+      (s, d) => {
+        val P = 1000000007L
+        def polyH(g: Column): Column =
+          aggregate(transform(split(g, ""), c => ascii(c).cast("long")),
+            lit(7L), (acc, x) => (acc * 131 + x) % P)
+        val occ = docsWithTwins(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), polyH(col("tok")).as("h"))
+          .select(col("doc_id"),
+            (col("h") * 2654435761L % P).as("h1"),
+            ((col("h") * 1779033703L + 104729L) % P).as("h2"))
+        val bitSums = (0 until 60).map { j =>
+          val bit =
+            if (j < 30) shiftright(col("h1"), j)
+            else shiftright(col("h2"), j - 30)
+          sum(when(bit.bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+            .as(s"b$j")
+        }
+        val fp = (0 until 60).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        val sig = occ.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"), fp.as("simhash"))
+          .localCheckpoint()
+        val chunks = sig.select(col("doc_id"), col("simhash"),
+          posexplode(array((0 until 6).map(c =>
+            shiftright(col("simhash"), c * 10).bitwiseAND(lit(1023L))): _*))
+            .as(Seq("chunk_idx", "chunk_val")))
+        val a = chunks.select(col("chunk_idx"), col("chunk_val"),
+          col("doc_id").as("a_id"), col("simhash").as("a_sim"))
+        val b = chunks.select(col("chunk_idx"), col("chunk_val"),
+          col("doc_id").as("b_id"), col("simhash").as("b_sim"))
+        a.join(b, Seq("chunk_idx", "chunk_val"))
+          .where(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
+          .distinct()
+          .where(col("hamming") <= 6)
+          .orderBy("a_id", "b_id")
+      },
+      Some(twinsCte +
+        """, tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+          |  FROM alldocs),
+          |th0 AS (SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+          |    list_transform(string_split(tok,''),
+          |      c -> CAST(ord(c) AS BIGINT))),
+          |    (acc, x) -> (acc*131 + x) % 1000000007) AS h FROM tok),
+          |th AS (SELECT doc_id, (h * 2654435761) % 1000000007 AS h1,
+          |  (h * 1779033703 + 104729) % 1000000007 AS h2 FROM th0),
+          |bs AS (SELECT doc_id, j, sum(CASE WHEN j < 30
+          |    THEN (CASE WHEN (h1 >> j) & 1 = 1 THEN 1 ELSE -1 END)
+          |    ELSE (CASE WHEN (h2 >> (j-30)) & 1 = 1 THEN 1 ELSE -1 END)
+          |  END) AS s
+          |  FROM (SELECT doc_id, h1, h2, unnest(range(0,60)) AS j FROM th)
+          |  GROUP BY doc_id, j),
+          |fp AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0
+          |    THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
+          |  FROM bs GROUP BY doc_id),
+          |ch AS (SELECT doc_id, simhash, unnest(range(0,6)) AS chunk_idx,
+          |  unnest(list_transform(range(0,6),
+          |    c -> (simhash >> (c*10)) & 1023)) AS chunk_val FROM fp)
+          |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          |FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx
+          |  AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+          |ORDER BY a_id, b_id""".stripMargin))
   )
 
   /** DuckDB mirror of p48: identical plane congruence, fold order, and

@@ -202,6 +202,49 @@ class LshSpec extends SparkSpec {
     assert(d.getDouble(0) <= 4.0, s"avg hamming ${d.getDouble(0)}")
   }
 
+  test("p49 mirror: pigeonhole recall (every pair <=5 emitted) vs test-side recompute") {
+    // independent JVM reimplementation of p49's fingerprint (poly fold +
+    // avalanche + tf bit votes) — the engine result must contain EVERY
+    // pair at Hamming <= 5 (6 chunks of 10 bits: <= 5 flips leave one
+    // chunk clean), and most planted twins at the <= 6 gate
+    val P = 1000000007L
+    def fp(text: String): Long = {
+      val votes = new Array[Long](60)
+      text.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+        var h = 7L
+        tok.foreach(c => h = (h * 131 + c.toLong) % P)
+        val h1 = h * 2654435761L % P
+        val h2 = (h * 1779033703L + 104729L) % P
+        (0 until 30).foreach { j =>
+          votes(j) += (if (((h1 >> j) & 1L) == 1L) 1 else -1)
+          votes(30 + j) += (if (((h2 >> j) & 1L) == 1L) 1 else -1)
+        }
+      }
+      (0 until 60).map(j => if (votes(j) > 0) 1L << j else 0L).sum
+    }
+    val base = graft.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val twins = base.map { case (id, t) =>
+      val tk = t.split("\\s+").filter(_.nonEmpty)
+      (id + 1000000L, tk.take(math.max(tk.length - 3, 1)).mkString(" "))
+    }
+    val sigs = (base ++ twins).map { case (id, t) => (id, fp(t)) }
+    val close5 = for {
+      (a, fa) <- sigs; (b, fb) <- sigs
+      if a < b && java.lang.Long.bitCount(fa ^ fb) <= 5
+    } yield (a, b)
+    val out = graft.SparkEntry.queries("p49_simhash_mirror")(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = close5.filterNot(out.contains)
+    assert(missed.isEmpty, s"pigeonhole violated: ${missed.take(5).toSeq}")
+    val twinHits = base.map { case (id, _) => (id, id + 1000000L) }
+      .count(out.contains)
+    assert(twinHits >= base.length * 0.7,
+      s"twin recall $twinHits/${base.length}")
+  }
+
   test("LSH ANN top-3 has nonzero overlap with brute-force top-3 and finds the planted twin") {
     val e = graft.Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
