@@ -853,6 +853,79 @@ object Relational {
              |  FROM edges e JOIN down ON e.dst = down.id
              |  WHERE down.d < 3)
              |SELECT root, d, CAST(count(*) AS BIGINT) AS n FROM down
-             |GROUP BY root, d ORDER BY root, d""".stripMargin))
+             |GROUP BY root, d ORDER BY root, d""".stripMargin)),
+
+    // ---- q48: HyperLogLog distinct-count, fully mirrored ----------------
+    // q33/q44 use the engine's native HLL++ sketches (no DuckDB analog →
+    // no_oracle). This is the p40/p49 mirroring move applied to
+    // CARDINALITY ESTIMATION: the same register algebra built from
+    // integer-only pieces so the whole sketch — register index, rank,
+    // maxima, and the final estimate — hash-matches DuckDB. Hash =
+    // multiply-mod avalanche (< 2^30); register = low 6 bits (m = 64);
+    // rank = ctz(remaining bits) + 1 via bit_count((w & -w) - 1), the
+    // branch-free ctz identity, capped at 25 so 2^(25-rank) stays an
+    // exact BIGINT. The raw-HLL harmonic mean is computed as one exact
+    // integer: num = Σ 2^(25-M_reg) (+ 2^25 per empty register), and
+    // est = (⌊α·m²·1e6⌋ · 2^25) div num div 1e6 — integer division end
+    // to end, no float anywhere, so both engines agree bit-for-bit even
+    // though the estimator itself is approximate (±13% at m = 64;
+    // err_bp in the output shows the actual error vs the exact count).
+    // The hash needs a murmur-style xor-shift BETWEEN the two multiply-
+    // mod rounds: mod-P multiplies compose to one linear map, and a
+    // linear image of sequential orderkeys is a lattice whose ctz ranks
+    // skew the estimate +50% (measured); xor(h, h >> k) breaks the
+    // linearity and lands every SF inside the HLL envelope.
+    // Scale story: registers are a 64-row re-aggregatable state per
+    // group — partial max per partition, merge by max — the same
+    // incremental-rollup shape as q44, but oracle-provable.
+    RegQuery("q48_hll_mirror",
+      (s, d) => {
+        val P = 1000000007L
+        val A25 = 2905460551L << 25 // ⌊0.7213/(1+1.079/64)·64²·1e6⌋·2^25
+        val h1 = (col("l_orderkey") * 2654435761L + 104729L) % P
+        val h1x = h1.bitwiseXOR(shiftright(h1, 15))
+        val h2 = (h1x * 1779033703L) % P
+        val regs = t(s, d, "lineitem")
+          .select(col("l_returnflag").as("g"),
+            h2.bitwiseXOR(shiftright(h2, 13)).as("h"))
+          .select(col("g"), col("h").bitwiseAND(lit(63L)).as("reg"),
+            shiftright(col("h"), 6).as("w"))
+          .select(col("g"), col("reg"),
+            when(col("w") === 0L, lit(25L))
+              .otherwise(bit_count(col("w").bitwiseAND(-col("w")) - 1) + 1L)
+              .as("rho"))
+          .groupBy("g", "reg").agg(max("rho").as("mr"))
+        val est = regs.groupBy("g")
+          .agg((sum(expr("shiftleft(cast(1 as bigint), cast(25 - mr as int))"))
+            + (lit(64L) - count(lit(1))) * lit(1L << 25)).as("num"))
+          .select(col("g"), expr(s"($A25 div num) div 1000000").as("est"))
+        val ex = t(s, d, "lineitem").groupBy(col("l_returnflag").as("g"))
+          .agg(countDistinct("l_orderkey").as("exact"))
+        est.join(ex, "g")
+          .select(col("g"), col("est"), col("exact"),
+            expr("abs(est - exact) * 10000 div exact").as("err_bp"))
+          .orderBy("g")
+      },
+      Some("""WITH h0 AS (SELECT l_returnflag AS g,
+             |    (l_orderkey * 2654435761 + 104729) % 1000000007 AS h1
+             |  FROM lineitem),
+             |hx AS (SELECT g,
+             |  (xor(h1, h1 >> 15) * 1779033703) % 1000000007 AS h2 FROM h0),
+             |h AS (SELECT g, xor(h2, h2 >> 13) AS h FROM hx),
+             |r AS (SELECT g, h % 64 AS reg, h // 64 AS w FROM h),
+             |rho AS (SELECT g, reg, CASE WHEN w = 0 THEN 25
+             |    ELSE bit_count((w & -w) - 1) + 1 END AS rho FROM r),
+             |regs AS (SELECT g, reg, max(rho) AS mr FROM rho GROUP BY g, reg),
+             |est AS (SELECT g, CAST(
+             |    (97491078487212032 // (sum(CAST(1 AS BIGINT)
+             |       << CAST(25 - mr AS INTEGER))
+             |     + (64 - count(*)) * 33554432)) // 1000000 AS BIGINT) AS est
+             |  FROM regs GROUP BY g),
+             |ex AS (SELECT l_returnflag AS g,
+             |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact
+             |  FROM lineitem GROUP BY g)
+             |SELECT est.g, est, exact,
+             |  CAST(abs(est - exact) * 10000 // exact AS BIGINT) AS err_bp
+             |FROM est JOIN ex ON est.g = ex.g ORDER BY est.g""".stripMargin))
   )
 }

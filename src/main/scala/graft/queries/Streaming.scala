@@ -566,7 +566,103 @@ object Streaming {
              |SELECT source, doc_id, u, n_tok,
              |  cum_before + n_tok AS cum_tokens
              |FROM c WHERE cum_before < 800
-             |ORDER BY source, doc_id""".stripMargin))
+             |ORDER BY source, doc_id""".stripMargin)),
+
+    // ---- s13: streaming cardinality estimation (HLL registers) ---------
+    // q48's deterministic HLL maintained BY the stream: per-source
+    // shingle-vocabulary cardinality tracked live in 64 register maxima
+    // of mapGroupsWithState state. Register max is associative and
+    // commutative, so the drained registers equal the batch computation
+    // under any micro-batch split — a streaming APPROXIMATE operator
+    // with a full DuckDB hash oracle (the s11/s12 property applied to
+    // sketches; q33/q44's native HLL++ can't do this). Per-row work is
+    // stateless codegen (poly fold + the q48 xor-shift finalizer — one
+    // multiply-mod alone is linear and skews the ranks, see q48); state
+    // is 256 bytes per stratum FOREVER. The 100 TB story: live
+    // dedup-pressure / vocabulary-growth monitoring per source during
+    // ingest, registers union losslessly across streams by max, no
+    // distinct-set ever materialized.
+    RegQuery("s13_stream_hll",
+      (s, d) => {
+        import s.implicits._
+        import graft.llm.TextOps
+        val P = 1000000007L
+        def polyH(g: Column): Column =
+          aggregate(transform(split(g, ""), c => ascii(c).cast("long")),
+            lit(7L), (acc, x) => (acc * 131 + x) % P)
+        val A25 = 2905460551L << 25
+        val w = shiftright(col("h"), 6)
+        val q = withStatePartitions(s, 8) {
+          streamDocs(s, d)
+            .select(col("source"), col("doc_id"),
+              TextOps.tokens(col("text")).as("tk"))
+            .repartition(col("doc_id")) // token barrier (s08/s09 lesson)
+            .select(col("source"),
+              explode(TextOps.shingles(col("tk"), 3)).as("g"))
+            .select(col("source"), polyH(col("g")).as("p"))
+            .select(col("source"),
+              ((col("p") * 2654435761L + 104729L) % P).as("h1"))
+            .select(col("source"),
+              (col("h1").bitwiseXOR(shiftright(col("h1"), 15))
+                * 1779033703L % P).as("h2"))
+            .select(col("source"),
+              col("h2").bitwiseXOR(shiftright(col("h2"), 13)).as("h"))
+            .select(col("source"),
+              col("h").bitwiseAND(lit(63L)).cast("int").as("reg"),
+              when(w === 0L, lit(25L))
+                .otherwise(bit_count(w.bitwiseAND(-w) - 1) + 1L)
+                .cast("int").as("rho"))
+            .as[Streams.RegHash]
+            .transform(Streams.hllRegisters)
+            .writeStream.format("memory").queryName("s13_sink")
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination()
+        val est = s.table("s13_sink").groupBy("source")
+          .agg(max_by(col("regs"), col("n_seen")).as("regs"))
+          .select(col("source"), expr("aggregate(regs, cast(0 as bigint)," +
+            " (acc, mr) -> acc + shiftleft(cast(1 as bigint), 25 - mr))")
+            .as("num"))
+          .select(col("source"), expr(s"($A25 div num) div 1000000").as("est"))
+        val ex = graft.Tables(s, d, "documents")
+          .select(col("source"), explode(TextOps.shingles(
+            TextOps.tokens(col("text")), 3)).as("g"))
+          .groupBy("source").agg(countDistinct("g").as("exact"))
+        est.join(ex, "source")
+          .select(col("source"), col("est"), col("exact"),
+            expr("abs(est - exact) * 10000 div exact").as("err_bp"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source, string_split(text,' ') AS tk
+             |  FROM documents),
+             |sh AS (SELECT source, unnest(CASE WHEN len(tk) >= 3
+             |    THEN list_distinct(list_transform(range(1, len(tk)-1),
+             |      i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]))
+             |    ELSE [array_to_string(tk, ' ')] END) AS g FROM t),
+             |h0 AS (SELECT source, list_reduce(list_prepend(
+             |    CAST(7 AS BIGINT), list_transform(string_split(g,''),
+             |      c -> CAST(ord(c) AS BIGINT))),
+             |    (acc, x) -> (acc*131 + x) % 1000000007) AS p FROM sh),
+             |h1 AS (SELECT source,
+             |  (p*2654435761 + 104729) % 1000000007 AS h1 FROM h0),
+             |hx AS (SELECT source,
+             |  (xor(h1, h1 >> 15) * 1779033703) % 1000000007 AS h2 FROM h1),
+             |h AS (SELECT source, xor(h2, h2 >> 13) AS h FROM hx),
+             |r AS (SELECT source, h % 64 AS reg, h // 64 AS w FROM h),
+             |rho AS (SELECT source, reg, CASE WHEN w = 0 THEN 25
+             |    ELSE bit_count((w & -w) - 1) + 1 END AS rho FROM r),
+             |regs AS (SELECT source, reg, max(rho) AS mr FROM rho
+             |  GROUP BY source, reg),
+             |est AS (SELECT source, CAST((97491078487212032 //
+             |    (sum(CAST(1 AS BIGINT) << CAST(25 - mr AS INTEGER))
+             |     + (64 - count(*)) * 33554432)) // 1000000 AS BIGINT)
+             |    AS est FROM regs GROUP BY source),
+             |ex AS (SELECT source, CAST(count(DISTINCT g) AS BIGINT)
+             |    AS exact FROM sh GROUP BY source)
+             |SELECT est.source, est, exact,
+             |  CAST(abs(est - exact) * 10000 // exact AS BIGINT) AS err_bp
+             |FROM est JOIN ex ON est.source = ex.source
+             |ORDER BY est.source""".stripMargin))
   )
 
   private val docsSchema = StructType(Seq(

@@ -294,4 +294,32 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(perRow.size == 1, s"sketch rows disagree on mass: $perRow")
   }
+
+  test("s13 HLL registers: any micro-batch split equals the batch merge") {
+    import graft.streaming.Streams.{HllOut, RegHash}
+    implicit val sqlCtx = spark.sqlContext
+    // register max is associative/commutative — drained state must
+    // equal the all-at-once fold no matter how arrivals are split,
+    // including a later batch raising some registers and leaving others
+    val rows = Seq(RegHash("a", 0, 3), RegHash("a", 1, 1),
+      RegHash("a", 0, 5), RegHash("b", 63, 2),
+      RegHash("a", 1, 4), RegHash("a", 2, 1), RegHash("b", 63, 1))
+    val src = MemoryStream[RegHash]
+    val q = Streams.hllRegisters(src.toDS())
+      .writeStream.format("memory").queryName("t_hll")
+      .outputMode(OutputMode.Update()).start()
+    src.addData(rows.take(4): _*)
+    q.processAllAvailable()
+    src.addData(rows.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("t_hll").as[HllOut].collect()
+      .groupBy(_.source).map { case (sc, r) => sc -> r.maxBy(_.n_seen) }
+    val batchA = Array.fill(64)(0)
+    rows.filter(_.source == "a").foreach(r =>
+      batchA(r.reg) = math.max(batchA(r.reg), r.rho))
+    assert(fin("a").regs == batchA.toVector, fin("a").regs.toString)
+    assert(fin("a").n_seen == 5 && fin("b").n_seen == 2)
+    assert(fin("b").regs(63) == 2 && fin("b").regs.sum == 2)
+  }
 }
