@@ -808,6 +808,58 @@ object GraphAnalytics {
 
   /** cc_micro = tri·2e6 div (dg·(dg−1)) over [u, dg] ⨝ [c, tri]
     * (absent tri rows count 0; dg < 2 vertices have no coefficient). */
+  /** Deterministic random walks over an undirected pair list — the
+    * corpus-generation step of DeepWalk/node2vec (one walk per sampled
+    * start, `steps` hops). "Random" is a hash: at (walk, step, node)
+    * the next hop is the neighbor whose dense rank equals
+    * xorshift((walk·C₁ + step·C₂ + node·C₃) mod P) mod degree — fully
+    * reproducible across engines and across reruns, which is what
+    * makes a sampling operator oracle-checkable (the p45 discipline
+    * applied to graphs) and what a production pipeline wants anyway:
+    * re-running the corpus build must not silently re-sample.
+    *
+    * Scale shape: adjacency with dense neighbor ranks is ONE shuffle
+    * (two window functions over the same src partitioning), built
+    * once and checkpointed (the loop reads it `steps` times — without
+    * the cut each round re-inlines the window plan, the x05 lesson).
+    * Each hop is an equi-join of the frontier (one row per live walk)
+    * against adjacency on (src, rank) — the frontier side is tiny
+    * here and broadcasts; at a 10⁸-walk fleet AQE flips it to a
+    * shuffle join on the same plan. No dead-end handling needed:
+    * every node in a pair list has degree ≥ 1. */
+  def randomWalks(pairs: DataFrame, startMod: Long,
+                  steps: Int): DataFrame = {
+    val P = 1000000007L
+    val und = pairs.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(pairs.select(col("p2").as("src"), col("p1").as("dst")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val adj = und
+      .withColumn("rk", row_number().over(w.orderBy("dst")) - 1)
+      .withColumn("deg", count(lit(1)).over(w))
+      .localCheckpoint()
+    var frontier = adj.select(col("src").as("node")).distinct()
+      .where(col("node") % startMod === 0L)
+      .select(col("node").as("walk_id"), lit(0).as("step"),
+        col("node").as("cur"))
+      .localCheckpoint()
+    val acc = Vector.newBuilder[DataFrame]
+    acc += frontier
+    for (_ <- 1 to steps) {
+      val h = (col("walk_id") * 2654435761L + col("step") * 1779033703L +
+        col("cur") * 104729L) % P
+      val sel = h.bitwiseXOR(shiftright(h, 13))
+      frontier = adj.join(
+          broadcast(frontier.withColumn("hsel", sel)),
+          adj("src") === col("cur") && adj("rk") === col("hsel") % adj("deg"))
+        .select(col("walk_id"), (col("step") + 1).as("step"),
+          col("dst").as("cur"))
+        .localCheckpoint()
+      acc += frontier
+    }
+    acc.result().reduce(_ unionAll _)
+      .select(col("walk_id"), col("step"), col("cur").as("node"))
+  }
+
   private def ccFromTri(deg: DataFrame, tri: DataFrame): DataFrame =
     deg.where(col("dg") >= 2)
       .select(col("u").as("c"), col("dg"))

@@ -565,7 +565,45 @@ object GraphXQueries {
              |SELECT landmark, CAST(count(*) AS BIGINT) AS n_reach,
              |  CAST(max(d) AS INTEGER) AS ecc,
              |  CAST(MAX(max(d)) OVER () AS INTEGER) AS diam_lb
-             |FROM dist GROUP BY landmark ORDER BY landmark""".stripMargin))
+             |FROM dist GROUP BY landmark ORDER BY landmark""".stripMargin)),
+
+    // deterministic random walks on the co-purchase graph — the corpus-
+    // generation step of DeepWalk/node2vec (the output IS training
+    // data: node sequences for a skip-gram embedding). The neighbor
+    // choice at each hop is a hash of (walk, step, node) mod degree —
+    // p45's reproducible-sampling discipline applied to graphs — so
+    // the full 8-hop trajectory set is hash-checked against a DuckDB
+    // recursive CTE computing the identical recurrence over the
+    // identical dense neighbor ranking. ~1 walk per 41 nodes; every
+    // step is one frontier⋈adjacency equi-join (adjacency built once:
+    // two windows over one shuffle, checkpointed across rounds).
+    RegQuery("x14_random_walks",
+      (s, d) => GraphAnalytics.randomWalks(coPurchasePairs(s, d),
+          startMod = 41L, steps = 8)
+        .orderBy("walk_id", "step"),
+      Some("""WITH RECURSIVE
+             |pairs AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |und AS (SELECT p1 AS src, p2 AS dst FROM pairs
+             |  UNION ALL SELECT p2, p1 FROM pairs),
+             |adj AS (SELECT src, dst,
+             |  ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk,
+             |  COUNT(*) OVER (PARTITION BY src) AS deg FROM und),
+             |walk(walk_id, step, cur) AS (
+             |  SELECT src, 0, src FROM (SELECT DISTINCT src FROM und)
+             |  WHERE src % 41 = 0
+             |  UNION ALL
+             |  SELECT w.walk_id, w.step + 1, a.dst
+             |  FROM walk w JOIN adj a ON a.src = w.cur
+             |    AND a.rk = xor(
+             |      (w.walk_id * 2654435761 + CAST(w.step AS BIGINT)
+             |        * 1779033703 + w.cur * 104729) % 1000000007,
+             |      ((w.walk_id * 2654435761 + CAST(w.step AS BIGINT)
+             |        * 1779033703 + w.cur * 104729) % 1000000007) >> 13) % a.deg
+             |  WHERE w.step < 8)
+             |SELECT walk_id, step, cur AS node FROM walk
+             |ORDER BY walk_id, step""".stripMargin))
   )
 
   /** Planted-community graph for x06: parts grouped into ~10-member

@@ -385,4 +385,33 @@ class GraphXSpec extends SparkSpec {
     // each K5 vertex closes at least its C(4,2) = 6 within-clique pairs
     assert(all.exists(_._3 >= 6), all.take(5).toString)
   }
+
+  test("randomWalks: valid edges, full length, deterministic replay") {
+    import spark.implicits._
+    // independent edge recompute (self-join, not the in-row fan-out)
+    val li = graft.Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+    val edgeSet = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p"), col("b.p")).distinct().collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0)))).toSet
+    def run() = graft.SparkEntry.queries("x14_random_walks")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val out = run()
+    val byWalk = out.groupBy(_._1)
+    assert(byWalk.nonEmpty)
+    byWalk.foreach { case (w, rows) =>
+      val seq = rows.sortBy(_._2).map(_._3)
+      // no dead ends on a pair-list graph: every walk runs 0..8
+      assert(rows.map(_._2).sorted.toSeq == (0 to 8), s"walk $w truncated")
+      assert(seq.head == w, s"walk $w doesn't start at its seed")
+      seq.sliding(2).foreach { case Array(a, b) =>
+        assert(edgeSet.contains((a, b)), s"walk $w used non-edge $a->$b")
+      }
+    }
+    // the hash choice is a function of (walk, step, node) only —
+    // re-running the operator replays the identical corpus
+    assert(run().toSeq == out.toSeq)
+  }
 }
