@@ -138,6 +138,100 @@ object Multimodal {
       ).as("media"))
   }
 
+  /** Image + perceptual-hash output: doc id and the 60-bit dHash. */
+  case class ImageHash(doc_id: Long, dhash: Long)
+
+  /** REAL textured-image corpus for perceptual dedup (p50): one 9×8
+    * PNG per document whose pixel luminance at (x, y) is hash
+    * arithmetic on (doc_id, x, y) — pseudorandom texture, but the
+    * oracle can recompute every pixel, so the decode→hash path is
+    * gate-able. Each doc also gets a NEAR-DUP twin (id + 1M): the same
+    * image with one pixel (4, 3) nudged +7 mod 256 — the planted
+    * positive a perceptual dedup must catch and an exact byte/pixel
+    * dedup (p01) cannot. At 100 TB the generator is replaced by
+    * `binaryFile` blobs; only the corpus is synthetic, the codec path
+    * is the production one. */
+  def texturedImageTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // two multiply-mod rounds with xor-shifts between (the q48 lesson:
+    // a single linear map over sequential doc ids correlates textures
+    // across docs — measured 17k chance pairs at the Hamming gate;
+    // the finalizer leaves exactly the planted twins)
+    def lum(d: Long, x: Int, y: Int): Int = {
+      val v = (d * 2654435761L + (y * 9 + x) * 104729L) % 1000000007L
+      val v2 = ((v ^ (v >> 13)) * 1779033703L) % 1000000007L
+      ((v2 ^ (v2 >> 11)) % 256L).toInt
+    }
+    graft.Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .flatMap(id => Seq(id, id + 1000000L))
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val base = if (id >= 1000000L) id - 1000000L else id
+          val img = new java.awt.image.BufferedImage(
+            9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 9) {
+              var l = lum(base, x, y)
+              if (id >= 1000000L && x == 4 && y == 3) l = (l + 7) % 256
+              img.setRGB(x, y, (l << 16) | (l << 8) | l)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "bytes")
+      .select(col("doc_id"), struct(
+        lit("image/png").as("media_type"),
+        col("bytes"),
+        struct(lit("synthetic").as("origin"),
+               length(col("bytes")).cast("long").as("n_bytes")).as("meta")
+      ).as("media"))
+  }
+
+  /** REAL perceptual hash (dHash): decode the bytes with ImageIO, then
+    * bit b = y·8+x of the hash is lum(x+1, y) > lum(x, y) over the
+    * 9×8 grid — the standard difference-hash, restricted to the 60
+    * low bits so the key stays addressable as a signed 64-bit long in
+    * both engines (bits 60-63 would push Σ2^b past BIGINT). Images
+    * larger than 9×8 would first go through p15's resize stage; this
+    * operator takes the grid as given. */
+  def dHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media.bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null || img.getWidth < 9 || img.getHeight < 8)
+            ImageHash(id, -1L)
+          else {
+            def lum(x: Int, y: Int): Int = {
+              val p = img.getRGB(x, y)
+              (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+            }
+            var h = 0L
+            var b = 0
+            while (b < 60) {
+              val x = b % 8
+              val y = b / 8
+              if (lum(x + 1, y) > lum(x, y)) h |= 1L << b
+              b += 1
+            }
+            ImageHash(id, h)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** REAL batched image decode: ImageIO parses the actual PNG/BMP/JPEG
     * bytes; mean luminance averages every pixel's (r+g+b)/3. Undecodable
     * payloads yield (-1, -1, -1) rather than failing the batch. */

@@ -1121,8 +1121,83 @@ object Pipeline {
           |FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx
           |  AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
-          |ORDER BY a_id, b_id""".stripMargin))
+          |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- p50: perceptual image dedup (dHash + Hamming blocking) ---------
+    // Multimodal near-dup — the image-side answer to p05/p49: a REAL
+    // codec path (ImageIO PNG decode in executors) feeding the standard
+    // difference-hash, then the p49 blocking shape (4×15-bit chunks,
+    // pigeonhole: any pair at Hamming ≤ 3 shares a chunk) and a
+    // Hamming ≤ 2 verify. The corpus is textured 9×8 PNGs whose pixel
+    // luminance is hash arithmetic on (doc_id, x, y) with a planted
+    // one-pixel twin per doc — so the DuckDB oracle recomputes every
+    // pixel, every comparison bit, and every emitted pair from pure
+    // integer math while the engine goes through genuine PNG bytes:
+    // the decode→hash→block→join plumbing is what's being gated
+    // (p12/p15 discipline). An exact dedup (p01) scores 0 here — the
+    // twin's bytes differ — which is exactly why perceptual hashing
+    // exists. Linear shape: per-image work is bounded, candidates come
+    // from the chunk equi-join, never all-pairs.
+    RegQuery("p50_image_phash_dedup",
+      (s, d) => {
+        val sig = graft.llm.Multimodal.dHash(
+            graft.llm.Multimodal.texturedImageTable(s, d))
+          .localCheckpoint() // decode once; chunks + both join sides read it
+        val chunks = sig.select(col("doc_id"), col("dhash"),
+          posexplode(array((0 until 4).map(c =>
+            shiftright(col("dhash"), c * 15).bitwiseAND(lit(32767L))): _*))
+            .as(Seq("chunk_idx", "chunk_val")))
+        val a = chunks.select(col("chunk_idx"), col("chunk_val"),
+          col("doc_id").as("a_id"), col("dhash").as("a_h"))
+        val b = chunks.select(col("chunk_idx"), col("chunk_val"),
+          col("doc_id").as("b_id"), col("dhash").as("b_h"))
+        a.join(b, Seq("chunk_idx", "chunk_val"))
+          .where(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            bit_count(col("a_h").bitwiseXOR(col("b_h"))).as("hamming"))
+          .distinct()
+          .where(col("hamming") <= 2)
+          .orderBy("a_id", "b_id")
+      },
+      Some(p50Oracle))
   )
+
+  /** DuckDB mirror of p50: the textured corpus's pixel generator
+    * (poly seed + two xor-shift/multiply-mod finalizer rounds, staged
+    * as list_transform passes over the 72-pixel grid) and the twin
+    * perturbation re-expressed as arithmetic on (doc_id, pixel), then
+    * the identical chunk join + Hamming gate. */
+  private def p50Oracle: String = {
+    s"""WITH ids AS (SELECT doc_id FROM documents
+       |  UNION ALL SELECT doc_id + 1000000 FROM documents),
+       |v0 AS (SELECT doc_id, list_transform(range(0, 72), p ->
+       |    ((CASE WHEN doc_id >= 1000000 THEN doc_id - 1000000
+       |      ELSE doc_id END) * 2654435761 + p * 104729)
+       |    % 1000000007) AS v FROM ids),
+       |v1 AS (SELECT doc_id, list_transform(v,
+       |    x -> (xor(x, x >> 13) * 1779033703) % 1000000007) AS v FROM v0),
+       |v2 AS (SELECT doc_id, list_transform(v,
+       |    x -> xor(x, x >> 11) % 256) AS v FROM v1),
+       |lm AS (SELECT doc_id, list_transform(range(0, 72), p ->
+       |    CASE WHEN doc_id >= 1000000 AND p = 31
+       |    THEN (v[CAST(p + 1 AS INTEGER)] + 7) % 256
+       |    ELSE v[CAST(p + 1 AS INTEGER)] END) AS lums FROM v2),
+       |hs AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60),
+       |    b -> CASE WHEN lums[CAST((b // 8) * 9 + (b % 8) + 2 AS INTEGER)]
+       |            > lums[CAST((b // 8) * 9 + (b % 8) + 1 AS INTEGER)]
+       |      THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) ELSE 0 END))
+       |    AS BIGINT) AS dhash FROM lm),
+       |ch AS (SELECT doc_id, dhash, unnest(range(0, 4)) AS chunk_idx,
+       |  unnest(list_transform(range(0, 4),
+       |    c -> (dhash >> CAST(c * 15 AS INTEGER)) & 32767)) AS chunk_val
+       |  FROM hs)
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+       |FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx
+       |  AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 
   /** DuckDB mirror of p48: identical plane congruence, fold order, and
     * rounding at every stage. */

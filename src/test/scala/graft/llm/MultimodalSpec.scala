@@ -83,4 +83,24 @@ class MultimodalSpec extends SparkSpec {
     val wav = Multimodal.decodeAudio(junk).collect().head
     assert(wav.getInt(1) == -1 && wav.getInt(4) == -1)
   }
+
+  test("p50 perceptual dedup: exactly the planted twins, invisible to exact dedup") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("p50_image_phash_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = graft.Tables(spark, sfDir, "documents")
+      .select("doc_id").as[Long].collect()
+    // every planted (id, id+1M) pair recovered, nothing else — the
+    // textured generator's finalizer leaves no chance collisions
+    assert(out.toSet == ids.map(i => (i, i + 1000000L)).toSet,
+      s"${out.length} pairs vs ${ids.length} twins")
+    // the twin is a NEAR-dup: its PNG bytes differ (one perturbed
+    // pixel), so a byte-exact dedup (the p01 shape) finds zero pairs —
+    // the gap perceptual hashing exists to close
+    val tbl = Multimodal.texturedImageTable(spark, sfDir)
+      .select(col("doc_id"), md5(col("media.bytes")).as("m"))
+    val exactPairs = tbl.groupBy("m").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).count()
+    assert(exactPairs == 0L, s"$exactPairs byte-identical groups")
+  }
 }
