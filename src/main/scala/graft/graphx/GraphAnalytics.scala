@@ -444,6 +444,52 @@ object GraphAnalytics {
     visited
   }
 
+  /** Single-source WEIGHTED shortest paths over an undirected pair list
+    * [p1, p2, w] (long ids, canonical p1 < p2, integer weights):
+    * Bellman-Ford run for a FIXED number of relaxation rounds, so the
+    * result is deterministic (exact distances over paths of ≤ `rounds`
+    * edges — the caller picks rounds ≥ the weighted-path hop diameter
+    * for exact SSSP, or a smaller horizon for a bounded neighborhood).
+    * Each round is one join (relax every out-edge of the reached set)
+    * plus one min-aggregate keyed by vertex — the same
+    * shuffle-on-id shape as the CC pointer-jump loop, with per-round
+    * `localCheckpoint` so lineage stays flat. No priority queue exists
+    * at 100 TB; round-synchronous relaxation with a bounded round count
+    * is the distributed replacement (delta-stepping degenerates to this
+    * when every bucket is one round). The frontier optimization
+    * (relax only vertices whose dist improved last round) is
+    * deliberately omitted: `rounds` is small and the unconditional
+    * relax keeps every round's plan identical — one fused
+    * join+partial-agg stage that AQE sizes from the previous round's
+    * output. Reference ground: ahghee walks weighted edges through the
+    * same `follow`/visited machinery (Program.fs query paths); the
+    * fixed-round determinization is the x02 move (integer recurrence ==
+    * DuckDB RECURSIVE CTE working table) applied to distances. */
+  def weightedShortestPaths(pairs: DataFrame, source: Long,
+                            rounds: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected: relax both orientations; checkpoint once — the edge
+    // list feeds every round
+    val e = pairs.select(col("p1").as("u"), col("p2").as("v"), col("w"))
+      .unionAll(pairs.select(col("p2").as("u"), col("p1").as("v"), col("w")))
+      .localCheckpoint()
+    var dist = spark.range(1)
+      .select(lit(source).as("id"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val relaxed = dist.join(e, dist("id") === e("u"))
+        .select(col("v").as("id"), (col("dist") + col("w")).as("dist"))
+      // keep-or-improve: the old rows ride along the union so min()
+      // implements d'(v) = min(d(v), min over (u,v) of d(u)+w)
+      dist = dist.unionAll(relaxed)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Per-vertex triangle counts over an undirected pair list [p1, p2]
     * (long ids, canonical p1 < p2, deduped by the caller), the
     * degree-ordered wedge-check algorithm as plain DataFrame joins:

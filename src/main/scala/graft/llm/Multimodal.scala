@@ -344,6 +344,103 @@ object Multimodal {
       .toDF()
   }
 
+  /** Typed output of the audio perceptual hash. */
+  case class AudioHash(doc_id: Long, ahash: Long)
+
+  /** Textured audio corpus for perceptual dedup (the audio analog of
+    * [[texturedImageTable]]): one 256-sample PCM-16 WAV per document
+    * whose samples are the same two-round multiply-mod/xor-shift
+    * finalizer over (doc_id, t), mapped to [-100, 100], plus a twin
+    * (doc_id + 1e6) with ONE sample (t = 31) nudged +7 — byte-exact
+    * dedup misses it, a frame-energy fingerprint must catch it. The
+    * nudge lands inside frame 3 only, so at most the two comparison
+    * bits touching E(3) can flip: twins sit at Hamming ≤ 2 BY
+    * CONSTRUCTION, which the p52 chunk blocking always recalls. At
+    * 100 TB the generator is replaced by `binaryFile` blobs; the WAV
+    * container and codec path are the production ones. */
+  def texturedAudioTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def sample(d: Long, t: Int): Int = {
+      val v = (d * 2654435761L + t * 104729L) % 1000000007L
+      val v2 = ((v ^ (v >> 13)) * 1779033703L) % 1000000007L
+      ((v2 ^ (v2 >> 11)) % 201L).toInt - 100
+    }
+    graft.Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .flatMap(id => Seq(id, id + 1000000L))
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val base = if (id >= 1000000L) id - 1000000L else id
+          val n = 256
+          val pcm = new Array[Byte](n * 2)
+          var t = 0
+          while (t < n) {
+            var s = sample(base, t)
+            if (id >= 1000000L && t == 31) s += 7
+            pcm(2 * t) = (s & 0xff).toByte
+            pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+            t += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "bytes")
+      .select(col("doc_id"), struct(
+        lit("audio/wav").as("media_type"),
+        col("bytes"),
+        struct(lit("synthetic").as("origin"),
+               length(col("bytes")).cast("long").as("n_bytes")).as("meta")
+      ).as("media"))
+  }
+
+  /** REAL audio perceptual hash (frame-energy difference hash, the
+    * dHash idea on a spectrogram's time axis): AudioSystem decodes the
+    * WAV container, the PCM stream folds into 32 frames of 8 samples,
+    * E(f) = Σ s² per frame (exact integer — samples are integers), and
+    * bit b of the hash is E(b+1) > E(b) for b < 31 (31 bits keeps
+    * Σ2^b addressable as BIGINT in both engines, the dHash 60-bit
+    * lesson). Robust to small sample perturbations by design; an
+    * undecodable or wrong-length payload yields -1. */
+  def audioEnergyHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media.bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val data = ais.readAllBytes()
+            if (data.length != 512) AudioHash(id, -1L)
+            else {
+              val e = new Array[Long](32)
+              var t = 0
+              while (t < 256) {
+                val s = ((data(2 * t) & 0xff) | (data(2 * t + 1) << 8))
+                  .toShort.toLong
+                e(t / 8) += s * s
+                t += 1
+              }
+              var h = 0L
+              var b = 0
+              while (b < 31) {
+                if (e(b + 1) > e(b)) h |= 1L << b
+                b += 1
+              }
+              AudioHash(id, h)
+            }
+          } catch { case _: Exception => AudioHash(id, -1L) }
+        }
+      }
+      .toDF()
+  }
+
   /** REAL frame sampling + resize, the generator-shaped multimodal op:
     * demux the motion-JPEG blob by scanning SOI (FFD8) / EOI (FFD9)
     * markers — valid inside entropy-coded data FF is stuffed as FF00 and

@@ -603,7 +603,49 @@ object GraphXQueries {
              |        * 1779033703 + w.cur * 104729) % 1000000007) >> 13) % a.deg
              |  WHERE w.step < 8)
              |SELECT walk_id, step, cur AS node FROM walk
-             |ORDER BY walk_id, step""".stripMargin))
+             |ORDER BY walk_id, step""".stripMargin)),
+
+    // single-source WEIGHTED shortest paths (Bellman-Ford, fixed 4
+    // rounds) on the co-purchase graph with deterministic integer edge
+    // weights w = 1 + (p1+p2) mod 7. The x02/x05 determinization move
+    // applied to distances: a fixed-round integer recurrence is exactly
+    // a DuckDB RECURSIVE CTE whose working table carries "previous
+    // round" — reached vertices ride a weight-0 self-loop so the
+    // recursive term's min() implements keep-or-improve. Source = the
+    // graph's min part id (computed, not hard-coded, so every SF has a
+    // valid seed); output = the distance histogram of the 4-round
+    // horizon. Exercises what x03/x13's hop-count BFS cannot: min-cost
+    // path selection where the cheapest route is NOT the fewest-hops
+    // route (w varies 1..7, so a 2-hop detour regularly beats a direct
+    // heavy edge — at round 4 the histogram would differ from any
+    // unweighted BFS relabeling).
+    RegQuery("x15_weighted_sssp",
+      (s, d) => {
+        val pairs = coPurchasePairs(s, d)
+          .withColumn("w", lit(1L) + pmod(col("p1") + col("p2"), lit(7L)))
+        val src = pairs.agg(min("p1")).first().getLong(0)
+        GraphAnalytics.weightedShortestPaths(pairs, src, rounds = 4)
+          .groupBy("dist").agg(count(lit(1)).as("cnt"), min("id").as("min_id"))
+          .orderBy("dist")
+      },
+      Some("""WITH RECURSIVE
+             |pp AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |verts AS (SELECT DISTINCT v FROM (
+             |  SELECT p1 AS v FROM pp UNION ALL SELECT p2 FROM pp)),
+             |e AS (SELECT p1 AS u, p2 AS v, 1 + (p1+p2) % 7 AS w FROM pp
+             |  UNION ALL SELECT p2, p1, 1 + (p1+p2) % 7 FROM pp
+             |  UNION ALL SELECT v, v, 0 FROM verts),
+             |d(i, id, dist) AS (
+             |  SELECT 0, (SELECT min(p1) FROM pp), CAST(0 AS BIGINT)
+             |  UNION ALL
+             |  SELECT d.i + 1, e.v, min(d.dist + e.w)
+             |  FROM d JOIN e ON e.u = d.id
+             |  WHERE d.i < 4
+             |  GROUP BY d.i, e.v)
+             |SELECT dist, count(*) AS cnt, min(id) AS min_id
+             |FROM d WHERE i = 4 GROUP BY dist ORDER BY dist""".stripMargin))
   )
 
   /** Planted-community graph for x06: parts grouped into ~10-member

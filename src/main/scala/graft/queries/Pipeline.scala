@@ -1159,8 +1159,141 @@ object Pipeline {
           .where(col("hamming") <= 2)
           .orderBy("a_id", "b_id")
       },
-      Some(p50Oracle))
+      Some(p50Oracle)),
+
+    // ---- p51: cluster-balanced diversity sampling -----------------------
+    // The D4 selection move (Tirumala et al. 2023: dedup + diversify):
+    // after near-dup removal, training mixes want REPRESENTATIVE
+    // coverage of embedding space, not the head of one dense region.
+    // Cells come from the sign pattern of the first 4 dimensions —
+    // data-independent hyperplanes (axis planes), so cell assignment is
+    // map-only with no trained artifact to ship — and each cell keeps
+    // its top-3 by micro-norm (the deterministic stand-in for a quality
+    // model's score; same integer-rounding contract as p09's cosine).
+    // Per-cell top-k goes through row_number + rank≤k, the p45 shape
+    // Spark rewrites to WindowGroupLimit (partial top-k before the
+    // exchange), and cell sizes ride a separate 16-row aggregate joined
+    // back by broadcast — NOT a second unordered window, which would
+    // defeat the group-limit pushdown. At 100 TB: one shuffle keyed by
+    // cell carrying ≤ k rows per partition per cell, plus one broadcast.
+    RegQuery("p51_diverse_sample",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        val cellExpr = (0 until 4).map(i =>
+            when(element_at(col("v"), i + 1) >= 0, lit(1 << i))
+              .otherwise(lit(0)))
+          .reduce(_ + _)
+        val scored = e.select(col("vec_id"), cellExpr.as("cell"),
+          floor(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x)
+            * 1000000 + 0.5).cast("long").as("norm_micro"))
+        val sizes = scored.groupBy("cell").agg(count(lit(1)).as("cell_n"))
+        scored
+          .withColumn("rank", row_number().over(Window.partitionBy("cell")
+            .orderBy(col("norm_micro").desc, col("vec_id"))))
+          .where(col("rank") <= 3)
+          .join(broadcast(sizes), "cell")
+          .select("cell", "rank", "vec_id", "norm_micro", "cell_n")
+          .orderBy("cell", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |sc AS (SELECT vec_id,
+             |  (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+             |  + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+             |  + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+             |  + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS cell,
+             |  CAST(floor(list_sum(list_transform(v, x -> x*x))
+             |    * 1000000 + 0.5) AS BIGINT) AS norm_micro FROM e),
+             |sz AS (SELECT cell, count(*) AS cell_n FROM sc GROUP BY cell),
+             |r AS (SELECT vec_id, cell, norm_micro, ROW_NUMBER() OVER (
+             |  PARTITION BY cell ORDER BY norm_micro DESC, vec_id) AS rank
+             |  FROM sc)
+             |SELECT r.cell, CAST(rank AS INTEGER) AS rank, vec_id,
+             |  norm_micro, cell_n
+             |FROM r JOIN sz ON r.cell = sz.cell
+             |WHERE rank <= 3 ORDER BY r.cell, rank""".stripMargin)),
+
+    // ---- p52: perceptual audio dedup (frame-energy hash + blocking) -----
+    // p50's real-codec discipline on the audio axis: javax.sound writes
+    // and parses genuine RIFF/WAVE containers in the executors, the
+    // fingerprint is a frame-energy difference hash over the decoded
+    // PCM (all integer — samples are integers, energies exact Σs²),
+    // and candidates come from the p49/p50 chunk blocking (4×8-bit
+    // chunks over a 31-bit hash; 2 flipped bits leave ≥2 chunks
+    // intact) with a Hamming ≤ 2 verify. The corpus plants one
+    // +7-at-one-sample twin per doc — inaudible to the energy hash's
+    // comparisons except the two bits around the nudged frame
+    // (Hamming ≤ 2 by construction, so recall is exact), invisible to
+    // exact dedup. The DuckDB oracle recomputes every sample, energy,
+    // comparison bit, and emitted pair from pure integer math while
+    // the engine goes through real WAV bytes — the decode plumbing is
+    // what's gated. Linear shape: bounded per-row work, chunk
+    // equi-join candidates, never all-pairs.
+    RegQuery("p52_audio_fp_dedup",
+      (s, d) => {
+        val sig = graft.llm.Multimodal.audioEnergyHash(
+            graft.llm.Multimodal.texturedAudioTable(s, d))
+          .localCheckpoint() // decode once; both join sides read it
+        val chunks = sig.select(col("doc_id"), col("ahash"),
+          posexplode(array((0 until 4).map(c =>
+            shiftright(col("ahash"), c * 8).bitwiseAND(lit(255L))): _*))
+            .as(Seq("chunk_idx", "chunk_val")))
+        val a = chunks.select(col("chunk_idx"), col("chunk_val"),
+          col("doc_id").as("a_id"), col("ahash").as("a_h"))
+        val b = chunks.select(col("chunk_idx"), col("chunk_val"),
+          col("doc_id").as("b_id"), col("ahash").as("b_h"))
+        a.join(b, Seq("chunk_idx", "chunk_val"))
+          .where(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            bit_count(col("a_h").bitwiseXOR(col("b_h"))).as("hamming"))
+          .distinct()
+          .where(col("hamming") <= 2)
+          .orderBy("a_id", "b_id")
+      },
+      Some(p52Oracle))
   )
+
+  /** DuckDB mirror of p52: the textured-audio sample generator (the
+    * p50 finalizer mapped to [-100,100]) and the twin nudge re-expressed
+    * as arithmetic on (doc_id, t), folded to 32 exact frame energies,
+    * then the identical 31-bit comparison hash, chunk join, and
+    * Hamming gate. */
+  private def p52Oracle: String = {
+    s"""WITH ids AS (SELECT doc_id FROM documents
+       |  UNION ALL SELECT doc_id + 1000000 FROM documents),
+       |s0 AS (SELECT doc_id, list_transform(range(0, 256), t ->
+       |    ((CASE WHEN doc_id >= 1000000 THEN doc_id - 1000000
+       |      ELSE doc_id END) * 2654435761 + t * 104729)
+       |    % 1000000007) AS v FROM ids),
+       |s1 AS (SELECT doc_id, list_transform(v,
+       |    x -> (xor(x, x >> 13) * 1779033703) % 1000000007) AS v FROM s0),
+       |s2 AS (SELECT doc_id, list_transform(v,
+       |    x -> xor(x, x >> 11) % 201 - 100) AS v FROM s1),
+       |sm AS (SELECT doc_id, list_transform(range(0, 256), t ->
+       |    CASE WHEN doc_id >= 1000000 AND t = 31
+       |    THEN v[CAST(t + 1 AS INTEGER)] + 7
+       |    ELSE v[CAST(t + 1 AS INTEGER)] END) AS s FROM s2),
+       |en AS (SELECT doc_id, list_transform(range(0, 32), f ->
+       |    list_sum(list_transform(range(0, 8), j ->
+       |      s[CAST(f * 8 + j + 1 AS INTEGER)]
+       |        * s[CAST(f * 8 + j + 1 AS INTEGER)]))) AS e FROM sm),
+       |hs AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 31),
+       |    b -> CASE WHEN e[CAST(b + 2 AS INTEGER)] > e[CAST(b + 1 AS INTEGER)]
+       |      THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) ELSE 0 END))
+       |    AS BIGINT) AS ahash FROM en),
+       |ch AS (SELECT doc_id, ahash, unnest(range(0, 4)) AS chunk_idx,
+       |  unnest(list_transform(range(0, 4),
+       |    c -> (ahash >> CAST(c * 8 AS INTEGER)) & 255)) AS chunk_val
+       |  FROM hs)
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+       |FROM ch a JOIN ch b ON a.chunk_idx = b.chunk_idx
+       |  AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 
   /** DuckDB mirror of p50: the textured corpus's pixel generator
     * (poly seed + two xor-shift/multiply-mod finalizer rounds, staged

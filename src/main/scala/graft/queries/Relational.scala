@@ -926,6 +926,70 @@ object Relational {
              |  FROM lineitem GROUP BY g)
              |SELECT est.g, est, exact,
              |  CAST(abs(est - exact) * 10000 // exact AS BIGINT) AS err_bp
-             |FROM est JOIN ex ON est.g = ex.g ORDER BY est.g""".stripMargin))
+             |FROM est JOIN ex ON est.g = ex.g ORDER BY est.g""".stripMargin)),
+
+    // ---- ordered string aggregation (LISTAGG) --------------------------
+    // The SQL:2016 LISTAGG / string_agg surface: per-group ordered
+    // concatenation. Spark has no ordered string_agg aggregate, so the
+    // deterministic spelling is collect_list → array_sort → array_join —
+    // partial aggregation still applies (lists merge associatively) and
+    // the per-group ORDER BY lives in array_sort, not a global sort.
+    // Scale note: listagg is only sane over BOUNDED groups (here: 25
+    // nations across 5 regions; the customer arm caps the list by
+    // filtering first) — an unbounded collect_list is the one aggregate
+    // that can OOM an executor, so the filter-before-collect discipline
+    // is the point of the query, not a convenience.
+    RegQuery("q49_listagg",
+      (s, d) => {
+        val nations = t(s, d, "nation").join(
+          broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        nations.groupBy("r_name")
+          .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+                 .as("nations"),
+               count(lit(1)).as("n"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT r_name,
+             |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             |  count(*) AS n
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // ---- linear-regression aggregates (REGR_*) -------------------------
+    // The SQL:2003 bivariate-statistics family — one-pass OLS per group:
+    // slope/intercept/R² of extendedprice over quantity, plus the
+    // sample covariance. All are single-pass re-aggregatable moments
+    // (partial HashAggregate ships (n, Σx, Σy, Σxy, Σx², Σy²) per
+    // group through the shuffle — fixed-size state, the q44/q48
+    // incremental-rollup shape), which is why they survive 100 TB while
+    // a two-pass "mean then residuals" formulation would not. Values
+    // floor-rounded like q32 so Spark's and DuckDB's summation orders
+    // can't flip a ULP into a hash mismatch.
+    RegQuery("q50_regr_agg",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          (floor(regr_slope(col("l_extendedprice"), col("l_quantity"))
+             * 100 + 0.5) / 100).as("slope"),
+          (floor(regr_intercept(col("l_extendedprice"), col("l_quantity"))
+             * 100 + 0.5) / 100).as("icept"),
+          (floor(regr_r2(col("l_extendedprice"), col("l_quantity"))
+             * 10000 + 0.5) / 10000).as("r2"),
+          (floor(covar_samp(col("l_quantity"), col("l_extendedprice"))
+             * 100 + 0.5) / 100).as("cov"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  floor(regr_slope(l_extendedprice, l_quantity)*100 + 0.5)/100
+             |    AS slope,
+             |  floor(regr_intercept(l_extendedprice, l_quantity)*100 + 0.5)/100
+             |    AS icept,
+             |  floor(regr_r2(l_extendedprice, l_quantity)*10000 + 0.5)/10000
+             |    AS r2,
+             |  floor(covar_samp(l_quantity, l_extendedprice)*100 + 0.5)/100
+             |    AS cov
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin))
   )
 }

@@ -275,6 +275,33 @@ class ScaleSpec extends SparkSpec {
     assert(exchanges <= 2, s"chunker shuffles beyond barrier+sort:\n$plan")
   }
 
+  test("p51 diversity sample: partial top-k per cell, sizes by broadcast") {
+    // per-cell selection over 100 TB must keep the p45 group-limit
+    // shape (each map task's local top-3 per cell crosses the shuffle,
+    // not the corpus), and the 16-row cell-size table must come back
+    // by broadcast — a sort-merge there would re-shuffle the winners
+    // on the cell key for nothing
+    val plan = SparkEntry.queries("p51_diverse_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed into a partial top-k:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cell sizes not joined by broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"winners re-shuffled on cell:\n$plan")
+  }
+
+  test("p52 audio dedup: candidates from the chunk equi-join, no all-pairs") {
+    // the perceptual-dedup contract at 100 TB: candidate pairs come
+    // ONLY from the 4×8-bit chunk buckets (linear in bucket volume) —
+    // a cartesian/nested-loop anywhere means the blocking broke
+    val plan = SparkEntry.queries("p52_audio_fp_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"audio dedup degenerated to all-pairs:\n$plan")
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val li = Tables(spark, sfDir, "lineitem")
     val direct = li.groupBy("l_returnflag")

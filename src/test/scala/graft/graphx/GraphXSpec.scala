@@ -414,4 +414,23 @@ class GraphXSpec extends SparkSpec {
     // re-running the operator replays the identical corpus
     assert(run().toSeq == out.toSeq)
   }
+
+  test("weightedShortestPaths: cheap detour beats heavy edge; horizon bounds") {
+    // 1 -10- 3 -1- 4, plus the detour 1 -1- 2 -2- 3: min cost to 3 is 3
+    // via the 2-hop detour, NOT the direct heavy edge — the property
+    // hop-count BFS (x03) cannot express
+    val pairs = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L))
+      .toDF("p1", "p2", "w")
+    def dists(rounds: Int): Map[Long, Long] =
+      GraphAnalytics.weightedShortestPaths(pairs, source = 1L, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rounds=1: only direct edges relaxed — 3 still sees the heavy 10
+    assert(dists(1) == Map(1L -> 0L, 2L -> 1L, 3L -> 10L))
+    // rounds=2: detour lands (1+2=3); 4 reached through the round-1
+    // frontier's heavy value (10+1=11)
+    assert(dists(2) == Map(1L -> 0L, 2L -> 1L, 3L -> 3L, 4L -> 11L))
+    // rounds=3: 4 inherits the improved 3 (3+1=4); undirected back-relax
+    // never worsens anything (keep-or-improve min)
+    assert(dists(3) == Map(1L -> 0L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+  }
 }

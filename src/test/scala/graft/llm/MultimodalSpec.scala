@@ -103,4 +103,29 @@ class MultimodalSpec extends SparkSpec {
       .where(col("n") >= 2).count()
     assert(exactPairs == 0L, s"$exactPairs byte-identical groups")
   }
+
+  test("p52 audio dedup: every planted twin within Hamming 2, bytes differ") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("p52_audio_fp_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = graft.Tables(spark, sfDir, "documents")
+      .select("doc_id").as[Long].collect()
+    // the +7 nudge only perturbs frame 3's energy, so at most the two
+    // comparison bits around it flip — every twin pair MUST be emitted
+    // (recall is structural, not probabilistic)
+    val twins = ids.map(i => (i, i + 1000000L)).toSet
+    assert(twins.subsetOf(out.toSet),
+      s"missing twins: ${(twins -- out.toSet).take(3)}")
+    // decode really happened: every signature is a valid 31-bit hash
+    // (an undecodable WAV flags -1)
+    val sigs = Multimodal.audioEnergyHash(
+      Multimodal.texturedAudioTable(spark, sfDir))
+    assert(sigs.where(col("ahash") < 0).count() == 0L)
+    // and the twins are NEAR-dups, not byte dups: exact dedup finds none
+    val tbl = Multimodal.texturedAudioTable(spark, sfDir)
+      .select(col("doc_id"), md5(col("media.bytes")).as("m"))
+    val exactPairs = tbl.groupBy("m").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).count()
+    assert(exactPairs == 0L, s"$exactPairs byte-identical groups")
+  }
 }
