@@ -490,6 +490,81 @@ object GraphAnalytics {
     dist
   }
 
+  /** Sampled bounded-depth Brandes betweenness centrality over an
+    * undirected pair list [p1, p2]: for each source, a forward BFS
+    * accumulates per-layer shortest-path counts σ (exact integers —
+    * σ(v) = Σ σ(u) over layer-(d-1) predecessors), then the backward
+    * sweep folds dependencies δ in integer micro-units,
+    * δ(u) = Σ_w ⌊σ(u)·(10⁶+δ(w)) / σ(w)⌋ over u's layer-(d+1)
+    * successors (σ(u) ≤ σ(w) for a predecessor, so terms stay far from
+    * BIGINT range at depth 3). Both truncations — sampling sources and
+    * bounding depth — ARE the production algorithm: exact betweenness
+    * is O(nm) (hopeless at 100 TB), and sampled ego-net Brandes
+    * (Riondato-Kornaropoulos style pivots, bounded horizon) is what
+    * ships; determinized here (fixed sources, integer δ) so the whole
+    * sweep is hash-checkable against unrolled-layer SQL. Every step is
+    * the CC/BFS loop shape: frontier⋈edges, hash-agg by (src, v),
+    * per-layer localCheckpoint. Returns (v, bc_micro) for non-source
+    * vertices with positive dependency. */
+  def boundedBetweenness(pairs: DataFrame, sources: Seq[Long],
+                         depth: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val e = pairs.select(col("p1").as("u"), col("p2").as("v"))
+      .unionAll(pairs.select(col("p2").as("u"), col("p1").as("v")))
+      .localCheckpoint()
+    // forward: nodes = (src, v, dist, sigma), one BFS wave per layer,
+    // all sources at once (state keyed (src, v) like shortestPathsDF)
+    var nodes = sources.toDF("src")
+      .select(col("src"), col("src").as("v"), lit(0).as("dist"),
+        lit(1L).as("sigma"))
+      .localCheckpoint()
+    var d = 0
+    while (d < depth) {
+      val frontier = nodes.where(col("dist") === d)
+      val next = frontier.join(e, frontier("v") === e("u"))
+        .select(col("src"), e("v").as("v"), col("sigma"))
+        .groupBy("src", "v").agg(sum("sigma").as("sigma"))
+        .join(nodes.select("src", "v"), Seq("src", "v"), "left_anti")
+        .select(col("src"), col("v"), lit(d + 1).as("dist"), col("sigma"))
+      nodes = nodes.unionAll(next).localCheckpoint()
+      d += 1
+    }
+    // backward: δ = 0 at the horizon, then one sweep per layer toward
+    // the source; vertices with no deeper successors keep δ = 0 via
+    // the left join (they still matter as σ-ratio denominators). The
+    // run's own source sits at dist 0 and never enters a sweep, so the
+    // Brandes v ≠ s exclusion is structural.
+    var delta = nodes.where(col("dist") === depth)
+      .select(col("src"), col("v"), lit(0L).as("delta"))
+      .localCheckpoint()
+    d = depth - 1
+    while (d >= 1) {
+      val layer = nodes.where(col("dist") === d)
+        .select(col("src"), col("v"), col("sigma"))
+      // δ and σ of the layer below, keyed (src, w); the inner join
+      // restricts the accumulated delta frame to exactly layer d+1
+      val deeper = nodes.where(col("dist") === d + 1)
+        .select(col("src"), col("v").as("w"), col("sigma").as("sigma_w"))
+        .join(delta.select(col("src"), col("v").as("w"), col("delta")),
+          Seq("src", "w"))
+      val wedges = layer
+        .join(e.select(col("u"), col("v").as("w")), layer("v") === col("u"))
+        .select(col("src"), col("v"), col("sigma"), col("w"))
+      val contrib = wedges.join(deeper, Seq("src", "w"))
+        .select(col("src"), col("v"),
+          expr("sigma * (1000000 + delta) div sigma_w").as("c"))
+        .groupBy("src", "v").agg(sum("c").as("dsum"))
+      val layerDelta = layer.join(contrib, Seq("src", "v"), "left")
+        .select(col("src"), col("v"),
+          coalesce(col("dsum"), lit(0L)).as("delta"))
+      delta = delta.unionAll(layerDelta).localCheckpoint()
+      d -= 1
+    }
+    delta.where(col("delta") > 0)
+      .groupBy("v").agg(sum("delta").as("bc_micro"))
+  }
+
   /** Per-vertex triangle counts over an undirected pair list [p1, p2]
     * (long ids, canonical p1 < p2, deduped by the caller), the
     * degree-ordered wedge-check algorithm as plain DataFrame joins:

@@ -645,7 +645,78 @@ object GraphXQueries {
              |  WHERE d.i < 4
              |  GROUP BY d.i, e.v)
              |SELECT dist, count(*) AS cnt, min(id) AS min_id
-             |FROM d WHERE i = 4 GROUP BY dist ORDER BY dist""".stripMargin))
+             |FROM d WHERE i = 4 GROUP BY dist ORDER BY dist""".stripMargin)),
+
+    // sampled bounded-depth Brandes betweenness on the co-purchase
+    // graph: 3 fixed pivot sources (the 3 smallest canonical ids — the
+    // Riondato-Kornaropoulos sampling determinized), horizon 3, and
+    // dependencies δ in integer micro-units so the whole
+    // forward-σ/backward-δ sweep is exact arithmetic. The oracle
+    // unrolls the layers as chained CTEs (fixed depth needs no
+    // recursion): σ per layer by group-sum with NOT-EXISTS visited
+    // exclusion, δ per layer by the identical ⌊σu·(10⁶+δw)/σw⌋ fold
+    // through LEFT JOINs (zero-δ vertices kept as denominators). Both
+    // truncations are the production shape at 100 TB — exact
+    // betweenness is O(nm); pivots × bounded horizon is what ships.
+    RegQuery("x16_betweenness",
+      (s, d) => {
+        import s.implicits._
+        val pairs = coPurchasePairs(s, d)
+        val srcs = pairs.select("p1").distinct().orderBy("p1")
+          .limit(3).as[Long].collect().toSeq
+        GraphAnalytics.boundedBetweenness(pairs, srcs, depth = 3)
+          .orderBy(col("bc_micro").desc, col("v"))
+          .limit(25)
+      },
+      Some("""WITH pp AS (SELECT DISTINCT
+             |    least(a.l_partkey, b.l_partkey) AS p1,
+             |    greatest(a.l_partkey, b.l_partkey) AS p2
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |e AS (SELECT p1 AS u, p2 AS v FROM pp
+             |  UNION ALL SELECT p2, p1 FROM pp),
+             |srcs AS (SELECT DISTINCT p1 AS s FROM pp ORDER BY s LIMIT 3),
+             |l0 AS (SELECT s AS src, s AS v, CAST(1 AS BIGINT) AS sigma
+             |  FROM srcs),
+             |l1 AS (SELECT l0.src, e.v, CAST(sum(l0.sigma) AS BIGINT) AS sigma
+             |  FROM l0 JOIN e ON e.u = l0.v
+             |  WHERE NOT EXISTS (SELECT 1 FROM l0 x
+             |    WHERE x.src = l0.src AND x.v = e.v)
+             |  GROUP BY l0.src, e.v),
+             |l2 AS (SELECT l1.src, e.v, CAST(sum(l1.sigma) AS BIGINT) AS sigma
+             |  FROM l1 JOIN e ON e.u = l1.v
+             |  WHERE NOT EXISTS (SELECT 1 FROM l0 x
+             |    WHERE x.src = l1.src AND x.v = e.v)
+             |  AND NOT EXISTS (SELECT 1 FROM l1 y
+             |    WHERE y.src = l1.src AND y.v = e.v)
+             |  GROUP BY l1.src, e.v),
+             |l3 AS (SELECT l2.src, e.v, CAST(sum(l2.sigma) AS BIGINT) AS sigma
+             |  FROM l2 JOIN e ON e.u = l2.v
+             |  WHERE NOT EXISTS (SELECT 1 FROM l0 x
+             |    WHERE x.src = l2.src AND x.v = e.v)
+             |  AND NOT EXISTS (SELECT 1 FROM l1 y
+             |    WHERE y.src = l2.src AND y.v = e.v)
+             |  AND NOT EXISTS (SELECT 1 FROM l2 z
+             |    WHERE z.src = l2.src AND z.v = e.v)
+             |  GROUP BY l2.src, e.v),
+             |b2 AS (SELECT l2.src, l2.v, CAST(coalesce(sum(
+             |    (l2.sigma * 1000000) // d3.sigma), 0) AS BIGINT) AS delta
+             |  FROM l2
+             |  LEFT JOIN e ON e.u = l2.v
+             |  LEFT JOIN l3 d3 ON d3.src = l2.src AND d3.v = e.v
+             |  GROUP BY l2.src, l2.v),
+             |b1 AS (SELECT l1.src, l1.v, CAST(coalesce(sum(
+             |    (l1.sigma * (1000000 + b.delta)) // d2.sigma), 0)
+             |    AS BIGINT) AS delta
+             |  FROM l1
+             |  LEFT JOIN e ON e.u = l1.v
+             |  LEFT JOIN l2 d2 ON d2.src = l1.src AND d2.v = e.v
+             |  LEFT JOIN b2 b ON b.src = l1.src AND b.v = e.v
+             |  GROUP BY l1.src, l1.v)
+             |SELECT v, CAST(sum(delta) AS BIGINT) AS bc_micro
+             |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+             |WHERE delta > 0
+             |GROUP BY v ORDER BY bc_micro DESC, v LIMIT 25""".stripMargin))
   )
 
   /** Planted-community graph for x06: parts grouped into ~10-member

@@ -433,4 +433,25 @@ class GraphXSpec extends SparkSpec {
     // never worsens anything (keep-or-improve min)
     assert(dists(3) == Map(1L -> 0L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
   }
+
+  test("boundedBetweenness: diamond + tail, exact hand-computed micro-δ") {
+    // 1-2-4, 1-3-4 (diamond), 4-5 (tail); source 1, depth 3:
+    // σ(2)=σ(3)=1, σ(4)=2, σ(5)=2. Backward: δ(4)=⌊2·10⁶/2⌋=10⁶ (all
+    // paths to 5 cross 4); δ(2)=⌊1·(10⁶+10⁶)/2⌋=10⁶ (half the paths to
+    // 4 AND half to 5: 0.5+0.5=1); δ(3) symmetric. 5 sits at the
+    // horizon (δ=0) and the source never enters the sweep.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("p1", "p2")
+    val bc = GraphAnalytics.boundedBetweenness(pairs, Seq(1L), depth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bc == Map(2L -> 1000000L, 3L -> 1000000L, 4L -> 1000000L),
+      bc.toString)
+    // two sources: dependencies sum across runs (the sampling estimator)
+    val bc2 = GraphAnalytics.boundedBetweenness(pairs, Seq(1L, 5L), depth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // from 5: σ(4)=1, σ(2)=σ(3)=1 at dist 2, horizon {1} σ=2;
+    // δ(2)=δ(3)=⌊1·10⁶/2⌋=5·10⁵, δ(4)=⌊1·(10⁶+5·10⁵)/1⌋·2 terms=3·10⁶
+    assert(bc2 == Map(2L -> 1500000L, 3L -> 1500000L, 4L -> 4000000L),
+      bc2.toString)
+  }
 }
