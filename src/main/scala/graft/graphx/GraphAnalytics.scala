@@ -468,6 +468,47 @@ object GraphAnalytics {
   def weightedShortestPaths(pairs: DataFrame, source: Long,
                             rounds: Int): DataFrame = {
     val spark = pairs.sparkSession
+    import spark.implicits._
+    // adaptive dispatch, the pageRank/CC pattern: N synchronous rounds
+    // are 2N+ sequential shuffle stages whose scheduling overhead
+    // dwarfs the arithmetic while the graph fits the driver; at or
+    // under the threshold the identical round-synchronous relaxation
+    // runs as a driver array loop (the count rides the caller's
+    // checkpointed pair list). Both arms share the exact integer
+    // min-plus recurrence — equality pinned in GraphXSpec.
+    val threshold = spark.conf
+      .get("spark.graft.sssp.localEdgeThreshold", "2000000").toLong
+    val local = pairs.count() <= threshold
+    spark.sparkContext.setLocalProperty("graft.sssp.impl",
+      if (local) "local" else "distributed")
+    if (local) {
+      val es = pairs.select(col("p1"), col("p2"), col("w"))
+        .as[(Long, Long, Long)].collect()
+      val dist = scala.collection.mutable.HashMap(source -> 0L)
+      var r = 0
+      while (r < rounds) {
+        // relax from the PREVIOUS round's frame only (snap), so one
+        // round never chains two hops — the distributed arm's
+        // d'(v) = min(d(v), min over (u,v) of d(u)+w), exactly
+        val snap = dist.toMap
+        es.foreach { case (a, b, w) =>
+          snap.get(a).foreach { da =>
+            if (dist.get(b).forall(_ > da + w)) dist(b) = da + w }
+          snap.get(b).foreach { db =>
+            if (dist.get(a).forall(_ > db + w)) dist(a) = db + w }
+        }
+        r += 1
+      }
+      dist.toSeq.toDF("id", "dist")
+    } else weightedShortestPathsDist(pairs, source, rounds)
+  }
+
+  /** Distributed arm of [[weightedShortestPaths]]: one join + one
+    * min-aggregate keyed by vertex per round — the CC pointer-jump
+    * shuffle shape, per-round `localCheckpoint` to keep lineage flat. */
+  private def weightedShortestPathsDist(pairs: DataFrame, source: Long,
+                                        rounds: Int): DataFrame = {
+    val spark = pairs.sparkSession
     // undirected: relax both orientations; checkpoint once — the edge
     // list feeds every round
     val e = pairs.select(col("p1").as("u"), col("p2").as("v"), col("w"))
@@ -508,6 +549,79 @@ object GraphAnalytics {
     * vertices with positive dependency. */
   def boundedBetweenness(pairs: DataFrame, sources: Seq[Long],
                          depth: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // adaptive dispatch (the pageRank/CC pattern): the sweep is
+    // ~2·depth synchronous rounds of joins — pure scheduling overhead
+    // while the graph fits the driver. Under the threshold the
+    // identical σ/δ integer recurrences run as driver hash-map loops;
+    // above it the distributed layer sweep below is the scale path.
+    // Equality of the two arms is pinned in GraphXSpec.
+    val threshold = spark.conf
+      .get("spark.graft.bc.localEdgeThreshold", "2000000").toLong
+    val local = pairs.count() <= threshold
+    spark.sparkContext.setLocalProperty("graft.bc.impl",
+      if (local) "local" else "distributed")
+    if (local) return localBoundedBetweenness(pairs, sources, depth)
+    distBoundedBetweenness(pairs, sources, depth)
+  }
+
+  /** Driver-side arm of [[boundedBetweenness]]: the same layered
+    * forward-σ / backward-δ integer recurrences over collected pairs.
+    * depth·(V+E) work per source — microseconds under the threshold. */
+  private def localBoundedBetweenness(pairs: DataFrame, sources: Seq[Long],
+                                      depth: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    pairs.select("p1", "p2").as[(Long, Long)].collect().foreach {
+      case (a, b) =>
+        adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
+        adj.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += a
+    }
+    val bc = mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+    sources.foreach { s =>
+      val distM = mutable.HashMap(s -> 0)
+      val sigma = mutable.HashMap(s -> 1L)
+      val layers = mutable.ArrayBuffer(Seq(s))
+      var d = 0
+      while (d < depth) {
+        // σ(v) accumulates over ALL layer-d predecessors before v is
+        // marked visited — the group-sum the distributed arm does
+        val nextSigma = mutable.HashMap.empty[Long, Long]
+        layers(d).foreach { u =>
+          adj.getOrElse(u, Nil).foreach { v =>
+            if (!distM.contains(v))
+              nextSigma(v) = nextSigma.getOrElse(v, 0L) + sigma(u)
+          }
+        }
+        nextSigma.foreach { case (v, sg) => distM(v) = d + 1; sigma(v) = sg }
+        layers += nextSigma.keys.toSeq
+        d += 1
+      }
+      val delta = mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+      d = depth - 1
+      while (d >= 1) {
+        layers(d).foreach { u =>
+          var acc = 0L
+          adj.getOrElse(u, Nil).foreach { w =>
+            if (distM.get(w).contains(d + 1))
+              acc += sigma(u) * (1000000L + delta(w)) / sigma(w)
+          }
+          delta(u) = acc
+          bc(u) += acc
+        }
+        d -= 1
+      }
+    }
+    bc.toSeq.filter(_._2 > 0).toDF("v", "bc_micro")
+  }
+
+  /** Distributed arm of [[boundedBetweenness]] — one frontier⋈edges
+    * hash-agg per layer each way, per-layer `localCheckpoint`. */
+  private def distBoundedBetweenness(pairs: DataFrame, sources: Seq[Long],
+                                     depth: Int): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val e = pairs.select(col("p1").as("u"), col("p2").as("v"))

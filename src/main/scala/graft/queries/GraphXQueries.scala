@@ -621,8 +621,12 @@ object GraphXQueries {
     // unweighted BFS relabeling).
     RegQuery("x15_weighted_sssp",
       (s, d) => {
+        // checkpoint: the pair list feeds the source lookup AND the
+        // relax loop's edge build — inlined it would run the
+        // shuffle-heavy pair derivation twice
         val pairs = coPurchasePairs(s, d)
           .withColumn("w", lit(1L) + pmod(col("p1") + col("p2"), lit(7L)))
+          .localCheckpoint()
         val src = pairs.agg(min("p1")).first().getLong(0)
         GraphAnalytics.weightedShortestPaths(pairs, src, rounds = 4)
           .groupBy("dist").agg(count(lit(1)).as("cnt"), min("id").as("min_id"))
@@ -661,7 +665,8 @@ object GraphXQueries {
     RegQuery("x16_betweenness",
       (s, d) => {
         import s.implicits._
-        val pairs = coPurchasePairs(s, d)
+        // checkpoint: pair build feeds the pivot lookup AND the sweep
+        val pairs = coPurchasePairs(s, d).localCheckpoint()
         val srcs = pairs.select("p1").distinct().orderBy("p1")
           .limit(3).as[Long].collect().toSeq
         GraphAnalytics.boundedBetweenness(pairs, srcs, depth = 3)

@@ -55,7 +55,16 @@ class BenchGuardSpec extends SparkSpec {
     // broadcast packed-key probe; a trip means the probe fell back to
     // an exchange (the wedge volume materializes) or a lost checkpoint
     // re-runs the pair build per consumer
-    ("x12_clustering_coeff", 6.0))
+    ("x12_clustering_coeff", 6.0),
+    // x15 baseline ~0.7 s (driver-arm dispatch): a trip means the
+    // local/distributed threshold broke and 4 relax rounds run as
+    // shuffle stages on a driver-sized graph, or the distributed arm
+    // lost a per-round localCheckpoint (round lineage re-inlines)
+    ("x15_weighted_sssp", 5.0),
+    // x16 baseline ~0.7 s (driver-arm dispatch): same trip semantics —
+    // 5 sweep rounds of joins on a driver-sized graph, or the
+    // x05/x06-style re-inlining in the distributed arm
+    ("x16_betweenness", 6.0))
 
   guards.foreach { case (name, limitSec) =>
     test(s"$name stays under ${limitSec}s (3x committed time)") {

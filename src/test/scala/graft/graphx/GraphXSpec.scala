@@ -454,4 +454,40 @@ class GraphXSpec extends SparkSpec {
     assert(bc2 == Map(2L -> 1500000L, 3L -> 1500000L, 4L -> 4000000L),
       bc2.toString)
   }
+
+  test("sssp/bc arms: driver loop == distributed loop, dispatch observable") {
+    // K4 plus a tail gives multi-path σ, a detour-sensitive min-plus
+    // surface, and enough structure that an arm divergence shows
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+        (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("p1", "p2")
+    val wpairs = pairs
+      .withColumn("w", lit(1L) + pmod(col("p1") + col("p2"), lit(7L)))
+      .localCheckpoint()
+    def mapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ssspLocal = mapOf(
+      GraphAnalytics.weightedShortestPaths(wpairs, 1L, rounds = 4))
+    assert(spark.sparkContext.getLocalProperty("graft.sssp.impl") == "local")
+    val bcLocal = mapOf(
+      GraphAnalytics.boundedBetweenness(pairs, Seq(1L, 6L), depth = 3))
+    assert(spark.sparkContext.getLocalProperty("graft.bc.impl") == "local")
+    try {
+      spark.conf.set("spark.graft.sssp.localEdgeThreshold", "0")
+      spark.conf.set("spark.graft.bc.localEdgeThreshold", "0")
+      val ssspDist = mapOf(
+        GraphAnalytics.weightedShortestPaths(wpairs, 1L, rounds = 4))
+      assert(spark.sparkContext.getLocalProperty("graft.sssp.impl")
+        == "distributed")
+      val bcDist = mapOf(
+        GraphAnalytics.boundedBetweenness(pairs, Seq(1L, 6L), depth = 3))
+      assert(spark.sparkContext.getLocalProperty("graft.bc.impl")
+        == "distributed")
+      assert(ssspDist == ssspLocal, s"$ssspDist vs $ssspLocal")
+      assert(bcDist == bcLocal, s"$bcDist vs $bcLocal")
+    } finally {
+      spark.conf.unset("spark.graft.sssp.localEdgeThreshold")
+      spark.conf.unset("spark.graft.bc.localEdgeThreshold")
+    }
+  }
 }
