@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet testdata (TESTDATA.md).
   *
@@ -25,8 +25,15 @@ object Tables {
     // integer, making floor() 1µs high vs DuckDB (observed at sf0.01).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as long → truncate to µs
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // µs-NTZ generation of the table: the
+        // wall-clock values ARE what DuckDB sees; session tz is pinned
+        // UTC everywhere, so NTZ→LTZ is instant-preserving and restores
+        // the TIMESTAMP type the ts functions (unix_millis &c) require
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    } else df
   }
 }

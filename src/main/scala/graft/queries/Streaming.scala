@@ -20,16 +20,29 @@ object Streaming {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** events.parquet as a stream (nanos ts → µs, same as Tables). */
+  /** events.parquet as a stream (ts normalized to µs TIMESTAMP, same as
+    * Tables). The file source needs an explicit schema, and that schema
+    * must match the file's actual ts encoding — TIMESTAMP(NANOS) files
+    * surface as long (nanosAsLong), µs-NTZ files as TIMESTAMP_NTZ;
+    * forcing LongType onto a µs file silently reads µs values where the
+    * div-1000 path expects ns (1000× skew, windows collapse). One batch
+    * schema probe picks the right branch. */
   private def streamEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     // the file source wants a directory; pathGlobFilter narrows it to
     // the events table without touching the sibling parquet files
-    s.readStream.schema(eventsSchema)
+    val raw = s.readStream
+      .schema(StructType(eventsSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = tsType) else f)))
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+    tsType match {
       // integer div, not floor(x/1000) — double division drifts 1µs at
       // ns magnitudes (see Tables.scala)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** State partitions are frozen at a streaming query's first plan;
