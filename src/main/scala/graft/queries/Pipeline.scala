@@ -1252,7 +1252,80 @@ object Pipeline {
           .where(col("hamming") <= 2)
           .orderBy("a_id", "b_id")
       },
-      Some(p52Oracle))
+      Some(p52Oracle)),
+
+    // ---- p53: prefix-filtered EXACT similarity self-join (AllPairs) ----
+    // The LSH family (p05/p06/p40/p48) finds near-dups approximately;
+    // this is the EXACT counterpart that still scales: AllPairs/PPJoin
+    // prefix filtering (Bayardo et al. WWW'07, Xiao et al. WWW'08 —
+    // public similarity-join literature). Order each doc's distinct
+    // tokens rarest-first by global document frequency; a pair with
+    // Jaccard >= t MUST share its globally-smallest common token inside
+    // the first n - ceil(t*n) + 1 tokens of BOTH prefixes (if all
+    // common tokens hid in a's suffix of ceil(t*n)-1 slots, overlap
+    // < t*n <= overlap — contradiction). So the candidate generator is
+    // an equi-join on PREFIX tokens only: frequent tokens (the 'the'
+    // problem that makes a naive token join quadratic) sort to the END
+    // of every doc and never become join keys. Candidates then pass the
+    // size filter 10*min(n) >= 7*max(n) before the exact verify.
+    // Jaccard is kept in integers end to end (array_intersect count,
+    // ppm via bigint div) so the pair set AND the scores hash-match
+    // DuckDB's unfiltered exact computation. 100 TB story: df ranking
+    // is one agg + one join; candidates are |prefix| explodes joined on
+    // rare keys (bounded fan-out by construction); verify touches only
+    // surviving pairs — no stage is all-pairs. Unlike LSH this misses
+    // NOTHING at the threshold: it's the audit-grade dedup arm.
+    RegQuery("p53_prefix_join_dedup",
+      (s, d) => {
+        val docs = docsWithTwins(s, d)
+          .select(col("doc_id"),
+            array_sort(array_distinct(TextOps.tokens(col("text")))).as("toks"))
+          .withColumn("n", size(col("toks")))
+          .localCheckpoint() // token arrays feed df-rank, prefix AND both
+                             // verify sides — materialize the split once
+        val tok = docs.select(col("doc_id"), col("n"),
+          explode(col("toks")).as("tok"))
+        val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+        // rarest-first global order (df, tok); prefix = n - ceil(0.7n) + 1
+        val pr = tok.join(dfreq, "tok")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))))
+          .where(col("rk") <= col("n") - expr("(7*n + 9) div 10") + 1)
+          .select(col("doc_id"), col("n"), col("tok"))
+        val cand = pr.as("a").join(pr.as("b"),
+            col("a.tok") === col("b.tok") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            col("b.n") * 10 >= col("a.n") * 7 &&
+            col("a.n") * 10 >= col("b.n") * 7)
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+        cand
+          .join(docs.select(col("doc_id").as("a_id"), col("toks").as("ta"),
+            col("n").as("na")), "a_id")
+          .join(docs.select(col("doc_id").as("b_id"), col("toks").as("tb"),
+            col("n").as("nb")), "b_id")
+          .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+          .withColumn("uni", col("na") + col("nb") - col("inter"))
+          .where(col("inter") * 10 >= col("uni") * 7)
+          .select(col("a_id"), col("b_id"),
+            expr("cast(inter as bigint) * 1000000 div uni").as("jac_ppm"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(twinsCte +
+        """, tok AS (SELECT doc_id,
+          |    unnest(list_distinct(string_split(text, ' '))) AS tok
+          |  FROM alldocs),
+          |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+          |ov AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |    count(*) AS inter
+          |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |j AS (SELECT a_id, b_id, inter, sa.n + sb.n - inter AS uni
+          |  FROM ov JOIN sz sa ON a_id = sa.doc_id
+          |          JOIN sz sb ON b_id = sb.doc_id)
+          |SELECT a_id, b_id, inter * 1000000 // uni AS jac_ppm
+          |FROM j WHERE inter * 10 >= uni * 7
+          |ORDER BY a_id, b_id""".stripMargin))
   )
 
   /** DuckDB mirror of p52: the textured-audio sample generator (the

@@ -225,6 +225,20 @@ class ScaleSpec extends SparkSpec {
       s"span dedup went quadratic:\n$plan")
   }
 
+  test("p53 prefix join: candidates equi-join on prefix tokens only") {
+    // AllPairs/PPJoin's entire scale argument is that the candidate
+    // generator is an EQUI-join on rarest-first prefix tokens — a
+    // NestedLoop/Cartesian anywhere means either the prefix filter
+    // collapsed or the verify went all-pairs, both quadratic. The
+    // exactness half (misses nothing at the threshold) is the DuckDB
+    // hash gate; this pins the plan half.
+    val plan = SparkEntry.queries("p53_prefix_join_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix join went quadratic:\n$plan")
+  }
+
   test("p37 bloom membership probes broadcasts, never shuffles the corpus") {
     // the whole point of the bitmap: membership is a constant-size
     // broadcast (bit positions + bench grams), so the corpus gram
