@@ -990,6 +990,50 @@ object Relational {
              |  floor(covar_samp(l_quantity, l_extendedprice)*100 + 0.5)/100
              |    AS cov
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ---- gaps-and-islands: per-user consecutive-day streaks ------------
+    // The classic islands idiom, distinct from q41's threshold
+    // sessionize: distinct active DAYS per user, island key =
+    // day - row_number() (constant within a run of consecutive days,
+    // jumps at every gap), one aggregate per island. Emits each user's
+    // streaks with start/end/length plus a per-user best-streak rank.
+    // Scale story: both windows and both aggregates partition by
+    // user_id — the one natural key — so the whole query is a single
+    // hash-partition of the events table followed by per-user sorts of
+    // ~30-day lists; no global window, no join. The event stream can be
+    // 100 TB wide as long as no single user's day count is unbounded
+    // (it is calendar-bounded by definition).
+    RegQuery("q51_islands",
+      (s, d) => {
+        val days = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val isl = days
+          .withColumn("grp",
+            datediff(col("day"), lit("1990-01-01")) - row_number().over(w))
+          .groupBy("user_id", "grp")
+          .agg(min("day").as("streak_start"), max("day").as("streak_end"),
+            count(lit(1)).as("len"))
+        isl.withColumn("rk", row_number().over(
+            Window.partitionBy("user_id")
+              .orderBy(col("len").desc, col("streak_start"))))
+          .select(col("user_id"), col("streak_start"), col("streak_end"),
+            col("len"), col("rk"))
+          .orderBy("user_id", "streak_start")
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+             |  FROM events),
+             |isl AS (SELECT user_id,
+             |    day - CAST(row_number() OVER
+             |      (PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp,
+             |    day FROM days),
+             |agg AS (SELECT user_id, min(day) AS streak_start,
+             |    max(day) AS streak_end, count(*) AS len
+             |  FROM isl GROUP BY user_id, grp)
+             |SELECT user_id, streak_start, streak_end, len,
+             |  row_number() OVER (PARTITION BY user_id
+             |    ORDER BY len DESC, streak_start) AS rk
+             |FROM agg ORDER BY user_id, streak_start""".stripMargin))
   )
 }
