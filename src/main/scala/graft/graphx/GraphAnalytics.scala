@@ -1095,6 +1095,72 @@ object GraphAnalytics {
       .select(col("walk_id"), col("step"), col("cur").as("node"))
   }
 
+  /** HyperBall (Boldi–Vigna, WebAlgorithms'13 lineage; also HADI): the
+    * neighborhood function NF(t) — how many nodes each vertex reaches
+    * within t hops — estimated by giving every vertex an HLL register
+    * set of its ball and merging registers along out-edges each round.
+    * Registers use q48's integer-only HLL algebra (multiply-mod
+    * avalanche hash, m = 64, rank capped at 25, harmonic mean and
+    * estimate in exact BIGINT arithmetic), so the entire fixpoint is
+    * deterministic and hash-checkable against a recursive-CTE mirror.
+    *
+    * Input: edges (src: long, dst: long) — integer node keys. Output:
+    * one row per (t, id) for t = 1..iters with the HLL ball estimate
+    * AND the exact ball size (the validation arm: an exact distinct
+    * frontier run alongside; at 100 TB you drop `exact` — the register
+    * frame is the whole point, fixed 64·8 bytes per vertex per round
+    * vs the quadratically-growing reachable-pair set).
+    *
+    * Scale shape per round: one equi-join (edges ⋈ registers on dst) +
+    * one (id, reg) max-aggregate — both hash-partition by vertex key;
+    * register rows per vertex are bounded by min(ball, 64). Rounds are
+    * localCheckpointed like the CC/k-core loops so plan growth stays
+    * linear in iters, not exponential.
+    */
+  def hyperBall(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val P = 1000000007L
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val verts = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
+    // q48's hash: two multiply-mod rounds with xor-shifts between (one
+    // linear map over near-sequential keys skews ctz ranks +50%)
+    val h1 = (col("id") * 2654435761L + 104729L) % P
+    val h1x = h1.bitwiseXOR(shiftright(h1, 15))
+    val h2 = (h1x * 1779033703L) % P
+    val h = h2.bitwiseXOR(shiftright(h2, 13))
+    var regs = verts
+      .select(col("id"), h.bitwiseAND(lit(63L)).as("reg"),
+        shiftright(h, 6).as("w"))
+      .select(col("id"), col("reg"),
+        when(col("w") === 0L, lit(25L))
+          .otherwise(bit_count(col("w").bitwiseAND(-col("w")) - 1) + 1L)
+          .as("rho"))
+      .localCheckpoint()
+    var exact = verts.select(col("id"), col("id").as("nb")).localCheckpoint()
+    val A25 = 2905460551L << 25 // ⌊0.7213/(1+1.079/64)·64²·1e6⌋·2^25
+    def estimate(t: Int, r: DataFrame, x: DataFrame): DataFrame =
+      r.groupBy("id")
+        .agg((sum(expr("shiftleft(cast(1 as bigint), cast(25 - rho as int))"))
+          + (lit(64L) - count(lit(1))) * lit(1L << 25)).as("num"))
+        .select(col("id"), expr(s"($A25 div num) div 1000000").as("est_ball"))
+        .join(x.groupBy("id").agg(count(lit(1)).as("exact_ball")), "id")
+        .select(lit(t).as("t"), col("id"), col("est_ball"), col("exact_ball"))
+    (1 to iters).map { t =>
+      regs = regs.unionAll(
+          e.join(regs.withColumnRenamed("id", "did"),
+            col("did") === col("dst"))
+            .select(col("src").as("id"), col("reg"), col("rho")))
+        .groupBy("id", "reg").agg(max("rho").as("rho"))
+        .localCheckpoint()
+      exact = exact.unionAll(
+          e.join(exact.withColumnRenamed("id", "did"),
+            col("did") === col("dst"))
+            .select(col("src").as("id"), col("nb")))
+        .distinct().localCheckpoint()
+      estimate(t, regs, exact)
+    }.reduce(_ unionAll _)
+  }
+
   private def ccFromTri(deg: DataFrame, tri: DataFrame): DataFrame =
     deg.where(col("dg") >= 2)
       .select(col("u").as("c"), col("dg"))

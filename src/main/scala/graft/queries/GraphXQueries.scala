@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.sources.GraphStore
@@ -721,7 +722,80 @@ object GraphXQueries {
              |SELECT v, CAST(sum(delta) AS BIGINT) AS bc_micro
              |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
              |WHERE delta > 0
-             |GROUP BY v ORDER BY bc_micro DESC, v LIMIT 25""".stripMargin))
+             |GROUP BY v ORDER BY bc_micro DESC, v LIMIT 25""".stripMargin)),
+
+    // HyperBall neighborhood function on the directed membership forest
+    // (orders→customer→nation→region): per-vertex HLL ball registers
+    // merged along out-edges for 3 rounds, q48's integer-exact register
+    // algebra end to end, so even the ESTIMATES hash-match the DuckDB
+    // recursive-CTE mirror (reach set via UNION-dedup recursion over
+    // edges + self-loops, then identical register maxima + harmonic
+    // mean). Output: per (t, node type) the estimated and exact
+    // neighborhood function and the estimator's actual error in basis
+    // points. String ids become integer keys (typecode·10⁷ + entity
+    // key) computably on BOTH sides — no engine-specific hash.
+    RegQuery("x17_hyperball",
+      (s, d) => {
+        def key(c: Column): Column =
+          (when(split(c, "/")(0) === "region", 0L)
+            .when(split(c, "/")(0) === "nation", 1L)
+            .when(split(c, "/")(0) === "customer", 2L)
+            .otherwise(3L)) * lit(10000000L) +
+            split(c, "/")(1).cast("long")
+        val e = GraphStore.edges(s, d)
+          .select(key(col("src_id")).as("src"), key(col("dst_id")).as("dst"))
+        GraphAnalytics.hyperBall(e, iters = 3)
+          .withColumn("tpe", expr("id div 10000000"))
+          .groupBy("t", "tpe")
+          .agg(count(lit(1)).as("nodes"),
+            sum("est_ball").as("nf_est"), sum("exact_ball").as("nf_exact"))
+          .withColumn("err_bp",
+            expr("abs(nf_est - nf_exact) * 10000 div nf_exact"))
+          .orderBy("t", "tpe")
+      },
+      Some("""WITH RECURSIVE
+             |edges AS (
+             |  SELECT 10000000 + n_nationkey AS src,
+             |         n_regionkey AS dst FROM nation
+             |  UNION ALL SELECT 20000000 + c_custkey,
+             |    10000000 + c_nationkey FROM customer
+             |  UNION ALL SELECT 30000000 + o_orderkey,
+             |    20000000 + o_custkey FROM orders),
+             |verts AS (SELECT DISTINCT v AS id FROM (
+             |  SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+             |e2 AS (SELECT src, dst FROM edges
+             |  UNION ALL SELECT id, id FROM verts),
+             |reach AS (
+             |  SELECT 0 AS t, id AS src, id AS node FROM verts
+             |  UNION
+             |  SELECT r.t + 1, r.src, e2.dst
+             |  FROM reach r JOIN e2 ON e2.src = r.node WHERE r.t < 3),
+             |h0 AS (SELECT id, (id * 2654435761 + 104729) % 1000000007 AS h1
+             |  FROM verts),
+             |hx AS (SELECT id,
+             |  (xor(h1, h1 >> 15) * 1779033703) % 1000000007 AS h2 FROM h0),
+             |hh AS (SELECT id, xor(h2, h2 >> 13) AS h FROM hx),
+             |hr AS (SELECT id, h % 64 AS reg, CASE WHEN h // 64 = 0 THEN 25
+             |    ELSE bit_count(((h // 64) & -(h // 64)) - 1) + 1 END AS rho
+             |  FROM hh),
+             |regs AS (SELECT r.t, r.src, hr.reg, max(hr.rho) AS mr
+             |  FROM reach r JOIN hr ON hr.id = r.node
+             |  WHERE r.t >= 1 GROUP BY 1, 2, 3),
+             |est AS (SELECT t, src, CAST((97491078487212032 //
+             |    (sum(CAST(1 AS BIGINT) << CAST(25 - mr AS INTEGER))
+             |     + (64 - count(*)) * 33554432)) // 1000000 AS BIGINT)
+             |    AS est_ball
+             |  FROM regs GROUP BY t, src),
+             |ex AS (SELECT t, src, count(*) AS exact_ball FROM reach
+             |  WHERE t >= 1 GROUP BY t, src)
+             |SELECT est.t, est.src // 10000000 AS tpe,
+             |  CAST(count(*) AS BIGINT) AS nodes,
+             |  CAST(sum(est_ball) AS BIGINT) AS nf_est,
+             |  CAST(sum(exact_ball) AS BIGINT) AS nf_exact,
+             |  CAST(abs(sum(est_ball) - sum(exact_ball)) * 10000
+             |    // sum(exact_ball) AS BIGINT) AS err_bp
+             |FROM est JOIN ex ON est.t = ex.t AND est.src = ex.src
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** Planted-community graph for x06: parts grouped into ~10-member
