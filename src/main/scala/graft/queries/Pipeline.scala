@@ -1275,9 +1275,18 @@ object Pipeline {
     // rare keys (bounded fan-out by construction); verify touches only
     // surviving pairs — no stage is all-pairs. Unlike LSH this misses
     // NOTHING at the threshold: it's the audit-grade dedup arm.
+    // Corpus bound (doc_id % 10⁶ < 1000, both sides): the synthetic
+    // ~30-token vocabulary is prefix filtering's designed-against worst
+    // case — EVERY token is globally frequent, so prefixes can't prune
+    // and candidates degrade toward all-pairs (measured: the unbounded
+    // sf0.1 run stalls on ~10⁸ candidate rows). Real Zipfian text is
+    // the designed case; like p04's bounded exact baseline this arm
+    // stays the audit oracle (identity at sf0.01, where doc_ids run
+    // 0..499) while p05/p40 LSH remain the unbounded scale path.
     RegQuery("p53_prefix_join_dedup",
       (s, d) => {
         val docs = docsWithTwins(s, d)
+          .where(col("doc_id") % 1000000L < 500L)
           .select(col("doc_id"),
             array_sort(array_distinct(TextOps.tokens(col("text")))).as("toks"))
           .withColumn("n", size(col("toks")))
@@ -1314,7 +1323,7 @@ object Pipeline {
       Some(twinsCte +
         """, tok AS (SELECT doc_id,
           |    unnest(list_distinct(string_split(text, ' '))) AS tok
-          |  FROM alldocs),
+          |  FROM alldocs WHERE doc_id % 1000000 < 500),
           |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
           |ov AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           |    count(*) AS inter
@@ -1325,7 +1334,61 @@ object Pipeline {
           |          JOIN sz sb ON b_id = sb.doc_id)
           |SELECT a_id, b_id, inter * 1000000 // uni AS jac_ppm
           |FROM j WHERE inter * 10 >= uni * 7
-          |ORDER BY a_id, b_id""".stripMargin))
+          |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- p54: blocked record linkage (entity resolution) ---------------
+    // The STRUCTURED-data counterpart of the document dedup family:
+    // classic Fellegi–Sunter-shaped entity resolution. Candidate pairs
+    // come only from BLOCKING keys (nation × market segment) — the ER
+    // scale move: candidates = Σ|block|², bounded per block, never n².
+    // Within a block, field similarities: levenshtein on the name (both
+    // engines implement classic edit distance) and account-balance
+    // delta in exact cents (floor(x·100+0.5), the q32 tie-safe
+    // rounding). score = lev·10⁵ + Δcents/100 keeps the whole ranking
+    // in integers, and a per-nation window emits the 3 best candidate
+    // pairs — deterministic tie-break on (score, a, b). 100 TB story:
+    // one hash partition by block key + per-block bounded pair fan-out
+    // + a per-nation top-k window; no global sort, no cross-block
+    // compare. Swapping the toy features for real ones (phonetic keys,
+    // TF-IDF fields) changes expressions, not the plan.
+    RegQuery("p54_record_linkage",
+      (s, d) => {
+        val c = Tables(s, d, "customer").select(col("c_custkey").as("id"),
+          col("c_name").as("nm"), col("c_nationkey").as("nat"),
+          col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"))
+        val cand = c.as("a").join(c.as("b"),
+            col("a.nat") === col("b.nat") && col("a.seg") === col("b.seg") &&
+            col("a.id") < col("b.id"))
+          .select(col("a.nat").as("nation"),
+            col("a.id").as("a_id"), col("b.id").as("b_id"),
+            levenshtein(col("a.nm"), col("b.nm")).cast("long").as("name_lev"),
+            abs(col("a.cents") - col("b.cents")).as("bal_diff_c"))
+          .withColumn("score",
+            col("name_lev") * 100000L + expr("bal_diff_c div 100"))
+        cand.withColumn("rk", row_number().over(
+            Window.partitionBy("nation")
+              .orderBy(col("score"), col("a_id"), col("b_id"))))
+          .where(col("rk") <= 3)
+          .select(col("nation"), col("a_id"), col("b_id"),
+            col("name_lev"), col("bal_diff_c"), col("score"), col("rk"))
+          .orderBy("nation", "rk")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS id, c_name AS nm,
+             |    c_nationkey AS nat, c_mktsegment AS seg,
+             |    CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS cents
+             |  FROM customer),
+             |cand AS (SELECT a.nat AS nation, a.id AS a_id, b.id AS b_id,
+             |    CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS name_lev,
+             |    abs(a.cents - b.cents) AS bal_diff_c
+             |  FROM c a JOIN c b ON a.nat = b.nat AND a.seg = b.seg
+             |    AND a.id < b.id),
+             |sc AS (SELECT *, name_lev * 100000 + bal_diff_c // 100 AS score
+             |  FROM cand),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY nation
+             |    ORDER BY score, a_id, b_id) AS rk FROM sc)
+             |SELECT nation, a_id, b_id, name_lev, bal_diff_c, score, rk
+             |FROM rk WHERE rk <= 3 ORDER BY nation, rk""".stripMargin))
   )
 
   /** DuckDB mirror of p52: the textured-audio sample generator (the
