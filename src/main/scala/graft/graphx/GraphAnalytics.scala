@@ -791,6 +791,55 @@ object GraphAnalytics {
       .select(col("u").as("v"), col("core_deg"))
   }
 
+  /** Bounded-round k-truss peel (Cohen 2008): the EDGE-cohesion analog
+    * of [[kCore]] — repeatedly drop edges supported by fewer than k-2
+    * triangles, support recomputed synchronously each round. Fixed
+    * `rounds` instead of a fixpoint (the x16 determinization move): a
+    * bounded peel is exactly expressible as chained CTEs in the DuckDB
+    * oracle, while a true fixpoint would need aggregates inside
+    * recursion. Returns surviving canonical edges with their FINAL
+    * support (0-support survivors kept — they peeled below threshold
+    * only after the cutoff round).
+    *
+    * Round shape: one wedge self-join on the canonical (p1 < p2) edge
+    * list + one broadcast semi-probe for the closing edge + one
+    * per-edge corner explode/count — all equi-joins on the shrinking
+    * edge set, localCheckpointed per round like the kCore loop. At
+    * wedge volumes where the canonical orientation skews (hub
+    * vertices), swap in triangleCounts' degree-ordered orientation;
+    * the peel semantics don't change. */
+  def trussPeel(pairs0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    def support(edges: DataFrame): DataFrame = {
+      val tri = edges.select(col("p1").as("a"), col("p2").as("b"))
+        .join(edges.select(col("p1").as("a"), col("p2").as("c")), "a")
+        .where(col("b") < col("c"))
+        .join(broadcast(edges.select(col("p1").as("b"), col("p2").as("c"))),
+          Seq("b", "c"), "left_semi")
+      // one pass: each triangle charges its three edges in place (the
+      // triangleCounts corner-explode lesson — union'd selects re-run
+      // the wedge join per branch)
+      tri.select(explode(array(
+          struct(col("a").as("p1"), col("b").as("p2")),
+          struct(col("a").as("p1"), col("c").as("p2")),
+          struct(col("b").as("p1"), col("c").as("p2")))).as("e"))
+        .select(col("e.p1"), col("e.p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("sup"))
+    }
+    var edges = pairs0.select(col("p1"), col("p2")).distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      edges = edges
+        .join(support(edges), Seq("p1", "p2"), "left")
+        .na.fill(0L, Seq("sup"))
+        .where(col("sup") >= k - 2)
+        .select("p1", "p2")
+        .localCheckpoint()
+    }
+    edges.join(support(edges), Seq("p1", "p2"), "left")
+      .na.fill(0L, Seq("sup"))
+  }
+
   /** Deterministic synchronous label propagation (Raghavan et al. 2007)
     * over an undirected pair list [p1, p2]: every vertex starts as its
     * own label; each round it adopts the most frequent label among its

@@ -795,7 +795,67 @@ object GraphXQueries {
              |  CAST(abs(sum(est_ball) - sum(exact_ball)) * 10000
              |    // sum(exact_ball) AS BIGINT) AS err_bp
              |FROM est JOIN ex ON est.t = ex.t AND est.src = ex.src
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // bounded-round k-truss (k=4, 3 peel rounds) on the co-purchase
+    // graph: the edge-cohesion completion of the x04/x05 family —
+    // vertices have cores, edges have trusses. Synchronous support
+    // recompute per round; 3 fixed rounds so the whole peel unrolls as
+    // chained CTEs in DuckDB (aggregates can't live inside recursion)
+    // and the final support histogram hash-matches to the row. Output
+    // keeps 0-support survivors (peeled below threshold only after the
+    // cutoff) — the left-join-fill-0 on BOTH sides is part of the
+    // contract.
+    RegQuery("x18_ktruss",
+      (s, d) => GraphAnalytics.trussPeel(coPurchasePairs(s, d), k = 4,
+          rounds = 3)
+        .groupBy("sup").agg(count(lit(1)).as("n_edges"))
+        .orderBy("sup"),
+      Some("""WITH pp AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS p1,
+             |    b.l_partkey AS p2
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |t0 AS MATERIALIZED (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+             |  FROM pp e1 JOIN pp e2 ON e1.p1 = e2.p1 AND e1.p2 < e2.p2
+             |  JOIN pp e3 ON e3.p1 = e1.p2 AND e3.p2 = e2.p2),
+             |s0 AS MATERIALIZED (SELECT p1, p2, count(*) AS sup FROM (
+             |    SELECT a AS p1, b AS p2 FROM t0
+             |    UNION ALL SELECT a, c FROM t0
+             |    UNION ALL SELECT b, c FROM t0) GROUP BY 1, 2),
+             |e1 AS MATERIALIZED (SELECT pp.p1, pp.p2 FROM pp
+             |  LEFT JOIN s0 ON s0.p1 = pp.p1 AND s0.p2 = pp.p2
+             |  WHERE coalesce(s0.sup, 0) >= 2),
+             |t1 AS MATERIALIZED (SELECT x1.p1 AS a, x1.p2 AS b, x2.p2 AS c
+             |  FROM e1 x1 JOIN e1 x2 ON x1.p1 = x2.p1 AND x1.p2 < x2.p2
+             |  JOIN e1 x3 ON x3.p1 = x1.p2 AND x3.p2 = x2.p2),
+             |s1 AS MATERIALIZED (SELECT p1, p2, count(*) AS sup FROM (
+             |    SELECT a AS p1, b AS p2 FROM t1
+             |    UNION ALL SELECT a, c FROM t1
+             |    UNION ALL SELECT b, c FROM t1) GROUP BY 1, 2),
+             |e2 AS MATERIALIZED (SELECT e1.p1, e1.p2 FROM e1
+             |  LEFT JOIN s1 ON s1.p1 = e1.p1 AND s1.p2 = e1.p2
+             |  WHERE coalesce(s1.sup, 0) >= 2),
+             |t2 AS MATERIALIZED (SELECT x1.p1 AS a, x1.p2 AS b, x2.p2 AS c
+             |  FROM e2 x1 JOIN e2 x2 ON x1.p1 = x2.p1 AND x1.p2 < x2.p2
+             |  JOIN e2 x3 ON x3.p1 = x1.p2 AND x3.p2 = x2.p2),
+             |s2 AS MATERIALIZED (SELECT p1, p2, count(*) AS sup FROM (
+             |    SELECT a AS p1, b AS p2 FROM t2
+             |    UNION ALL SELECT a, c FROM t2
+             |    UNION ALL SELECT b, c FROM t2) GROUP BY 1, 2),
+             |e3 AS MATERIALIZED (SELECT e2.p1, e2.p2 FROM e2
+             |  LEFT JOIN s2 ON s2.p1 = e2.p1 AND s2.p2 = e2.p2
+             |  WHERE coalesce(s2.sup, 0) >= 2),
+             |t3 AS MATERIALIZED (SELECT x1.p1 AS a, x1.p2 AS b, x2.p2 AS c
+             |  FROM e3 x1 JOIN e3 x2 ON x1.p1 = x2.p1 AND x1.p2 < x2.p2
+             |  JOIN e3 x3 ON x3.p1 = x1.p2 AND x3.p2 = x2.p2),
+             |s3 AS MATERIALIZED (SELECT p1, p2, count(*) AS sup FROM (
+             |    SELECT a AS p1, b AS p2 FROM t3
+             |    UNION ALL SELECT a, c FROM t3
+             |    UNION ALL SELECT b, c FROM t3) GROUP BY 1, 2)
+             |SELECT coalesce(s3.sup, 0) AS sup,
+             |  CAST(count(*) AS BIGINT) AS n_edges
+             |FROM e3 LEFT JOIN s3 ON s3.p1 = e3.p1 AND s3.p2 = e3.p2
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Planted-community graph for x06: parts grouped into ~10-member
