@@ -691,7 +691,12 @@ object GraphAnalytics {
     * two shuffles (GraphX's TriangleCount ships whole adjacency sets
     * out of Tungsten and measured 10× slower here). Returns [v, n_tri]
     * for vertices in ≥1 triangle (each triangle at all 3 corners). */
-  def triangleCounts(pairs0: DataFrame): DataFrame = {
+  /** Exact triangle list [a, b, c] (a = the lowest-degree corner; each
+    * triangle exactly once) — the degree-ordered wedge join + packed-key
+    * broadcast closing probe. Shared by [[triangleCounts]] (corner
+    * counts) and [[trussPeel]] (per-edge support), so the measured
+    * orientation/probe wins apply to every consumer. */
+  private def triangleList(pairs0: DataFrame): DataFrame = {
     // checkpoint: the pair list feeds degree agg + both wedge sides +
     // the closing probe — inlined it would recompute 4×
     val pairs = pairs0.localCheckpoint()
@@ -746,12 +751,16 @@ object GraphAnalytics {
       wedges.join(broadcast(dpp.select(col("s").as("b"), col("t").as("c"))),
         Seq("b", "c"), "left_semi")
     }).select(col("s").as("a"), col("b"), col("c"))
+    tri
+  }
+
+  def triangleCounts(pairs0: DataFrame): DataFrame =
     // ONE pass over the triangle list: corners explode in place — a
     // union of three selects would re-run the wedge joins per branch
     // (measured 3×; DataFrame plans don't share common subtrees)
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+    triangleList(pairs0)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_tri"))
-  }
 
   /** k-core decomposition (undirected): iteratively peel vertices of
     * degree < k until the residual graph is stable; returns the core's
@@ -801,31 +810,28 @@ object GraphAnalytics {
     * support (0-support survivors kept — they peeled below threshold
     * only after the cutoff round).
     *
-    * Round shape: one wedge self-join on the canonical (p1 < p2) edge
-    * list + one broadcast semi-probe for the closing edge + one
-    * per-edge corner explode/count — all equi-joins on the shrinking
-    * edge set, localCheckpointed per round like the kCore loop. At
-    * wedge volumes where the canonical orientation skews (hub
-    * vertices), swap in triangleCounts' degree-ordered orientation;
-    * the peel semantics don't change. */
+    * Round shape: [[triangleList]]'s degree-ordered wedge join +
+    * packed-key broadcast closing probe (the x04-measured orientation —
+    * a canonical p1<p2 wedge measured ~1.4× slower over the four
+    * passes: low-id hubs explode its out-degrees) + one per-edge
+    * corner explode/count — all equi-joins on the shrinking edge set,
+    * localCheckpointed per round like the kCore loop. */
   def trussPeel(pairs0: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
-    def support(edges: DataFrame): DataFrame = {
-      val tri = edges.select(col("p1").as("a"), col("p2").as("b"))
-        .join(edges.select(col("p1").as("a"), col("p2").as("c")), "a")
-        .where(col("b") < col("c"))
-        .join(broadcast(edges.select(col("p1").as("b"), col("p2").as("c"))),
-          Seq("b", "c"), "left_semi")
-      // one pass: each triangle charges its three edges in place (the
-      // triangleCounts corner-explode lesson — union'd selects re-run
-      // the wedge join per branch)
-      tri.select(explode(array(
-          struct(col("a").as("p1"), col("b").as("p2")),
-          struct(col("a").as("p1"), col("c").as("p2")),
-          struct(col("b").as("p1"), col("c").as("p2")))).as("e"))
+    def support(edges: DataFrame): DataFrame =
+      // one pass: each triangle charges its three edges in CANONICAL
+      // (p1 < p2) form, whatever corner order the degree-oriented list
+      // emitted (the triangleCounts corner-explode lesson — union'd
+      // selects re-run the wedge join per branch)
+      triangleList(edges).select(explode(array(
+          struct(least(col("a"), col("b")).as("p1"),
+            greatest(col("a"), col("b")).as("p2")),
+          struct(least(col("a"), col("c")).as("p1"),
+            greatest(col("a"), col("c")).as("p2")),
+          struct(least(col("b"), col("c")).as("p1"),
+            greatest(col("b"), col("c")).as("p2")))).as("e"))
         .select(col("e.p1"), col("e.p2"))
         .groupBy("p1", "p2").agg(count(lit(1)).as("sup"))
-    }
     var edges = pairs0.select(col("p1"), col("p2")).distinct()
       .localCheckpoint()
     for (_ <- 1 to rounds) {

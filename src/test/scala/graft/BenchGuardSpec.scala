@@ -71,7 +71,12 @@ class BenchGuardSpec extends SparkSpec {
     // degrades toward all-pairs (the unbounded sf0.1 run stalled on
     // ~1e8 candidate rows before the cap landed, i.e. minutes, so the
     // loose limit still trips on the guarded failure)
-    ("p53_prefix_join_dedup", 15.0))
+    ("p53_prefix_join_dedup", 15.0),
+    // x18 baseline ~4 s at sf0.01 (4 degree-ordered wedge passes over
+    // the peeling edge set): a trip means a lost per-round
+    // localCheckpoint (rounds re-inline — the x05 failure mode) or the
+    // closing probe fell back to an exchange per round
+    ("x18_ktruss", 15.0))
 
   guards.foreach { case (name, limitSec) =>
     test(s"$name stays under ${limitSec}s (3x committed time)") {
