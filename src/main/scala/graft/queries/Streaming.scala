@@ -675,7 +675,50 @@ object Streaming {
              |SELECT est.source, est, exact,
              |  CAST(abs(est - exact) * 10000 // exact AS BIGINT) AS err_bp
              |FROM est JOIN ex ON est.source = ex.source
-             |ORDER BY est.source""".stripMargin))
+             |ORDER BY est.source""".stripMargin)),
+
+    // ---- s14: streaming blocked record linkage -------------------------
+    // p54's entity resolution as a CONTINUOUS operator: per-block member
+    // lists in mapGroups state, each arriving customer compared against
+    // the members already seen, link pairs (levenshtein ≤ 2 within the
+    // nation×segment block) emitted exactly once — when the later
+    // member arrives. The emitted SET is invariant under micro-batch
+    // split, so the drained sink hash-matches the batch blocked join in
+    // DuckDB — a streaming JOIN checked by a batch oracle, the s11/s12
+    // order-independence property applied to ER. Unlike batch p54 (re-
+    // links the world each run), the stream links each NEW record in
+    // O(|block|) — the production shape for continuous ingest.
+    RegQuery("s14_stream_linkage",
+      (s, d) => {
+        import s.implicits._
+        val q = withStatePartitions(s, 8) {
+          streamCustomers(s, d)
+            .select(concat_ws("|", col("c_nationkey"),
+                col("c_mktsegment")).as("blk"),
+              col("c_custkey").as("id"), col("c_name").as("nm"),
+              floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"))
+            .as[Streams.CustRow]
+            .transform(Streams.linkPairs(_, tau = 2L))
+            .writeStream.format("memory").queryName("s14_sink")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination()
+        s.table("s14_sink")
+          .select(split(col("blk"), "\\|")(0).cast("int").as("nation"),
+            col("a_id"), col("b_id"), col("name_lev"), col("bal_diff_c"))
+          .orderBy("nation", "a_id", "b_id")
+      },
+      Some("""SELECT a.c_nationkey AS nation, a.c_custkey AS a_id,
+             |  b.c_custkey AS b_id,
+             |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_lev,
+             |  abs(CAST(floor(a.c_acctbal*100+0.5) AS BIGINT)
+             |    - CAST(floor(b.c_acctbal*100+0.5) AS BIGINT)) AS bal_diff_c
+             |FROM customer a JOIN customer b
+             |  ON a.c_nationkey = b.c_nationkey
+             |  AND a.c_mktsegment = b.c_mktsegment
+             |  AND a.c_custkey < b.c_custkey
+             |WHERE levenshtein(a.c_name, b.c_name) <= 2
+             |ORDER BY nation, a_id, b_id""".stripMargin))
   )
 
   private val docsSchema = StructType(Seq(
@@ -687,4 +730,14 @@ object Streaming {
   private def streamDocs(s: SparkSession, dir: String): DataFrame =
     s.readStream.schema(docsSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
+
+  private val customerSchema = StructType(Seq(
+    StructField("c_custkey", LongType), StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  private def streamCustomers(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(customerSchema)
+      .option("pathGlobFilter", "customer.parquet").parquet(dir)
 }

@@ -237,6 +237,67 @@ object Streams {
       }
   }
 
+  // --- streaming blocked record linkage (s14) --------------------------
+
+  case class CustRow(blk: String, id: Long, nm: String, cents: Long)
+  case class LinkPair(blk: String, a_id: Long, b_id: Long, name_lev: Long,
+                      bal_diff_c: Long)
+
+  /** p54's blocked entity resolution maintained BY the stream: the
+    * block's member list is the state; each arriving record compares
+    * against every member already seen (plus earlier rows of its own
+    * batch) and emits link pairs under the edit-distance threshold. A
+    * pair is emitted exactly once — when the LATER of its two members
+    * arrives — so the drained sink is SET-equal to the batch blocked
+    * join under any micro-batch split and fully oracle-checkable
+    * (the s11/s12 order-independence property applied to joins).
+    * State is the block's member list, bounded by blocking-key design —
+    * the same contract that bounds the batch p54's per-block pair
+    * count; a block key too coarse to bound members is an ER modeling
+    * bug, not a streaming one. */
+  def linkPairs(rows: Dataset[CustRow], tau: Long): Dataset[LinkPair] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.blk)
+      .flatMapGroupsWithState[List[CustRow], LinkPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (blk, batch0, state: GroupState[List[CustRow]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[LinkPair]
+          // in-batch order is irrelevant to the emitted SET (every
+          // unordered pair meets exactly once either way); sort only to
+          // make per-row emission order stable for debugging
+          batch0.toList.sortBy(_.id).foreach { r =>
+            seen.iterator.filter(_.id != r.id).foreach { m =>
+              val lev = editDistance(m.nm, r.nm)
+              if (lev <= tau) {
+                val (a, b) = if (m.id < r.id) (m, r) else (r, m)
+                out += LinkPair(blk, a.id, b.id, lev,
+                  math.abs(a.cents - b.cents))
+              }
+            }
+            seen = r :: seen
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
+  /** Classic unit-cost Levenshtein DP (two-row), matching Spark's and
+    * DuckDB's `levenshtein` exactly — the state processor runs plain
+    * JVM code, so the SQL function isn't reachable from here. */
+  private[streaming] def editDistance(a: String, b: String): Long = {
+    var prev = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      val cur = new Array[Int](b.length + 1)
+      cur(0) = i
+      for (j <- 1 to b.length)
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+          prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      prev = cur
+    }
+    prev(b.length).toLong
+  }
+
   // --- streaming cardinality estimation (s13) --------------------------
 
   case class RegHash(source: String, reg: Int, rho: Int)

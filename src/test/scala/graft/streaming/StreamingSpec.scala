@@ -322,4 +322,46 @@ class StreamingSpec extends SparkSpec {
     assert(fin("a").n_seen == 5 && fin("b").n_seen == 2)
     assert(fin("b").regs(63) == 2 && fin("b").regs.sum == 2)
   }
+
+  test("streaming linkage: pair set invariant under adversarial split") {
+    import graft.streaming.Streams.{CustRow, LinkPair}
+    implicit val sqlCtx = spark.sqlContext
+    // names chosen so every unordered pair's distance is known:
+    // aaa~aab=1, aaa~abb=2, aab~abb=1, aaa~zzz=3 (excluded), and a
+    // second block that must never cross-link. Arrival is adversarial:
+    // later-id rows first, linked members split across three batches.
+    val rows = Seq(
+      CustRow("blk1", 5L, "abb", 300L), CustRow("blk2", 9L, "aaa", 50L),
+      CustRow("blk1", 1L, "aaa", 100L), CustRow("blk1", 7L, "zzz", 100L),
+      CustRow("blk1", 3L, "aab", 250L), CustRow("blk2", 2L, "aac", 70L))
+    val src = MemoryStream[CustRow]
+    val q = Streams.linkPairs(src.toDS(), tau = 2L)
+      .writeStream.format("memory").queryName("t_link")
+      .outputMode(OutputMode.Append()).start()
+    src.addData(rows(0), rows(1)); q.processAllAvailable()
+    src.addData(rows(2), rows(3)); q.processAllAvailable()
+    src.addData(rows(4), rows(5)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_link").as[LinkPair].collect()
+      .map(p => (p.blk, p.a_id, p.b_id, p.name_lev, p.bal_diff_c)).toSet
+    // the batch blocked join over the same rows, computed by hand
+    assert(got == Set(
+      ("blk1", 1L, 5L, 2L, 200L), ("blk1", 1L, 3L, 1L, 150L),
+      ("blk1", 3L, 5L, 1L, 50L), ("blk2", 2L, 9L, 1L, 20L)), got.toString)
+  }
+
+  test("editDistance matches Spark's levenshtein on random strings") {
+    import graft.streaming.Streams
+    val rnd = new scala.util.Random(42)
+    val strs = Seq.fill(40)(rnd.alphanumeric.take(rnd.nextInt(12)).mkString)
+    val pairs = strs.zip(strs.reverse) ++ Seq(("", ""), ("", "abc"),
+      ("Customer#000000001", "Customer#000000010"))
+    val rows = pairs.map { case (a, b) => (a, b) }
+    val sparkLev = rows.toDF("a", "b")
+      .select(levenshtein(col("a"), col("b")).cast("long")).as[Long]
+      .collect()
+    rows.zip(sparkLev).foreach { case ((a, b), exp) =>
+      assert(Streams.editDistance(a, b) == exp, s"'$a' vs '$b'")
+    }
+  }
 }
