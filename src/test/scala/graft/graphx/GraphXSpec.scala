@@ -490,4 +490,58 @@ class GraphXSpec extends SparkSpec {
       spark.conf.unset("spark.graft.bc.localEdgeThreshold")
     }
   }
+
+  test("trussPeel: K4's 4-truss survives, a pendant triangle peels") {
+    import spark.implicits._
+    // K4 on 1-4 (every edge in 2 triangles) + triangle 4-5-6 hanging
+    // off it (each of its edges in exactly 1) + pendant 6-7 (0).
+    // k=4 (support >= 2): round 1 drops the 4-5-6 triangle's edges and
+    // the pendant; K4's edges keep support 2 against each other and
+    // survive every later round. Final support must be RECOMPUTED on
+    // the survivor set (still 2 — K4 is edge-self-sufficient).
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)).toDF("p1", "p2")
+    val got = GraphAnalytics.trussPeel(pairs, k = 4, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    assert(got.keySet == k4.toSet, got.toString)
+    assert(got.values.forall(_ == 2L), got.toString)
+  }
+
+  test("trussPeel: 0-support survivors of the cutoff round are kept") {
+    import spark.implicits._
+    // one triangle, k=3 (support >= 1): nothing ever peels, and with
+    // rounds=1 the final support recompute still sees the triangle
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("p1", "p2")
+    val got = GraphAnalytics.trussPeel(pairs, k = 3, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 1L),
+      got.toString)
+  }
+
+  test("hyperBall: exact balls on a directed chain, estimates monotone") {
+    import spark.implicits._
+    // chain 1→2→3→4: ball_t(v) grows down the chain and saturates at
+    // the tail. exact_ball is fully hand-checkable; est_ball is the
+    // q48 integer estimator — deterministic, positive, and monotone
+    // non-decreasing in t per vertex (register maxima only grow).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val rows = GraphAnalytics.hyperBall(edges, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val exact = Map(
+      (1, 1L) -> 2L, (1, 2L) -> 2L, (1, 3L) -> 2L, (1, 4L) -> 1L,
+      (2, 1L) -> 3L, (2, 2L) -> 3L, (2, 3L) -> 2L, (2, 4L) -> 1L,
+      (3, 1L) -> 4L, (3, 2L) -> 3L, (3, 3L) -> 2L, (3, 4L) -> 1L)
+    exact.foreach { case (k, ex) =>
+      assert(rows(k)._2 == ex, s"exact ball $k: ${rows(k)._2} != $ex")
+    }
+    for (v <- 1L to 4L; t <- 2 to 3)
+      assert(rows((t, v))._1 >= rows((t - 1, v))._1,
+        s"est ball shrank at t=$t v=$v")
+    assert(rows.values.forall(_._1 > 0L))
+  }
 }
