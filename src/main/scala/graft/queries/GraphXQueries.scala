@@ -855,7 +855,53 @@ object GraphXQueries {
              |SELECT coalesce(s3.sup, 0) AS sup,
              |  CAST(count(*) AS BIGINT) AS n_edges
              |FROM e3 LEFT JOIN s3 ON s3.p1 = e3.p1 AND s3.p2 = e3.p2
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // degree assortativity (Newman 2002) of the co-purchase graph —
+    // THE one-number summary of whether hubs attach to hubs. On the
+    // doubled (both-directions) edge list Σj = Σk and Σj² = Σk², so
+    // Pearson r over endpoint degrees reduces to
+    //   r = (M·Σjk − Σj·Σk) / (M·Σj² − (Σj)²)
+    // — every term exact integer arithmetic (no sqrt, no float),
+    // emitted in ppm by truncating integer division (Spark `div` and
+    // DuckDB `//` both truncate toward zero on negatives — checked, r
+    // IS negative here), so the statistic hash-matches DuckDB exactly.
+    // The ppm scaling runs in DECIMAL(38,0) / HUGEINT: M·Σjk·10⁶
+    // overflows int64 already at sf0.1 (~6·10²³ at 10⁹ edges — 38
+    // digits hold to ~10³⁷). One degree aggregate + one join + one
+    // global aggregate; the single-row result makes the final exchange
+    // free.
+    RegQuery("x19_assortativity",
+      (s, d) => {
+        val pairs = coPurchasePairs(s, d)
+        val e = pairs.select(col("p1").as("u"), col("p2").as("v"))
+          .unionAll(pairs.select(col("p2").as("u"), col("p1").as("v")))
+        val deg = e.groupBy("u").agg(count(lit(1)).as("dg"))
+        e.join(deg, "u")
+          .join(deg.select(col("u").as("v"), col("dg").as("dk")), "v")
+          .agg(count(lit(1)).as("m"), sum(col("dg") * col("dk")).as("sjk"),
+            sum("dg").as("sj"), sum(col("dg") * col("dg")).as("sjj"))
+          .select(col("m"),
+            expr("cast((cast(m as decimal(38,0)) * sjk - " +
+              "cast(sj as decimal(38,0)) * sj) * 1000000 div " +
+              "(cast(m as decimal(38,0)) * sjj - " +
+              "cast(sj as decimal(38,0)) * sj) as bigint)").as("r_ppm"))
+      },
+      Some("""WITH pp AS (SELECT DISTINCT a.l_partkey AS p1,
+             |    b.l_partkey AS p2
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |e AS (SELECT p1 AS u, p2 AS v FROM pp
+             |  UNION ALL SELECT p2, p1 FROM pp),
+             |deg AS (SELECT u, count(*) AS dg FROM e GROUP BY u),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             |    CAST(sum(du.dg * dv.dg) AS BIGINT) AS sjk,
+             |    CAST(sum(du.dg) AS BIGINT) AS sj,
+             |    CAST(sum(du.dg * du.dg) AS BIGINT) AS sjj
+             |  FROM e JOIN deg du ON e.u = du.u JOIN deg dv ON e.v = dv.u)
+             |SELECT m, CAST((CAST(m AS HUGEINT) * sjk - CAST(sj AS HUGEINT) * sj)
+             |  * 1000000 // (CAST(m AS HUGEINT) * sjj
+             |  - CAST(sj AS HUGEINT) * sj) AS BIGINT) AS r_ppm FROM t""".stripMargin))
   )
 
   /** Planted-community graph for x06: parts grouped into ~10-member
