@@ -901,7 +901,177 @@ object GraphXQueries {
              |  FROM e JOIN deg du ON e.u = du.u JOIN deg dv ON e.v = dv.u)
              |SELECT m, CAST((CAST(m AS HUGEINT) * sjk - CAST(sj AS HUGEINT) * sj)
              |  * 1000000 // (CAST(m AS HUGEINT) * sjj
-             |  - CAST(sj AS HUGEINT) * sj) AS BIGINT) AS r_ppm FROM t""".stripMargin))
+             |  - CAST(sj AS HUGEINT) * sj) AS BIGINT) AS r_ppm FROM t""".stripMargin)),
+
+    // butterfly (2×2-biclique) counting on the natural customer–part
+    // bipartite graph (Sanei-Mehri et al. 2018): a butterfly is two
+    // customers sharing two parts — the bipartite analog of the
+    // triangle, and the standard cohesion primitive for bipartite
+    // networks. Exact per-wedge enumeration: each customer's distinct
+    // part set fans out in-row to part PAIRS (the coPurchasePairs
+    // explode — bounded by per-customer activity, never a self-join),
+    // then one hash aggregate per (p1, p2) wedge endpoint and
+    // Σ C(w, 2) counts each butterfly exactly once (w customers on the
+    // same part pair choose 2). At 100 TB the wedge volume is
+    // Σ_c C(parts(c), 2) — bounded by per-key activity like the LSH
+    // bucket caps; a pathological key would take the p43 bucket-cap
+    // treatment. Single-row output, integer-exact.
+    RegQuery("x20_butterflies",
+      (s, d) => {
+        val cp = graft.Tables(s, d, "orders")
+          .join(graft.Tables(s, d, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey"), col("l_partkey")).distinct()
+        val wedges = cp.groupBy("o_custkey")
+          .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+          .select(explode(flatten(transform(col("ps"), (a, i) =>
+            transform(slice(col("ps"), i + 2, size(col("ps"))), b =>
+              struct(a.as("p1"), b.as("p2")))))).as("e"))
+          .select(col("e.p1").as("p1"), col("e.p2").as("p2"))
+        wedges.groupBy("p1", "p2").agg(count(lit(1)).as("w"))
+          .agg(sum("w").as("n_wedges"),
+            sum(expr("w * (w - 1) div 2")).as("n_butterflies"),
+            count(lit(1)).as("n_pairs"))
+      },
+      Some("""WITH cp AS (SELECT DISTINCT o_custkey, l_partkey
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |wj AS (SELECT a.o_custkey, a.l_partkey AS p1,
+             |    b.l_partkey AS p2
+             |  FROM cp a JOIN cp b ON a.o_custkey = b.o_custkey
+             |    AND a.l_partkey < b.l_partkey),
+             |wc AS (SELECT p1, p2, CAST(count(*) AS BIGINT) AS w
+             |  FROM wj GROUP BY p1, p2)
+             |SELECT CAST(sum(w) AS BIGINT) AS n_wedges,
+             |  CAST(sum(w * (w - 1) // 2) AS BIGINT) AS n_butterflies,
+             |  CAST(count(*) AS BIGINT) AS n_pairs FROM wc""".stripMargin)),
+
+    // rich-club coefficient (Colizza et al. 2006) of the co-purchase
+    // graph: for each degree cutoff k, the density φ(k) of the subgraph
+    // induced by nodes with degree > k — rising φ(k) means hubs
+    // preferentially interlink (the "rich club"); the companion
+    // statistic to x19's assortativity. One degree aggregate, one
+    // two-sided degree join on the edge list, then a 6-row cutoff grid
+    // fans out IN-ROW (broadcast-free: the grid is an array literal) —
+    // per-k membership is a filter, never a per-k pass over the data.
+    // Integer-exact: φ in ppm by truncating division; N_k < 2 emits
+    // NULL rather than dividing by zero.
+    RegQuery("x21_rich_club",
+      (s, d) => {
+        val pairs = coPurchasePairs(s, d).localCheckpoint()
+        val deg = pairs.select(col("p1").as("v"))
+          .unionAll(pairs.select(col("p2").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("dg"))
+        val ks = array((Seq(1, 2, 4, 8, 16, 32)).map(lit): _*)
+        val nk = deg.select(explode(ks).as("k"), col("dg"))
+          .where(col("dg") > col("k"))
+          .groupBy("k").agg(count(lit(1)).as("n_k"))
+        val ek = pairs
+          .join(deg.select(col("v").as("p1"), col("dg").as("d1")), "p1")
+          .join(deg.select(col("v").as("p2"), col("dg").as("d2")), "p2")
+          .select(explode(ks).as("k"), col("d1"), col("d2"))
+          .where(col("d1") > col("k") && col("d2") > col("k"))
+          .groupBy("k").agg(count(lit(1)).as("e_k"))
+        nk.join(ek, Seq("k"), "left")
+          .select(col("k"), col("n_k"),
+            coalesce(col("e_k"), lit(0L)).as("e_k"),
+            when(col("n_k") >= 2,
+              expr("2 * coalesce(e_k, 0) * 1000000 div (n_k * (n_k - 1))"))
+              .as("phi_ppm"))
+          .orderBy("k")
+      },
+      Some("""WITH pp AS (SELECT DISTINCT a.l_partkey AS p1,
+             |    b.l_partkey AS p2
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS dg FROM (
+             |    SELECT p1 AS v FROM pp UNION ALL SELECT p2 FROM pp)
+             |  GROUP BY v),
+             |ks AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k),
+             |nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_k
+             |  FROM deg, ks WHERE dg > k GROUP BY k),
+             |ek AS (SELECT k, CAST(count(*) AS BIGINT) AS e_k
+             |  FROM pp JOIN deg du ON pp.p1 = du.v
+             |    JOIN deg dv ON pp.p2 = dv.v, ks
+             |  WHERE du.dg > k AND dv.dg > k GROUP BY k)
+             |SELECT nk.k, nk.n_k, coalesce(ek.e_k, 0) AS e_k,
+             |  CASE WHEN nk.n_k >= 2 THEN
+             |    2 * coalesce(ek.e_k, 0) * 1000000 // (nk.n_k * (nk.n_k - 1))
+             |  END AS phi_ppm
+             |FROM nk LEFT JOIN ek ON nk.k = ek.k ORDER BY nk.k""".stripMargin)),
+
+    // modularity (Newman-Girvan) of the PLANTED partition on the
+    // brand-clique-chain graph — the ground-truth companion to x06's
+    // recovered labels: Q = Σ_c [e_c/m − (d_c/2m)²], computed as the
+    // single exact fraction (Σ_c 4m·e_c − d_c²) / 4m² and emitted in
+    // ppm (DECIMAL(38,0)/HUGEINT, the x19 overflow discipline). One
+    // membership join per edge endpoint (broadcast at bench SF — the
+    // membership frame is one row per part), one within-community edge
+    // count, one degree-mass aggregate per community — two shuffles
+    // total, single-row output.
+    RegQuery("x22_modularity",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val mem = graft.Tables(s, d, "part")
+          .select(col("p_partkey").cast("long").as("id"), col("p_brand"))
+          .withColumn("grp", floor((row_number().over(
+            Window.partitionBy("p_brand").orderBy("id")) - 1) / 10)
+            .cast("long"))
+          .select(col("id"),
+            concat_ws("#", col("p_brand"), col("grp")).as("comm"))
+        val edges = brandCliqueChain(s, d)
+          .join(broadcast(mem).withColumnRenamed("id", "p1")
+            .withColumnRenamed("comm", "c1"), "p1")
+          .join(broadcast(mem).withColumnRenamed("id", "p2")
+            .withColumnRenamed("comm", "c2"), "p2")
+          .localCheckpoint()
+        val m = edges.count()
+        val ec = edges.where(col("c1") === col("c2"))
+          .groupBy(col("c1").as("comm")).agg(count(lit(1)).as("e_c"))
+        val dc = edges.select(col("c1").as("comm"))
+          .unionAll(edges.select(col("c2").as("comm")))
+          .groupBy("comm").agg(count(lit(1)).as("d_c"))
+        dc.join(ec, Seq("comm"), "left")
+          .select((lit(4L) * m * coalesce(col("e_c"), lit(0L))
+            - col("d_c") * col("d_c")).as("num"))
+          .agg(sum("num").as("num"), count(lit(1)).as("n_comms"))
+          .select(lit(m).as("m"), col("n_comms"),
+            expr(s"cast(cast(num as decimal(38,0)) * 1000000 div " +
+              s"(4 * cast(${m}L as decimal(38,0)) * ${m}L) as bigint)")
+              .as("q_ppm"))
+      },
+      Some("""WITH gp AS (SELECT CAST(p_partkey AS BIGINT) AS id, p_brand,
+             |    CAST(floor((row_number() OVER (PARTITION BY p_brand
+             |      ORDER BY p_partkey) - 1) / 10) AS BIGINT) AS grp
+             |  FROM part),
+             |mem AS (SELECT id, p_brand || '#' || grp AS comm FROM gp),
+             |cl AS (SELECT p_brand, grp, list_sort(list(id)) AS ps
+             |  FROM gp GROUP BY p_brand, grp),
+             |cpairs AS (SELECT unnest(flatten(list_transform(ps,
+             |    (a, i) -> list_transform(ps[i+1:],
+             |      b -> {'p1': a, 'p2': b})))) AS e
+             |  FROM cl),
+             |cp AS (SELECT e.p1 AS p1, e.p2 AS p2 FROM cpairs),
+             |br AS (SELECT ps[1] AS p1, lead(ps[1]) OVER
+             |    (ORDER BY p_brand, grp) AS p2 FROM cl),
+             |edges AS (SELECT p1, p2 FROM cp
+             |  UNION ALL SELECT p1, p2 FROM br WHERE p2 IS NOT NULL),
+             |ej AS (SELECT e.p1, e.p2, m1.comm AS c1, m2.comm AS c2
+             |  FROM edges e JOIN mem m1 ON e.p1 = m1.id
+             |    JOIN mem m2 ON e.p2 = m2.id),
+             |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ej),
+             |ec AS (SELECT c1 AS comm, CAST(count(*) AS BIGINT) AS e_c
+             |  FROM ej WHERE c1 = c2 GROUP BY c1),
+             |dc AS (SELECT comm, CAST(count(*) AS BIGINT) AS d_c FROM (
+             |    SELECT c1 AS comm FROM ej UNION ALL SELECT c2 FROM ej)
+             |  GROUP BY comm),
+             |nm AS (SELECT CAST(sum(4 * mm.m * coalesce(ec.e_c, 0)
+             |      - dc.d_c * dc.d_c) AS BIGINT) AS num,
+             |    CAST(count(*) AS BIGINT) AS n_comms
+             |  FROM dc LEFT JOIN ec ON dc.comm = ec.comm, mm)
+             |SELECT mm.m, nm.n_comms,
+             |  CAST(CAST(nm.num AS HUGEINT) * 1000000
+             |    // (4 * CAST(mm.m AS HUGEINT) * mm.m) AS BIGINT) AS q_ppm
+             |FROM nm, mm""".stripMargin))
   )
 
   /** Planted-community graph for x06: parts grouped into ~10-member

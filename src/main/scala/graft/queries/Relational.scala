@@ -1034,6 +1034,125 @@ object Relational {
              |SELECT user_id, streak_start, streak_end, len,
              |  row_number() OVER (PARTITION BY user_id
              |    ORDER BY len DESC, streak_start) AS rk
-             |FROM agg ORDER BY user_id, streak_start""".stripMargin))
+             |FROM agg ORDER BY user_id, streak_start""".stripMargin)),
+
+    // ---- interval concurrency: two-level parallel prefix-sum sweep -----
+    // "Peak concurrent sessions per event type" over the interval set
+    // [ts, ts+300s) — the classic +1/-1 sweep, but the naive form is a
+    // single window ordered by time per type, i.e. one executor sorts
+    // the whole type at 100 TB. This is the scalable decomposition:
+    // (1) each (type, hour) bucket running-sums its own points — the
+    // wide, embarrassingly parallel window; (2) a tiny per-type prefix
+    // over HOUR TOTALS (≤ #hours rows) supplies each bucket's starting
+    // offset; (3) peak = max(offset + local running). Tie order
+    // (tpoint, delta, event_id) is total, so both engines compute the
+    // identical running sequence; ends (-1) sort before starts (+1) at
+    // the same instant, so back-to-back intervals never count as
+    // concurrent. 300 s < 1 h, so an interval spans at most two
+    // buckets and every bucket boundary is crossed correctly by the
+    // offset (delta pairs land in their own buckets regardless).
+    RegQuery("q52_interval_sweep",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val pts = ev.select(col("event_type"), col("event_id"),
+            col("ts").as("tpoint"), lit(1).as("delta"))
+          .unionAll(ev.select(col("event_type"), col("event_id"),
+            (col("ts") + expr("INTERVAL 300 SECONDS")).as("tpoint"),
+            lit(-1).as("delta")))
+          .withColumn("hr", date_trunc("hour", col("tpoint")))
+        val localW = Window.partitionBy("event_type", "hr")
+          .orderBy(col("tpoint"), col("delta"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = pts.withColumn("run_local", sum("delta").over(localW))
+        val offsets = pts.groupBy("event_type", "hr")
+          .agg(sum("delta").as("tot"))
+          .withColumn("off", coalesce(sum("tot").over(
+            Window.partitionBy("event_type").orderBy("hr")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+          .select(col("event_type"), col("hr"), col("off"))
+        val run = local.join(offsets, Seq("event_type", "hr"))
+          .withColumn("cc", col("off") + col("run_local"))
+        run.groupBy("event_type")
+          .agg(max("cc").as("peak_cc"),
+            min_by(col("tpoint"), struct(negate(col("cc")), col("tpoint")))
+              .as("peak_at"))
+          .orderBy("event_type")
+      },
+      Some("""WITH pts AS (
+             |  SELECT event_type, event_id, ts AS tpoint, 1 AS delta
+             |    FROM events
+             |  UNION ALL
+             |  SELECT event_type, event_id,
+             |    ts + INTERVAL 300 SECOND AS tpoint, -1 AS delta
+             |    FROM events),
+             |p2 AS (SELECT *, date_trunc('hour', tpoint) AS hr FROM pts),
+             |loc AS (SELECT event_type, hr, tpoint, cc_local FROM (
+             |  SELECT event_type, hr, tpoint,
+             |    sum(delta) OVER (PARTITION BY event_type, hr
+             |      ORDER BY tpoint, delta, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS cc_local
+             |  FROM p2)),
+             |offs AS (SELECT event_type, hr,
+             |    coalesce(sum(tot) OVER (PARTITION BY event_type
+             |      ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND 1 PRECEDING), 0) AS off
+             |  FROM (SELECT event_type, hr, sum(delta) AS tot
+             |        FROM p2 GROUP BY event_type, hr)),
+             |run AS (SELECT loc.event_type,
+             |    loc.tpoint, offs.off + loc.cc_local AS cc
+             |  FROM loc JOIN offs
+             |    ON loc.event_type = offs.event_type AND loc.hr = offs.hr)
+             |SELECT event_type, max(cc) AS peak_cc,
+             |  min(CASE WHEN cc = mcc THEN tpoint END) AS peak_at
+             |FROM (SELECT *, max(cc) OVER (PARTITION BY event_type) AS mcc
+             |      FROM run)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- SCD Type-2 dimension build (temporal merge) -------------------
+    // Builds the slowly-changing-dimension version table for customer
+    // order priority from the raw order history: collapse consecutive
+    // runs of the same priority (lag), then each change opens a version
+    // with [effective_from, effective_to) from lead(); the open version
+    // is flagged current. The temporal-warehouse counterpart of
+    // g07/g10's node history. Every window partitions by o_custkey —
+    // one hash partition of orders, per-customer sorts of ~10 rows, no
+    // join, no global window; at 100 TB this is a single shuffle keyed
+    // by the dimension's natural key. Tie order (o_orderdate,
+    // o_orderkey) is total, so version numbering is deterministic.
+    RegQuery("q53_scd2_dim",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        val changes = t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+            col("o_orderpriority").as("prio"))
+          .withColumn("prev", lag("prio", 1).over(w))
+          .where(col("prev").isNull || col("prev") =!= col("prio"))
+        val w2 = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        changes
+          .withColumn("effective_to", lead("o_orderdate", 1).over(w2))
+          .withColumn("version_n", row_number().over(w2))
+          .select(col("o_custkey"), col("prio"),
+            col("o_orderdate").as("effective_from"), col("effective_to"),
+            (col("effective_to").isNull).as("is_current"), col("version_n"))
+          .orderBy("o_custkey", "version_n")
+      },
+      Some("""WITH ch AS (
+             |  SELECT o_custkey, o_orderdate, o_orderkey,
+             |    o_orderpriority AS prio,
+             |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS prev
+             |  FROM orders),
+             |kept AS (SELECT * FROM ch
+             |  WHERE prev IS NULL OR prev <> prio)
+             |SELECT o_custkey, prio, o_orderdate AS effective_from,
+             |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey) AS effective_to,
+             |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current,
+             |  CAST(row_number() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS version_n
+             |FROM kept ORDER BY o_custkey, version_n""".stripMargin))
   )
 }
