@@ -497,4 +497,79 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** Per-frame textured luminance for [[videoSigTable]]: the same
+    * two-round multiply-mod/xor-shift finalizer as texturedImageTable,
+    * over (doc_id, frame_idx) — decorrelated across docs AND frames, so
+    * prefix signatures collide only by 1e9+7-birthday chance, never by
+    * structure (the q48/p50 lesson: linear maps over sequential ids
+    * correlate). Mirrored verbatim in the p55 oracle SQL. */
+  private[graft] def sigLum(d: Long, f: Int): Int = {
+    val v = (d * 2654435761L + f * 104729L) % 1000000007L
+    val v2 = ((v ^ (v >> 13)) * 1779033703L) % 1000000007L
+    (((v2 ^ (v2 >> 11)) % 256L).toInt)
+  }
+
+  /** Motion-JPEG corpus for video-signature dedup (p55): every doc gets
+    * 21 + d%5 uniform-gray frames with TEXTURED per-frame luminance
+    * ([[sigLum]]), and every 100th doc gets a NEAR-DUP twin (id + 1M):
+    * the same video with 3 extra tail frames — a re-encoded cut with a
+    * trailing credits/outro segment, the canonical video near-dup case.
+    * Byte-exact dedup (p01) misses the twin (the blob differs); a
+    * prefix keyframe signature must catch it. Frames are genuine JPEG
+    * (quality 1.0 grayscale — uniform frames round-trip bit-exact, the
+    * videoTable guarantee), so the oracle can recompute every sampled
+    * frame hash arithmetically while the engine runs the production
+    * encode→demux→decode→resize path. */
+  def videoSigTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .flatMap(id => if (id % 100 == 0) Seq(id, id + 1000000L) else Seq(id))
+      .mapPartitions { ids =>
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpeg").next()
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(1.0f)
+        val memo = new java.util.HashMap[Int, Array[Byte]]()
+        def frame(lum: Int): Array[Byte] = {
+          var bytes = memo.get(lum)
+          if (bytes == null) {
+            val img = new java.awt.image.BufferedImage(
+              16, 12, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            var y = 0
+            while (y < 12) {
+              var x = 0
+              while (x < 16) { img.getRaster.setSample(x, y, 0, lum); x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            writer.setOutput(ios)
+            writer.write(null,
+              new javax.imageio.IIOImage(img, null, null), param)
+            ios.close()
+            bytes = bos.toByteArray
+            memo.put(lum, bytes)
+          }
+          bytes
+        }
+        ids.map { id =>
+          val base = if (id >= 1000000L) id - 1000000L else id
+          val nFrames = 21 + (base % 5).toInt +
+            (if (id >= 1000000L) 3 else 0)
+          val blob = new java.io.ByteArrayOutputStream()
+          var f = 0
+          while (f < nFrames) { blob.write(frame(sigLum(base, f))); f += 1 }
+          (id, blob.toByteArray)
+        }
+      }
+      .toDF("doc_id", "bytes")
+      .select(col("doc_id"), struct(
+        lit("video/x-motion-jpeg").as("media_type"),
+        col("bytes"),
+        struct(lit("synthetic").as("origin"),
+               length(col("bytes")).cast("long").as("n_bytes")).as("meta")
+      ).as("media"))
+  }
 }

@@ -1388,7 +1388,213 @@ object Pipeline {
              |rk AS (SELECT *, row_number() OVER (PARTITION BY nation
              |    ORDER BY score, a_id, b_id) AS rk FROM sc)
              |SELECT nation, a_id, b_id, name_lev, bal_diff_c, score, rk
-             |FROM rk WHERE rk <= 3 ORDER BY nation, rk""".stripMargin))
+             |FROM rk WHERE rk <= 3 ORDER BY nation, rk""".stripMargin)),
+
+    // ---- p55: video signature dedup (prefix keyframe hash) --------------
+    // The video leg of the perceptual-dedup trio (p50 image, p52 audio):
+    // a re-encoded cut with a trailing outro is the canonical video
+    // near-dup, and byte hashing misses it. Signature = polyhash over
+    // the first 5 SAMPLED frame hashes (every 5th frame, prefix ≤ 20) —
+    // computed through the REAL path: JPEG encode at birth, SOI/EOI
+    // demux, ImageIO decode, Graphics2D resize (the p15 machinery) —
+    // then dedup is one hash aggregate + the in-row pair explode per
+    // signature group, never all-pairs. The planted twins (same video
+    // + 3 tail frames, every 100th doc) are exactly the groups that
+    // emit. Per-frame luminance is the textured finalizer (sigLum), so
+    // signatures collide only by 1e9-birthday chance — and since the
+    // oracle recomputes the identical arithmetic, even a chance
+    // collision hash-matches. At 100 TB: decode cost is bounded per
+    // doc (5 frames whatever the video length), the signature
+    // aggregate is map-side, and the group explode is bounded by copy
+    // count — the same shape that makes p25/p50 linear.
+    RegQuery("p55_video_sig_dedup",
+      (s, d) => {
+        val P = 1000000007L
+        val frames = graft.llm.Multimodal.sampleFrames(
+            graft.llm.Multimodal.videoSigTable(s, d), every = 5, w = 8, h = 8)
+          .where(col("frame_idx") <= 20)
+        val sig = frames.groupBy("doc_id")
+          .agg(aggregate(
+            transform(array_sort(collect_list(
+              struct(col("frame_idx"), col("fhash")))),
+              p => p.getField("fhash").cast("long")),
+            lit(7L), (acc, x) => (acc * 131 + x) % P).as("sig"))
+        sig.groupBy("sig")
+          .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+          .where(size(col("ds")) >= 2)
+          .select(col("sig"), explode(flatten(transform(col("ds"), (a, i) =>
+            transform(slice(col("ds"), i + 2, size(col("ds"))), b =>
+              struct(a.as("a_id"), b.as("b_id")))))).as("p"))
+          .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+            col("sig"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents
+             |  UNION ALL SELECT doc_id + 1000000 FROM documents
+             |    WHERE doc_id % 100 = 0),
+             |fr AS (SELECT doc_id,
+             |    CASE WHEN doc_id >= 1000000 THEN doc_id - 1000000
+             |         ELSE doc_id END AS base,
+             |    unnest([0, 5, 10, 15, 20]) AS f
+             |  FROM ids),
+             |l0 AS (SELECT doc_id, f,
+             |    (base * 2654435761 + f * 104729) % 1000000007 AS v
+             |  FROM fr),
+             |l1 AS (SELECT doc_id, f,
+             |    (xor(v, v >> 13) * 1779033703) % 1000000007 AS v2 FROM l0),
+             |lh AS (SELECT doc_id, f,
+             |    xor(v2, v2 >> 11) % 256 AS lum FROM l1),
+             |sg AS (SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+             |      list(lum ORDER BY f)),
+             |      (acc, x) -> (acc * 131 + x) % 1000000007) AS sig
+             |  FROM lh GROUP BY doc_id)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sig
+             |FROM sg a JOIN sg b ON a.sig = b.sig AND a.doc_id < b.doc_id
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- p56: CCNet-style perplexity bucketing --------------------------
+    // The CCNet curation move (Wenzek et al. 2020): score every doc by
+    // LM perplexity, split each language into head/middle/tail
+    // terciles, keep the head for training. The LM is p36's integer
+    // add-one bigram model (nll_u is an exact integer, so bucketing is
+    // deterministic); the bucket boundary is the explicit integer
+    // formula (rn-1)·3 div n — NOT ntile(), whose remainder placement
+    // is engine-defined. Windows partition by LANG — at bench SF that
+    // is the natural per-language ranking; at 100 TB the ranking over
+    // billions of per-doc score rows would come from sampled quantile
+    // boundaries broadcast back (one pass + map-side bucket), the same
+    // structure, coarser cutpoints.
+    RegQuery("p56_perplexity_buckets",
+      (s, d) => {
+        val tk = col("tk")
+        val base = Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("tk"))
+          .where(size(col("tk")) >= 2)
+          .repartition(col("doc_id")) // token barrier (p36 lesson)
+          .select(col("doc_id"), col("lang"), explode(transform(
+            sequence(lit(1), size(tk) - 1),
+            i => struct(element_at(tk, i).as("w1"),
+              element_at(tk, i + 1).as("w2")))).as("b"))
+          .select(col("doc_id"), col("lang"),
+            col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .localCheckpoint() // feeds c12, c1, and the per-doc side
+        val c12 = base.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = base.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val vocab = Tables(s, d, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .agg(countDistinct(col("w")).as("vsz"))
+        val u = floor(log((col("c12") + lit(1.0)) / (col("c1") + col("vsz")))
+          * 10000 + 0.5).cast("long")
+        val doc = base.groupBy("doc_id", "lang", "w1", "w2")
+          .agg(count(lit(1)).as("n"))
+          .join(c12, Seq("w1", "w2"))
+          .join(c1, Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .withColumn("u", u)
+          .groupBy("doc_id", "lang")
+          .agg(sum(col("n")).as("n_bg"),
+            (-sum(col("u") * col("n"))).as("nll_u"))
+          .withColumn("nll_tok", expr("nll_u div n_bg"))
+        doc
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang").orderBy("nll_tok", "doc_id")))
+          .withColumn("nl", count(lit(1)).over(Window.partitionBy("lang")))
+          .select(col("doc_id"), col("lang"), col("n_bg"), col("nll_tok"),
+            (expr("(rn - 1) * 3 div nl") + 1).cast("int").as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS tk
+             |  FROM documents WHERE len(string_split(text,' ')) >= 2),
+             |bb AS (SELECT doc_id, lang,
+             |  unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+             |  unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+             |  FROM t),
+             |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bb
+             |  GROUP BY w1, w2),
+             |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bb
+             |  GROUP BY w1),
+             |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vsz FROM
+             |  (SELECT unnest(string_split(text,' ')) AS w FROM documents)),
+             |dt AS (SELECT doc_id, lang, w1, w2, CAST(count(*) AS BIGINT) AS n
+             |  FROM bb GROUP BY doc_id, lang, w1, w2),
+             |sc AS (SELECT dt.doc_id, dt.lang, dt.n,
+             |  CAST(floor(ln((c12.c12 + 1.0)/(c1.c1 + v.vsz))*10000 + 0.5)
+             |    AS BIGINT) AS u
+             |  FROM dt JOIN c12 USING(w1, w2) JOIN c1 USING(w1) CROSS JOIN v),
+             |doc AS (SELECT doc_id, lang, CAST(sum(n) AS BIGINT) AS n_bg,
+             |    CAST(-sum(u*n) AS BIGINT) AS nll_u
+             |  FROM sc GROUP BY doc_id, lang),
+             |d2 AS (SELECT doc_id, lang, n_bg, nll_u // n_bg AS nll_tok
+             |  FROM doc),
+             |d3 AS (SELECT *, row_number() OVER (PARTITION BY lang
+             |      ORDER BY nll_tok, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY lang) AS nl
+             |  FROM d2)
+             |SELECT doc_id, lang, n_bg, nll_tok,
+             |  CAST((rn - 1) * 3 // nl + 1 AS INTEGER) AS bucket
+             |FROM d3 ORDER BY doc_id""".stripMargin)),
+
+    // ---- p57: hashed-feature linear classifier (fastText shape) ---------
+    // The production quality/topic filter at corpus scale is a linear
+    // model over HASHED bag-of-ngram features (fastText, Joulin et al.
+    // 2016; the vocabulary-free trick that makes the model shippable as
+    // one dense weight array). Features = unigrams + bigrams, hashed
+    // into 1024 buckets by the corpus polyhash; the weight vector is a
+    // deterministic function of the bucket id (the stand-in for trained
+    // weights, same contract as p26's fixed coefficients — at 100 TB
+    // the weights arrive as a broadcast float array, identical plan).
+    // Whole pipeline is one explode + one hash aggregate per doc —
+    // map-side, join-free, codegen'd; the integer score makes the
+    // sigmoid threshold an exact comparison.
+    RegQuery("p57_hashed_linear_clf",
+      (s, d) => {
+        val P = 1000000007L
+        def polyH(g: Column): Column =
+          aggregate(transform(split(g, ""), c => ascii(c).cast("long")),
+            lit(7L), (acc, x) => (acc * 131 + x) % P)
+        val tk = col("tk")
+        val feats = Tables(s, d, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .repartition(col("doc_id")) // token barrier (p43/s13 lesson)
+          .select(col("doc_id"), explode(concat(
+            col("tk"),
+            // guarded: sequence(1, 0) DESCENDS in Spark, and
+            // element_at(tk, 0) throws — single-token docs get no bigrams
+            when(size(tk) >= 2,
+              transform(sequence(lit(1), size(tk) - 1),
+                i => concat_ws("_", element_at(tk, i), element_at(tk, i + 1))))
+              .otherwise(array().cast("array<string>"))
+          )).as("g"))
+          .select(col("doc_id"), (polyH(col("g")) % 1024L).as("bkt"))
+        feats
+          .withColumn("wgt",
+            (col("bkt") * 2654435761L + 104729L) % lit(P) % 2001L - 1000L)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_feat"), sum("wgt").as("score"))
+          .select(col("doc_id"), col("n_feat"), col("score"),
+            (col("score") > 0).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+             |  FROM documents),
+             |f AS (SELECT doc_id, unnest(list_concat(tk,
+             |    list_transform(range(1, len(tk)),
+             |      i -> tk[i] || '_' || tk[i+1]))) AS g
+             |  FROM t),
+             |h AS (SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+             |      list_transform(string_split(g, ''),
+             |        x -> CAST(ord(x) AS BIGINT))),
+             |      (acc, x) -> (acc * 131 + x) % 1000000007) % 1024 AS bkt
+             |  FROM f),
+             |w AS (SELECT doc_id, bkt,
+             |    ((bkt * 2654435761 + 104729) % 1000000007) % 2001 - 1000
+             |      AS wgt
+             |  FROM h)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+             |  CAST(sum(wgt) AS BIGINT) AS score, sum(wgt) > 0 AS keep
+             |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB mirror of p52: the textured-audio sample generator (the
