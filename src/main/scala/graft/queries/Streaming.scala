@@ -718,7 +718,60 @@ object Streaming {
              |  AND a.c_mktsegment = b.c_mktsegment
              |  AND a.c_custkey < b.c_custkey
              |WHERE levenshtein(a.c_name, b.c_name) <= 2
-             |ORDER BY nation, a_id, b_id""".stripMargin))
+             |ORDER BY nation, a_id, b_id""".stripMargin)),
+
+    // ---- s15: streaming running moments (integer-exact Welford) --------
+    // Live per-key mean/variance at ingest — the anomaly-detection
+    // substrate (alert when a key's value drifts from its running
+    // distribution). Float Welford state (mean, M2) can NEVER be
+    // oracle-checked exactly (accumulation order differs per split);
+    // the fix is the s13 determinization move applied to moments:
+    // values scale to exact milli integers BEFORE the stateful op, and
+    // state is the exact (n, Σv, Σv²) — order-free, so ANY micro-batch
+    // split reaches the identical final state, and mean/variance derive
+    // from the integers by one closed formula both engines share
+    // (var_micro = (n·Σv² − (Σv)²) div n², the population variance in
+    // micro units). 32 bytes of RocksDB state per key forever; bounds
+    // checked: |v_milli| ≤ 6·10⁵ here, so Σv² per key stays ~10¹⁵ —
+    // int64-safe to ~10⁶ events per key at this value scale.
+    RegQuery("s15_stream_moments",
+      (s, d) => {
+        import s.implicits._
+        Streams.withRocksDB(s) {
+          val q = withStatePartitions(s, 8) {
+            Streams.userMoments(streamEvents(s, d)
+                .select(col("user_id"),
+                  floor(col("value") * 1000 + 0.5).cast("long").as("vm"))
+                .as[(Long, Long)])
+              .writeStream.format("memory").queryName("s15_sink")
+              .outputMode("update").trigger(Trigger.AvailableNow()).start()
+          }
+          q.awaitTermination()
+          // n grows monotonically → the n-max row per user is final state
+          s.table("s15_sink").groupBy("user_id")
+            .agg(max("n").as("n"),
+              max_by(col("sum_milli"), col("n")).as("sum_milli"),
+              max_by(col("sumsq_milli"), col("n")).as("sumsq_milli"))
+            .select(col("user_id"), col("n"), col("sum_milli"),
+              col("sumsq_milli"),
+              expr("sum_milli div n").as("mean_milli"),
+              expr("(n * sumsq_milli - sum_milli * sum_milli)" +
+                " div (n * n)").as("var_micro"))
+            .orderBy("user_id")
+        }
+      },
+      Some("""WITH v AS (SELECT user_id,
+             |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+             |  FROM events),
+             |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(vm) AS BIGINT) AS sum_milli,
+             |    CAST(sum(vm * vm) AS BIGINT) AS sumsq_milli
+             |  FROM v GROUP BY user_id)
+             |SELECT user_id, n, sum_milli, sumsq_milli,
+             |  sum_milli // n AS mean_milli,
+             |  (n * sumsq_milli - sum_milli * sum_milli) // (n * n)
+             |    AS var_micro
+             |FROM m ORDER BY user_id""".stripMargin))
   )
 
   private val docsSchema = StructType(Seq(

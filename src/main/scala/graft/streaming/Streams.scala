@@ -146,6 +146,49 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class UserMoments(user_id: Long, n: Long,
+                         sum_milli: Long, sumsq_milli: Long)
+
+  /** Streaming running moments (the Welford pattern, made INTEGER-EXACT):
+    * instead of float (mean, M2) — whose accumulation order differs
+    * between engines — state carries the exact integer moments
+    * (n, Σv, Σv²) of milli-scaled values. Mean and variance derive from
+    * the integers by the same closed formula on both engines, so the
+    * streaming statistic hash-matches a batch oracle exactly, any
+    * micro-batch split, any arrival order. State is 32 bytes per key
+    * forever — the live per-key variance monitor at ingest scale. */
+  class MomentsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), UserMoments] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    @transient private var state: ValueState[UserMoments] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserMoments]("moments",
+        org.apache.spark.sql.Encoders.product[UserMoments], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserMoments] = {
+      var m = Option(state.get()).getOrElse(UserMoments(key, 0L, 0L, 0L))
+      rows.foreach { case (_, vm) =>
+        m = UserMoments(key, m.n + 1, m.sum_milli + vm,
+          m.sumsq_milli + vm * vm)
+      }
+      state.update(m)
+      Iterator.single(m)
+    }
+  }
+
+  /** Per-user integer-exact running moments via transformWithState;
+    * input rows are (user_id, value_milli). */
+  def userMoments(events: Dataset[(Long, Long)]): Dataset[UserMoments] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new MomentsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Run `f` with the RocksDB state store provider (required by
     * transformWithState's column families; also the production 100 TB
     * state config), restoring the prior provider after. */

@@ -350,6 +350,31 @@ class StreamingSpec extends SparkSpec {
       ("blk1", 3L, 5L, 1L, 50L), ("blk2", 2L, 9L, 1L, 20L)), got.toString)
   }
 
+  test("s15 moments: any micro-batch split reaches the exact batch integers") {
+    import graft.streaming.Streams.UserMoments
+    implicit val sqlCtx = spark.sqlContext
+    // integer moments are order-free: a 2/4 split (key 1 straddling the
+    // boundary, negative values included) must land on the exact batch
+    // (n, Σv, Σv²) — the invariant that makes s15 oracle-checkable
+    val rows = Seq((1L, 100L), (1L, -250L),
+      (2L, 7L), (1L, 42L), (2L, -7L), (2L, 0L))
+    // transformWithState's column families need the RocksDB provider,
+    // exactly as the s15 query runs it
+    Streams.withRocksDB(spark) {
+      val src = MemoryStream[(Long, Long)]
+      val q = Streams.userMoments(src.toDS())
+        .writeStream.format("memory").queryName("t_moments")
+        .outputMode(OutputMode.Update()).start()
+      src.addData(rows.take(2): _*); q.processAllAvailable()
+      src.addData(rows.drop(2): _*); q.processAllAvailable()
+      q.stop()
+    }
+    val fin = spark.table("t_moments").as[UserMoments].collect()
+      .groupBy(_.user_id).map { case (u, xs) => u -> xs.maxBy(_.n) }
+    assert(fin(1L) == UserMoments(1L, 3, -108L, 74264L), fin(1L).toString)
+    assert(fin(2L) == UserMoments(2L, 3, 0L, 98L), fin(2L).toString)
+  }
+
   test("editDistance matches Spark's levenshtein on random strings") {
     import graft.streaming.Streams
     val rnd = new scala.util.Random(42)
