@@ -1594,7 +1594,61 @@ object Pipeline {
              |  FROM h)
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
              |  CAST(sum(wgt) AS BIGINT) AS score, sum(wgt) > 0 AS keep
-             |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- p58: n-gram novelty scoring (marginal contribution) ------------
+    // "How much NEW text does this doc add?" — the marginal-contribution
+    // statistic behind dedup-aware data valuation (and the per-doc view
+    // of Lee et al.'s duplicate-text fraction): attribute every distinct
+    // 3-gram to its FIRST document (min doc_id = ingest order), then
+    // novelty = owned fraction of the doc's distinct grams. A fully
+    // duplicated doc scores 0 bp against the earlier copy; fresh text
+    // scores 10000. Shape: one distinct over (gram, doc), one min-agg
+    // keyed by gram, one count-back join on gram — all shuffles keyed
+    // by the gram hash (uniform by construction), nothing all-pairs,
+    // no window. The first-occurrence join is the p25 chunk-dedup plan
+    // with min-attribution instead of counting.
+    RegQuery("p58_novelty",
+      (s, d) => {
+        val P = 1000000007L
+        def polyH(g: Column): Column =
+          aggregate(transform(split(g, ""), c => ascii(c).cast("long")),
+            lit(7L), (acc, x) => (acc * 131 + x) % P)
+        val dg = Tables(s, d, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .where(size(col("tk")) >= 3)
+          .repartition(col("doc_id")) // token barrier (p40 lesson)
+          .select(col("doc_id"), explode(array_distinct(
+            transform(TextOps.shingles(col("tk"), 3), g => polyH(g)))).as("h"))
+        val first = dg.groupBy("h").agg(min("doc_id").as("first_doc"))
+        dg.join(first, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            expr("n_novel * 10000 div n_grams").as("novelty_bp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tt AS (SELECT doc_id, string_split(text,' ') AS tk
+             |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+             |dg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |    list_distinct(list_transform(range(1, len(tk)-1),
+             |      i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])),
+             |    g -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+             |      list_transform(string_split(g,''),
+             |        c -> CAST(ord(c) AS BIGINT))),
+             |      (acc, x) -> (acc*131 + x) % 1000000007)))) AS h
+             |  FROM tt),
+             |fst AS (SELECT h, min(doc_id) AS first_doc FROM dg GROUP BY h)
+             |SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |  CAST(sum(CASE WHEN fst.first_doc = dg.doc_id
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |  CAST(sum(CASE WHEN fst.first_doc = dg.doc_id
+             |    THEN 1 ELSE 0 END) AS BIGINT) * 10000
+             |    // CAST(count(*) AS BIGINT) AS novelty_bp
+             |FROM dg JOIN fst ON dg.h = fst.h
+             |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin))
   )
 
   /** DuckDB mirror of p52: the textured-audio sample generator (the

@@ -1153,6 +1153,64 @@ object Relational {
              |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current,
              |  CAST(row_number() OVER (PARTITION BY o_custkey
              |    ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS version_n
-             |FROM kept ORDER BY o_custkey, version_n""".stripMargin))
+             |FROM kept ORDER BY o_custkey, version_n""".stripMargin)),
+
+    // ---- order statistics: exact mode + weighted median per group ------
+    // The two classic aggregates Spark has no built-in for, built from
+    // primitives with DETERMINISTIC tie-breaks (mode: highest count
+    // then smallest value; weighted median: smallest value whose
+    // cumulative weight reaches half — the standard lower weighted
+    // median). Everything runs in integers (quantity as long, price as
+    // cents), so the result is engine-exact. Scale shape: the mode is
+    // two hash aggregates (group cardinality bounded by distinct
+    // quantities per flag); the weighted median is one window
+    // partitioned by the group key over pre-AGGREGATED (flag, cents)
+    // rows — distinct prices per flag, not raw lineitems — then a
+    // 6-row argmin. No global window, no join back to the fact table.
+    RegQuery("q54_mode_wmedian",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_returnflag").as("flag"),
+          floor(col("l_quantity") + 0.5).cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+        val mode = li.groupBy("flag", "qty").agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(Window.partitionBy("flag")
+            .orderBy(col("cnt").desc, col("qty"))))
+          .where(col("rk") === 1)
+          .select(col("flag"), col("qty").as("mode_qty"),
+            col("cnt").as("mode_cnt"))
+        val byPrice = li.groupBy("flag", "cents")
+          .agg(sum("qty").as("w"))
+        val wm = byPrice
+          .withColumn("cumw", sum("w").over(Window.partitionBy("flag")
+            .orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tot", sum("w").over(Window.partitionBy("flag")))
+          .where(col("cumw") * 2 >= col("tot"))
+          .groupBy("flag").agg(min("cents").as("wmedian_cents"))
+        mode.join(wm, "flag")
+          .select(col("flag"), col("mode_qty"), col("mode_cnt"),
+            col("wmedian_cents"))
+          .orderBy("flag")
+      },
+      Some("""WITH li AS (SELECT l_returnflag AS flag,
+             |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM lineitem),
+             |md AS (SELECT flag, qty AS mode_qty, cnt AS mode_cnt FROM (
+             |  SELECT flag, qty, CAST(count(*) AS BIGINT) AS cnt,
+             |    row_number() OVER (PARTITION BY flag
+             |      ORDER BY count(*) DESC, qty) AS rk
+             |  FROM li GROUP BY flag, qty) WHERE rk = 1),
+             |bp AS (SELECT flag, cents, CAST(sum(qty) AS BIGINT) AS w
+             |  FROM li GROUP BY flag, cents),
+             |cw AS (SELECT flag, cents,
+             |    sum(w) OVER (PARTITION BY flag ORDER BY cents
+             |      ROWS UNBOUNDED PRECEDING) AS cumw,
+             |    sum(w) OVER (PARTITION BY flag) AS tot
+             |  FROM bp),
+             |wm AS (SELECT flag, CAST(min(cents) AS BIGINT) AS wmedian_cents
+             |  FROM cw WHERE cumw * 2 >= tot GROUP BY flag)
+             |SELECT md.flag, md.mode_qty, md.mode_cnt, wm.wmedian_cents
+             |FROM md JOIN wm ON md.flag = wm.flag ORDER BY md.flag""".stripMargin))
   )
 }
