@@ -316,6 +316,43 @@ class ScaleSpec extends SparkSpec {
       s"audio dedup degenerated to all-pairs:\n$plan")
   }
 
+  test("q52 sweep: the wide window shuffles on (event_type, hour)") {
+    // the two-level prefix-sum decomposition only scales if the HEAVY
+    // running-sum window is keyed by (type, hour-bucket) — one
+    // executor per bucket — with the per-type prefix running over hour
+    // TOTALS only. If the exchange feeding the point stream ever drops
+    // back to hashpartitioning(event_type) alone, the sweep has become
+    // the single-sorter-per-type bottleneck this decomposition removes.
+    val plan = SparkEntry.queries("q52_interval_sweep")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(event_type#\\d+, hr#\\d+".r
+      .findFirstIn(plan).isDefined,
+      s"wide window not keyed by (event_type, hr):\n$plan")
+  }
+
+  test("x20/p55/p58: dedup-shaped ops stay cartesian-free") {
+    // butterflies fan out in-row per customer, video pairs explode per
+    // signature group, novelty attributes via a gram-keyed equi-join —
+    // a NestedLoop/Cartesian in any of them is the all-pairs regression
+    for (q <- Seq("x20_butterflies", "p55_video_sig_dedup", "p58_novelty")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q went quadratic:\n$plan")
+    }
+  }
+
+  test("p57 classifier: map-side only — no join in the scoring plan") {
+    // the fastText shape ships weights WITH the row (deterministic
+    // bucket arithmetic standing in for a broadcast array): scoring
+    // 100 TB must be one explode + one hash aggregate, never a join
+    // against a weight table
+    val plan = SparkEntry.queries("p57_hashed_linear_clf")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"classifier grew a join:\n$plan")
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val li = Tables(spark, sfDir, "lineitem")
     val direct = li.groupBy("l_returnflag")
