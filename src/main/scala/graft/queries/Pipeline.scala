@@ -1648,7 +1648,59 @@ object Pipeline {
              |    THEN 1 ELSE 0 END) AS BIGINT) * 10000
              |    // CAST(count(*) AS BIGINT) AS novelty_bp
              |FROM dg JOIN fst ON dg.h = fst.h
-             |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin))
+             |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin)),
+
+    // ---- p59: hard-negative mining for contrastive training -------------
+    // The embedding-training data op (DPR/Contriever recipe): for each
+    // anchor, the highest-cosine corpus vectors with a DIFFERENT label
+    // — semantically-close-but-wrong examples, the negatives that
+    // actually teach the margin. Same plan skeleton as p09 (anchors
+    // broadcast across one corpus scan, integer-rounded cosine, per-
+    // anchor top-k through the WindowGroupLimit partial top-k), plus
+    // the label exclusion predicate pushed into the scan-side filter.
+    // At 100 TB the anchor set rides the p14 IVF route (probe cells,
+    // not the full scan); this is the exact-oracle form of that miner.
+    RegQuery("p59_hard_negatives",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            VectorOps.toDouble(col("embedding")).as("v"))
+        val q = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("v").as("qv"))
+        e.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+            col("v").as("nv"))
+          .crossJoin(broadcast(q))
+          .where(col("n_label") =!= col("q_label"))
+          .withColumn("cos_r",
+            floor(VectorOps.cosineFast(col("qv"), col("nv")) * 1000000 + 0.5)
+              / 1000000)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("cos_r").desc, col("n_id"))))
+          .where(col("rank") <= 3)
+          .select(col("q_id"), col("q_label"), col("rank"), col("n_id"),
+            col("n_label"), col("cos_r"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+             |  FROM e WHERE vec_id < 10),
+             |p AS (SELECT q_id, q_label, e.vec_id AS n_id,
+             |    e.label AS n_label,
+             |  list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*e.v[i]))
+             |    / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+             |       * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS c
+             |  FROM q, e WHERE e.label != q_label),
+             |r AS (SELECT q_id, q_label, n_id, n_label,
+             |  floor(c*1000000 + 0.5)/1000000 AS cos_r,
+             |  ROW_NUMBER() OVER (PARTITION BY q_id
+             |    ORDER BY floor(c*1000000 + 0.5)/1000000 DESC, n_id) AS rn
+             |  FROM p)
+             |SELECT q_id, q_label, CAST(rn AS INTEGER) AS rank, n_id,
+             |  n_label, cos_r
+             |FROM r WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin))
   )
 
   /** DuckDB mirror of p52: the textured-audio sample generator (the

@@ -771,6 +771,55 @@ object Streaming {
              |  sum_milli // n AS mean_milli,
              |  (n * sumsq_milli - sum_milli * sum_milli) // (n * n)
              |    AS var_micro
+             |FROM m ORDER BY user_id""".stripMargin)),
+
+    // ---- s16: streaming first-touch funnel ------------------------------
+    // The conversion funnel maintained live: per-user earliest view /
+    // click / purchase times in 24 bytes of state, completion =
+    // first-view < first-click < first-purchase. Deliberately
+    // FIRST-TOUCH semantics (three independent mins) rather than q42's
+    // staged-min: min is order-free, so the final state is invariant
+    // under any micro-batch split or arrival reordering — the property
+    // that lets a streaming funnel be hash-checked against a batch
+    // oracle at all (q42's "click after the final min view" gate would
+    // need unbounded click history to re-admit under reordering).
+    // Batch-side finalize folds update-mode emissions with the same
+    // min (-1 = unseen → null), so multi-batch runs land on the
+    // identical answer.
+    RegQuery("s16_stream_funnel",
+      (s, d) => {
+        import s.implicits._
+        Streams.withRocksDB(s) {
+          val q = withStatePartitions(s, 8) {
+            Streams.funnelTouches(streamEvents(s, d)
+                .select(col("user_id"), col("event_type"),
+                  floor(unix_millis(col("ts")) / 1000.0).cast("long").as("t"))
+                .as[(Long, String, Long)])
+              .writeStream.format("memory").queryName("s16_sink")
+              .outputMode("update").trigger(Trigger.AvailableNow()).start()
+          }
+          q.awaitTermination()
+          s.table("s16_sink").groupBy("user_id")
+            .agg(min(nullif(col("t_view"), lit(-1L))).as("t_view"),
+              min(nullif(col("t_click"), lit(-1L))).as("t_click"),
+              min(nullif(col("t_purchase"), lit(-1L))).as("t_purchase"))
+            .withColumn("completed",
+              coalesce(col("t_view") < col("t_click") &&
+                col("t_click") < col("t_purchase"), lit(false)))
+            .orderBy("user_id")
+        }
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |    epoch_ms(ts) // 1000 AS t FROM events),
+             |m AS (SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN t END) AS t_view,
+             |    min(CASE WHEN event_type = 'click' THEN t END) AS t_click,
+             |    min(CASE WHEN event_type = 'purchase' THEN t END)
+             |      AS t_purchase
+             |  FROM e GROUP BY user_id)
+             |SELECT user_id, t_view, t_click, t_purchase,
+             |  coalesce(t_view < t_click AND t_click < t_purchase, false)
+             |    AS completed
              |FROM m ORDER BY user_id""".stripMargin))
   )
 

@@ -189,6 +189,55 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** First-touch funnel state: earliest event-time per stage (-1 = not
+    * seen). min() per stage is order-free, so the final state is
+    * micro-batch-split invariant — the property that makes the
+    * streaming funnel oracle-checkable (unlike q42's staged-min
+    * semantics, whose "click after final min view" gate needs the full
+    * click history to re-admit under arrival reordering). */
+  case class FunnelState(user_id: Long, t_view: Long, t_click: Long,
+                         t_purchase: Long)
+
+  class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Long), FunnelState] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    @transient private var state: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FunnelState]("funnel",
+        org.apache.spark.sql.Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, String, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[FunnelState] = {
+      var f = Option(state.get())
+        .getOrElse(FunnelState(key, -1L, -1L, -1L))
+      def mn(cur: Long, t: Long): Long = if (cur < 0 || t < cur) t else cur
+      rows.foreach { case (_, et, t) =>
+        et match {
+          case "view"     => f = f.copy(t_view = mn(f.t_view, t))
+          case "click"    => f = f.copy(t_click = mn(f.t_click, t))
+          case "purchase" => f = f.copy(t_purchase = mn(f.t_purchase, t))
+          case _          => ()
+        }
+      }
+      state.update(f)
+      Iterator.single(f)
+    }
+  }
+
+  /** Per-user first-touch funnel via transformWithState; input rows are
+    * (user_id, event_type, t_seconds). */
+  def funnelTouches(events: Dataset[(Long, String, Long)])
+      : Dataset[FunnelState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new FunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Run `f` with the RocksDB state store provider (required by
     * transformWithState's column families; also the production 100 TB
     * state config), restoring the prior provider after. */

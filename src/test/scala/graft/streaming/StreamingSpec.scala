@@ -375,6 +375,36 @@ class StreamingSpec extends SparkSpec {
     assert(fin(2L) == UserMoments(2L, 3, 0L, 98L), fin(2L).toString)
   }
 
+  test("s16 funnel: first-touch state is arrival-order invariant") {
+    import graft.streaming.Streams.FunnelState
+    implicit val sqlCtx = spark.sqlContext
+    // user 1's click arrives FIRST and precedes their first view —
+    // first-touch semantics must mark them incomplete; user 2 completes
+    // in order but split across batches; unknown types are ignored
+    val rows = Seq((1L, "click", 5L), (2L, "view", 1L),
+      (1L, "view", 10L), (2L, "click", 2L), (1L, "purchase", 20L),
+      (2L, "purchase", 3L), (2L, "refund", 0L))
+    Streams.withRocksDB(spark) {
+      val src = MemoryStream[(Long, String, Long)]
+      val q = Streams.funnelTouches(src.toDS())
+        .writeStream.format("memory").queryName("t_funnel")
+        .outputMode(OutputMode.Update()).start()
+      src.addData(rows.take(3): _*); q.processAllAvailable()
+      src.addData(rows.drop(3): _*); q.processAllAvailable()
+      q.stop()
+    }
+    // last update per user wins (batches append to the memory sink in
+    // commit order — the same finalize the mapGroupsWithState test uses)
+    val fin = spark.table("t_funnel").as[FunnelState].collect()
+      .groupBy(_.user_id).map { case (u, xs) => u -> xs.last }
+    assert(fin(1L) == FunnelState(1L, 10L, 5L, 20L), fin(1L).toString)
+    assert(fin(2L) == FunnelState(2L, 1L, 2L, 3L), fin(2L).toString)
+    def completed(f: FunnelState): Boolean =
+      f.t_view >= 0 && f.t_click >= 0 && f.t_purchase >= 0 &&
+        f.t_view < f.t_click && f.t_click < f.t_purchase
+    assert(!completed(fin(1L)) && completed(fin(2L)))
+  }
+
   test("editDistance matches Spark's levenshtein on random strings") {
     import graft.streaming.Streams
     val rnd = new scala.util.Random(42)
