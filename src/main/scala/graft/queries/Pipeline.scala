@@ -122,6 +122,75 @@ object Pipeline {
       .select("a_id", "b_id")
   }
 
+  /** p40's fully-MIRRORED verified pair source (polyhash shingles →
+    * 16 minhashes → 8×2 bands → exact-Jaccard ≥ 0.5 verify), returned
+    * raw (a_id, b_id, jac) for composition: p40 emits it rounded, p60
+    * feeds it to connected components. Every stage is deterministic
+    * integer arithmetic both engines share — unlike lshVerifiedPairs
+    * (xxhash64), this source is DuckDB-expressible end to end. */
+  private[queries] def mirrorVerifiedPairs(s: SparkSession,
+      d: String): DataFrame = {
+    val P = 1000000007L
+    def polyH(g: Column): Column =
+      aggregate(transform(split(g, ""), c => ascii(c).cast("long")),
+        lit(7L), (acc, x) => (acc * 131 + x) % P)
+    val hs = docsWithTwins(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 3)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), array_sort(array_distinct(
+        transform(TextOps.shingles(col("tk"), 3), g => polyH(g)))).as("hs"))
+      .localCheckpoint()
+    val mh = hs.select(col("doc_id"), col("hs"),
+      transform(sequence(lit(0), lit(15)), i =>
+        array_min(transform(col("hs"), h =>
+          (h * (i * 2 + 3) + (i * 5 + 7)) % P))).as("mh"))
+    val bands = mh.select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(7)), j =>
+          element_at(col("mh"), j * 2 + 1) * P +
+            element_at(col("mh"), j * 2 + 2))).as(Seq("bi", "bv")))
+    val cand = bands.select(col("bi"), col("bv"), col("doc_id").as("a_id"))
+      .join(bands.select(col("bi"), col("bv"), col("doc_id").as("b_id")),
+        Seq("bi", "bv"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(hs.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
+      .join(hs.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
+      .withColumn("jac", TextOps.jaccardSorted(col("a_hs"), col("b_hs")))
+      .where(col("jac") >= 0.5)
+      .select("a_id", "b_id", "jac")
+  }
+
+  /** The shared CTE chain of the mirrored pair source (everything up to
+    * verified pairs `pr`), appended to [[twinsCte]] by p40 and p60. */
+  private[queries] val mirrorPairsCte =
+    """, tt AS (SELECT doc_id, string_split(text,' ') AS tk FROM alldocs
+      |  WHERE len(string_split(text,' ')) >= 3),
+      |sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+      |    list_distinct(list_transform(range(1, len(tk)-1),
+      |      i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])),
+      |    g -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(string_split(g,''),
+      |        c -> CAST(ord(c) AS BIGINT))),
+      |      (acc, x) -> (acc*131 + x) % 1000000007)))) AS hs FROM tt),
+      |mh AS (SELECT doc_id, hs, list_transform(range(0, 16),
+      |    i -> list_min(list_transform(hs,
+      |      h -> (h*(2*i+3) + (5*i+7)) % 1000000007))) AS mh FROM sh),
+      |bands AS (SELECT doc_id, unnest(range(0, 8)) AS bi,
+      |  unnest(list_transform(range(0, 8),
+      |    j -> mh[2*j+1]*1000000007 + mh[2*j+2])) AS bv FROM mh),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+      |    AND a.doc_id < b.doc_id),
+      |jj AS (SELECT c.a_id, c.b_id,
+      |  CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(x.hs, y.hs))) AS jac
+      |  FROM cand c JOIN sh x ON c.a_id = x.doc_id
+      |  JOIN sh y ON c.b_id = y.doc_id),
+      |pr AS (SELECT a_id, b_id, jac FROM jj WHERE jac >= 0.5)
+      |""".stripMargin
+
   val registry: Seq[RegQuery] = Seq(
 
     // ---- p01: exact dedup by content hash ------------------------------
@@ -774,70 +843,17 @@ object Pipeline {
     // invariant-bounded. k=16, b=8, r=2 (recall at J=0.5:
     // 1-(1-J²)⁸ ≈ 0.90, ≈1 for the J≈0.9 twins).
     RegQuery("p40_lsh_mirror",
-      (s, d) => {
-        val P = 1000000007L
-        def polyH(g: Column): Column =
-          aggregate(transform(split(g, ""), c => ascii(c).cast("long")),
-            lit(7L), (acc, x) => (acc * 131 + x) % P)
-        // token barrier, then hash+sort shingles ONCE behind a
-        // checkpoint: 16 minhash lambdas + both verify sides read hs —
-        // inlined, CollapseProject would re-run the split→shingle→fold
-        // chain into every reference (the p05/p16 blowup)
-        val hs = docsWithTwins(s, d)
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-          .where(size(col("tk")) >= 3)
-          .repartition(col("doc_id"))
-          .select(col("doc_id"), array_sort(array_distinct(
-            transform(TextOps.shingles(col("tk"), 3), g => polyH(g)))).as("hs"))
-          .localCheckpoint()
-        val mh = hs.select(col("doc_id"), col("hs"),
-          transform(sequence(lit(0), lit(15)), i =>
-            array_min(transform(col("hs"), h =>
-              (h * (i * 2 + 3) + (i * 5 + 7)) % P))).as("mh"))
-        val bands = mh.select(col("doc_id"), posexplode(
-            transform(sequence(lit(0), lit(7)), j =>
-              element_at(col("mh"), j * 2 + 1) * P +
-                element_at(col("mh"), j * 2 + 2))).as(Seq("bi", "bv")))
-        val cand = bands.select(col("bi"), col("bv"), col("doc_id").as("a_id"))
-          .join(bands.select(col("bi"), col("bv"), col("doc_id").as("b_id")),
-            Seq("bi", "bv"))
-          .where(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct()
-        cand
-          .join(hs.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
-          .join(hs.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
-          .withColumn("jac", TextOps.jaccardSorted(col("a_hs"), col("b_hs")))
-          .where(col("jac") >= 0.5)
+      (s, d) =>
+        // token barrier + hash/sort shingles once behind a checkpoint
+        // (the p05/p16 CollapseProject blowup) live in
+        // mirrorVerifiedPairs, shared with p60's composition
+        mirrorVerifiedPairs(s, d)
           .select(col("a_id"), col("b_id"),
             (floor(col("jac") * 10000 + 0.5) / 10000).as("jac"))
-          .orderBy("a_id", "b_id")
-      },
-      Some(twinsCte +
-        """, tt AS (SELECT doc_id, string_split(text,' ') AS tk FROM alldocs
-          |  WHERE len(string_split(text,' ')) >= 3),
-          |sh AS (SELECT doc_id, list_distinct(list_transform(
-          |    list_distinct(list_transform(range(1, len(tk)-1),
-          |      i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])),
-          |    g -> list_reduce(list_prepend(CAST(7 AS BIGINT),
-          |      list_transform(string_split(g,''),
-          |        c -> CAST(ord(c) AS BIGINT))),
-          |      (acc, x) -> (acc*131 + x) % 1000000007))) AS hs FROM tt),
-          |mh AS (SELECT doc_id, hs, list_transform(range(0, 16),
-          |    i -> list_min(list_transform(hs,
-          |      h -> (h*(2*i+3) + (5*i+7)) % 1000000007))) AS mh FROM sh),
-          |bands AS (SELECT doc_id, unnest(range(0, 8)) AS bi,
-          |  unnest(list_transform(range(0, 8),
-          |    j -> mh[2*j+1]*1000000007 + mh[2*j+2])) AS bv FROM mh),
-          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-          |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
-          |    AND a.doc_id < b.doc_id),
-          |j AS (SELECT c.a_id, c.b_id,
-          |  CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
-          |    / len(list_distinct(list_concat(x.hs, y.hs))) AS jac
-          |  FROM cand c JOIN sh x ON c.a_id = x.doc_id
-          |  JOIN sh y ON c.b_id = y.doc_id)
-          |SELECT a_id, b_id, floor(jac*10000 + 0.5)/10000 AS jac FROM j
-          |WHERE jac >= 0.5 ORDER BY a_id, b_id""".stripMargin)),
+          .orderBy("a_id", "b_id"),
+      Some(twinsCte + mirrorPairsCte +
+        """SELECT a_id, b_id, floor(jac*10000 + 0.5)/10000 AS jac
+          |FROM pr ORDER BY a_id, b_id""".stripMargin)),
 
     // ---- p41: TF-IDF keyword extraction ---------------------------------
     // Top-3 characteristic terms per document — the classic corpus
@@ -1700,7 +1716,58 @@ object Pipeline {
              |  FROM p)
              |SELECT q_id, q_label, CAST(rn AS INTEGER) AS rank, n_id,
              |  n_label, cos_r
-             |FROM r WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin))
+             |FROM r WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- p60: the dedup pipeline, hash-checked END TO END ---------------
+    // p32 executes the production MinHash→CC→canonical path but its
+    // xxhash64 banding forces a rows-only check; this is the same
+    // composition over the MIRRORED pair source (p40), so the ENTIRE
+    // pipeline — shingle hash, minhash, banding, verify, connected
+    // components, canonical resolution, per-doc disposition — is one
+    // DuckDB hash compare (components via recursive CTE, the p28/x02
+    // idiom). Same scale shape as p32: linear banding, the leaf-peel +
+    // pointer-jump CC loop, two keyed joins for the report; the only
+    // difference is which integer hash seeds the shingles.
+    RegQuery("p60_dedup_report_mirror",
+      (s, d) => {
+        val edges = mirrorVerifiedPairs(s, d).select(
+          lpad(col("a_id").cast("string"), 9, "0").as("src_id"),
+          lpad(col("b_id").cast("string"), 9, "0").as("dst_id"))
+        val cc = graft.graphx.GraphAnalytics.connectedComponents(edges)
+          .select(col("id").cast("long").as("doc_id"),
+            col("component").cast("long").as("canonical_id"))
+        val all = docsWithTwins(s, d).select("doc_id")
+          .join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+        val sizes = all.groupBy("canonical_id")
+          .agg(count(lit(1)).as("cluster_size"))
+        all.join(sizes, "canonical_id")
+          .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
+            (col("doc_id") === col("canonical_id")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some((twinsCte + mirrorPairsCte +
+        """, und AS (SELECT a_id AS u, b_id AS v FROM pr
+          |  UNION SELECT b_id, a_id FROM pr),
+          |reach AS (
+          |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+          |  UNION
+          |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+          |comp AS (SELECT u AS doc_id, min(v) AS canonical_id
+          |  FROM reach GROUP BY u),
+          |disp AS (SELECT a.doc_id,
+          |    coalesce(c.canonical_id, a.doc_id) AS canonical_id
+          |  FROM alldocs a LEFT JOIN comp c ON a.doc_id = c.doc_id),
+          |sz AS (SELECT canonical_id, CAST(count(*) AS BIGINT)
+          |    AS cluster_size
+          |  FROM disp GROUP BY canonical_id)
+          |SELECT disp.doc_id, disp.canonical_id, sz.cluster_size,
+          |  disp.doc_id = disp.canonical_id AS keep
+          |FROM disp JOIN sz USING (canonical_id)
+          |ORDER BY doc_id""".stripMargin)
+        // `reach` is recursive — flag the whole WITH chain
+        .replaceFirst("WITH ", "WITH RECURSIVE ")))
   )
 
   /** DuckDB mirror of p52: the textured-audio sample generator (the
