@@ -76,7 +76,17 @@ class BenchGuardSpec extends SparkSpec {
     // the peeling edge set): a trip means a lost per-round
     // localCheckpoint (rounds re-inline — the x05 failure mode) or the
     // closing probe fell back to an exchange per round
-    ("x18_ktruss", 15.0))
+    ("x18_ktruss", 15.0),
+    // x20 baseline ~1.7 s at sf0.01: streaming wedge self-join on the
+    // customer key; a trip means the lost checkpoint recomputes the
+    // orders⋈lineitem distinct per wedge side, or the wedge join
+    // degenerated to a cartesian
+    ("x20_butterflies", 6.0),
+    // p60 baseline ~3.2 s at sf0.01: mirrored banding + verify + the
+    // CC loop + two report joins; a trip means an all-pairs regression
+    // in the pair source or a lost checkpoint in the CC loop (the p32
+    // trip semantics, on the hash-checked twin)
+    ("p60_dedup_report_mirror", 10.0))
 
   guards.foreach { case (name, limitSec) =>
     test(s"$name stays under ${limitSec}s (3x committed time)") {
