@@ -1211,6 +1211,92 @@ object Relational {
              |wm AS (SELECT flag, CAST(min(cents) AS BIGINT) AS wmedian_cents
              |  FROM cw WHERE cumw * 2 >= tot GROUP BY flag)
              |SELECT md.flag, md.mode_qty, md.mode_cnt, wm.wmedian_cents
-             |FROM md JOIN wm ON md.flag = wm.flag ORDER BY md.flag""".stripMargin))
+             |FROM md JOIN wm ON md.flag = wm.flag ORDER BY md.flag""".stripMargin)),
+
+    // ---- event-type transition matrix (first-order Markov) -------------
+    // Per-user event sequences → global transition counts and
+    // probabilities: THE clickstream path-analysis primitive. One
+    // window (lead) partitioned by user_id — the natural key, so the
+    // sequence build is a single hash partition of events with
+    // per-user sorts; the matrix itself is a tiny |types|² aggregate.
+    // Probabilities are integer ppm of the from-type's row sum, so the
+    // matrix hash-matches DuckDB exactly. Tie order (ts, event_id) is
+    // total — simultaneous events transition deterministically.
+    RegQuery("q55_transition_matrix",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val tr = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .where(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("cnt"))
+        tr.withColumn("row_tot",
+            sum("cnt").over(Window.partitionBy("from_type")))
+          .select(col("from_type"), col("to_type"), col("cnt"),
+            expr("cnt * 1000000 div row_tot").as("p_ppm"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH seq AS (SELECT event_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS next_type
+             |  FROM events),
+             |tr AS (SELECT event_type AS from_type, next_type AS to_type,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM seq WHERE next_type IS NOT NULL
+             |  GROUP BY event_type, next_type)
+             |SELECT from_type, to_type, cnt,
+             |  cnt * 1000000 // (sum(cnt) OVER (PARTITION BY from_type))
+             |    AS p_ppm
+             |FROM tr ORDER BY from_type, to_type""".stripMargin)),
+
+    // ---- cohort retention table ----------------------------------------
+    // Users cohorted by first-active week; cell (cohort, offset) counts
+    // users active `offset` weeks later, with retention in ppm of the
+    // cohort size — the standard growth-analytics triangle. Everything
+    // shuffles on user_id (first-touch aggregate, distinct activity
+    // weeks) and then on cohort_week (cell counts) — two natural keys,
+    // no window at all, so the whole table is two hash aggregates and
+    // one broadcast-sized join of cohort sizes at any corpus scale.
+    // Week arithmetic is date_trunc('week') + integer day-diff div 7
+    // on BOTH engines (same Monday week start).
+    RegQuery("q56_cohort_retention",
+      (s, d) => {
+        val act = t(s, d, "events")
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("wk")).distinct()
+        val cohort = act.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+        val cells = act.join(cohort, "user_id")
+          .select(col("cohort_wk"),
+            expr("datediff(wk, cohort_wk) div 7").cast("long")
+              .as("wk_offset"), col("user_id"))
+          .groupBy("cohort_wk", "wk_offset")
+          .agg(countDistinct("user_id").as("n_active"))
+        val sizes = cohort.groupBy("cohort_wk")
+          .agg(count(lit(1)).as("cohort_n"))
+        cells.join(broadcast(sizes), "cohort_wk")
+          .select(col("cohort_wk"), col("wk_offset"), col("n_active"),
+            col("cohort_n"),
+            expr("n_active * 1000000 div cohort_n").as("retention_ppm"))
+          .orderBy("cohort_wk", "wk_offset")
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+             |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+             |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM act
+             |  GROUP BY user_id),
+             |cells AS (SELECT cohort_wk,
+             |    CAST((wk - cohort_wk) // 7 AS BIGINT) AS wk_offset,
+             |    CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_active
+             |  FROM act JOIN cohort ON act.user_id = cohort.user_id
+             |  GROUP BY cohort_wk, (wk - cohort_wk) // 7),
+             |sizes AS (SELECT cohort_wk, CAST(count(*) AS BIGINT)
+             |    AS cohort_n
+             |  FROM cohort GROUP BY cohort_wk)
+             |SELECT cells.cohort_wk, wk_offset, n_active, cohort_n,
+             |  n_active * 1000000 // cohort_n AS retention_ppm
+             |FROM cells JOIN sizes ON cells.cohort_wk = sizes.cohort_wk
+             |ORDER BY cells.cohort_wk, wk_offset""".stripMargin))
   )
 }
