@@ -1071,7 +1071,58 @@ object GraphXQueries {
              |SELECT mm.m, nm.n_comms,
              |  CAST(CAST(nm.num AS HUGEINT) * 1000000
              |    // (4 * CAST(mm.m AS HUGEINT) * mm.m) AS BIGINT) AS q_ppm
-             |FROM nm, mm""".stripMargin))
+             |FROM nm, mm""".stripMargin)),
+
+    // exact r≤2 neighborhood-ball sizes for a deterministic 1/97 node
+    // sample of the co-purchase graph — the ground-truth companion to
+    // x17's HyperBall estimates (same ball convention: self included).
+    // Shape: two edge joins keyed by the frontier node with a distinct
+    // between — wedge volume is Σ_sample deg², kept linear by the
+    // sample rate the same way x16 bounds Brandes; the exact counts are
+    // what you'd spot-audit a 100 TB HyperBall run against.
+    RegQuery("x23_ball_sizes",
+      (s, d) => {
+        val pairs = coPurchasePairs(s, d).localCheckpoint()
+        val e = pairs.select(col("p1").as("u"), col("p2").as("v"))
+          .unionAll(pairs.select(col("p2").as("u"), col("p1").as("v")))
+        val samp = e.select(col("u")).distinct()
+          .where(col("u") % 97 === 0).select(col("u").as("root"))
+        val h1 = e.join(samp.withColumnRenamed("root", "u")
+            .withColumn("root", col("u")), "u")
+          .select(col("root"), col("v").as("n")).distinct()
+          .localCheckpoint() // feeds ball1, the hop-2 join, and ball2
+        val h2 = h1.select(col("root"), col("n").as("u"))
+          .join(e, "u")
+          .select(col("root"), col("v").as("n")).distinct()
+        val ball1 = h1.unionAll(samp.select(col("root"),
+            col("root").as("n")))
+          .distinct().groupBy("root").agg(count(lit(1)).as("ball1_sz"))
+        val ball2 = h1.unionAll(h2)
+          .unionAll(samp.select(col("root"), col("root").as("n")))
+          .distinct().groupBy("root").agg(count(lit(1)).as("ball2_sz"))
+        ball1.join(ball2, "root").orderBy("root")
+      },
+      Some("""WITH pp AS (SELECT DISTINCT a.l_partkey AS p1,
+             |    b.l_partkey AS p2
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |e AS (SELECT p1 AS u, p2 AS v FROM pp
+             |  UNION ALL SELECT p2, p1 FROM pp),
+             |samp AS (SELECT DISTINCT u AS root FROM e WHERE u % 97 = 0),
+             |h1 AS (SELECT DISTINCT samp.root, e.v AS n
+             |  FROM e JOIN samp ON e.u = samp.root),
+             |h2 AS (SELECT DISTINCT h1.root, e.v AS n
+             |  FROM h1 JOIN e ON h1.n = e.u),
+             |b1 AS (SELECT root, CAST(count(*) AS BIGINT) AS ball1_sz
+             |  FROM (SELECT root, n FROM h1
+             |        UNION SELECT root, root FROM samp)
+             |  GROUP BY root),
+             |b2 AS (SELECT root, CAST(count(*) AS BIGINT) AS ball2_sz
+             |  FROM (SELECT root, n FROM h1 UNION SELECT root, n FROM h2
+             |        UNION SELECT root, root FROM samp)
+             |  GROUP BY root)
+             |SELECT b1.root, ball1_sz, ball2_sz
+             |FROM b1 JOIN b2 ON b1.root = b2.root ORDER BY b1.root""".stripMargin))
   )
 
   /** Planted-community graph for x06: parts grouped into ~10-member

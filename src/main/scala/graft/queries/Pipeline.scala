@@ -1767,7 +1767,51 @@ object Pipeline {
           |FROM disp JOIN sz USING (canonical_id)
           |ORDER BY doc_id""".stripMargin)
         // `reach` is recursive — flag the whole WITH chain
-        .replaceFirst("WITH ", "WITH RECURSIVE ")))
+        .replaceFirst("WITH ", "WITH RECURSIVE "))),
+
+    // ---- p61: vocabulary coverage / OOV rate ----------------------------
+    // The tokenizer-design statistic: fix the corpus top-K vocabulary
+    // (K=1000 by frequency, ties by token — deterministic), then score
+    // every document's out-of-vocabulary token rate. High-OOV docs are
+    // the ones a fixed vocab tokenizer shreds into bytes — flagged
+    // before training, not discovered in loss spikes. Two corpus-keyed
+    // hash aggregates build the vocab (token counts → top-K via one
+    // window over DISTINCT TOKENS, not docs), then coverage is one
+    // explode + broadcast semi-probe + per-doc aggregate — the p19/p37
+    // membership shape. Integer bp output.
+    RegQuery("p61_vocab_coverage",
+      (s, d) => {
+        val toks = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+          .localCheckpoint() // feeds the vocab build and the coverage probe
+        // top-K as orderBy+limit, NOT a global row_number window:
+        // Spark plans this as TakeOrderedAndProject (per-partition
+        // top-K, then a K-row merge on the driver) — the shape that
+        // survives a 10⁸-token vocabulary where a one-partition window
+        // would not
+        val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("w")).limit(1000).select("w")
+        val flagged = toks.join(broadcast(vocab).withColumn("iv", lit(1L)),
+            Seq("w"), "left")
+        flagged.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            sum(coalesce(col("iv"), lit(0L))).as("n_in_vocab"))
+          .select(col("doc_id"), col("n_tok"), col("n_in_vocab"),
+            expr("(n_tok - n_in_vocab) * 10000 div n_tok").as("oov_bp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    unnest(string_split(text, ' ')) AS w FROM documents),
+             |tf AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks
+             |  GROUP BY w),
+             |vocab AS (SELECT w FROM tf ORDER BY cnt DESC, w LIMIT 1000),
+             |fl AS (SELECT doc_id, toks.w,
+             |    CASE WHEN vocab.w IS NULL THEN 0 ELSE 1 END AS iv
+             |  FROM toks LEFT JOIN vocab ON toks.w = vocab.w)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             |  CAST(sum(iv) AS BIGINT) AS n_in_vocab,
+             |  (count(*) - sum(iv)) * 10000 // count(*) AS oov_bp
+             |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB mirror of p52: the textured-audio sample generator (the
