@@ -1811,7 +1811,53 @@ object Pipeline {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
              |  CAST(sum(iv) AS BIGINT) AS n_in_vocab,
              |  (count(*) - sum(iv)) * 10000 // count(*) AS oov_bp
-             |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- p62: leakage-free train/eval split -----------------------------
+    // Splitting by per-doc hash leaks near-duplicates across the
+    // boundary (eval contains paraphrases of train — the classic
+    // inflated-benchmark failure); the correct unit of assignment is
+    // the DEDUP CLUSTER. Same mirrored pairs → CC spine as p60, then
+    // split = hash of the CANONICAL id (canonical·2654435761 mod P mod
+    // 10 < 8 → train), so every member of a cluster lands on the same
+    // side by construction. One extra map over p60's disposition —
+    // the whole leakage guarantee costs nothing beyond the dedup
+    // pipeline the corpus already runs. Hash-checked end to end like
+    // p60 (recursive-CTE components in the oracle).
+    RegQuery("p62_leakage_free_split",
+      (s, d) => {
+        val edges = mirrorVerifiedPairs(s, d).select(
+          lpad(col("a_id").cast("string"), 9, "0").as("src_id"),
+          lpad(col("b_id").cast("string"), 9, "0").as("dst_id"))
+        val cc = graft.graphx.GraphAnalytics.connectedComponents(edges)
+          .select(col("id").cast("long").as("doc_id"),
+            col("component").cast("long").as("canonical_id"))
+        docsWithTwins(s, d).select("doc_id")
+          .join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+          .withColumn("split",
+            when((col("canonical_id") * 2654435761L + 104729L)
+              % 1000000007L % 10 < 8, lit("train")).otherwise(lit("eval")))
+          .orderBy("doc_id")
+      },
+      Some((twinsCte + mirrorPairsCte +
+        """, und AS (SELECT a_id AS u, b_id AS v FROM pr
+          |  UNION SELECT b_id, a_id FROM pr),
+          |reach AS (
+          |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+          |  UNION
+          |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+          |comp AS (SELECT u AS doc_id, min(v) AS canonical_id
+          |  FROM reach GROUP BY u),
+          |disp AS (SELECT a.doc_id,
+          |    coalesce(c.canonical_id, a.doc_id) AS canonical_id
+          |  FROM alldocs a LEFT JOIN comp c ON a.doc_id = c.doc_id)
+          |SELECT doc_id, canonical_id,
+          |  CASE WHEN (canonical_id * 2654435761 + 104729)
+          |    % 1000000007 % 10 < 8 THEN 'train' ELSE 'eval' END AS split
+          |FROM disp ORDER BY doc_id""".stripMargin)
+        .replaceFirst("WITH ", "WITH RECURSIVE ")))
   )
 
   /** DuckDB mirror of p52: the textured-audio sample generator (the

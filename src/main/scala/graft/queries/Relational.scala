@@ -1297,6 +1297,37 @@ object Relational {
              |SELECT cells.cohort_wk, wk_offset, n_active, cohort_n,
              |  n_active * 1000000 // cohort_n AS retention_ppm
              |FROM cells JOIN sizes ON cells.cohort_wk = sizes.cohort_wk
-             |ORDER BY cells.cohort_wk, wk_offset""".stripMargin))
+             |ORDER BY cells.cohort_wk, wk_offset""".stripMargin)),
+
+    // ---- RANGE-interval window frame (time-based moving aggregate) -----
+    // q11 pins ROWS frames; this pins the time-based RANGE frame — a
+    // trailing 3-day aggregate per user where the frame is defined by
+    // EVENT TIME, not row count (the semantics ROWS can't express when
+    // events are irregular). RANGE includes peer rows, so the count and
+    // the integer milli-sum are set-determined — no tie-order
+    // sensitivity at all. Through the SQL surface (like q47) since the
+    // interval frame bound is a SQL-level construct; partitions by
+    // user_id — the natural key, no global window.
+    RegQuery("q57_range_frame",
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("events_v")
+        s.sql("""
+          SELECT user_id, ts, event_id,
+            count(*) OVER w AS n_3d,
+            sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) OVER w
+              AS sum_milli_3d
+          FROM events_v
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 3 DAYS PRECEDING AND CURRENT ROW)
+          ORDER BY user_id, ts, event_id""")
+      },
+      Some("""SELECT user_id, ts, event_id,
+             |  count(*) OVER w AS n_3d,
+             |  sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) OVER w
+             |    AS sum_milli_3d
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             |  RANGE BETWEEN INTERVAL 3 DAYS PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, ts, event_id""".stripMargin))
   )
 }
