@@ -1094,11 +1094,14 @@ object GraphXQueries {
         val h2 = h1.select(col("root"), col("n").as("u"))
           .join(e, "u")
           .select(col("root"), col("v").as("n")).distinct()
-        val ball1 = h1.unionAll(samp.select(col("root"),
-            col("root").as("n")))
-          .distinct().groupBy("root").agg(count(lit(1)).as("ball1_sz"))
+        // h1 is distinct and self-loop-free → ball1 = |h1| + 1 (self),
+        // no union/distinct pass; the root re-enters at hop 2 (any
+        // neighbor points back), so h1 ∪ h2 already contains self and
+        // ball2 is one distinct over the union — two shuffles saved vs
+        // the literal three-way union
+        val ball1 = h1.groupBy("root")
+          .agg((count(lit(1)) + 1).as("ball1_sz"))
         val ball2 = h1.unionAll(h2)
-          .unionAll(samp.select(col("root"), col("root").as("n")))
           .distinct().groupBy("root").agg(count(lit(1)).as("ball2_sz"))
         ball1.join(ball2, "root").orderBy("root")
       },

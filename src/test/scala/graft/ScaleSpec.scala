@@ -179,7 +179,8 @@ class ScaleSpec extends SparkSpec {
     // to prevent. (p05 shares the pair-source shape pre-checkpoint;
     // p32's visible plan covers verify + CC-output resolution joins.)
     for (q <- Seq("p05_minhash_lsh", "p32_lsh_dedup_pipeline",
-        "p40_lsh_mirror", "p60_dedup_report_mirror")) {
+        "p40_lsh_mirror", "p60_dedup_report_mirror",
+        "p62_leakage_free_split")) {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") &&
