@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
-import graft.functions.{CosineSim, JaccardSorted}
+import graft.functions.{CosineSim, JaccardSorted, PolyHash}
 
 /** Engine extension point (the Spark-native answer to the reference's
   * WASM plugin vision, reference README.md:34-57): custom Catalyst
@@ -28,5 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         JaccardSorted(Cast(children(0), ArrayType(LongType)),
           Cast(children(1), ArrayType(LongType)))))
+    e.injectFunction((
+      new FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PolyHash(children(0),
+          Cast(children(1), LongType), Cast(children(2), LongType))))
   }
 }

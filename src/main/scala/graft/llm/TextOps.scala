@@ -108,6 +108,19 @@ object TextOps {
       GraftInternals.expression(a), GraftInternals.expression(b)))
   }
 
+  /** The engine's mirrorable rolling hash, via the native
+    * [[graft.functions.PolyHash]] expression — one codegen'd fold per
+    * string instead of the split→transform→aggregate lambda chain that
+    * allocates a per-character UTF8String array on every call (the
+    * DuckDB mirror stays `list_reduce(list_prepend(seed, ...))`, same
+    * integers). */
+  def polyHash(s: Column, seed: Long = 7L, mult: Long = 131L): Column = {
+    import org.apache.spark.sql.GraftInternals
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    GraftInternals.column(graft.functions.PolyHash(
+      GraftInternals.expression(s), Literal(seed), Literal(mult)))
+  }
+
   /** 64-bit SimHash over whitespace tokens (term-frequency weighted):
     * bit j of the fingerprint is the sign of Σ_tokens tf·(±1) where the
     * sign is bit j of xxhash64(token). One explode + 64 conditional sums

@@ -666,8 +666,7 @@ object Curation {
       (s, d) => {
         val P = 1000000007L
         def polyBits(g: Column, seed: Long, mult: Int): Column =
-          (aggregate(transform(split(g, ""), c => ascii(c).cast("long")),
-            lit(seed), (acc, x) => (acc * mult + x) % P) % 65536).cast("long")
+          (graft.llm.TextOps.polyHash(g, seed, mult) % 65536).cast("long")
         // token barrier (p16/p19 rule), then hash each distinct gram
         // once; the frame feeds bench bits + bloom probe + exact probe
         val grams = Tables(s, d, "documents")
@@ -745,8 +744,7 @@ object Curation {
       (s, d) => {
         val P = 1000000007L
         def polyB(g: Column, seed: Long, mult: Int): Column =
-          (aggregate(transform(split(g, ""), c => ascii(c).cast("long")),
-            lit(seed), (acc, x) => (acc * mult + x) % P) % 1024).cast("long")
+          (graft.llm.TextOps.polyHash(g, seed, mult) % 1024).cast("long")
         val tk = col("tk")
         val grams = transform(
           sequence(lit(1), greatest(size(tk) - 1, lit(0))),
@@ -1063,8 +1061,7 @@ object Curation {
       nSelect: Int): DataFrame = {
     val P = 1000000007L
     def bucket(t: Column): Column =
-      (aggregate(transform(split(t, ""), c => ascii(c).cast("long")),
-        lit(7L), (acc, x) => (acc * 131 + x) % P) % 1024).cast("long")
+      (graft.llm.TextOps.polyHash(t) % 1024).cast("long")
     // checkpoint: per-doc bucket counts feed the raw agg, the target
     // agg, the totals row, AND the score join — four consumers
     val docf = docs

@@ -131,9 +131,7 @@ object Pipeline {
   private[queries] def mirrorVerifiedPairs(s: SparkSession,
       d: String): DataFrame = {
     val P = 1000000007L
-    def polyH(g: Column): Column =
-      aggregate(transform(split(g, ""), c => ascii(c).cast("long")),
-        lit(7L), (acc, x) => (acc * 131 + x) % P)
+    def polyH(g: Column): Column = TextOps.polyHash(g) // native codegen fold
     val hs = docsWithTwins(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
       .where(size(col("tk")) >= 3)
@@ -1073,9 +1071,7 @@ object Pipeline {
     RegQuery("p49_simhash_mirror",
       (s, d) => {
         val P = 1000000007L
-        def polyH(g: Column): Column =
-          aggregate(transform(split(g, ""), c => ascii(c).cast("long")),
-            lit(7L), (acc, x) => (acc * 131 + x) % P)
+        def polyH(g: Column): Column = TextOps.polyHash(g) // native codegen fold
         val occ = docsWithTwins(s, d)
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
           .select(col("doc_id"), polyH(col("tok")).as("h"))
@@ -1566,9 +1562,7 @@ object Pipeline {
     RegQuery("p57_hashed_linear_clf",
       (s, d) => {
         val P = 1000000007L
-        def polyH(g: Column): Column =
-          aggregate(transform(split(g, ""), c => ascii(c).cast("long")),
-            lit(7L), (acc, x) => (acc * 131 + x) % P)
+        def polyH(g: Column): Column = TextOps.polyHash(g) // native codegen fold
         val tk = col("tk")
         val feats = Tables(s, d, "documents")
           .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
@@ -1627,9 +1621,7 @@ object Pipeline {
     RegQuery("p58_novelty",
       (s, d) => {
         val P = 1000000007L
-        def polyH(g: Column): Column =
-          aggregate(transform(split(g, ""), c => ascii(c).cast("long")),
-            lit(7L), (acc, x) => (acc * 131 + x) % P)
+        def polyH(g: Column): Column = TextOps.polyHash(g) // native codegen fold
         val dg = Tables(s, d, "documents")
           .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
           .where(size(col("tk")) >= 3)
@@ -2182,9 +2174,7 @@ object Pipeline {
     * chunk_hash], unordered. */
   def ragChunks(docs: DataFrame, chunkTok: Int, stride: Int): DataFrame = {
     val P = 1000000007L
-    def polyH(g: Column): Column =
-      aggregate(transform(split(g, ""), c => ascii(c).cast("long")),
-        lit(7L), (acc, x) => (acc * 131 + x) % P)
+    def polyH(g: Column): Column = TextOps.polyHash(g) // native codegen fold
     docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
       .repartition(col("doc_id")) // token barrier (p16 rule)

@@ -396,8 +396,7 @@ object Streaming {
         import graft.llm.TextOps
         val P = 1000000007L
         def polyB(g: Column, seed: Long, mult: Int): Column =
-          (aggregate(transform(split(g, ""), c => ascii(c).cast("long")),
-            lit(seed), (acc, x) => (acc * mult + x) % P) % 1024).cast("long")
+          (graft.llm.TextOps.polyHash(g, seed, mult) % 1024).cast("long")
         val tk = col("tk")
         val grams = transform(
           sequence(lit(1), greatest(size(tk) - 1, lit(0))),
@@ -600,9 +599,7 @@ object Streaming {
         import s.implicits._
         import graft.llm.TextOps
         val P = 1000000007L
-        def polyH(g: Column): Column =
-          aggregate(transform(split(g, ""), c => ascii(c).cast("long")),
-            lit(7L), (acc, x) => (acc * 131 + x) % P)
+        def polyH(g: Column): Column = TextOps.polyHash(g) // native codegen fold
         val A25 = 2905460551L << 25
         val w = shiftright(col("h"), 6)
         val q = withStatePartitions(s, 8) {
