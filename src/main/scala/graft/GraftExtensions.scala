@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
 
-import graft.functions.{CosineSim, JaccardSorted, PolyHash}
+import graft.functions.{CosineSim, JaccardSorted, MinhashSigs, PolyHash}
 
 /** Engine extension point (the Spark-native answer to the reference's
   * WASM plugin vision, reference README.md:34-57): custom Catalyst
@@ -34,5 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PolyHash(children(0),
           Cast(children(1), LongType), Cast(children(2), LongType))))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinhashSigs(Cast(children(0), ArrayType(LongType)),
+          Cast(children(1), IntegerType))))
   }
 }

@@ -121,6 +121,19 @@ object TextOps {
       GraftInternals.expression(s), Literal(seed), Literal(mult)))
   }
 
+  /** k-permutation MinHash signature of a hashed-shingle array via the
+    * native [[graft.functions.MinhashSigs]] expression — one array
+    * traversal with k running minima instead of k transform+array_min
+    * passes each allocating an intermediate array (the map-side cost
+    * of every mirrored banding stage). Same integers as the lambda
+    * form and the DuckDB mirror. */
+  def minhashSigs(hs: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftInternals
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    GraftInternals.column(graft.functions.MinhashSigs(
+      GraftInternals.expression(hs), Literal(k)))
+  }
+
   /** 64-bit SimHash over whitespace tokens (term-frequency weighted):
     * bit j of the fingerprint is the sign of Σ_tokens tf·(±1) where the
     * sign is bit j of xxhash64(token). One explode + 64 conditional sums

@@ -139,10 +139,11 @@ object Pipeline {
       .select(col("doc_id"), array_sort(array_distinct(
         transform(TextOps.shingles(col("tk"), 3), g => polyH(g)))).as("hs"))
       .localCheckpoint()
+    // native one-pass signature (MinhashSigs): 16 running minima in a
+    // single hs traversal vs 16 transform+array_min passes — same
+    // integers as the DuckDB mirror's list_transform chain
     val mh = hs.select(col("doc_id"), col("hs"),
-      transform(sequence(lit(0), lit(15)), i =>
-        array_min(transform(col("hs"), h =>
-          (h * (i * 2 + 3) + (i * 5 + 7)) % P))).as("mh"))
+      TextOps.minhashSigs(col("hs"), 16).as("mh"))
     val bands = mh.select(col("doc_id"), posexplode(
         transform(sequence(lit(0), lit(7)), j =>
           element_at(col("mh"), j * 2 + 1) * P +
