@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
 
-import graft.functions.{CosineSim, JaccardSorted, MinhashSigs, PolyHash}
+import graft.functions.{CosineSim, JaccardSorted, MinhashSigs, PolyHash, XxMinhashSigs}
 
 /** Engine extension point (the Spark-native answer to the reference's
   * WASM plugin vision, reference README.md:34-57): custom Catalyst
@@ -39,6 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinhashSigs(Cast(children(0), ArrayType(LongType)),
+          Cast(children(1), IntegerType))))
+    e.injectFunction((
+      new FunctionIdentifier("xx_minhash_sigs"),
+      new ExpressionInfo(classOf[XxMinhashSigs].getName, "xx_minhash_sigs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        XxMinhashSigs(Cast(children(0), ArrayType(LongType)),
           Cast(children(1), IntegerType))))
   }
 }

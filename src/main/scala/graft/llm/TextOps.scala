@@ -70,11 +70,26 @@ object TextOps {
     * hashes. */
   def bandsPerRow(shinglesCol: Column, k: Int, b: Int, r: Int): Column = {
     val hashed = transform(shinglesCol, s => xxhash64(s))
-    val mh = (0 until k).map(i =>
-      array_min(transform(hashed, x => xxhash64(x, lit(i)))))
-    array((0 until b).map(bi =>
-      xxhash64(concat_ws(",",
-        (0 until r).map(ri => mh(bi * r + ri)): _*))): _*)
+    // native one-pass signature (XxMinhashSigs) instead of k
+    // array_min(transform(...)) passes; band hashes are bit-identical
+    // (same xxhash64 chain, same comma-joined decimal strings) —
+    // pinned in XxMinhashSigsSpec and by s08's batch-equality tests.
+    // mh appears ONCE in the tree (bands slice it in a lambda), so the
+    // 32-references CollapseProject hazard the barrier comment below
+    // describes can't re-emerge here.
+    val mh = xxMinhashSigs(hashed, k)
+    transform(sequence(lit(0), lit(b - 1)), bi =>
+      xxhash64(concat_ws(",", transform(
+        slice(mh, bi * r + 1, lit(r)), v => v.cast("string")))))
+  }
+
+  /** One-pass k-permutation xxhash64 MinHash signature via the native
+    * [[graft.functions.XxMinhashSigs]] expression. */
+  def xxMinhashSigs(hashed: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftInternals
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    GraftInternals.column(graft.functions.XxMinhashSigs(
+      GraftInternals.expression(hashed), Literal(k)))
   }
 
   /** Candidate pairs (a < b) sharing an LSH bucket. The bucket-size cap
