@@ -111,9 +111,29 @@ object Pipeline {
         array_sort(transform(TextOps.shingles(col("tk"), 3),
           sh => xxhash64(sh))).as("sh"))
       .localCheckpoint()
-    val sig = TextOps.minhash(docs, "doc_id", col("sh"), k = k)
-    val cand = TextOps.candidatePairs(
-      TextOps.bands(sig, "doc_id", b = b, r = r), "doc_id")
+    // per-row signatures (native one-pass XxMinhashSigs) instead of the
+    // old explode → k-min-aggregate: same band hashes bit-for-bit (the
+    // aggregate's min(xxhash64(h, i)) IS this fold), but the whole
+    // explode+groupBy shuffle of the shingle stream disappears — the
+    // banding stage is map-side until the bucket aggregate. The
+    // signature materializes behind its own checkpoint so the band
+    // lambda (b references) can't re-inline the k-pass fold per band —
+    // the same re-evaluation hazard the hs barrier already guards.
+    val sigs = docs.select(col("doc_id"),
+        TextOps.xxMinhashSigs(
+          transform(col("sh"), x => xxhash64(x)), k).as("mh"))
+      .localCheckpoint()
+    // null mh = shingle-less doc: the old explode form simply emitted
+    // no rows for it — keep that (otherwise every empty doc would share
+    // the xxhash64('') bucket)
+    val bands = sigs.where(col("mh").isNotNull)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(b - 1)), bi =>
+          xxhash64(concat_ws(",", transform(
+            slice(col("mh"), bi * r + 1, lit(r)),
+            v => v.cast("string"))))))
+        .as(Seq("band_idx", "band_hash")))
+    val cand = TextOps.candidatePairs(bands, "doc_id")
     cand
       .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")

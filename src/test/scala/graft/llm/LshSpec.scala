@@ -44,6 +44,35 @@ class LshSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
   }
 
+  test("p05 per-row native banding == the explode/aggregate pipeline") {
+    // p05's pair source swapped explode → k-min-aggregate for the
+    // native per-row XxMinhashSigs; the hashes are the same fold, so
+    // the VERIFIED PAIR SET must be bit-identical. Rebuild the old
+    // pipeline literally (k=32, b=8, r=4 — p05's parameters) and
+    // compare against the shipped query.
+    val shipped = graft.SparkEntry
+      .queries("p05_minhash_lsh")(spark, sfDir)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hs = twinsCorpus
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        array_sort(transform(TextOps.shingles(col("tk"), 3),
+          sh => xxhash64(sh))).as("sh")).cache()
+    val sig = TextOps.minhash(hs, "doc_id", col("sh"), k = 32)
+    val cand = TextOps.candidatePairs(
+      TextOps.bands(sig, "doc_id", b = 8, r = 4), "doc_id")
+    val legacy = cand
+      .join(hs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(hs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .where(TextOps.jaccardSorted(col("a_sh"), col("b_sh")) >= 0.5)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shipped == legacy,
+      s"only-shipped=${(shipped -- legacy).take(5)} " +
+        s"only-legacy=${(legacy -- shipped).take(5)}")
+  }
+
   test("minhash-LSH recovers >=90% of planted near-dup twins") {
     val withSh = docs.select(col("doc_id"),
       TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
