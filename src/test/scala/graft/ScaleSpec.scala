@@ -354,6 +354,22 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"classifier grew a join:\n$plan")
   }
 
+  test("q55/q56: clickstream analytics shuffle on natural keys only") {
+    // the transition matrix's one window must partition by user_id
+    // (per-user sequence build), never globally; the cohort table must
+    // broadcast its cohort sizes, not shuffle-join them — losing either
+    // turns a natural-keyed analytics query into a single-node sort or
+    // a second full exchange at 100 TB
+    val tPlan = SparkEntry.queries("q55_transition_matrix")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id#\\d+".r.findFirstIn(tPlan).isDefined,
+      s"transition window not keyed by user_id:\n$tPlan")
+    val cPlan = SparkEntry.queries("q56_cohort_retention")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(cPlan.contains("BroadcastHashJoin"),
+      s"cohort sizes not broadcast:\n$cPlan")
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val li = Tables(spark, sfDir, "lineitem")
     val direct = li.groupBy("l_returnflag")
