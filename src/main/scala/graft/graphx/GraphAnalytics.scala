@@ -1,7 +1,7 @@
 package graft.graphx
 
 import org.apache.spark.graphx.{Edge, Graph => XGraph, VertexId}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Whole-graph analytics over the edges view — the reference lists
@@ -818,32 +818,75 @@ object GraphAnalytics {
     * localCheckpointed per round like the kCore loop. */
   def trussPeel(pairs0: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
-    def support(edges: DataFrame): DataFrame =
-      // one pass: each triangle charges its three edges in CANONICAL
-      // (p1 < p2) form, whatever corner order the degree-oriented list
-      // emitted (the triangleCounts corner-explode lesson — union'd
-      // selects re-run the wedge join per branch)
-      triangleList(edges).select(explode(array(
-          struct(least(col("a"), col("b")).as("p1"),
-            greatest(col("a"), col("b")).as("p2")),
-          struct(least(col("a"), col("c")).as("p1"),
-            greatest(col("a"), col("c")).as("p2")),
-          struct(least(col("b"), col("c")).as("p1"),
-            greatest(col("b"), col("c")).as("p2")))).as("e"))
-        .select(col("e.p1"), col("e.p2"))
-        .groupBy("p1", "p2").agg(count(lit(1)).as("sup"))
-    var edges = pairs0.select(col("p1"), col("p2")).distinct()
+    val edges = pairs0.select(col("p1"), col("p2")).distinct()
+      .localCheckpoint()
+    // Enumerate triangles ONCE (the expensive degree-ordered wedge
+    // join); peeling only ever DELETES edges, and a triangle dies
+    // exactly when one of its edges does — so each round maintains the
+    // list with anti-joins against the removed-edge set instead of
+    // re-running the wedge join per round (the from-scratch loop
+    // measured 5 wedge passes, ~15 s at sf0.1). Edge keys pack to ONE
+    // long when ids fit unsigned 31 bits (the triangleList probe-key
+    // guard, same negative-id caveat): the materialized triangle list,
+    // the broadcast hash sets, and the support aggregate all run on
+    // primitive longs instead of two-field structs.
+    val bounds = edges.agg(
+        coalesce(greatest(max("p1"), max("p2")), lit(0L)).as("mx"),
+        coalesce(least(min("p1"), min("p2")), lit(0L)).as("mn"))
+      .first()
+    val packable = bounds.getLong(1) >= 0L && bounds.getLong(0) < (1L << 31)
+    def pk(u: Column, v: Column): Column =
+      if (packable) shiftleft(u, 32).bitwiseOR(v)
+      else struct(u.as("p1"), v.as("p2"))
+    var tris = triangleList(edges).select(
+        pk(least(col("a"), col("b")), greatest(col("a"), col("b"))).as("e1"),
+        pk(least(col("a"), col("c")), greatest(col("a"), col("c"))).as("e2"),
+        pk(least(col("b"), col("c")), greatest(col("b"), col("c"))).as("e3"))
+      .localCheckpoint()
+    // Support is maintained INCREMENTALLY: charge every edge once from
+    // the initial triangle list, then per round subtract only the
+    // charges of DYING triangles (those touching a removed edge) —
+    // sup(e) always equals the surviving-triangle count containing e,
+    // which is exactly the from-scratch value, so the DuckDB
+    // chained-CTE oracle is unchanged. Rounds touch data proportional
+    // to what the peel removes (at sf0.1 round 1 removes 62k of 1.2M
+    // edges), not the full 3·|tris| explode per round.
+    val sup0 = tris
+      .select(explode(array(col("e1"), col("e2"), col("e3"))).as("ek"))
+      .groupBy("ek").agg(count(lit(1)).as("sup"))
+    var st = edges.select(col("p1"), col("p2"),
+        pk(col("p1"), col("p2")).as("ek"))
+      .join(sup0, Seq("ek"), "left")
+      .na.fill(0L, Seq("sup"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      edges = edges
-        .join(support(edges), Seq("p1", "p2"), "left")
-        .na.fill(0L, Seq("sup"))
-        .where(col("sup") >= k - 2)
-        .select("p1", "p2")
+      // the removed set is bounded by what one round peels — small by
+      // construction mid-peel, so an explicit broadcast beats leaving
+      // the 6 probe joins to the planner's no-stats SMJ default
+      val removed = st.where(col("sup") < k - 2).select(col("ek").as("re"))
+      val kept = st.where(col("sup") >= k - 2)
+      val rem = broadcast(removed)
+      // dying triangles: distinct union of the three touch sides (a
+      // triangle losing TWO edges in one round must still be charged
+      // once, not twice)
+      val dead = tris.join(rem, col("e1") === col("re"), "left_semi")
+        .unionAll(tris.join(rem, col("e2") === col("re"), "left_semi"))
+        .unionAll(tris.join(rem, col("e3") === col("re"), "left_semi"))
+        .distinct()
+      tris = tris
+        .join(rem, col("e1") === col("re"), "left_anti")
+        .join(rem, col("e2") === col("re"), "left_anti")
+        .join(rem, col("e3") === col("re"), "left_anti")
+        .localCheckpoint()
+      val delta = dead
+        .select(explode(array(col("e1"), col("e2"), col("e3"))).as("ek"))
+        .groupBy("ek").agg(count(lit(1)).as("dd"))
+      st = kept.join(broadcast(delta), Seq("ek"), "left")
+        .select(col("p1"), col("p2"), col("ek"),
+          (col("sup") - coalesce(col("dd"), lit(0L))).as("sup"))
         .localCheckpoint()
     }
-    edges.join(support(edges), Seq("p1", "p2"), "left")
-      .na.fill(0L, Seq("sup"))
+    st.select(col("p1"), col("p2"), col("sup"))
   }
 
   /** Deterministic synchronous label propagation (Raghavan et al. 2007)

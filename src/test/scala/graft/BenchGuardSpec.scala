@@ -72,11 +72,12 @@ class BenchGuardSpec extends SparkSpec {
     // ~1e8 candidate rows before the cap landed, i.e. minutes, so the
     // loose limit still trips on the guarded failure)
     ("p53_prefix_join_dedup", 15.0),
-    // x18 baseline ~4 s at sf0.01 (4 degree-ordered wedge passes over
-    // the peeling edge set): a trip means a lost per-round
-    // localCheckpoint (rounds re-inline — the x05 failure mode) or the
-    // closing probe fell back to an exchange per round
-    ("x18_ktruss", 15.0),
+    // x18 baseline ~2 s at sf0.01 (ONE wedge pass + incremental
+    // support maintenance): a trip means the peel regressed to
+    // per-round triangle re-enumeration, a lost per-round
+    // localCheckpoint (rounds re-inline — the x05 failure mode), or
+    // the removed-set broadcast fell back to a per-round SMJ
+    ("x18_ktruss", 8.0),
     // x20 baseline ~1.7 s at sf0.01: streaming wedge self-join on the
     // customer key; a trip means the lost checkpoint recomputes the
     // orders⋈lineitem distinct per wedge side, or the wedge join
