@@ -1259,6 +1259,38 @@ object GraphAnalytics {
     }.reduce(_ unionAll _)
   }
 
+  /** Cycle labeling of a FUNCTIONAL graph (every vertex has exactly one
+    * successor — dedup canonical-pointer chains, `next`-pointer tables,
+    * LCG/rho walks) by pointer doubling, the primitive under
+    * [[connectedComponents]]'s pointer-jumping and distributed list
+    * ranking: 2^jumpPow-step jump lands every vertex on its terminal
+    * cycle, then a min-doubling pass takes the min label over a
+    * 2^windowPow-step window — ≥ the cycle length, so the window min IS
+    * the cycle min, a deterministic total label. O(jumpPow + windowPow)
+    * rounds, each ONE self-equi-join on [v, p] (vs O(tail + cycle)
+    * sequential chasing); per-round `localCheckpoint` keeps the doubled
+    * plan from re-inlining (the CC loop discipline). Caller guarantees
+    * max tail ≤ 2^jumpPow and max cycle ≤ 2^windowPow (x24 pins the
+    * measured bounds per SF). Returns [v, w, cycle_min] where w =
+    * f^(2^jumpPow)(v), a vertex on v's cycle. */
+  def cycleLabel(succ0: DataFrame, jumpPow: Int, windowPow: Int): DataFrame = {
+    val succ = succ0.select(col("v"), col("p")).localCheckpoint()
+    var jump = succ // f^(2^0); each round squares the stride
+    for (_ <- 1 to jumpPow)
+      jump = jump.as("x").join(jump.as("y"), col("x.p") === col("y.v"))
+        .select(col("x.v").as("v"), col("y.p").as("p"))
+        .localCheckpoint()
+    // mn(v) after round j = min{f^0(v) .. f^(2^j - 1)(v)}, p = f^(2^j)(v)
+    var md = succ.select(col("v"), col("p"), col("v").as("mn"))
+    for (_ <- 1 to windowPow)
+      md = md.as("x").join(md.as("y"), col("x.p") === col("y.v"))
+        .select(col("x.v").as("v"), col("y.p").as("p"),
+          least(col("x.mn"), col("y.mn")).as("mn"))
+        .localCheckpoint()
+    jump.join(md.select(col("v").as("p"), col("mn").as("cycle_min")), "p")
+      .select(col("v"), col("p").as("w"), col("cycle_min"))
+  }
+
   private def ccFromTri(deg: DataFrame, tri: DataFrame): DataFrame =
     deg.where(col("dg") >= 2)
       .select(col("u").as("c"), col("dg"))

@@ -1125,7 +1125,50 @@ object GraphXQueries {
              |        UNION SELECT root, root FROM samp)
              |  GROUP BY root)
              |SELECT b1.root, ball1_sz, ball2_sz
-             |FROM b1 JOIN b2 ON b1.root = b2.root ORDER BY b1.root""".stripMargin))
+             |FROM b1 JOIN b2 ON b1.root = b2.root ORDER BY b1.root""".stripMargin)),
+
+    // pointer-doubling cycle labeling of a functional graph — the
+    // primitive under CC's pointer-jumping and distributed list
+    // ranking, exercised standalone: 8 sharded quadratic maps
+    // f(v) = base + (v² + shard + 1) mod m over the partkey space
+    // (deterministic rho-shaped walks; measured bounds tail ≤ 9,
+    // cycle ≤ 200 across sf0.001/0.01/0.1, against jump 2⁴ = 16 and
+    // window 2⁸ = 256). Engine cost is log₂: 12 self-equi-joins
+    // TOTAL where sequential chasing would pay O(tail + cycle) = up
+    // to 209 dependent rounds — the reason canonical-pointer chains
+    // (dedup chains, linked shards) resolve in seconds at 100 TB.
+    // The DuckDB mirror IS the sequential chase (272 one-step
+    // recursive-CTE rounds), so the hash compare pins the doubled
+    // path against the naive semantics it replaces.
+    RegQuery("x24_cycle_labels",
+      (s, d) => {
+        val parts = graft.Tables(s, d, "part").select(col("p_partkey").as("v"))
+        val n = parts.count()
+        val m = n / 8
+        require(m * 8 == n, s"x24 shards the partkey space 8 ways; |part| = $n")
+        val succ = parts.select(col("v"),
+          expr(s"(v div $m) * $m + (v * v + (v div $m) + 1) % $m").as("p"))
+        GraphAnalytics.cycleLabel(succ, jumpPow = 4, windowPow = 8)
+          .groupBy("cycle_min")
+          .agg(count(lit(1)).as("n_nodes"),
+            countDistinct("w").as("n_cycle"))
+          .orderBy("cycle_min")
+      },
+      Some("""WITH RECURSIVE pn AS (SELECT count(*) // 8 AS m FROM part),
+             |walk AS (
+             |  SELECT 0 AS i, p_partkey AS src, p_partkey AS node FROM part
+             |  UNION ALL
+             |  SELECT w.i + 1, w.src,
+             |    (w.node // pn.m) * pn.m
+             |      + (w.node * w.node + w.node // pn.m + 1) % pn.m
+             |  FROM walk w, pn WHERE w.i < 272),
+             |lab AS (SELECT src, min(node) AS cycle_min FROM walk
+             |  WHERE i BETWEEN 16 AND 271 GROUP BY src),
+             |wv AS (SELECT src, node AS w FROM walk WHERE i = 16)
+             |SELECT l.cycle_min, CAST(count(*) AS BIGINT) AS n_nodes,
+             |  CAST(count(DISTINCT wv.w) AS BIGINT) AS n_cycle
+             |FROM lab l JOIN wv ON l.src = wv.src
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Planted-community graph for x06: parts grouped into ~10-member

@@ -1870,7 +1870,183 @@ object Pipeline {
           |  CASE WHEN (canonical_id * 2654435761 + 104729)
           |    % 1000000007 % 10 < 8 THEN 'train' ELSE 'eval' END AS split
           |FROM disp ORDER BY doc_id""".stripMargin)
-        .replaceFirst("WITH ", "WITH RECURSIVE ")))
+        .replaceFirst("WITH ", "WITH RECURSIVE "))),
+
+    // ---- p63: filter-calibration harness (classifier vs reference) ------
+    // The eval loop every learned quality filter ships with: per-source
+    // confusion matrix + precision/recall/F1 of the p26 logistic gate
+    // against an independent reference labeling (metadata rule:
+    // lang = 'en' AND n_chars >= 100 — the cheap-proxy stand-in for
+    // human labels; swapping in real annotations changes one boolean
+    // column, not the plan). The per-SOURCE breakdown is the
+    // production view: it localizes where the filter over/under-kills
+    // before a retrain. Metrics stay integer end to end (ppm by
+    // truncating div, zero-denominator → 0), and the gate reuses
+    // p26's 1e-4-rounded sigmoid, so the whole table hash-matches.
+    // One codegen pass + one hash aggregate on ~20 source keys.
+    RegQuery("p63_filter_calibration",
+      (s, d) => {
+        val tk = col("tk")
+        val sr = TextOps.stopwordRatio(tk)
+        val mw = aggregate(tk, lit(0L), (a, x) => a + length(x))
+          .cast("double") / size(tk)
+        val z = lit(-3.0) + lit(4.0) * sr + lit(0.5) * mw +
+          lit(0.2) * log(2.0, size(tk))
+        val scored = Tables(s, d, "documents")
+          .select(col("source"), col("lang"), col("n_chars"),
+            TextOps.tokens(col("text")).as("tk"))
+          .select(col("source"),
+            (r4(lit(1.0) / (lit(1.0) + exp(-z))) > 0.6).as("pred"),
+            (col("lang") === "en" && col("n_chars") >= 100).as("ref"))
+        def n(c: Column): Column = sum(c.cast("long"))
+        scored.groupBy("source")
+          .agg(n(col("pred") && col("ref")).as("tp"),
+            n(col("pred") && !col("ref")).as("fp"),
+            n(!col("pred") && col("ref")).as("fn"),
+            n(!col("pred") && !col("ref")).as("tn"))
+          .withColumn("prec_ppm", when(col("tp") + col("fp") === 0, 0L)
+            .otherwise(expr("tp * 1000000 div (tp + fp)")))
+          .withColumn("rec_ppm", when(col("tp") + col("fn") === 0, 0L)
+            .otherwise(expr("tp * 1000000 div (tp + fn)")))
+          .withColumn("f1_ppm", when(col("prec_ppm") + col("rec_ppm") === 0, 0L)
+            .otherwise(expr(
+              "2 * prec_ppm * rec_ppm div (prec_ppm + rec_ppm)")))
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (SELECT source, lang, n_chars,
+             |    string_split(text,' ') AS tk FROM documents),
+             |f AS (SELECT source,
+             |  floor(1.0/(1.0 + exp(-(
+             |    -3.0 + 4.0 * (CAST(len(list_filter(tk, x -> list_contains(
+             |      ${TextOps.enStopwords.mkString("['", "','", "']")}, x)))
+             |      AS DOUBLE) / len(tk))
+             |    + 0.5 * (CAST(list_sum(list_transform(tk, x -> length(x)))
+             |      AS DOUBLE) / len(tk))
+             |    + 0.2 * log2(len(tk)))))*10000 + 0.5)/10000 > 0.6 AS pred,
+             |  lang = 'en' AND n_chars >= 100 AS ref FROM t),
+             |cm AS (SELECT source,
+             |    CAST(sum(CASE WHEN pred AND ref THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             |    CAST(sum(CASE WHEN pred AND NOT ref THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             |    CAST(sum(CASE WHEN NOT pred AND ref THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             |    CAST(sum(CASE WHEN NOT pred AND NOT ref THEN 1 ELSE 0 END) AS BIGINT) AS tn
+             |  FROM f GROUP BY source),
+             |pr AS (SELECT *,
+             |    CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp)
+             |      END AS prec_ppm,
+             |    CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn)
+             |      END AS rec_ppm
+             |  FROM cm)
+             |SELECT source, tp, fp, fn, tn, prec_ppm, rec_ppm,
+             |  CASE WHEN prec_ppm + rec_ppm = 0 THEN 0
+             |    ELSE 2 * prec_ppm * rec_ppm // (prec_ppm + rec_ppm)
+             |    END AS f1_ppm
+             |FROM pr ORDER BY source""".stripMargin)),
+
+    // ---- p64: duplicate n-gram mass (corpus duplication accounting) -----
+    // Lee et al. (ACL'22)'s corpus-level duplication statistic as an
+    // accounting table: what fraction of each source's sliding 8-gram
+    // OCCURRENCES belongs to a gram seen ≥ 2× corpus-WIDE. p25 answers
+    // "how duplicated is each doc", p58 "what does each doc add" —
+    // this is the per-SOURCE audit that says where the duplicated
+    // mass comes from (the table that justifies dropping or
+    // re-crawling a source). Grams hash to longs at birth (the p40
+    // polynomial family, bit-identical in DuckDB); the explode stream
+    // collapses to (source, gram) partial counts FIRST, so the wide
+    // stream is aggregated map-side before any join — the global
+    // gram-frequency side then joins on the already-shrunk keys.
+    // Linear in corpus size, shuffles keyed by uniform gram hashes,
+    // never all-pairs.
+    RegQuery("p64_dup_gram_mass",
+      (s, d) => {
+        def polyH(g: Column): Column = TextOps.polyHash(g)
+        val tk = col("tk")
+        val grams = Tables(s, d, "documents")
+          .select(col("source"), TextOps.tokens(col("text")).as("tk"))
+          .where(size(tk) >= 8)
+          .repartition(col("source")) // token barrier (p40 lesson)
+          .select(col("source"), explode(
+            transform(sequence(lit(0), size(tk) - 8),
+              i => polyH(concat_ws(" ", slice(tk, i + 1, lit(8)))))).as("h"))
+        val perSrc = grams.groupBy("source", "h")
+          .agg(count(lit(1)).as("c_sh"))
+          .localCheckpoint() // feeds the global-count agg AND the join
+        val global = perSrc.groupBy("h").agg(sum("c_sh").as("c_h"))
+        perSrc.join(global, "h")
+          .groupBy("source")
+          .agg(sum("c_sh").as("n_occ"),
+            count(lit(1)).as("n_distinct"),
+            sum(when(col("c_h") >= 2, col("c_sh")).otherwise(0L))
+              .as("n_dup_occ"))
+          .withColumn("dup_ppm", expr("n_dup_occ * 1000000 div n_occ"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source, string_split(text,' ') AS tk
+             |  FROM documents WHERE len(string_split(text,' ')) >= 8),
+             |g AS (SELECT source,
+             |    unnest(list_transform(range(0, len(tk)-7),
+             |      i -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+             |        list_transform(string_split(
+             |          array_to_string(tk[i+1:i+8], ' '), ''),
+             |          x -> CAST(ord(x) AS BIGINT))),
+             |        (acc, x) -> (acc * 131 + x) % 1000000007))) AS h
+             |  FROM t),
+             |ps AS (SELECT source, h, count(*) AS c_sh FROM g GROUP BY 1, 2),
+             |gl AS (SELECT h, sum(c_sh) AS c_h FROM ps GROUP BY h)
+             |SELECT ps.source, CAST(sum(c_sh) AS BIGINT) AS n_occ,
+             |  CAST(count(*) AS BIGINT) AS n_distinct,
+             |  CAST(sum(CASE WHEN c_h >= 2 THEN c_sh ELSE 0 END) AS BIGINT)
+             |    AS n_dup_occ,
+             |  CAST(sum(CASE WHEN c_h >= 2 THEN c_sh ELSE 0 END) * 1000000
+             |    // sum(c_sh) AS BIGINT) AS dup_ppm
+             |FROM ps JOIN gl USING (h)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- p65: sequence-packing efficiency audit -------------------------
+    // The decision table BEHIND p39/p44's packing choice: for each
+    // candidate context length, how many sequences each strategy
+    // yields and what fraction of the token budget is padding —
+    // doc-boundary packing (no doc spans two sequences: pad every doc
+    // to a multiple of L) vs concat-then-chunk (p39's strategy: only
+    // the final partial chunk pads). All integer (ceil as (n+L-1) div
+    // L, waste in ppm by truncating div). ONE pass over the corpus:
+    // per-doc token counts fan out 4× against a broadcast literal of
+    // candidate lengths and collapse map-side into 4 rows — the
+    // whole audit costs one scan at any corpus size.
+    RegQuery("p65_packing_efficiency",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables(s, d, "documents")
+          .select(size(TextOps.tokens(col("text"))).cast("long").as("n"))
+        val ls = Seq(512L, 1024L, 2048L, 4096L).toDF("ctx")
+        docs.crossJoin(broadcast(ls))
+          .groupBy("ctx")
+          .agg(count(lit(1)).as("n_docs"), sum("n").as("total_tokens"),
+            sum(expr("(n + ctx - 1) div ctx")).as("docpad_seqs"))
+          .withColumn("concat_seqs",
+            expr("(total_tokens + ctx - 1) div ctx"))
+          .withColumn("docpad_pad_ppm", expr(
+            "(docpad_seqs * ctx - total_tokens) * 1000000" +
+              " div (docpad_seqs * ctx)"))
+          .withColumn("concat_pad_ppm", expr(
+            "(concat_seqs * ctx - total_tokens) * 1000000" +
+              " div (concat_seqs * ctx)"))
+          .orderBy("ctx")
+      },
+      Some("""WITH n AS (SELECT CAST(len(string_split(text,' ')) AS BIGINT)
+             |    AS n FROM documents),
+             |ls AS (SELECT unnest([512, 1024, 2048, 4096]) AS ctx),
+             |a AS (SELECT ctx, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(n) AS BIGINT) AS total_tokens,
+             |    CAST(sum((n + ctx - 1) // ctx) AS BIGINT) AS docpad_seqs
+             |  FROM n CROSS JOIN ls GROUP BY ctx),
+             |b AS (SELECT *,
+             |    (total_tokens + ctx - 1) // ctx AS concat_seqs FROM a)
+             |SELECT ctx, n_docs, total_tokens, docpad_seqs, concat_seqs,
+             |  (docpad_seqs * ctx - total_tokens) * 1000000
+             |    // (docpad_seqs * ctx) AS docpad_pad_ppm,
+             |  (concat_seqs * ctx - total_tokens) * 1000000
+             |    // (concat_seqs * ctx) AS concat_pad_ppm
+             |FROM b ORDER BY ctx""".stripMargin))
   )
 
   /** DuckDB mirror of p52: the textured-audio sample generator (the

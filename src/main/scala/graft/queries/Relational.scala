@@ -1328,6 +1328,64 @@ object Relational {
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts
              |  RANGE BETWEEN INTERVAL 3 DAYS PRECEDING AND CURRENT ROW)
-             |ORDER BY user_id, ts, event_id""".stripMargin))
+             |ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    // ---- q58: mergeable dyadic quantile sketch --------------------------
+    // The deterministic counterpart of q33/q40's percentile family: a
+    // fixed-universe dyadic histogram (price cents div 8192 ≈ $82
+    // buckets) whose counts are the sketch — merging sketches is
+    // summing counts, so partial aggregation IS the merge and the
+    // whole structure is exact integer (unlike t-digest/GK, fully
+    // hash-checkable — the p38 count-min move applied to quantiles).
+    // Quantile estimate = upper edge of the first bucket where the
+    // running count crosses q·n. THE CROSS-ENGINE MERGE PROOF: the
+    // Spark 'ALL' row is built by summing the per-flag sketches
+    // (sketch merge), while the DuckDB mirror builds 'ALL' from the
+    // raw rows — hash equality proves the merge is lossless. Scale:
+    // the scan collapses map-side to ≤ ~1.2k (flag, bucket) partials;
+    // windows and the estimate run over bucket rows only.
+    RegQuery("q58_quantile_sketch_merge",
+      (s, d) => {
+        val sk = t(s, d, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)" +
+              " div 8192").as("b"))
+          .groupBy("flag", "b").agg(count(lit(1)).as("c"))
+          .localCheckpoint() // feeds the union AND the merged-ALL branch
+        val merged = sk.groupBy("b").agg(sum("c").as("c"))
+          .select(lit("ALL").as("flag"), col("b"), col("c"))
+        val win = Window.partitionBy("flag").orderBy("b")
+        val tot = Window.partitionBy("flag")
+        sk.select(col("flag"), col("b"), col("c")).unionAll(merged)
+          .select(col("flag"), col("b"), col("c"),
+            sum("c").over(win).as("cum"), sum("c").over(tot).as("n"))
+          .groupBy("flag")
+          .agg(max("n").as("n_rows"),
+            min(when(col("cum") * 2 >= col("n"), col("b"))).as("b50"),
+            min(when(col("cum") * 10 >= col("n") * 9, col("b"))).as("b90"),
+            min(when(col("cum") * 100 >= col("n") * 99, col("b"))).as("b99"))
+          .select(col("flag"), col("n_rows"),
+            ((col("b50") + 1) * 8192 - 1).as("p50_cents_ub"),
+            ((col("b90") + 1) * 8192 - 1).as("p90_cents_ub"),
+            ((col("b99") + 1) * 8192 - 1).as("p99_cents_ub"))
+          .orderBy("flag")
+      },
+      Some("""WITH li AS (SELECT l_returnflag AS flag,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) // 8192
+             |      AS b
+             |  FROM lineitem),
+             |sk AS (SELECT flag, b, count(*) AS c FROM li GROUP BY 1, 2
+             |  UNION ALL SELECT 'ALL', b, count(*) FROM li GROUP BY b),
+             |cm AS (SELECT flag, b, c,
+             |    sum(c) OVER (PARTITION BY flag ORDER BY b) AS cum,
+             |    sum(c) OVER (PARTITION BY flag) AS n FROM sk)
+             |SELECT flag, CAST(max(n) AS BIGINT) AS n_rows,
+             |  (min(CASE WHEN cum*2 >= n THEN b END) + 1)*8192 - 1
+             |    AS p50_cents_ub,
+             |  (min(CASE WHEN cum*10 >= n*9 THEN b END) + 1)*8192 - 1
+             |    AS p90_cents_ub,
+             |  (min(CASE WHEN cum*100 >= n*99 THEN b END) + 1)*8192 - 1
+             |    AS p99_cents_ub
+             |FROM cm GROUP BY flag ORDER BY flag""".stripMargin))
   )
 }

@@ -166,6 +166,20 @@ class GraphXSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.sp.pregelEdgeThreshold")
   }
 
+  test("cycleLabel: tails land on their cycle, min label per cycle") {
+    // functional graph: tail 10→11→12 into cycle (0 1 2 3), plus a
+    // self-loop 20 and a 2-cycle (30 31) with tail 32
+    val succ = Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 0L,
+      10L -> 11L, 11L -> 12L, 12L -> 0L,
+      20L -> 20L, 30L -> 31L, 31L -> 30L, 32L -> 30L)
+      .toDF("v", "p")
+    val lab = GraphAnalytics.cycleLabel(succ, jumpPow = 2, windowPow = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(lab == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 0L, 11L -> 0L, 12L -> 0L,
+      20L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L), lab.toString)
+  }
+
   test("kCore: peels the tail, keeps the clique; cascade peel works") {
     // K4 on 1-4 + path 4-5-6: the 3-core is exactly the K4, and vertex
     // 5 only drops below degree 2 AFTER 6 is peeled — exercising the
