@@ -582,18 +582,28 @@ object Streaming {
 
     // ---- s13: streaming cardinality estimation (HLL registers) ---------
     // q48's deterministic HLL maintained BY the stream: per-source
-    // shingle-vocabulary cardinality tracked live in 64 register maxima
-    // of mapGroupsWithState state. Register max is associative and
-    // commutative, so the drained registers equal the batch computation
-    // under any micro-batch split — a streaming APPROXIMATE operator
-    // with a full DuckDB hash oracle (the s11/s12 property applied to
-    // sketches; q33/q44's native HLL++ can't do this). Per-row work is
-    // stateless codegen (poly fold + the q48 xor-shift finalizer — one
-    // multiply-mod alone is linear and skews the ranks, see q48); state
-    // is 256 bytes per stratum FOREVER. The 100 TB story: live
-    // dedup-pressure / vocabulary-growth monitoring per source during
-    // ingest, registers union losslessly across streams by max, no
-    // distinct-set ever materialized.
+    // shingle-vocabulary cardinality tracked live as (source, register)
+    // → max(rho) in Spark's OWN streaming aggregate. Register max is
+    // associative and commutative, so the drained registers equal the
+    // batch computation under any micro-batch split — a streaming
+    // APPROXIMATE operator with a full DuckDB hash oracle (the s11/s12
+    // property applied to sketches; q33/q44's native HLL++ can't do
+    // this). Built-in aggregation (not mapGroupsWithState) is the
+    // structural choice: the exploded shingle stream is PARTIALLY
+    // AGGREGATED map-side before the state shuffle, so only ≤ 64
+    // (register, max) partials per source per batch cross the wire,
+    // where the former custom-state version shuffled EVERY shingle row
+    // into the stateful operator. Local wall time is unchanged (~8.7 s
+    // at sf0.1 — the cost is the per-shingle hash chain plus the
+    // exact-side string countDistinct, both data-proportional), but on
+    // a cluster the state exchange no longer scales with corpus size —
+    // that is the property that matters at 100 TB. Per-row
+    // work is stateless codegen (poly fold + the q48 xor-shift
+    // finalizer — one multiply-mod alone is linear and skews the
+    // ranks, see q48); state is 64 rows per stratum FOREVER. The
+    // 100 TB story: live dedup-pressure / vocabulary-growth monitoring
+    // per source during ingest, registers union losslessly across
+    // streams by max, no distinct-set ever materialized.
     RegQuery("s13_stream_hll",
       (s, d) => {
         import s.implicits._
@@ -622,17 +632,20 @@ object Streaming {
               when(w === 0L, lit(25L))
                 .otherwise(bit_count(w.bitwiseAND(-w) - 1) + 1L)
                 .cast("int").as("rho"))
-            .as[Streams.RegHash]
-            .transform(Streams.hllRegisters)
+            .groupBy("source", "reg").agg(max("rho").as("mr"))
             .writeStream.format("memory").queryName("s13_sink")
             .outputMode("update").trigger(Trigger.AvailableNow()).start()
         }
         q.awaitTermination()
-        val est = s.table("s13_sink").groupBy("source")
-          .agg(max_by(col("regs"), col("n_seen")).as("regs"))
-          .select(col("source"), expr("aggregate(regs, cast(0 as bigint)," +
-            " (acc, mr) -> acc + shiftleft(cast(1 as bigint), 25 - mr))")
-            .as("num"))
+        // update mode re-emits a register row per batch that raised it;
+        // max across emissions = the final state (register maxima are
+        // monotone). Registers never touched contribute rho 0 = 2^25
+        // each, same as the oracle's (64 - count(*)) term.
+        val est = s.table("s13_sink").groupBy("source", "reg")
+          .agg(max("mr").as("mr"))
+          .groupBy("source")
+          .agg((sum(expr("shiftleft(cast(1 as bigint), 25 - mr)")) +
+            (lit(64L) - count(lit(1))) * lit(33554432L)).as("num"))
           .select(col("source"), expr(s"($A25 div num) div 1000000").as("est"))
         val ex = graft.Tables(s, d, "documents")
           .select(col("source"), explode(TextOps.shingles(

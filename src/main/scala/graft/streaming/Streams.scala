@@ -391,42 +391,14 @@ object Streams {
   }
 
   // --- streaming cardinality estimation (s13) --------------------------
-
-  case class RegHash(source: String, reg: Int, rho: Int)
-  case class HllState(n_seen: Long, regs: Seq[Int])
-  case class HllOut(source: String, n_seen: Long, regs: Seq[Int])
-
-  /** q48's HLL registers maintained BY the stream: per-source 64
-    * register maxima as mapGroupsWithState state. Register max is an
-    * associative commutative merge (max of maxes), so the drained
-    * state equals the batch registers under ANY micro-batch split —
-    * the s11/s12 property again, which is what makes a STREAMING
-    * cardinality estimator hash-checkable against a batch DuckDB
-    * oracle. State is 64 ints per source forever (the bounded-state
-    * discipline: a 100 TB ingest tracks live vocabulary cardinality
-    * per stratum in 256 bytes, no distinct-set materialization, and
-    * registers from disjoint streams union losslessly by max — the
-    * q44 re-aggregation story with an oracle). n_seen grows
-    * monotonically → max-n_seen emission is the final one (s03 drain
-    * trick). */
-  def hllRegisters(toks: Dataset[RegHash]): Dataset[HllOut] = {
-    import toks.sparkSession.implicits._
-    toks.groupByKey(_.source)
-      .mapGroupsWithState[HllState, HllOut](GroupStateTimeout.NoTimeout) {
-        case (src, rows, state: GroupState[HllState]) =>
-          val prev = state.getOption
-            .getOrElse(HllState(0L, Vector.fill(64)(0)))
-          val regs = prev.regs.toArray
-          var n = prev.n_seen
-          rows.foreach { r =>
-            n += 1
-            if (r.rho > regs(r.reg)) regs(r.reg) = r.rho
-          }
-          val next = HllState(n, regs.toVector)
-          state.update(next)
-          HllOut(src, n, next.regs)
-      }
-  }
+  // s13's HLL register maxima ride Spark's OWN streaming aggregate
+  // (groupBy(source, reg).max(rho)): partial aggregation happens
+  // map-side before the state shuffle, so no custom state operator is
+  // needed and only ≤ 64 (register, max) partials per source per batch
+  // cross the wire — the former mapGroupsWithState version shuffled
+  // every shingle row into the stateful operator (same local wall
+  // time, but a corpus-proportional exchange at cluster scale).
+  // Split-invariance of the built-in path is pinned in StreamingSpec.
 
   // --- streaming incremental near-dup (LSH band-bucket state) ----------
 

