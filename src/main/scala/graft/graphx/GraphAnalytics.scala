@@ -697,6 +697,15 @@ object GraphAnalytics {
     * counts) and [[trussPeel]] (per-edge support), so the measured
     * orientation/probe wins apply to every consumer. */
   private def triangleList(pairs0: DataFrame): DataFrame = {
+    // observability for the x18 structure pin: the incremental truss
+    // peel must enumerate wedges exactly ONCE however many rounds it
+    // runs (GraphXSpec asserts this counter — a regression back to
+    // per-round re-enumeration is invisible to small-graph wall-time
+    // guards but 5× the cost at sf0.1)
+    val sc = pairs0.sparkSession.sparkContext
+    sc.setLocalProperty("graft.triangle.passes",
+      (Option(sc.getLocalProperty("graft.triangle.passes"))
+        .map(_.toInt).getOrElse(0) + 1).toString)
     // checkpoint: the pair list feeds degree agg + both wedge sides +
     // the closing probe — inlined it would recompute 4×
     val pairs = pairs0.localCheckpoint()
@@ -860,12 +869,16 @@ object GraphAnalytics {
       .na.fill(0L, Seq("sup"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      // the removed set is bounded by what one round peels — small by
-      // construction mid-peel, so an explicit broadcast beats leaving
-      // the 6 probe joins to the planner's no-stats SMJ default
       val removed = st.where(col("sup") < k - 2).select(col("ek").as("re"))
       val kept = st.where(col("sup") >= k - 2)
-      val rem = broadcast(removed)
+      // what one round peels is usually small mid-peel, and an explicit
+      // broadcast beats the planner's no-stats SMJ default for the 6
+      // probe joins — but round 1 on a sparse graph can shed a large
+      // fraction of the edge set, so the hint is ADAPTIVE: counting the
+      // (already-checkpointed) filter is one cheap job, and past the
+      // threshold the joins fall back to shuffles AQE can still replan
+      val rem =
+        if (removed.count() <= 4000000L) broadcast(removed) else removed
       // dying triangles: distinct union of the three touch sides (a
       // triangle losing TWO edges in one round must still be charged
       // once, not twice)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -830,7 +831,71 @@ object Streaming {
              |SELECT user_id, t_view, t_click, t_purchase,
              |  coalesce(t_view < t_click AND t_click < t_purchase, false)
              |    AS completed
-             |FROM m ORDER BY user_id""".stripMargin))
+             |FROM m ORDER BY user_id""".stripMargin)),
+
+    // ---- s17: streaming mergeable quantile sketch ----------------------
+    // q58's dyadic price histogram maintained BY the stream: bucket
+    // counts are the sketch, count is associative/commutative, so the
+    // built-in streaming aggregate (s13's shape — map-side partials,
+    // ≤ ~1.2k (flag, bucket) state rows forever) drains to exactly the
+    // batch sketch under any micro-batch split. Quantile finalize and
+    // the merged-ALL row run batch-side over the drained bucket rows;
+    // the oracle is q58's — built from the RAW rows — so the hash
+    // compare proves end to end that continuous maintenance + sketch
+    // merge loses nothing vs scanning the data at rest. The streaming
+    // percentile monitor (price/latency SLO dashboards at ingest time)
+    // with an exact cross-engine correctness witness.
+    RegQuery("s17_stream_quantile_sketch",
+      (s, d) => {
+        val q = withStatePartitions(s, 8) {
+          streamLineitem(s, d)
+            .select(col("l_returnflag").as("flag"),
+              expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)" +
+                " div 8192").as("b"))
+            .groupBy("flag", "b").agg(count(lit(1)).as("c"))
+            .writeStream.format("memory").queryName("s17_sink")
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination()
+        // update-mode re-emissions carry the running count — monotone,
+        // so max per (flag, b) is the final state
+        val sk = s.table("s17_sink").groupBy("flag", "b")
+          .agg(max("c").as("c")).localCheckpoint()
+        val merged = sk.groupBy("b").agg(sum("c").as("c"))
+          .select(lit("ALL").as("flag"), col("b"), col("c"))
+        val win = Window.partitionBy("flag").orderBy("b")
+        val tot = Window.partitionBy("flag")
+        sk.select(col("flag"), col("b"), col("c")).unionAll(merged)
+          .select(col("flag"), col("b"), col("c"),
+            sum("c").over(win).as("cum"), sum("c").over(tot).as("n"))
+          .groupBy("flag")
+          .agg(max("n").as("n_rows"),
+            min(when(col("cum") * 2 >= col("n"), col("b"))).as("b50"),
+            min(when(col("cum") * 10 >= col("n") * 9, col("b"))).as("b90"),
+            min(when(col("cum") * 100 >= col("n") * 99, col("b"))).as("b99"))
+          .select(col("flag"), col("n_rows"),
+            ((col("b50") + 1) * 8192 - 1).as("p50_cents_ub"),
+            ((col("b90") + 1) * 8192 - 1).as("p90_cents_ub"),
+            ((col("b99") + 1) * 8192 - 1).as("p99_cents_ub"))
+          .orderBy("flag")
+      },
+      Some("""WITH li AS (SELECT l_returnflag AS flag,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) // 8192
+             |      AS b
+             |  FROM lineitem),
+             |sk AS (SELECT flag, b, count(*) AS c FROM li GROUP BY 1, 2
+             |  UNION ALL SELECT 'ALL', b, count(*) FROM li GROUP BY b),
+             |cm AS (SELECT flag, b, c,
+             |    sum(c) OVER (PARTITION BY flag ORDER BY b) AS cum,
+             |    sum(c) OVER (PARTITION BY flag) AS n FROM sk)
+             |SELECT flag, CAST(max(n) AS BIGINT) AS n_rows,
+             |  (min(CASE WHEN cum*2 >= n THEN b END) + 1)*8192 - 1
+             |    AS p50_cents_ub,
+             |  (min(CASE WHEN cum*10 >= n*9 THEN b END) + 1)*8192 - 1
+             |    AS p90_cents_ub,
+             |  (min(CASE WHEN cum*100 >= n*99 THEN b END) + 1)*8192 - 1
+             |    AS p99_cents_ub
+             |FROM cm GROUP BY flag ORDER BY flag""".stripMargin))
   )
 
   private val docsSchema = StructType(Seq(
@@ -842,6 +907,20 @@ object Streaming {
   private def streamDocs(s: SparkSession, dir: String): DataFrame =
     s.readStream.schema(docsSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
+
+  private val lineitemSchema = StructType(Seq(
+    StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType)))
+
+  private def streamLineitem(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(lineitemSchema)
+      .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
 
   private val customerSchema = StructType(Seq(
     StructField("c_custkey", LongType), StructField("c_name", StringType),

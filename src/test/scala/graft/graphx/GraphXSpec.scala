@@ -515,9 +515,15 @@ class GraphXSpec extends SparkSpec {
     // the survivor set (still 2 — K4 is edge-self-sufficient).
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
       (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)).toDF("p1", "p2")
+    spark.sparkContext.setLocalProperty("graft.triangle.passes", "0")
     val got = GraphAnalytics.trussPeel(pairs, k = 4, rounds = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
       .toMap
+    // the structure pin: however many peel rounds run, wedges are
+    // enumerated exactly once — support is maintained incrementally
+    // (a wall-time guard can't see this on a small graph; 5x at sf0.1)
+    assert(spark.sparkContext
+      .getLocalProperty("graft.triangle.passes") == "1")
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
       (3L, 4L))
     assert(got.keySet == k4.toSet, got.toString)

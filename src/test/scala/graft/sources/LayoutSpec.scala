@@ -59,4 +59,43 @@ class LayoutSpec extends SparkSpec {
     assert(back.agg(sum("l_quantity")).first().getDouble(0) ==
       li.agg(sum("l_quantity")).first().getDouble(0))
   }
+
+  test("hive-partitioned layout prunes fact scans dynamically (DPP)") {
+    // the third layout arm beside buckets (GraphStoreSpec) and z-order:
+    // directory partitioning on the join key lets Catalyst inject the
+    // dim side's filter result as a runtime partition filter on the
+    // fact scan — at 100 TB this is the difference between touching 4
+    // and 100 partitions when the dim filter is selective
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-dpp").toString
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select("l_suppkey", "l_quantity")
+    li.write.partitionBy("l_suppkey").parquet(s"$base/fact")
+    val fact = spark.read.parquet(s"$base/fact")
+    val dim = spark.read
+      .parquet("/root/testdata/sf0.01/supplier.parquet")
+      .where(col("s_acctbal") > 9000) // selective: few suppliers survive
+    val nDim = dim.count()
+    assert(nDim > 0 && nDim < 20, s"filter not selective: $nDim")
+    // AQE hides scan nodes inside query stages; DPP is orthogonal to
+    // AQE, so flatten the plan for metric access
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val j = fact.join(dim, fact("l_suppkey") === dim("s_suppkey"))
+    try j.collect()
+    finally spark.conf.set("spark.sql.adaptive.enabled", before)
+    val scans = j.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }
+    val factScan = scans.find(_.metadata("Location").contains("fact")).get
+    assert(factScan.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning")),
+      s"no dynamic pruning expression on the fact scan:" +
+        s" ${factScan.partitionFilters}")
+    val factRows = factScan.metrics("numOutputRows").value
+    val total = li.count()
+    info(s"DPP: fact scan read $factRows of $total rows" +
+      s" for $nDim surviving suppliers")
+    assert(factRows < total / 2,
+      s"DPP did not prune: read $factRows of $total")
+  }
 }
