@@ -1386,6 +1386,49 @@ object Relational {
              |    AS p90_cents_ub,
              |  (min(CASE WHEN cum*100 >= n*99 THEN b END) + 1)*8192 - 1
              |    AS p99_cents_ub
-             |FROM cm GROUP BY flag ORDER BY flag""".stripMargin))
+             |FROM cm GROUP BY flag ORDER BY flag""".stripMargin)),
+
+    // ---- q59: EXACT mergeable distinct-count via block bitmaps ---------
+    // The exact counterpart of q48's HLL: orderkeys bucket into 63-key
+    // blocks (bit 63 stays clear — DuckDB's << is overflow-checked),
+    // each block's membership is one BIGINT bitmap, bitmaps
+    // OR-merge associatively — so distinct counting becomes bit_or
+    // partial aggregation + popcount, re-aggregatable like a sketch but
+    // EXACT (the roaring-bitmap index pattern; ~1 bit per key of the
+    // DENSE key space vs HLL's fixed 256 B, the classic trade). The
+    // 'ALL' row is built by OR-merging the per-flag bitmaps — dup keys
+    // across flags collapse by construction — while the DuckDB mirror
+    // computes 'ALL' from raw rows: hash equality proves the bitmap
+    // merge IS distinct-exact. Scale: one groupBy on (flag, block) with
+    // map-side bit_or partials; blocks are key-range bounded, nothing
+    // row-proportional crosses the second aggregate.
+    RegQuery("q59_bitmap_distinct",
+      (s, d) => {
+        val bm = t(s, d, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            expr("l_orderkey div 63").as("blk"),
+            expr("shiftleft(cast(1 as bigint)," +
+              " cast(l_orderkey % 63 as int))").as("bit"))
+          .groupBy("flag", "blk").agg(bit_or(col("bit")).as("bm"))
+          .localCheckpoint() // feeds the per-flag count AND the merge
+        val merged = bm.groupBy("blk").agg(bit_or(col("bm")).as("bm"))
+          .select(lit("ALL").as("flag"), col("blk"), col("bm"))
+        bm.select(col("flag"), col("blk"), col("bm")).unionAll(merged)
+          .groupBy("flag")
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(bit_count(col("bm"))).as("n_distinct"))
+          .orderBy("flag")
+      },
+      Some("""WITH b AS (SELECT l_returnflag AS flag, l_orderkey // 63
+             |      AS blk,
+             |    (CAST(1 AS BIGINT) << CAST(l_orderkey % 63 AS INTEGER))
+             |      AS bit
+             |  FROM lineitem),
+             |bm AS (SELECT flag, blk, bit_or(bit) AS bm FROM b
+             |    GROUP BY 1, 2
+             |  UNION ALL SELECT 'ALL', blk, bit_or(bit) FROM b GROUP BY blk)
+             |SELECT flag, CAST(count(*) AS BIGINT) AS n_blocks,
+             |  CAST(sum(bit_count(bm)) AS BIGINT) AS n_distinct
+             |FROM bm GROUP BY flag ORDER BY flag""".stripMargin))
   )
 }
