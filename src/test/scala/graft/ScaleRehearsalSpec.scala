@@ -103,6 +103,44 @@ class ScaleRehearsalSpec extends SparkSpec {
     assert(sec < 180, s"10x k-core took ${sec}s")
   }
 
+  test("truss peel at 10x: wedges enumerated once, histogram scales x10") {
+    // same inflation recipe as the k-core pin, but the copy offset
+    // (32768 > max partkey 19999) keeps every id under 2^31 so the
+    // packed-single-long edge-key fast path stays engaged at 10x —
+    // what we're rehearsing is the INCREMENTAL peel: however large the
+    // graph, triangleList must run exactly once (per-round support is
+    // maintained by subtracting dying-triangle charges), and disjoint
+    // isomorphic copies must produce exactly 10x every support bucket
+    val pairs = Tables(spark, "/root/testdata/sf0.01", "lineitem")
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (a, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))), b =>
+          struct(a.as("p1"), b.as("p2")))))).as("e"))
+      .select(col("e.p1").cast("long").as("p1"),
+        col("e.p2").cast("long").as("p2"))
+      .distinct().localCheckpoint()
+    val baseHist = GraphAnalytics.trussPeel(pairs, k = 4, rounds = 3)
+      .groupBy("sup").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val copies = spark.range(10).select(col("id").as("cp"))
+    val inflated = pairs.crossJoin(copies).select(
+      (col("p1") + col("cp") * 32768L).as("p1"),
+      (col("p2") + col("cp") * 32768L).as("p2"))
+    spark.sparkContext.setLocalProperty("graft.triangle.passes", "0")
+    val t0 = System.nanoTime()
+    val inflHist = GraphAnalytics.trussPeel(inflated, k = 4, rounds = 3)
+      .groupBy("sup").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(spark.sparkContext
+      .getLocalProperty("graft.triangle.passes") == "1",
+      "the peel re-enumerated wedges — incremental support maintenance lost")
+    assert(inflHist == baseHist.map { case (k2, v) => k2 -> v * 10 },
+      s"$inflHist vs 10x $baseHist")
+    assert(sec < 180, s"10x truss peel took ${sec}s")
+  }
+
   test("traversal hand-off still triggers at 10x the threshold") {
     // hub with 100k out-edges (10x PointPathMaxFrontier): the driver
     // point path must hand off at hop 1, and the result stays exact
