@@ -2046,7 +2046,61 @@ object Pipeline {
              |    // (docpad_seqs * ctx) AS docpad_pad_ppm,
              |  (concat_seqs * ctx - total_tokens) * 1000000
              |    // (concat_seqs * ctx) AS concat_pad_ppm
-             |FROM b ORDER BY ctx""".stripMargin))
+             |FROM b ORDER BY ctx""".stripMargin)),
+
+    // ---- p66: dedup cluster-quality audit -------------------------------
+    // The QA report a production dedup run ships with: after pairs →
+    // CC clustering (p60/p62's mirrored spine), how big are the
+    // clusters and how similar are their members REALLY? Per
+    // cluster-size bucket: cluster count, verified-pair count, and
+    // mean intra-cluster Jaccard (basis points, per-pair r4 rounding
+    // then integer mean — so the whole table hash-matches). A healthy
+    // near-dup run shows small clusters with high intra-similarity;
+    // giant low-similarity clusters mean the banding threshold is
+    // admitting transitive chains — THE dedup failure this table
+    // exists to catch before a corpus ships. Cost: the pair source the
+    // pipeline already runs + the CC spine + two bounded aggregates.
+    RegQuery("p66_cluster_quality",
+      (s, d) => {
+        val pr = mirrorVerifiedPairs(s, d).localCheckpoint()
+        val edges = pr.select(
+          lpad(col("a_id").cast("string"), 9, "0").as("src_id"),
+          lpad(col("b_id").cast("string"), 9, "0").as("dst_id"))
+        val cc = graft.graphx.GraphAnalytics.connectedComponents(edges)
+          .select(col("id").cast("long").as("doc_id"),
+            col("component").cast("long").as("cid"))
+          .localCheckpoint() // feeds sizes AND the pair-score join
+        val sz = cc.groupBy("cid").agg(count(lit(1)).as("sz"))
+        val ps = pr
+          .join(cc.select(col("doc_id").as("a_id"), col("cid")), "a_id")
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(floor(col("jac") * 10000 + 0.5).cast("long")).as("sbp"))
+        sz.join(ps, "cid")
+          .groupBy("sz")
+          .agg(count(lit(1)).as("n_clusters"),
+            sum("n_pairs").as("n_pairs"),
+            expr("sum(sbp) div sum(n_pairs)").as("mean_intra_jac_bp"))
+          .orderBy("sz")
+      },
+      Some((twinsCte + mirrorPairsCte +
+        """, und AS (SELECT a_id AS u, b_id AS v FROM pr
+          |  UNION SELECT b_id, a_id FROM pr),
+          |reach AS (
+          |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+          |  UNION
+          |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+          |cc AS (SELECT u AS doc_id, min(v) AS cid FROM reach GROUP BY u),
+          |csz AS (SELECT cid, count(*) AS sz FROM cc GROUP BY cid),
+          |cps AS (SELECT c.cid, count(*) AS n_pairs,
+          |    sum(CAST(floor(jac*10000 + 0.5) AS BIGINT)) AS sbp
+          |  FROM pr JOIN cc c ON pr.a_id = c.doc_id GROUP BY c.cid)
+          |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters,
+          |  CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+          |  sum(sbp) // sum(n_pairs) AS mean_intra_jac_bp
+          |FROM csz JOIN cps USING (cid)
+          |GROUP BY sz ORDER BY sz""".stripMargin)
+        .replaceFirst("WITH ", "WITH RECURSIVE ")))
   )
 
   /** DuckDB mirror of p52: the textured-audio sample generator (the
