@@ -895,7 +895,55 @@ object Streaming {
              |    AS p90_cents_ub,
              |  (min(CASE WHEN cum*100 >= n*99 THEN b END) + 1)*8192 - 1
              |    AS p99_cents_ub
-             |FROM cm GROUP BY flag ORDER BY flag""".stripMargin))
+             |FROM cm GROUP BY flag ORDER BY flag""".stripMargin)),
+
+    // ---- s18: streaming EXACT distinct via block bitmaps ---------------
+    // q59 maintained BY the stream — the fourth streamed sketch beside
+    // s10 (count-min), s13 (HLL) and s17 (quantile histogram), and the
+    // only EXACT one: per (flag, 63-key block) membership bitmaps under
+    // bit_or, associative/commutative, so the built-in streaming
+    // aggregate drains to exactly the batch bitmaps under any
+    // micro-batch split. State is one BIGINT per touched block —
+    // bounded by the key RANGE, not the row count — and OR-merge makes
+    // the count re-aggregatable downstream (the q59 'ALL' proof, here
+    // built from state the STREAM accumulated). Continuous exact
+    // distinct-order tracking per flag at ingest time, full oracle.
+    RegQuery("s18_stream_bitmap_distinct",
+      (s, d) => {
+        val q = withStatePartitions(s, 8) {
+          streamLineitem(s, d)
+            .select(col("l_returnflag").as("flag"),
+              expr("l_orderkey div 63").as("blk"),
+              expr("shiftleft(cast(1 as bigint)," +
+                " cast(l_orderkey % 63 as int))").as("bit"))
+            .groupBy("flag", "blk").agg(bit_or(col("bit")).as("bm"))
+            .writeStream.format("memory").queryName("s18_sink")
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination()
+        // update-mode re-emissions only ever ADD bits → bit_or across
+        // emissions = final state
+        val bm = s.table("s18_sink").groupBy("flag", "blk")
+          .agg(bit_or(col("bm")).as("bm")).localCheckpoint()
+        val merged = bm.groupBy("blk").agg(bit_or(col("bm")).as("bm"))
+          .select(lit("ALL").as("flag"), col("blk"), col("bm"))
+        bm.select(col("flag"), col("blk"), col("bm")).unionAll(merged)
+          .groupBy("flag")
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(bit_count(col("bm"))).as("n_distinct"))
+          .orderBy("flag")
+      },
+      Some("""WITH b AS (SELECT l_returnflag AS flag, l_orderkey // 63
+             |      AS blk,
+             |    (CAST(1 AS BIGINT) << CAST(l_orderkey % 63 AS INTEGER))
+             |      AS bit
+             |  FROM lineitem),
+             |bm AS (SELECT flag, blk, bit_or(bit) AS bm FROM b
+             |    GROUP BY 1, 2
+             |  UNION ALL SELECT 'ALL', blk, bit_or(bit) FROM b GROUP BY blk)
+             |SELECT flag, CAST(count(*) AS BIGINT) AS n_blocks,
+             |  CAST(sum(bit_count(bm)) AS BIGINT) AS n_distinct
+             |FROM bm GROUP BY flag ORDER BY flag""".stripMargin))
   )
 
   private val docsSchema = StructType(Seq(
