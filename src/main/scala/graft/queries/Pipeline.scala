@@ -2100,7 +2100,70 @@ object Pipeline {
           |  sum(sbp) // sum(n_pairs) AS mean_intra_jac_bp
           |FROM csz JOIN cps USING (cid)
           |GROUP BY sz ORDER BY sz""".stripMargin)
-        .replaceFirst("WITH ", "WITH RECURSIVE ")))
+        .replaceFirst("WITH ", "WITH RECURSIVE "))),
+
+    // ---- p67: per-source distribution drift (total variation) ----------
+    // Corpus drift detection — the monitoring table behind "did this
+    // crawl/source shift under us": total-variation distance between
+    // each source's hashed-unigram distribution and the corpus-wide
+    // one, in ppm. TV (L1/2) rather than KL/JS keeps the whole
+    // statistic INTEGER: per bucket |o·N − Ns·t| is exact int64, the
+    // missing-bucket mass folds in as Ns·(N − Σ t over touched
+    // buckets) without densifying, and only the final ppm scaling
+    // needs DECIMAL(38,0)/HUGEINT headroom (the x19 move — S·1e6
+    // overflows int64 past ~sf1). 256 poly-hash buckets (p42/p57's
+    // hashed-feature move, bit-identical in DuckDB). Shape: one
+    // explode collapsed map-side to (source, bucket) counts, two
+    // bounded aggregates, one broadcast-sized join — linear, and the
+    // drift table is ~sources rows forever.
+    RegQuery("p67_source_drift",
+      (s, d) => {
+        def polyH(g: Column): Column = TextOps.polyHash(g)
+        val occ = Tables(s, d, "documents")
+          .select(col("source"), explode(TextOps.tokens(col("text")))
+            .as("tok"))
+          .select(col("source"), (polyH(col("tok")) % 256L).as("bkt"))
+          .groupBy("source", "bkt").agg(count(lit(1)).as("o"))
+          .localCheckpoint() // feeds bucket totals, source totals, join
+        val tb = occ.groupBy("bkt").agg(sum("o").as("t"))
+        val ns = occ.groupBy("source").agg(sum("o").as("ns"))
+        val n = occ.agg(sum("o")).first().getLong(0)
+        occ.join(tb, "bkt").join(ns, "source")
+          .groupBy("source")
+          .agg(max("ns").as("n_tokens"),
+            sum(abs(col("o") * n - col("ns") * col("t"))).as("s1"),
+            sum("t").as("tcov"))
+          .select(col("source"), col("n_tokens"),
+            expr(s"cast((cast(s1 as decimal(38,0)) +" +
+              s" cast(n_tokens as decimal(38,0)) * ($n - tcov)) * 1000000" +
+              s" div (2 * cast(n_tokens as decimal(38,0)) * $n)" +
+              " as bigint)").as("tv_drift_ppm"))
+          .orderBy("source")
+      },
+      Some("""WITH tk AS (SELECT source, unnest(string_split(text, ' '))
+             |    AS tok FROM documents),
+             |h AS (SELECT source,
+             |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+             |      list_transform(string_split(tok, ''),
+             |        x -> CAST(ord(x) AS BIGINT))),
+             |      (acc, x) -> (acc * 131 + x) % 1000000007) % 256 AS bkt
+             |  FROM tk),
+             |occ AS (SELECT source, bkt, count(*) AS o FROM h GROUP BY 1, 2),
+             |tb AS (SELECT bkt, sum(o) AS t FROM occ GROUP BY bkt),
+             |ns AS (SELECT source, sum(o) AS ns FROM occ GROUP BY source),
+             |nn AS (SELECT sum(o) AS n FROM occ),
+             |j AS (SELECT occ.source, occ.o, tb.t, ns.ns, nn.n
+             |  FROM occ JOIN tb USING (bkt) JOIN ns USING (source)
+             |  CROSS JOIN nn),
+             |a AS (SELECT source, max(ns) AS n_tokens, max(n) AS n,
+             |    sum(abs(o * n - ns * t)) AS s1, sum(t) AS tcov
+             |  FROM j GROUP BY source)
+             |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST((CAST(s1 AS HUGEINT)
+             |      + CAST(n_tokens AS HUGEINT) * (n - tcov)) * 1000000
+             |    // (2 * CAST(n_tokens AS HUGEINT) * n) AS BIGINT)
+             |    AS tv_drift_ppm
+             |FROM a ORDER BY source""".stripMargin))
   )
 
   /** DuckDB mirror of p52: the textured-audio sample generator (the
