@@ -379,21 +379,7 @@ object Pipeline {
           .select("q_id", "rank", "n_id", "cos_r")
           .orderBy("q_id", "rank")
       },
-      Some("""WITH e AS (SELECT vec_id,
-             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             |  FROM embeddings),
-             |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
-             |p AS (SELECT q_id, e.vec_id AS n_id,
-             |  list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*e.v[i]))
-             |    / (sqrt(list_sum(list_transform(qv, x -> x*x)))
-             |       * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS c
-             |  FROM q, e WHERE e.vec_id != q_id),
-             |r AS (SELECT q_id, n_id, floor(c*1000000 + 0.5)/1000000 AS cos_r,
-             |  ROW_NUMBER() OVER (PARTITION BY q_id
-             |    ORDER BY floor(c*1000000 + 0.5)/1000000 DESC, n_id) AS rn
-             |  FROM p)
-             |SELECT q_id, CAST(rn AS INTEGER) AS rank, n_id, cos_r FROM r
-             |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin)),
+      Some(p09Oracle)),
 
     // ---- p10: LSH-bucketed ANN (the linear scale path) -------------------
     RegQuery("p10_ann_lsh",
@@ -2163,7 +2149,56 @@ object Pipeline {
              |      + CAST(n_tokens AS HUGEINT) * (n - tcov)) * 1000000
              |    // (2 * CAST(n_tokens AS HUGEINT) * n) AS BIGINT)
              |    AS tv_drift_ppm
-             |FROM a ORDER BY source""".stripMargin))
+             |FROM a ORDER BY source""".stripMargin)),
+
+    // ---- p68: ANN recall/MRR harness (IVF vs exact) ---------------------
+    // The eval loop an ANN index ships with: per query, recall@5 and
+    // the reciprocal rank of the TRUE nearest neighbor inside the
+    // IVF shortlist — the table that decides nprobe/cell-count before
+    // a corpus-scale index build. Composes two already-mirrored
+    // registry queries (p09 exact brute force, p14 trained IVF) via a
+    // left join on (query, neighbor); metrics are integer ppm, and the
+    // ORACLE composes the same two DuckDB mirrors as subqueries — so
+    // even the eval harness itself is hash-checked, not just the
+    // things it evaluates. LSH/PQ arms (p48/p31) slot into the same
+    // join by swapping the approximate side.
+    RegQuery("p68_ann_recall",
+      (s, d) => {
+        def run(n: String): DataFrame =
+          registry.find(_.name == n).get.fn(s, d)
+        val ex = run("p09_ann_topk")
+          .select(col("q_id"), col("rank").as("ex_rank"), col("n_id"))
+        val iv = run("p14_ann_ivf")
+          .select(col("q_id"), col("rank").as("iv_rank"), col("n_id"))
+        ex.join(iv, Seq("q_id", "n_id"), "left")
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("k"),
+            sum(when(col("iv_rank").isNotNull, 1L).otherwise(0L))
+              .as("n_hits"),
+            max(when(col("ex_rank") === 1,
+                coalesce(expr("1000000 div iv_rank"), lit(0L))))
+              .as("rr_ppm"))
+          .withColumn("recall_ppm", expr("n_hits * 1000000 div k"))
+          .select("q_id", "k", "n_hits", "recall_ppm", "rr_ppm")
+          .orderBy("q_id")
+      },
+      Some(s"""WITH ex0 AS ($p09Oracle),
+             |iv0 AS ($ivfOracle),
+             |ex AS (SELECT q_id, rank AS ex_rank, n_id FROM ex0),
+             |iv AS (SELECT q_id, rank AS iv_rank, n_id FROM iv0),
+             |j AS (SELECT ex.q_id, ex.ex_rank, ex.n_id, iv.iv_rank
+             |  FROM ex LEFT JOIN iv
+             |    ON ex.q_id = iv.q_id AND ex.n_id = iv.n_id),
+             |a AS (SELECT q_id, CAST(count(*) AS BIGINT) AS k,
+             |    CAST(sum(CASE WHEN iv_rank IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_hits,
+             |    CAST(max(CASE WHEN ex_rank = 1
+             |      THEN coalesce(1000000 // iv_rank, 0) END) AS BIGINT)
+             |      AS rr_ppm
+             |  FROM j GROUP BY q_id)
+             |SELECT q_id, k, n_hits, n_hits * 1000000 // k AS recall_ppm,
+             |  rr_ppm
+             |FROM a ORDER BY q_id""".stripMargin))
   )
 
   /** DuckDB mirror of p52: the textured-audio sample generator (the
@@ -2406,6 +2441,25 @@ object Pipeline {
        |SELECT q_id, CAST(rn AS INTEGER) AS rank, vec_id AS n_id, dist
        |FROM r WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
   }
+
+  /** DuckDB mirror of p09 (exact brute-force cosine top-k) — a def so
+    * p68's recall harness can embed it as a subquery. */
+  private def p09Oracle: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
+      |p AS (SELECT q_id, e.vec_id AS n_id,
+      |  list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*e.v[i]))
+      |    / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+      |       * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS c
+      |  FROM q, e WHERE e.vec_id != q_id),
+      |r AS (SELECT q_id, n_id, floor(c*1000000 + 0.5)/1000000 AS cos_r,
+      |  ROW_NUMBER() OVER (PARTITION BY q_id
+      |    ORDER BY floor(c*1000000 + 0.5)/1000000 DESC, n_id) AS rn
+      |  FROM p)
+      |SELECT q_id, CAST(rn AS INTEGER) AS rank, n_id, cos_r FROM r
+      |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
 
   private def ivfOracle: String = {
     def cos(a: String, b: String) =
