@@ -648,9 +648,16 @@ object Streaming {
           .agg((sum(expr("shiftleft(cast(1 as bigint), 25 - mr)")) +
             (lit(64L) - count(lit(1))) * lit(33554432L)).as("num"))
           .select(col("source"), expr(s"($A25 div num) div 1000000").as("est"))
+        // the repartition barrier matters HERE too: without it the
+        // single-file scan builds every shingle string in one task
+        // (measured 7.2 s single-threaded vs 1 s spread — the same
+        // token-barrier lesson as the stream side)
         val ex = graft.Tables(s, d, "documents")
-          .select(col("source"), explode(TextOps.shingles(
-            TextOps.tokens(col("text")), 3)).as("g"))
+          .select(col("source"), col("doc_id"),
+            TextOps.tokens(col("text")).as("tk"))
+          .repartition(col("doc_id"))
+          .select(col("source"),
+            explode(TextOps.shingles(col("tk"), 3)).as("g"))
           .groupBy("source").agg(countDistinct("g").as("exact"))
         est.join(ex, "source")
           .select(col("source"), col("est"), col("exact"),
