@@ -45,7 +45,14 @@ object Multimodal {
     * blobs; only this generator is synthetic. */
   def videoTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+    // the single-row-group documents scan is one task — without this
+    // barrier the whole generator runs single-threaded (the s13
+    // exact-side lesson applied to the media tables; local wall time
+    // is unchanged because the encode memoizes to ~12k distinct
+    // frames, but a real corpus's decode would serialize on the scan
+    // task, so the barrier is the structural default here)
+    graft.Tables(spark, dir, "documents").select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         // one encoder per partition, reused across rows and frames; the
         // encoder is deterministic, so identical (lum, w, h) frames are
@@ -109,7 +116,8 @@ object Multimodal {
     * blobs; only this generator is synthetic. */
   def imageTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+    graft.Tables(spark, dir, "documents").select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long] // scan-task barrier (see videoTable)
       .mapPartitions { ids =>
         ids.map { id =>
           val w = 8 + (id % 16).toInt
@@ -162,7 +170,8 @@ object Multimodal {
       val v2 = ((v ^ (v >> 13)) * 1779033703L) % 1000000007L
       ((v2 ^ (v2 >> 11)) % 256L).toInt
     }
-    graft.Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+    graft.Tables(spark, dir, "documents").select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long] // scan-task barrier (see videoTable)
       .flatMap(id => Seq(id, id + 1000000L))
       .mapPartitions { ids =>
         ids.map { id =>
@@ -282,7 +291,8 @@ object Multimodal {
     * ±amplitude exactly — no float rounding in the oracle. */
   def audioTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+    graft.Tables(spark, dir, "documents").select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long] // scan-task barrier (see videoTable)
       .mapPartitions { ids =>
         ids.map { id =>
           val n = 400 + (id % 100).toInt
@@ -365,7 +375,8 @@ object Multimodal {
       val v2 = ((v ^ (v >> 13)) * 1779033703L) % 1000000007L
       ((v2 ^ (v2 >> 11)) % 201L).toInt - 100
     }
-    graft.Tables(spark, dir, "documents").select(col("doc_id")).as[Long]
+    graft.Tables(spark, dir, "documents").select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long] // scan-task barrier (see videoTable)
       .flatMap(id => Seq(id, id + 1000000L))
       .mapPartitions { ids =>
         ids.map { id =>
