@@ -68,14 +68,14 @@ object GraphAnalytics {
     val verts = e0.select(col("src_id").as("id"))
       .unionAll(e0.select(col("dst_id").as("id"))).distinct()
       .select(col("id"), xxhash64(col("id")).as("vid"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     val e = e0.select(xxhash64(col("src_id")).as("src"),
       xxhash64(col("dst_id")).as("dst"))
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
     val ec = e.join(outdeg, "src")
       .select(col("src"), col("dst"), col("od"))
       .unionAll(verts.select(col("vid"), col("vid"), lit(0L)))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     // adaptive dispatch, the CC-loop pattern: a 20-round synchronous
     // fixpoint is 40+ sequential shuffle stages whose scheduling
     // overhead dwarfs the arithmetic while the graph fits the driver —
@@ -137,7 +137,7 @@ object GraphAnalytics {
   private def distributedPageRank(ec: DataFrame, verts: DataFrame,
       iters: Int): DataFrame = {
     var ranks = verts.select(col("vid").as("v"), lit(1000000L).as("r"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     var i = 0
     while (i < iters) {
       val step = math.min(5, iters - i)
@@ -150,7 +150,7 @@ object GraphAnalytics {
             .as("r"))
           .withColumnRenamed("dst", "v")
       }
-      ranks = cur.localCheckpoint()
+      ranks = cur.transform(graft.Ckpt.cut)
       i += step
     }
     ranks
@@ -178,14 +178,14 @@ object GraphAnalytics {
     val verts = e0.select(col("src_id").as("id"))
       .unionAll(e0.select(col("dst_id").as("id"))).distinct()
       .select(col("id"), xxhash64(col("id")).as("vid"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     val e = e0.select(xxhash64(col("src_id")).as("src"),
       xxhash64(col("dst_id")).as("dst"))
     val ced = e.select(col("src").as("f"), col("dst").as("t"),
         lit("a").as("kind"))
       .unionAll(e.select(col("dst"), col("src"), lit("h")))
       .unionAll(verts.select(col("vid"), col("vid"), lit("z")))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     val threshold = edges.sparkSession.conf
       .get("spark.graft.hits.localEdgeThreshold", "1000000").toLong
     val local = ced.count() <= threshold
@@ -239,13 +239,13 @@ object GraphAnalytics {
   private def distributedHits(ced: DataFrame, verts: DataFrame,
       iters: Int): DataFrame = {
     var st = verts.select(col("vid").as("v"), lit(1000000L).as("h"),
-      lit(1000000L).as("a")).localCheckpoint()
+      lit(1000000L).as("a")).transform(graft.Ckpt.cut)
     for (_ <- 1 to iters) {
       val raw = ced.join(st, ced("f") === st("v"))
         .groupBy(col("t"))
         .agg(sum(when(col("kind") === "h", col("a")).otherwise(0L)).as("rh"),
           sum(when(col("kind") === "a", col("h")).otherwise(0L)).as("ra"))
-        .localCheckpoint()
+        .transform(graft.Ckpt.cut)
       val m = raw.agg(greatest(max("rh"), lit(1L)),
         greatest(max("ra"), lit(1L))).first()
       st = raw.select(col("t").as("v"),
@@ -277,7 +277,7 @@ object GraphAnalytics {
     val verts = e0.select(col("src_id").as("id"))
       .unionAll(e0.select(col("dst_id").as("id"))).distinct()
       .select(col("id"), xxhash64(col("id")).as("vid"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     val seedVids = verts.where(col("id").isin(seeds: _*))
       .select("vid").collect().map(_.getLong(0)).toSet
     require(seedVids.nonEmpty, s"no seed of ${seeds} present in the graph")
@@ -287,7 +287,7 @@ object GraphAnalytics {
     val ec = e.join(outdeg, "src")
       .select(col("src"), col("dst"), col("od"))
       .unionAll(verts.select(col("vid"), col("vid"), lit(0L)))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     val threshold = edges.sparkSession.conf
       .get("spark.graft.ppr.localEdgeThreshold", "1000000").toLong
     val local = ec.count() <= threshold
@@ -347,7 +347,7 @@ object GraphAnalytics {
     var ranks = verts.select(col("vid").as("v"),
       when(col("vid").isin(sv: _*), lit(1000000L)).otherwise(lit(0L)).as("r"))
       .where(col("r") > 0L)
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     var i = 0
     while (i < iters) {
       val step = math.min(5, iters - i)
@@ -361,7 +361,7 @@ object GraphAnalytics {
           .where(col("r") > 0L)
           .withColumnRenamed("dst", "v")
       }
-      ranks = cur.localCheckpoint()
+      ranks = cur.transform(graft.Ckpt.cut)
       i += step
     }
     ranks
@@ -422,10 +422,10 @@ object GraphAnalytics {
     val spark = edges.sparkSession
     import spark.implicits._
     val rev = edges.select(col("dst_id").as("from"), col("src_id").as("to"))
-      .distinct().localCheckpoint()
+      .distinct().transform(graft.Ckpt.cut)
     var visited = landmarks.toDF("id")
       .select(col("id"), col("id").as("landmark"), lit(0).as("dist"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     var frontier = visited.select("id", "landmark")
     var hop = 0
     var done = frontier.isEmpty
@@ -436,9 +436,9 @@ object GraphAnalytics {
         .join(visited.select("id", "landmark"),
           Seq("id", "landmark"), "left_anti")
         .withColumn("dist", lit(hop))
-        .localCheckpoint()
+        .transform(graft.Ckpt.cut)
       done = next.isEmpty
-      visited = visited.unionAll(next).localCheckpoint()
+      visited = visited.unionAll(next).transform(graft.Ckpt.cut)
       frontier = next.select("id", "landmark")
     }
     visited
@@ -513,10 +513,10 @@ object GraphAnalytics {
     // list feeds every round
     val e = pairs.select(col("p1").as("u"), col("p2").as("v"), col("w"))
       .unionAll(pairs.select(col("p2").as("u"), col("p1").as("v"), col("w")))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     var dist = spark.range(1)
       .select(lit(source).as("id"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     var r = 0
     while (r < rounds) {
       r += 1
@@ -526,7 +526,7 @@ object GraphAnalytics {
       // implements d'(v) = min(d(v), min over (u,v) of d(u)+w)
       dist = dist.unionAll(relaxed)
         .groupBy("id").agg(min("dist").as("dist"))
-        .localCheckpoint()
+        .transform(graft.Ckpt.cut)
     }
     dist
   }
@@ -626,13 +626,13 @@ object GraphAnalytics {
     import spark.implicits._
     val e = pairs.select(col("p1").as("u"), col("p2").as("v"))
       .unionAll(pairs.select(col("p2").as("u"), col("p1").as("v")))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     // forward: nodes = (src, v, dist, sigma), one BFS wave per layer,
     // all sources at once (state keyed (src, v) like shortestPathsDF)
     var nodes = sources.toDF("src")
       .select(col("src"), col("src").as("v"), lit(0).as("dist"),
         lit(1L).as("sigma"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     var d = 0
     while (d < depth) {
       val frontier = nodes.where(col("dist") === d)
@@ -641,7 +641,7 @@ object GraphAnalytics {
         .groupBy("src", "v").agg(sum("sigma").as("sigma"))
         .join(nodes.select("src", "v"), Seq("src", "v"), "left_anti")
         .select(col("src"), col("v"), lit(d + 1).as("dist"), col("sigma"))
-      nodes = nodes.unionAll(next).localCheckpoint()
+      nodes = nodes.unionAll(next).transform(graft.Ckpt.cut)
       d += 1
     }
     // backward: δ = 0 at the horizon, then one sweep per layer toward
@@ -651,7 +651,7 @@ object GraphAnalytics {
     // Brandes v ≠ s exclusion is structural.
     var delta = nodes.where(col("dist") === depth)
       .select(col("src"), col("v"), lit(0L).as("delta"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     d = depth - 1
     while (d >= 1) {
       val layer = nodes.where(col("dist") === d)
@@ -672,7 +672,7 @@ object GraphAnalytics {
       val layerDelta = layer.join(contrib, Seq("src", "v"), "left")
         .select(col("src"), col("v"),
           coalesce(col("dsum"), lit(0L)).as("delta"))
-      delta = delta.unionAll(layerDelta).localCheckpoint()
+      delta = delta.unionAll(layerDelta).transform(graft.Ckpt.cut)
       d -= 1
     }
     delta.where(col("delta") > 0)
@@ -708,7 +708,7 @@ object GraphAnalytics {
         .map(_.toInt).getOrElse(0) + 1).toString)
     // checkpoint: the pair list feeds degree agg + both wedge sides +
     // the closing probe — inlined it would recompute 4×
-    val pairs = pairs0.localCheckpoint()
+    val pairs = pairs0.transform(graft.Ckpt.cut)
     val deg = pairs.select(col("p1").as("v"))
       .unionAll(pairs.select(col("p2").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -723,7 +723,7 @@ object GraphAnalytics {
             struct(col("p2").as("s"), col("p1").as("t"), col("d1").as("dt")))
           .as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     // the wedge stream (Σ out-deg² rows — 41M at sf0.1) must NOT hit an
     // exchange: broadcasting the closing-edge side keeps the whole
     // wedge → semi-probe pipeline inside one codegen stage. The edge
@@ -784,18 +784,18 @@ object GraphAnalytics {
     var edges = pairs
       .select(col("p1").as("u"), col("p2").as("v"))
       .unionAll(pairs.select(col("p2").as("u"), col("p1").as("v")))
-      .distinct().localCheckpoint()
+      .distinct().transform(graft.Ckpt.cut)
     var n = edges.count()
     var changed = n > 0
     var rounds = 0
     while (changed) {
       val keep = edges.groupBy("u").agg(count(lit(1)).as("d"))
         .where(col("d") >= k).select(col("u").as("kv"))
-        .localCheckpoint()
+        .transform(graft.Ckpt.cut)
       val next = edges
         .join(keep.select(col("kv").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("kv").as("v")), Seq("v"), "left_semi")
-        .localCheckpoint()
+        .transform(graft.Ckpt.cut)
       val m = next.count()
       changed = m != n && m > 0
       n = m
@@ -828,7 +828,7 @@ object GraphAnalytics {
   def trussPeel(pairs0: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     val edges = pairs0.select(col("p1"), col("p2")).distinct()
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     // Enumerate triangles ONCE (the expensive degree-ordered wedge
     // join); peeling only ever DELETES edges, and a triangle dies
     // exactly when one of its edges does — so each round maintains the
@@ -851,7 +851,7 @@ object GraphAnalytics {
         pk(least(col("a"), col("b")), greatest(col("a"), col("b"))).as("e1"),
         pk(least(col("a"), col("c")), greatest(col("a"), col("c"))).as("e2"),
         pk(least(col("b"), col("c")), greatest(col("b"), col("c"))).as("e3"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     // Support is maintained INCREMENTALLY: charge every edge once from
     // the initial triangle list, then per round subtract only the
     // charges of DYING triangles (those touching a removed edge) —
@@ -867,7 +867,7 @@ object GraphAnalytics {
         pk(col("p1"), col("p2")).as("ek"))
       .join(sup0, Seq("ek"), "left")
       .na.fill(0L, Seq("sup"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     for (_ <- 1 to rounds) {
       val removed = st.where(col("sup") < k - 2).select(col("ek").as("re"))
       val kept = st.where(col("sup") >= k - 2)
@@ -877,8 +877,9 @@ object GraphAnalytics {
       // fraction of the edge set, so the hint is ADAPTIVE: counting the
       // (already-checkpointed) filter is one cheap job, and past the
       // threshold the joins fall back to shuffles AQE can still replan
+      val removedCnt = removed.count()
       val rem =
-        if (removed.count() <= 4000000L) broadcast(removed) else removed
+        if (removedCnt <= 4000000L) broadcast(removed) else removed
       // dying triangles: distinct union of the three touch sides (a
       // triangle losing TWO edges in one round must still be charged
       // once, not twice)
@@ -890,14 +891,24 @@ object GraphAnalytics {
         .join(rem, col("e1") === col("re"), "left_anti")
         .join(rem, col("e2") === col("re"), "left_anti")
         .join(rem, col("e3") === col("re"), "left_anti")
-        .localCheckpoint()
+        .transform(graft.Ckpt.cut)
       val delta = dead
         .select(explode(array(col("e1"), col("e2"), col("e3"))).as("ek"))
         .groupBy("ek").agg(count(lit(1)).as("dd"))
-      st = kept.join(broadcast(delta), Seq("ek"), "left")
+      // delta is bounded by 3·(k−2)·|removed| (a removed edge sat in
+      // fewer than k−2 surviving triangles; each dying triangle
+      // charges 3 edges), so the hint derives from the count already
+      // taken — adaptive like `rem`, without a second job. A heavy
+      // round-1 shed on a sparse graph therefore falls back to a
+      // shuffle join instead of a broadcast OOM.
+      val dlt =
+        if (3L * math.max(k - 2, 1) * removedCnt <= 4000000L)
+          broadcast(delta)
+        else delta
+      st = kept.join(dlt, Seq("ek"), "left")
         .select(col("p1"), col("p2"), col("ek"),
           (col("sup") - coalesce(col("dd"), lit(0L))).as("sup"))
-        .localCheckpoint()
+        .transform(graft.Ckpt.cut)
     }
     st.select(col("p1"), col("p2"), col("sup"))
   }
@@ -921,10 +932,10 @@ object GraphAnalytics {
     val ed = pairs
       .select(col("p1").as("src"), col("p2").as("dst"))
       .unionAll(pairs.select(col("p2").as("src"), col("p1").as("dst")))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     var labels = ed.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     for (_ <- 1 to iters) {
       labels = ed
         .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
@@ -933,7 +944,7 @@ object GraphAnalytics {
         .agg(max_by(col("lbl"), struct(col("n"), (-col("lbl")).as("neg")))
           .as("lbl"))
         .select(col("src").as("id"), col("lbl"))
-        .localCheckpoint()
+        .transform(graft.Ckpt.cut)
     }
     labels
   }
@@ -951,7 +962,7 @@ object GraphAnalytics {
   def connectedComponents(edges: DataFrame): DataFrame = {
     val und = edges.select(col("src_id").as("u"), col("dst_id").as("v"))
       .unionAll(edges.select(col("dst_id").as("u"), col("src_id").as("v")))
-      .distinct().localCheckpoint()
+      .distinct().transform(graft.Ckpt.cut)
 
     // Leaf peeling: degree-1 vertices can't change anyone else's
     // component — strip them, run the iterative part on the (much
@@ -961,12 +972,12 @@ object GraphAnalytics {
     // per-round shuffles shrink by that factor.
     val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
     val leaves = deg.where(col("d") === 1).select(col("u").as("leaf"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     val leafEdge = und.join(leaves, und("u") === leaves("leaf"))
       .select(col("leaf"), col("v").as("nbr"))
     val nbrIsLeaf = leaves.select(col("leaf").as("nbr"))
       .withColumn("nbr_leaf", lit(true))
-    val split = leafEdge.join(nbrIsLeaf, Seq("nbr"), "left").localCheckpoint()
+    val split = leafEdge.join(nbrIsLeaf, Seq("nbr"), "left").transform(graft.Ckpt.cut)
     // leaf—leaf pair: a 2-vertex component, labeled by its min endpoint
     val pairComp = split.where(col("nbr_leaf"))
       .select(col("leaf").as("id"), least(col("leaf"), col("nbr")).as("comp"))
@@ -982,7 +993,7 @@ object GraphAnalytics {
     val soloCore = hanging.select(col("nbr").as("id")).distinct()
       .join(coreLabels.select("id"), Seq("id"), "left_anti")
       .withColumn("comp", col("id"))
-    val allCore = coreLabels.unionAll(soloCore).localCheckpoint()
+    val allCore = coreLabels.unionAll(soloCore).transform(graft.Ckpt.cut)
     val hangingComp = hanging
       .join(allCore.withColumnRenamed("id", "nbr"), "nbr")
       .select(col("leaf").as("id"), col("comp"))
@@ -1001,7 +1012,7 @@ object GraphAnalytics {
     * distributed-fallback shape as Traversal's point-path frontier. Above
     * the bound the pointer-jump loop runs entirely as shuffles. */
   private def ccLoop(und0: DataFrame): DataFrame = {
-    val und = und0.localCheckpoint()
+    val und = und0.transform(graft.Ckpt.cut)
     val threshold = und.sparkSession.conf
       .get("spark.graft.cc.localEdgeThreshold", "1000000").toLong
     // und carries both directions, so rows/2 = undirected edge count;
@@ -1061,7 +1072,7 @@ object GraphAnalytics {
     var labels = und.groupBy(col("u"))
       .agg(min(col("v")).as("nbrmin"))
       .select(col("u").as("id"), least(col("u"), col("nbrmin")).as("comp"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     var changed = 1L
     var round = 0
     while (changed > 0) {
@@ -1077,7 +1088,7 @@ object GraphAnalytics {
         .observe(obs, coalesce(
           sum(when(col("comp") =!= col("old"), 1L).otherwise(0L)),
           lit(0L)).as("changed"))
-        .localCheckpoint()
+        .transform(graft.Ckpt.cut)
       changed = obs.get("changed").asInstanceOf[Long]
       labels = next.select("id", "comp")
       round += 1
@@ -1105,10 +1116,10 @@ object GraphAnalytics {
     * so wedges never hit an exchange. */
   def localClusteringCoeff(pairs0: DataFrame, centerMod: Long): DataFrame = {
     // checkpoint: pairs feed und (both directions) AND the probe side
-    val pairs = pairs0.localCheckpoint()
+    val pairs = pairs0.transform(graft.Ckpt.cut)
     val und = pairs.select(col("p1").as("u"), col("p2").as("v"))
       .unionAll(pairs.select(col("p2").as("u"), col("p1").as("v")))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     val deg = und.groupBy("u").agg(count(lit(1)).as("dg"))
     val cent = und.where(col("u") % centerMod === 0)
     val wed = cent.select(col("u").as("c"), col("v").as("a"))
@@ -1143,7 +1154,7 @@ object GraphAnalytics {
     * [[localClusteringCoeff]] with centerMod = 1; equality pinned in
     * GraphXSpec. */
   def localClusteringCoeffAll(pairs0: DataFrame): DataFrame = {
-    val pairs = pairs0.localCheckpoint()
+    val pairs = pairs0.transform(graft.Ckpt.cut)
     val deg = pairs.select(col("p1").as("u"))
       .unionAll(pairs.select(col("p2").as("u")))
       .groupBy("u").agg(count(lit(1)).as("dg"))
@@ -1182,12 +1193,12 @@ object GraphAnalytics {
     val adj = und
       .withColumn("rk", row_number().over(w.orderBy("dst")) - 1)
       .withColumn("deg", count(lit(1)).over(w))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     var frontier = adj.select(col("src").as("node")).distinct()
       .where(col("node") % startMod === 0L)
       .select(col("node").as("walk_id"), lit(0).as("step"),
         col("node").as("cur"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.cut)
     val acc = Vector.newBuilder[DataFrame]
     acc += frontier
     for (_ <- 1 to steps) {
@@ -1199,7 +1210,7 @@ object GraphAnalytics {
           adj("src") === col("cur") && adj("rk") === col("hsel") % adj("deg"))
         .select(col("walk_id"), (col("step") + 1).as("step"),
           col("dst").as("cur"))
-        .localCheckpoint()
+        .transform(graft.Ckpt.cut)
       acc += frontier
     }
     acc.result().reduce(_ unionAll _)
@@ -1230,7 +1241,7 @@ object GraphAnalytics {
     */
   def hyperBall(edges: DataFrame, iters: Int = 3): DataFrame = {
     val P = 1000000007L
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).transform(graft.Ckpt.cut)
     val verts = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id"))).distinct()
     // q48's hash: two multiply-mod rounds with xor-shifts between (one
@@ -1246,8 +1257,8 @@ object GraphAnalytics {
         when(col("w") === 0L, lit(25L))
           .otherwise(bit_count(col("w").bitwiseAND(-col("w")) - 1) + 1L)
           .as("rho"))
-      .localCheckpoint()
-    var exact = verts.select(col("id"), col("id").as("nb")).localCheckpoint()
+      .transform(graft.Ckpt.cut)
+    var exact = verts.select(col("id"), col("id").as("nb")).transform(graft.Ckpt.cut)
     val A25 = 2905460551L << 25 // ⌊0.7213/(1+1.079/64)·64²·1e6⌋·2^25
     def estimate(t: Int, r: DataFrame, x: DataFrame): DataFrame =
       r.groupBy("id")
@@ -1262,12 +1273,12 @@ object GraphAnalytics {
             col("did") === col("dst"))
             .select(col("src").as("id"), col("reg"), col("rho")))
         .groupBy("id", "reg").agg(max("rho").as("rho"))
-        .localCheckpoint()
+        .transform(graft.Ckpt.cut)
       exact = exact.unionAll(
           e.join(exact.withColumnRenamed("id", "did"),
             col("did") === col("dst"))
             .select(col("src").as("id"), col("nb")))
-        .distinct().localCheckpoint()
+        .distinct().transform(graft.Ckpt.cut)
       estimate(t, regs, exact)
     }.reduce(_ unionAll _)
   }
@@ -1287,19 +1298,19 @@ object GraphAnalytics {
     * measured bounds per SF). Returns [v, w, cycle_min] where w =
     * f^(2^jumpPow)(v), a vertex on v's cycle. */
   def cycleLabel(succ0: DataFrame, jumpPow: Int, windowPow: Int): DataFrame = {
-    val succ = succ0.select(col("v"), col("p")).localCheckpoint()
+    val succ = succ0.select(col("v"), col("p")).transform(graft.Ckpt.cut)
     var jump = succ // f^(2^0); each round squares the stride
     for (_ <- 1 to jumpPow)
       jump = jump.as("x").join(jump.as("y"), col("x.p") === col("y.v"))
         .select(col("x.v").as("v"), col("y.p").as("p"))
-        .localCheckpoint()
+        .transform(graft.Ckpt.cut)
     // mn(v) after round j = min{f^0(v) .. f^(2^j - 1)(v)}, p = f^(2^j)(v)
     var md = succ.select(col("v"), col("p"), col("v").as("mn"))
     for (_ <- 1 to windowPow)
       md = md.as("x").join(md.as("y"), col("x.p") === col("y.v"))
         .select(col("x.v").as("v"), col("y.p").as("p"),
           least(col("x.mn"), col("y.mn")).as("mn"))
-        .localCheckpoint()
+        .transform(graft.Ckpt.cut)
     jump.join(md.select(col("v").as("p"), col("mn").as("cycle_min")), "p")
       .select(col("v"), col("p").as("w"), col("cycle_min"))
   }

@@ -1017,7 +1017,7 @@ object Curation {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              |    AS cum_before FROM f)
              |SELECT source, doc_id, u, n_tok,
-             |  cum_before + n_tok AS cum_tokens
+             |  CAST(cum_before + n_tok AS BIGINT) AS cum_tokens
              |FROM c WHERE cum_before < 800
              |ORDER BY source, doc_id""".stripMargin))
   )

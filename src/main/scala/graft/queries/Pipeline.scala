@@ -407,29 +407,36 @@ object Pipeline {
       None), // approximate by construction → rows-only; recall vs p09 in tests
 
     // ---- p11: embedding near-dup (cosine > 0.9; planted twins) ----------
+    // BUCKETED headline plan: candidates come from an equi-join on the
+    // p48 deterministic hyperplane buckets (4 tables × 8 sign bits),
+    // never all-pairs — linear in corpus size like every other dedup
+    // spine entry. The identical banding runs in the DuckDB oracle
+    // (mirrorSigs arithmetic), so the result — including which
+    // near-threshold pairs the banding recalls — stays hash-checked.
+    // The bounded exact all-pairs form survives as the WITNESS (p04
+    // pattern): LshSpec pins this plan's recall against it and asserts
+    // no CartesianProduct/BroadcastNestedLoopJoin in this plan.
     RegQuery("p11_embed_neardup",
       (s, d) => {
         val all = vecsWithTwins(s, d, cap = 500)
-        val a = all.select(col("vec_id").as("a_id"), col("v").as("av"))
-        val b = all.select(col("vec_id").as("b_id"), col("v").as("bv"))
-        a.crossJoin(b).where(col("a_id") < col("b_id"))
+          .localCheckpoint() // feeds buckets + both sides of the verify
+        val buckets = all.select(col("vec_id"),
+          posexplode(mirrorSigs(col("v"))).as(Seq("t", "sig")))
+        val cand = buckets
+          .join(buckets.select(col("t"), col("sig"),
+            col("vec_id").as("b_id")), Seq("t", "sig"))
+          .where(col("vec_id") < col("b_id"))
+          .select(col("vec_id").as("a_id"), col("b_id")).distinct()
+        cand
+          .join(all.select(col("vec_id").as("a_id"), col("v").as("av")),
+            "a_id")
+          .join(all.select(col("vec_id").as("b_id"), col("v").as("bv")),
+            "b_id")
           .where(VectorOps.cosineFast(col("av"), col("bv")) > 0.9)
           .select("a_id", "b_id")
           .orderBy("a_id", "b_id")
       },
-      Some("""WITH e AS (SELECT vec_id,
-             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             |  FROM embeddings WHERE vec_id < 500),
-             |alle AS (SELECT vec_id, v FROM e
-             |  UNION ALL SELECT vec_id + 1000000,
-             |    list_transform(range(1, len(v)+1),
-             |      i -> v[i] + CASE WHEN i = 1 THEN 0.05 ELSE 0.0 END) FROM e),
-             |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-             |  list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
-             |    / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
-             |       * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS c
-             |  FROM alle a JOIN alle b ON a.vec_id < b.vec_id)
-             |SELECT a_id, b_id FROM p WHERE c > 0.9 ORDER BY a_id, b_id""".stripMargin)),
+      Some(p11BucketedOracle)),
 
     // ---- p12: multimodal binary column + REAL batched image decode ------
     // ImageIO encodes a gray PNG per doc in the executors, then the
@@ -1020,20 +1027,8 @@ object Pipeline {
         val e = Tables(s, d, "embeddings")
           .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
           .localCheckpoint() // feeds buckets, queries, and both rerank sides
-        def dot(t: Int, p: Int): Column = {
-          val seed = (t * 31 + p).toLong
-          val w = transform(sequence(lit(0), lit(63)), j =>
-            ((lit(seed) * lit(2654435761L) +
-              j.cast("long") * lit(104729L)) % lit(1000000007L))
-              % lit(1001L) - lit(500L))
-          aggregate(zip_with(col("v"), w, (x, wj) => x * wj.cast("double")),
-            lit(0.0d), _ + _)
-        }
-        def sig(t: Int): Column = (0 until 8)
-          .map(p => when(dot(t, p) > 0, lit(1L << p)).otherwise(lit(0L)))
-          .reduce(_ + _)
         val buckets = e.select(col("vec_id"),
-          posexplode(array((0 until 4).map(sig): _*)).as(Seq("t", "sig")))
+          posexplode(mirrorSigs(col("v"))).as(Seq("t", "sig")))
         val q = buckets.where(col("vec_id") < 3)
           .select(col("t"), col("sig"), col("vec_id").as("q_id"))
         val cand = q.join(buckets, Seq("t", "sig"))
@@ -1812,7 +1807,8 @@ object Pipeline {
              |  FROM toks LEFT JOIN vocab ON toks.w = vocab.w)
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
              |  CAST(sum(iv) AS BIGINT) AS n_in_vocab,
-             |  (count(*) - sum(iv)) * 10000 // count(*) AS oov_bp
+             |  CAST((count(*) - sum(iv)) * 10000 // count(*) AS BIGINT)
+             |    AS oov_bp
              |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- p62: leakage-free train/eval split -----------------------------
@@ -2086,7 +2082,8 @@ object Pipeline {
           |  FROM pr JOIN cc c ON pr.a_id = c.doc_id GROUP BY c.cid)
           |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters,
           |  CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
-          |  sum(sbp) // sum(n_pairs) AS mean_intra_jac_bp
+          |  CAST(sum(sbp) // sum(n_pairs) AS BIGINT)
+          |    AS mean_intra_jac_bp
           |FROM csz JOIN cps USING (cid)
           |GROUP BY sz ORDER BY sz""".stripMargin)
         .replaceFirst("WITH ", "WITH RECURSIVE "))),
@@ -2096,11 +2093,11 @@ object Pipeline {
     // crawl/source shift under us": total-variation distance between
     // each source's hashed-unigram distribution and the corpus-wide
     // one, in ppm. TV (L1/2) rather than KL/JS keeps the whole
-    // statistic INTEGER: per bucket |o·N − Ns·t| is exact int64, the
-    // missing-bucket mass folds in as Ns·(N − Σ t over touched
-    // buckets) without densifying, and only the final ppm scaling
-    // needs DECIMAL(38,0)/HUGEINT headroom (the x19 move — S·1e6
-    // overflows int64 past ~sf1). 256 poly-hash buckets (p42/p57's
+    // statistic INTEGER: per bucket |o·N − Ns·t| is exact in
+    // decimal(38,0) (Ns·t passes int64 once a source holds ~3e9
+    // tokens, so the products are widened BEFORE the abs/sum, matching
+    // the oracle's HUGEINT arithmetic); the missing-bucket mass folds
+    // in as Ns·(N − Σ t over touched buckets) without densifying. 256 poly-hash buckets (p42/p57's
     // hashed-feature move, bit-identical in DuckDB). Shape: one
     // explode collapsed map-side to (source, bucket) counts, two
     // bounded aggregates, one broadcast-sized join — linear, and the
@@ -2120,7 +2117,11 @@ object Pipeline {
         occ.join(tb, "bkt").join(ns, "source")
           .groupBy("source")
           .agg(max("ns").as("n_tokens"),
-            sum(abs(col("o") * n - col("ns") * col("t"))).as("s1"),
+            // products in decimal(38,0): ns·t exceeds int64 once a
+            // source holds ~3e9 tokens, and non-ANSI sum would wrap
+            // silently while the DuckDB mirror (HUGEINT) stays exact
+            sum(abs(col("o").cast("decimal(20,0)") * n -
+              col("ns").cast("decimal(20,0)") * col("t"))).as("s1"),
             sum("t").as("tcov"))
           .select(col("source"), col("n_tokens"),
             expr(s"cast((cast(s1 as decimal(38,0)) +" +
@@ -2283,16 +2284,72 @@ object Pipeline {
 
   /** DuckDB mirror of p48: identical plane congruence, fold order, and
     * rounding at every stage. */
-  private def lshMirrorOracle: String = {
-    def dotp(t: Int, p: Int): String = {
-      val seed = t * 31 + p
-      s"""list_sum(list_transform(range(1, 65),
-         |      j -> v[j] * CAST((($seed * 2654435761 + (j-1) * 104729)
-         |        % 1000000007) % 1001 - 500 AS DOUBLE)))""".stripMargin
+  /** The deterministic hyperplane-LSH signature family shared by the
+    * mirrored ANN/near-dup queries (p11, p48): 4 tables × 8 planes,
+    * plane weights integers in [-500, 500] from an affine congruence of
+    * (table, plane, dim), dot products a left fold of double·integer
+    * products — the identical arithmetic runs in DuckDB
+    * ([[lshMirrorOracle]]'s `dotp`/`sig`), so even the sign of a
+    * near-zero projection agrees bit-for-bit. Returns the 4-signature
+    * array for posexplode into (t, sig) bucket rows. */
+  private def mirrorSigs(v: Column): Column = {
+    def dot(t: Int, p: Int): Column = {
+      val seed = (t * 31 + p).toLong
+      val w = transform(sequence(lit(0), lit(63)), j =>
+        ((lit(seed) * lit(2654435761L) +
+          j.cast("long") * lit(104729L)) % lit(1000000007L))
+          % lit(1001L) - lit(500L))
+      aggregate(zip_with(v, w, (x, wj) => x * wj.cast("double")),
+        lit(0.0d), _ + _)
     }
-    def sig(t: Int): String = (0 until 8)
-      .map(p => s"(CASE WHEN ${dotp(t, p)} > 0 THEN ${1L << p} ELSE 0 END)")
-      .mkString("(", " + ", ")")
+    def sig(t: Int): Column = (0 until 8)
+      .map(p => when(dot(t, p) > 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    array((0 until 4).map(sig): _*)
+  }
+
+  /** DuckDB twin of [[mirrorSigs]]'s per-table dot products / sign
+    * signature — shared by the p48 and p11 oracles. */
+  private def oracleDotp(t: Int, p: Int): String = {
+    val seed = t * 31 + p
+    s"""list_sum(list_transform(range(1, 65),
+       |      j -> v[j] * CAST((($seed * 2654435761 + (j-1) * 104729)
+       |        % 1000000007) % 1001 - 500 AS DOUBLE)))""".stripMargin
+  }
+
+  private def oracleSig(t: Int): String = (0 until 8)
+    .map(p => s"(CASE WHEN ${oracleDotp(t, p)} > 0 THEN ${1L << p} ELSE 0 END)")
+    .mkString("(", " + ", ")")
+
+  /** DuckDB mirror of the bucketed p11: same planted twins, same
+    * hyperplane banding, same exact-cosine verify — so the oracle gates
+    * the banding itself, not just the verify stage. */
+  private def p11BucketedOracle: String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id < 500),
+       |alle AS (SELECT vec_id, v FROM e
+       |  UNION ALL SELECT vec_id + 1000000,
+       |    list_transform(range(1, len(v)+1),
+       |      i -> v[i] + CASE WHEN i = 1 THEN 0.05 ELSE 0.0 END) FROM e),
+       |sigs AS (SELECT vec_id,
+       |  ${(0 until 4).map(t => s"${oracleSig(t)} AS s$t").mkString(",\n  ")}
+       |  FROM alle),
+       |bk AS (SELECT vec_id, unnest([0, 1, 2, 3]) AS t,
+       |  unnest([s0, s1, s2, s3]) AS sig FROM sigs),
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bk a JOIN bk b ON a.t = b.t AND a.sig = b.sig
+       |    AND a.vec_id < b.vec_id),
+       |p AS (SELECT c.a_id, c.b_id,
+       |  list_sum(list_transform(range(1, 65), i -> ea.v[i]*eb.v[i]))
+       |    / (sqrt(list_sum(list_transform(ea.v, x -> x*x)))
+       |       * sqrt(list_sum(list_transform(eb.v, x -> x*x)))) AS cs
+       |  FROM cand c JOIN alle ea ON c.a_id = ea.vec_id
+       |  JOIN alle eb ON c.b_id = eb.vec_id)
+       |SELECT a_id, b_id FROM p WHERE cs > 0.9 ORDER BY a_id, b_id""".stripMargin
+
+  private def lshMirrorOracle: String = {
+    def sig(t: Int): String = oracleSig(t)
     val cos =
       """floor(list_sum(list_transform(range(1, 65),
         |      i -> qv[i]*nv[i]))

@@ -1102,7 +1102,7 @@ object Relational {
              |    loc.tpoint, offs.off + loc.cc_local AS cc
              |  FROM loc JOIN offs
              |    ON loc.event_type = offs.event_type AND loc.hr = offs.hr)
-             |SELECT event_type, max(cc) AS peak_cc,
+             |SELECT event_type, CAST(max(cc) AS BIGINT) AS peak_cc,
              |  min(CASE WHEN cc = mcc THEN tpoint END) AS peak_at
              |FROM (SELECT *, max(cc) OVER (PARTITION BY event_type) AS mcc
              |      FROM run)
@@ -1248,7 +1248,8 @@ object Relational {
              |  FROM seq WHERE next_type IS NOT NULL
              |  GROUP BY event_type, next_type)
              |SELECT from_type, to_type, cnt,
-             |  cnt * 1000000 // (sum(cnt) OVER (PARTITION BY from_type))
+             |  CAST(cnt * 1000000
+             |      // (sum(cnt) OVER (PARTITION BY from_type)) AS BIGINT)
              |    AS p_ppm
              |FROM tr ORDER BY from_type, to_type""".stripMargin)),
 
@@ -1323,8 +1324,8 @@ object Relational {
       },
       Some("""SELECT user_id, ts, event_id,
              |  count(*) OVER w AS n_3d,
-             |  sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) OVER w
-             |    AS sum_milli_3d
+             |  CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) OVER w
+             |    AS BIGINT) AS sum_milli_3d
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts
              |  RANGE BETWEEN INTERVAL 3 DAYS PRECEDING AND CURRENT ROW)

@@ -542,6 +542,53 @@ class GraphXSpec extends SparkSpec {
       got.toString)
   }
 
+  test("reliable checkpoint: iterative loops run (and match) with " +
+      "spark.graft.checkpointDir set") {
+    import spark.implicits._
+    // same K4 + pendant-triangle fixture as the trussPeel test, plus a
+    // pageRank star: exercises Ckpt.cut's checkpoint() arm end to end
+    // (RDD materialized to the reliable dir, lineage truncated) and
+    // pins result equality with the default localCheckpoint() arm —
+    // the contract that lets a 100 TB run flip the config for
+    // executor-loss fault tolerance without touching any query.
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)).toDF("p1", "p2")
+    val star = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"))
+      .toDF("src_id", "dst_id").withColumn("label", lit("e"))
+      .select("src_id", "label", "dst_id")
+    val localTruss = GraphAnalytics.trussPeel(pairs, k = 4, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val localPr = GraphAnalytics.pageRank(star, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    // force the distributed pageRank arm so its per-iteration cuts hit
+    // the reliable path too (the driver arm checkpoints nothing)
+    spark.conf.set("spark.graft.pr.localEdgeThreshold", "0")
+    try {
+      val relTruss = GraphAnalytics.trussPeel(pairs, k = 4, rounds = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val relPr = GraphAnalytics.pageRank(star, iters = 5)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(relTruss == localTruss, relTruss.toString)
+      assert(relPr == localPr, relPr.toString)
+      // the reliable dir actually received checkpoint data
+      def countFiles(p: java.nio.file.Path): Long = {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally s.close()
+      }
+      assert(countFiles(java.nio.file.Paths.get(dir)) > 0,
+        s"no checkpoint files written under $dir")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      spark.conf.unset("spark.graft.pr.localEdgeThreshold")
+    }
+  }
+
   test("hyperBall: exact balls on a directed chain, estimates monotone") {
     import spark.implicits._
     // chain 1→2→3→4: ball_t(v) grows down the chain and saturates at

@@ -274,6 +274,37 @@ class LshSpec extends SparkSpec {
       s"twin recall $twinHits/${base.length}")
   }
 
+  test("p11 bucketed near-dup: subset of + high recall vs exact witness, no cartesian") {
+    // the registry p11 is the BUCKETED arm (hyperplane-LSH candidates);
+    // this is its exact all-pairs witness (the p04 pattern): banding
+    // may only PRUNE pairs (precision 1.0 structurally — the verify
+    // stage applies the same cosine > 0.9 gate), and on the planted-
+    // twins corpus it must recall nearly all of them.
+    val q = graft.SparkEntry.queries("p11_embed_neardup")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "headline p11 plan must not be all-pairs:\n" + plan.take(2000))
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = graft.Tables(spark, sfDir, "embeddings")
+      .where(col("vec_id") < 500)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val all = e.unionAll(e.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("v"), (x, i) =>
+        x + when(i === 0, lit(0.05)).otherwise(lit(0.0))).as("v")))
+    val exact = all.select(col("vec_id").as("a_id"), col("v").as("av"))
+      .crossJoin(all.select(col("vec_id").as("b_id"), col("v").as("bv")))
+      .where(col("a_id") < col("b_id"))
+      .where(VectorOps.cosineFast(col("av"), col("bv")) > 0.9)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact),
+      s"banding emitted ${(got -- exact).take(5)} not in exact set")
+    assert(exact.nonEmpty)
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall (${got.size}/${exact.size})")
+  }
+
   test("LSH ANN top-3 has nonzero overlap with brute-force top-3 and finds the planted twin") {
     val e = graft.Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))

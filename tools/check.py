@@ -25,6 +25,39 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df[sorted(df.columns)]
 
 
+INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+
+def type_class(t: str) -> str:
+    t = t.upper()
+    if t in INT_TYPES:
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    return t
+
+
+def type_parity(con, sql, out_dir, name):
+    """The driver hashes pandas frames, so a DuckDB HUGEINT column
+    (int128 -> float64 in pandas) hash-mismatches a Spark BIGINT even
+    when every value is equal. Fail any oracle column that is HUGEINT,
+    or whose int/float class differs from the Spark parquet column."""
+    ora = con.execute(f"DESCRIBE {sql}").fetchdf()
+    spk = con.execute(
+        f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+    ot = dict(zip(ora.column_name, ora.column_type))
+    st = dict(zip(spk.column_name, spk.column_type))
+    issues = []
+    for c, t in ot.items():
+        if "HUGEINT" in t.upper():
+            issues.append(f"{c}: oracle {t} (pandas float64 — CAST the "
+                          "oracle expression to BIGINT)")
+        elif c in st and type_class(t) != type_class(st[c]):
+            issues.append(f"{c}: oracle {t} vs spark {st[c]}")
+    return issues
+
+
 def cells_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -63,6 +96,11 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         if list(mine.columns) != list(oracle.columns):
             print(f"FAIL {name}: columns {list(mine.columns)} vs {list(oracle.columns)}")
+            n_fail += 1
+            continue
+        ty = type_parity(con, sql, out_dir, name)
+        if ty:
+            print(f"FAIL {name}: type parity: " + "; ".join(ty))
             n_fail += 1
             continue
         if len(mine) != len(oracle):
