@@ -423,7 +423,7 @@ object Curation {
     RegQuery("p28_dedup_clusters",
       (s, d) => {
         val sub = Pipeline.docsWithTwins(s, d)
-          .where(col("doc_id") % 1000000 < 100)
+          .where(col("doc_id") % 1000000 < CorpusCaps.ExactWitness)
           .select(col("doc_id"),
             array_sort(transform(
               TextOps.shingles(TextOps.tokens(col("text")), 3),
@@ -445,13 +445,13 @@ object Curation {
           .orderBy("doc_id")
       },
       Some((Pipeline.twinsCte +
-        """, sub AS (
+        s""", sub AS (
           |  SELECT doc_id, list_distinct(list_transform(
           |    range(1, greatest(len(string_split(text,' '))-1, 2)),
           |    i -> string_split(text,' ')[i] || ' ' ||
           |         string_split(text,' ')[i+1] || ' ' ||
           |         string_split(text,' ')[i+2])) AS sh
-          |  FROM alldocs WHERE doc_id % 1000000 < 100),
+          |  FROM alldocs WHERE doc_id % 1000000 < ${CorpusCaps.ExactWitness}),
           |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
           |  FROM sub a JOIN sub b ON a.doc_id < b.doc_id
           |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -547,7 +547,7 @@ object Curation {
     RegQuery("p30_contamination_matrix",
       (s, d) => {
         val sub = Pipeline.docsWithTwins(s, d)
-          .where(col("doc_id") % 1000000 < 100)
+          .where(col("doc_id") % 1000000 < CorpusCaps.ExactWitness)
           .select(col("doc_id"), col("source"),
             array_sort(transform(
               TextOps.shingles(TextOps.tokens(col("text")), 3),
@@ -566,13 +566,13 @@ object Curation {
           .orderBy("src_lo", "src_hi")
       },
       Some(Pipeline.twinsCte +
-        """, sub AS (
+        s""", sub AS (
           |  SELECT doc_id, source, list_distinct(list_transform(
           |    range(1, greatest(len(string_split(text,' '))-1, 2)),
           |    i -> string_split(text,' ')[i] || ' ' ||
           |         string_split(text,' ')[i+1] || ' ' ||
           |         string_split(text,' ')[i+2])) AS sh
-          |  FROM alldocs WHERE doc_id % 1000000 < 100)
+          |  FROM alldocs WHERE doc_id % 1000000 < ${CorpusCaps.ExactWitness})
           |SELECT least(a.source, b.source) AS src_lo,
           |  greatest(a.source, b.source) AS src_hi,
           |  count(*) AS n_pairs

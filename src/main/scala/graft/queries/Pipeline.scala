@@ -27,6 +27,56 @@ import graft.llm.{TextOps, VectorOps}
 object Pipeline {
 
   /** documents ∪ perturbed twins (id+1M, last 3 tokens dropped). */
+  /** The PPJoin-shaped prefix-filter candidate stage exposed for the
+    * 10× scale rehearsal: docs [doc_id, text] → (candidates (a_id,
+    * b_id), checkpointed token frame for the verify join). Rarest-first
+    * global token order (df, tok); prefix length n − ceil(0.7n) + 1;
+    * length-ratio pruning rides the join condition. */
+  private[graft] def prefixJoinCandidates(
+      docsRaw: DataFrame): (DataFrame, DataFrame) = {
+    val docs = docsRaw
+      .select(col("doc_id"),
+        array_sort(array_distinct(TextOps.tokens(col("text")))).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .localCheckpoint() // token arrays feed df-rank, prefix AND both
+                         // verify sides — materialize the split once
+    val tok = docs.select(col("doc_id"), col("n"),
+      explode(col("toks")).as("tok"))
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    // rarest-first global order (df, tok); prefix = n - ceil(0.7n) + 1
+    val pr = tok.join(dfreq, "tok")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))))
+      .where(col("rk") <= col("n") - expr("(7*n + 9) div 10") + 1)
+      .select(col("doc_id"), col("n"), col("tok"))
+      .localCheckpoint() // both sides of the candidate self-join:
+                         // inlined, the df-rank window ran twice
+                         // (measured 8.7 s -> ~3 s for the query)
+    val cand = pr.as("a").join(pr.as("b"),
+        col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("b.n") * 10 >= col("a.n") * 7 &&
+        col("a.n") * 10 >= col("b.n") * 7)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    (cand, docs)
+  }
+
+  private[graft] def prefixJoinDedupFrom(docsRaw: DataFrame): DataFrame = {
+    val (cand, docs) = prefixJoinCandidates(docsRaw)
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("toks").as("ta"),
+        col("n").as("na")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("toks").as("tb"),
+        col("n").as("nb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .where(col("inter") * 10 >= col("uni") * 7)
+      .select(col("a_id"), col("b_id"),
+        expr("cast(inter as bigint) * 1000000 div uni").as("jac_ppm"))
+      .orderBy("a_id", "b_id")
+  }
+
   private[queries] def docsWithTwins(s: SparkSession, d: String): DataFrame = {
     val docs = Tables(s, d, "documents")
       .select("doc_id", "text", "lang", "source", "n_chars")
@@ -103,8 +153,19 @@ object Pipeline {
     * checkpoint so each pair is one native merge-walk, not two hash-set
     * builds. */
   private[queries] def lshVerifiedPairs(s: SparkSession, d: String,
-      k: Int = 32, b: Int = 8, r: Int = 4): DataFrame = {
-    val docs = docsWithTwins(s, d)
+      k: Int = 32, b: Int = 8, r: Int = 4): DataFrame =
+    lshVerifiedPairsFrom(docsWithTwins(s, d), k, b, r)
+
+  /** The banding stage of [[lshVerifiedPairsFrom]] exposed for the 10×
+    * scale rehearsal: (docs [doc_id, text]) → distinct candidate pairs
+    * (a_id, b_id) from the (band_idx, band_hash) equi-join, plus the
+    * checkpointed shingle frame the verify stage reuses. Candidate
+    * volume is the quantity that must grow LINEARLY with corpus size
+    * for the dedup spine to survive 100 TB — ScaleRehearsalSpec pins it
+    * on disjoint token-renamed copies. */
+  private[graft] def lshCandidatesFrom(docsRaw: DataFrame,
+      k: Int, b: Int, r: Int): (DataFrame, DataFrame) = {
+    val docs = docsRaw
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
       .repartition(col("doc_id"))
       .select(col("doc_id"),
@@ -133,7 +194,12 @@ object Pipeline {
             slice(col("mh"), bi * r + 1, lit(r)),
             v => v.cast("string"))))))
         .as(Seq("band_idx", "band_hash")))
-    val cand = TextOps.candidatePairs(bands, "doc_id")
+    (TextOps.candidatePairs(bands, "doc_id"), docs)
+  }
+
+  private[graft] def lshVerifiedPairsFrom(docsRaw: DataFrame,
+      k: Int = 32, b: Int = 8, r: Int = 4): DataFrame = {
+    val (cand, docs) = lshCandidatesFrom(docsRaw, k, b, r)
     cand
       .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
@@ -263,7 +329,8 @@ object Pipeline {
         // pairwise op is the native merge-walk (jaccard_sorted) — set
         // Jaccard is hash-invariant, so the value the oracle computes
         // on strings is identical (modulo 2^-64 collisions)
-        val sub = docsWithTwins(s, d).where(col("doc_id") % 1000000 < 100)
+        val sub = docsWithTwins(s, d)
+          .where(col("doc_id") % 1000000 < CorpusCaps.ExactWitness)
           .select(col("doc_id"),
             array_sort(transform(
               TextOps.shingles(TextOps.tokens(col("text")), 3),
@@ -278,13 +345,13 @@ object Pipeline {
           .orderBy("a_id", "b_id")
       },
       Some(twinsCte +
-        """, sub AS (
+        s""", sub AS (
           |  SELECT doc_id, list_distinct(list_transform(
           |    range(1, greatest(len(string_split(text,' '))-1, 2)),
           |    i -> string_split(text,' ')[i] || ' ' ||
           |         string_split(text,' ')[i+1] || ' ' ||
           |         string_split(text,' ')[i+2])) AS sh
-          |  FROM alldocs WHERE doc_id % 1000000 < 100)
+          |  FROM alldocs WHERE doc_id % 1000000 < ${CorpusCaps.ExactWitness})
           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
@@ -418,7 +485,7 @@ object Pipeline {
     // no CartesianProduct/BroadcastNestedLoopJoin in this plan.
     RegQuery("p11_embed_neardup",
       (s, d) => {
-        val all = vecsWithTwins(s, d, cap = 500)
+        val all = vecsWithTwins(s, d, cap = CorpusCaps.Vectors)
           .localCheckpoint() // feeds buckets + both sides of the verify
         val buckets = all.select(col("vec_id"),
           posexplode(mirrorSigs(col("v"))).as(Seq("t", "sig")))
@@ -1110,7 +1177,7 @@ object Pipeline {
           .orderBy("a_id", "b_id")
       },
       Some(twinsCte +
-        """, tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        s""", tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
           |  FROM alldocs),
           |th0 AS (SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
           |    list_transform(string_split(tok,''),
@@ -1298,49 +1365,12 @@ object Pipeline {
     // stays the audit oracle (identity at sf0.01, where doc_ids run
     // 0..499) while p05/p40 LSH remain the unbounded scale path.
     RegQuery("p53_prefix_join_dedup",
-      (s, d) => {
-        val docs = docsWithTwins(s, d)
-          .where(col("doc_id") % 1000000L < 500L)
-          .select(col("doc_id"),
-            array_sort(array_distinct(TextOps.tokens(col("text")))).as("toks"))
-          .withColumn("n", size(col("toks")))
-          .localCheckpoint() // token arrays feed df-rank, prefix AND both
-                             // verify sides — materialize the split once
-        val tok = docs.select(col("doc_id"), col("n"),
-          explode(col("toks")).as("tok"))
-        val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-        // rarest-first global order (df, tok); prefix = n - ceil(0.7n) + 1
-        val pr = tok.join(dfreq, "tok")
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))))
-          .where(col("rk") <= col("n") - expr("(7*n + 9) div 10") + 1)
-          .select(col("doc_id"), col("n"), col("tok"))
-          .localCheckpoint() // both sides of the candidate self-join:
-                             // inlined, the df-rank window ran twice
-                             // (measured 8.7 s -> ~3 s for the query)
-        val cand = pr.as("a").join(pr.as("b"),
-            col("a.tok") === col("b.tok") &&
-            col("a.doc_id") < col("b.doc_id") &&
-            col("b.n") * 10 >= col("a.n") * 7 &&
-            col("a.n") * 10 >= col("b.n") * 7)
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .distinct()
-        cand
-          .join(docs.select(col("doc_id").as("a_id"), col("toks").as("ta"),
-            col("n").as("na")), "a_id")
-          .join(docs.select(col("doc_id").as("b_id"), col("toks").as("tb"),
-            col("n").as("nb")), "b_id")
-          .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
-          .withColumn("uni", col("na") + col("nb") - col("inter"))
-          .where(col("inter") * 10 >= col("uni") * 7)
-          .select(col("a_id"), col("b_id"),
-            expr("cast(inter as bigint) * 1000000 div uni").as("jac_ppm"))
-          .orderBy("a_id", "b_id")
-      },
+      (s, d) => prefixJoinDedupFrom(docsWithTwins(s, d)
+        .where(col("doc_id") % 1000000L < CorpusCaps.PrefixJoin)),
       Some(twinsCte +
-        """, tok AS (SELECT doc_id,
+        s""", tok AS (SELECT doc_id,
           |    unnest(list_distinct(string_split(text, ' '))) AS tok
-          |  FROM alldocs WHERE doc_id % 1000000 < 500),
+          |  FROM alldocs WHERE doc_id % 1000000 < ${CorpusCaps.PrefixJoin}),
           |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
           |ov AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           |    count(*) AS inter
@@ -2327,7 +2357,7 @@ object Pipeline {
   private def p11BucketedOracle: String =
     s"""WITH e AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings WHERE vec_id < 500),
+       |  FROM embeddings WHERE vec_id < ${CorpusCaps.Vectors}),
        |alle AS (SELECT vec_id, v FROM e
        |  UNION ALL SELECT vec_id + 1000000,
        |    list_transform(range(1, len(v)+1),

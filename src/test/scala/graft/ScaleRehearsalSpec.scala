@@ -141,6 +141,89 @@ class ScaleRehearsalSpec extends SparkSpec {
     assert(sec < 180, s"10x truss peel took ${sec}s")
   }
 
+  /** Twins corpus (the dedup queries' planted input) over sf0.01. */
+  private def twinsCorpus = {
+    val base = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "text")
+    val t = graft.llm.TextOps.tokens(col("text"))
+    base.unionAll(base.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(t, lit(1), greatest(size(t) - 3, lit(1))))
+        .as("text")))
+  }
+
+  /** 10 disjoint isomorphic copies of a text corpus: token-RENAMED per
+    * copy (cp-prefix bijection), not byte-identical — byte copies would
+    * be true duplicates of each other and candidate growth SHOULD then
+    * be quadratic; renaming keeps every intra-copy Jaccard exactly (set
+    * overlap is bijection-invariant) while making the copies' shingle
+    * universes disjoint. The linear-candidates pin only means something
+    * on this shape. */
+  private def inflate10(corpus: org.apache.spark.sql.DataFrame) = {
+    val copies = spark.range(10).select(col("id").as("cp"))
+    corpus.crossJoin(copies).select(
+      (col("doc_id") + col("cp") * 100000000L).as("doc_id"),
+      concat_ws(" ", transform(graft.llm.TextOps.tokens(col("text")),
+        tk => concat(col("cp").cast("string"), lit("_"), tk))).as("text"))
+  }
+
+  test("p32 LSH dedup spine at 10x: candidates linear, verified pairs exactly x10") {
+    import graft.queries.Pipeline
+    val corpus = twinsCorpus.localCheckpoint()
+    val base = Pipeline.lshCandidatesFrom(corpus, k = 64, b = 32, r = 2)
+      ._1.count()
+    val verified = Pipeline.lshVerifiedPairsFrom(corpus, 64, 32, 2).count()
+    val infl = inflate10(corpus).localCheckpoint()
+    val t0 = System.nanoTime()
+    val cand10 = Pipeline.lshCandidatesFrom(infl, k = 64, b = 32, r = 2)
+      ._1.count()
+    val verified10 = Pipeline.lshVerifiedPairsFrom(infl, 64, 32, 2).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // banding is an equi-join on (band_idx, band_hash): disjoint
+    // shingle universes → no cross-copy buckets, so candidates are the
+    // SUM of 10 per-copy draws. Exact x10 doesn't hold (band hashes
+    // differ per copy, so each copy's chance collisions differ) but
+    // linearity must: the all-pairs failure mode would be ~100x.
+    assert(base > 0 && cand10 >= 9 * base && cand10 <= 11 * base,
+      s"candidate growth not linear: $cand10 vs 10x $base")
+    // exact-Jaccard verify is bijection-invariant and 32x2 banding at
+    // the twins' J>=0.8 misses with prob ~1e-18 — verified pairs are
+    // exactly the 10 mapped copies of the base pair set
+    assert(verified10 == 10 * verified,
+      s"verified pairs: $verified10 vs 10x $verified")
+    assert(sec < 300, s"10x spine took ${sec}s")
+  }
+
+  test("p53 prefix-filter join at 10x: candidates and result histogram exactly x10") {
+    import graft.queries.Pipeline
+    // cp-prefixing is df-preserving (each renamed token's document
+    // frequency equals its base token's within the copy) and
+    // order-preserving inside a copy (shared prefix), so the
+    // rarest-first (df, tok) prefix selection is ISOMORPHIC per copy
+    // and the tok equi-join never crosses copies: both the candidate
+    // count and the verified (jac_ppm -> count) histogram must scale
+    // exactly x10 — any super-linear growth means the prefix filter
+    // degraded toward all-pairs.
+    val corpus = twinsCorpus
+      .where(col("doc_id") % 1000000L < graft.queries.CorpusCaps.PrefixJoin)
+      .localCheckpoint()
+    val baseCand = Pipeline.prefixJoinCandidates(corpus)._1.count()
+    val baseHist = Pipeline.prefixJoinDedupFrom(corpus)
+      .groupBy("jac_ppm").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val infl = inflate10(corpus).localCheckpoint()
+    val t0 = System.nanoTime()
+    val inflCand = Pipeline.prefixJoinCandidates(infl)._1.count()
+    val inflHist = Pipeline.prefixJoinDedupFrom(infl)
+      .groupBy("jac_ppm").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(baseCand > 0 && inflCand == 10 * baseCand,
+      s"prefix-join candidates: $inflCand vs 10x $baseCand")
+    assert(inflHist == baseHist.map { case (k, v) => k -> v * 10 },
+      s"$inflHist vs 10x $baseHist")
+    assert(sec < 300, s"10x prefix join took ${sec}s")
+  }
+
   test("traversal hand-off still triggers at 10x the threshold") {
     // hub with 100k out-edges (10x PointPathMaxFrontier): the driver
     // point path must hand off at hop 1, and the result stays exact
