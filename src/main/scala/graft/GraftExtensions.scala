@@ -16,6 +16,9 @@ import graft.functions.{CosineSim, JaccardSorted, MinhashSigs, PolyHash, XxMinha
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // whole-plan rewrite: pure inequality joins -> binned equi-joins
+    // when spark.graft.rangeJoin.binWidth is set (see RangeJoinBinning)
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinBinning())
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),

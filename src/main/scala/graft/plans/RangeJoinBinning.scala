@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+
+/** Binned range-join rewrite — the missing OSS-Spark optimization for
+  * pure inequality joins (`point BETWEEN lo AND hi` with no equi keys),
+  * which the planner otherwise executes as BroadcastNestedLoopJoin:
+  * O(|L|·|R|) compares, a scale killer once neither side broadcasts.
+  *
+  * With `spark.graft.rangeJoin.binWidth` set to W > 0 (choose W ≈ the
+  * typical interval length, the same contract as the bin-size session
+  * conf in commercial Spark range-join support), an eligible join
+  *
+  * {{{ A JOIN B ON b.lo <= a.pt AND a.pt <= b.hi }}}
+  *
+  * becomes an EQUI-join on the bin number floor(x / W): the interval
+  * side explodes one row per covered bin (sequence(floor(lo/W),
+  * floor(hi/W))), the point side computes its single bin, and the
+  * original predicates ride along as the post-join filter. Each
+  * matching pair meets in exactly one bin (the point's), so no
+  * dedup is needed; coverage follows from floor monotonicity. The
+  * result is a ShuffledHashJoin/SortMergeJoin that partitions both
+  * sides by bin — linear shuffle, per-bucket compare — instead of the
+  * all-pairs loop.
+  *
+  * Eligibility (conservative by design):
+  *  - INNER join whose condition has NO cross-side equality conjunct
+  *    (if one exists the planner already hash-joins on it, and the
+  *    guard also makes the rewrite idempotent — the rewritten join
+  *    carries a bin equality);
+  *  - two inequality conjuncts bounding one side's numeric expression
+  *    between two expressions of the other side, all deterministic.
+  *
+  * Null/empty semantics match the original inner join: a NULL bound or
+  * point yields no sequence row / no bin match, exactly where the
+  * original predicate evaluated to NULL; lo > hi rows are filtered on
+  * the interval side (they can match nothing).
+  */
+case class RangeJoinBinning() extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val w = try {
+      conf.getConfString("spark.graft.rangeJoin.binWidth", "0").toDouble
+    } catch { case _: NumberFormatException => 0.0 }
+    if (w <= 0 || w.isNaN || w.isInfinite) plan
+    else plan.transformUp {
+      case j @ Join(_, _, Inner, Some(cond), _) =>
+        rewrite(j, cond, w).getOrElse(j)
+    }
+  }
+
+  /** a <= b (or <) pairs from one inequality conjunct. */
+  private def asBound(e: Expression): Option[(Expression, Expression)] =
+    e match {
+      case LessThanOrEqual(a, b) => Some((a, b))
+      case LessThan(a, b) => Some((a, b))
+      case GreaterThanOrEqual(a, b) => Some((b, a))
+      case GreaterThan(a, b) => Some((b, a))
+      case _ => None
+    }
+
+  private def numeric(e: Expression): Boolean =
+    e.dataType.isInstanceOf[NumericType]
+
+  private def rewrite(j: Join, cond: Expression,
+      w: Double): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val spansBoth = (e: Expression) =>
+      e.references.intersect(j.left.outputSet).nonEmpty &&
+        e.references.intersect(j.right.outputSet).nonEmpty
+    val hasEqui = conjuncts.exists {
+      case e @ (EqualTo(_, _) | EqualNullSafe(_, _)) => spansBoth(e)
+      case _ => false
+    }
+    if (hasEqui) return None
+
+    val bounds = conjuncts.flatMap(c => asBound(c).map(b => (c, b)))
+    // find (lo <= pt, pt <= hi) with pt from one side, lo/hi from the other
+    val hit = bounds.iterator.flatMap { case (_, (lo, pt1)) =>
+      bounds.iterator.collect {
+        case (_, (pt2, hi)) if pt1.semanticEquals(pt2) &&
+            pt1.deterministic && lo.deterministic && hi.deterministic &&
+            numeric(pt1) && numeric(lo) && numeric(hi) =>
+          (lo, pt1, hi)
+      }
+    }.collectFirst {
+      case (lo, pt, hi)
+          if sideOf(j, pt).nonEmpty && sideOf(j, lo).nonEmpty &&
+            sideOf(j, lo) == sideOf(j, hi) &&
+            sideOf(j, lo) != sideOf(j, pt) =>
+        (lo, pt, hi)
+    }
+    hit.map { case (lo, pt, hi) =>
+      def bin(e: Expression): Expression =
+        Floor(Divide(Cast(e, DoubleType), Literal(w)))
+      val intervalOnLeft = sideOf(j, lo).contains("l")
+      val (intervalChild, pointChild) =
+        if (intervalOnLeft) (j.left, j.right) else (j.right, j.left)
+      // interval side: drop empty intervals, explode covered bins
+      val binAttr = AttributeReference("graft_bin", LongType)()
+      // timeZoneId must be filled by hand: Sequence is time-zone aware
+      // and the analyzer's ResolveTimeZone already ran
+      val gen = Generate(
+        Explode(Sequence(bin(lo), bin(hi), Some(Literal(1L)),
+          Some(conf.sessionLocalTimeZone))),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(binAttr),
+        child = Filter(LessThanOrEqual(lo, hi), intervalChild))
+      // point side: the single bin the point lands in
+      val ptAlias = Alias(bin(pt), "graft_bin")()
+      val proj = Project(pointChild.output :+ ptAlias, pointChild)
+      val (newLeft, newRight) =
+        if (intervalOnLeft) (gen, proj) else (proj, gen)
+      val newCond = And(EqualTo(binAttr, ptAlias.toAttribute), cond)
+      Project(j.output,
+        Join(newLeft, newRight, Inner, Some(newCond), j.hint))
+    }
+  }
+
+  /** Which join side an expression's references live on entirely. */
+  private def sideOf(j: Join, e: Expression): Option[String] = {
+    val refs = e.references
+    if (refs.isEmpty) None
+    else if (refs.subsetOf(j.left.outputSet)) Some("l")
+    else if (refs.subsetOf(j.right.outputSet)) Some("r")
+    else None
+  }
+}

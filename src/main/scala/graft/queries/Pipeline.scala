@@ -2232,7 +2232,88 @@ object Pipeline {
              |  FROM j GROUP BY q_id)
              |SELECT q_id, k, n_hits, n_hits * 1000000 // k AS recall_ppm,
              |  rr_ppm
-             |FROM a ORDER BY q_id""".stripMargin))
+             |FROM a ORDER BY q_id""".stripMargin)),
+
+    // ---- p69: boilerplate-line removal (CCNet-style) ---------------------
+    // The web-corpus cleaning pass p25 only MEASURES: segment each doc
+    // into consecutive 5-token lines, call a line boilerplate when it
+    // recurs in >= 3 distinct docs of the SAME source (headers, nav
+    // bars, cookie banners — per-site furniture), and emit the
+    // RECONSTRUCTED document with those lines removed, in original
+    // order, remainder tokens kept. A deterministic per-source header
+    // is planted on every doc so the oracle gates real removal, not a
+    // no-op. Scale shape: one explode + a (source, line) hash-agg with
+    // a distinct-doc count (map-side combined), one anti-join back, one
+    // per-doc ordered re-assembly (sort_array over collected (idx,
+    // line) structs — a bounded per-doc array, no window) — linear,
+    // never all-pairs, partitioned by the natural (source, line) and
+    // doc_id keys.
+    RegQuery("p69_boilerplate_removal",
+      (s, d) => {
+        val hdr = concat_ws(" ", (1 to 5).map(i =>
+          concat(lit(s"h${i}_"), col("source"))): _*)
+        val tk = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            TextOps.tokens(concat(hdr, lit(" "), col("text"))).as("tk"))
+          .withColumn("nch", expr("size(tk) div 5"))
+          .repartition(col("doc_id"))
+          .localCheckpoint() // feeds lines, remainder, and the re-join
+        val lines = tk.select(col("doc_id"), col("source"),
+          posexplode(when(col("nch") >= 1,
+            transform(sequence(lit(0), col("nch") - 1), i =>
+              concat_ws(" ", slice(col("tk"), i * 5 + 1, lit(5)))))
+            .otherwise(array().cast("array<string>")))
+            .as(Seq("idx", "line")))
+        val bp = lines.groupBy("source", "line")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .where(col("nd") >= 3)
+          .select("source", "line")
+        val body = lines.join(bp, Seq("source", "line"), "left_anti")
+          .groupBy("doc_id")
+          .agg(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("idx"), col("line")))),
+            x => x("line"))).as("body"))
+        val nbp = lines.join(bp, Seq("source", "line"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_bp"))
+        tk.select(col("doc_id"), col("nch").cast("long").as("n_chunks"),
+            concat_ws(" ", slice(col("tk"), col("nch") * 5 + 1,
+              size(col("tk")) - col("nch") * 5)).as("rem"))
+          .join(body, Seq("doc_id"), "left")
+          .join(nbp, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chunks"),
+            coalesce(col("n_bp"), lit(0L)).as("n_bp"),
+            trim(concat_ws(" ", col("body"), col("rem")))
+              .as("cleaned_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (SELECT doc_id, source,
+             |    'h1_'||source||' h2_'||source||' h3_'||source||' h4_'
+             |      ||source||' h5_'||source||' '||text AS text
+             |  FROM documents),
+             |t AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+             |  FROM docs),
+             |n AS (SELECT *, len(tk)//5 AS nch FROM t),
+             |ch AS (SELECT doc_id, source, i AS idx,
+             |    array_to_string(tk[i*5+1:i*5+5], ' ') AS line
+             |  FROM n, unnest(range(0, nch)) AS u(i)),
+             |bp AS (SELECT source, line FROM ch GROUP BY source, line
+             |  HAVING count(DISTINCT doc_id) >= 3),
+             |kept AS (SELECT ch.doc_id, ch.idx, ch.line FROM ch
+             |  LEFT JOIN bp ON ch.source = bp.source AND ch.line = bp.line
+             |  WHERE bp.line IS NULL),
+             |ka AS (SELECT doc_id, string_agg(line, ' ' ORDER BY idx)
+             |    AS body FROM kept GROUP BY doc_id),
+             |dr AS (SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_bp
+             |  FROM ch JOIN bp ON ch.source = bp.source
+             |    AND ch.line = bp.line
+             |  GROUP BY ch.doc_id)
+             |SELECT n.doc_id, CAST(n.nch AS BIGINT) AS n_chunks,
+             |  COALESCE(dr.n_bp, 0) AS n_bp,
+             |  trim(COALESCE(ka.body, '') || ' ' ||
+             |    COALESCE(array_to_string(tk[nch*5+1:], ' '), ''))
+             |    AS cleaned_text
+             |FROM n LEFT JOIN ka USING (doc_id) LEFT JOIN dr USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB mirror of p52: the textured-audio sample generator (the

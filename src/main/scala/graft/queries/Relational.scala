@@ -1430,6 +1430,42 @@ object Relational {
              |  UNION ALL SELECT 'ALL', blk, bit_or(bit) FROM b GROUP BY blk)
              |SELECT flag, CAST(count(*) AS BIGINT) AS n_blocks,
              |  CAST(sum(bit_count(bm)) AS BIGINT) AS n_distinct
-             |FROM bm GROUP BY flag ORDER BY flag""".stripMargin))
+             |FROM bm GROUP BY flag ORDER BY flag""".stripMargin)),
+
+    // ---- q60: UNfiltered range join through the binning rewrite ---------
+    // q17 written the way a user would at scale: the SAME natural
+    // between-predicate but over ALL parts (q17 pre-filters to 200
+    // partkeys precisely because the planner's only plan for a pure
+    // inequality join is BroadcastNestedLoopJoin — O(|parts|·|supps|)
+    // compares). With spark.graft.rangeJoin.binWidth set, the injected
+    // RangeJoinBinning optimizer rule turns it into an equi-join on
+    // floor(x/W) bins (interval side explodes its covered bins, point
+    // side computes one) — a shuffle-partitioned hash join whose work
+    // is linear in rows + true matches. The plan is forced while the
+    // conf is set, then the conf is restored so no other registry
+    // query's plan silently changes. The aggregate keeps the output
+    // bounded (~matches per price band) at any SF.
+    RegQuery("q60_range_join_binned",
+      (s, d) => {
+        s.conf.set("spark.graft.rangeJoin.binWidth", "100")
+        try {
+          val q = t(s, d, "part")
+            .join(t(s, d, "supplier"),
+              col("p_retailprice").between(col("s_acctbal"),
+                col("s_acctbal") + 100))
+            .groupBy(expr("p_partkey div 500").as("pk_band"))
+            .agg(count(lit(1)).as("n_matches"),
+              countDistinct(col("s_suppkey")).as("n_supps"))
+            .orderBy("pk_band")
+          q.queryExecution.executedPlan // plan under the conf, eagerly
+          q
+        } finally s.conf.unset("spark.graft.rangeJoin.binWidth")
+      },
+      Some("""SELECT p_partkey // 500 AS pk_band,
+             |  CAST(count(*) AS BIGINT) AS n_matches,
+             |  CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_supps
+             |FROM part JOIN supplier
+             |  ON p_retailprice BETWEEN s_acctbal AND s_acctbal + 100
+             |GROUP BY 1 ORDER BY pk_band""".stripMargin))
   )
 }
