@@ -2313,8 +2313,112 @@ object Pipeline {
              |    COALESCE(array_to_string(tk[nch*5+1:], ' '), ''))
              |    AS cleaned_text
              |FROM n LEFT JOIN ka USING (doc_id) LEFT JOIN dr USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- p70: BPE merge induction (tokenizer training) -------------------
+    // The train side of the tokenizer loop, distributed the way it
+    // actually runs at corpus scale: the WORD-FREQUENCY table (distinct
+    // words + counts — millions of rows at 100 TB, never the raw token
+    // stream) carries a symbol array per word; each of the 10 rounds is
+    // one adjacent-pair explode + hash aggregate (map-side combined)
+    // and a TakeOrderedAndProject argmax — only the single winning
+    // (lhs, rhs) row ever reaches the driver, which is exactly the
+    // merge-table-lives-on-the-driver shape of real BPE training. The
+    // merge applies as a per-word left fold (whole-symbol compare, so
+    // greedy leftmost-first semantics — "aaaa" + (a,a) → [aa, aa]);
+    // ties break on (count desc, lhs, rhs), making the learned table
+    // deterministic and the DuckDB mirror (the same 10 rounds as
+    // chained CTEs with a list_reduce fold) hash-exact.
+    RegQuery("p70_bpe_merges",
+      (s, d) => {
+        import s.implicits._
+        bpeLearn(s, d, rounds = 10)._1
+          .toDF("mrank", "lhs", "rhs", "pair_freq")
+          .orderBy("mrank")
+      },
+      Some(bpeOracle(10))),
+
+    // ---- p71: BPE tokenization (the apply side of p70) -------------------
+    // The serving half of the tokenizer loop, with the corpus-scale
+    // structure: the 10 learned merges segment the DISTINCT-WORD table
+    // once (a per-word fold over a vocab-sized frame — never the raw
+    // token stream), and documents pick up their subword counts
+    // through one explode + one equi-join on the word — so tokenizing
+    // 100 TB costs one join against a vocab lookup side, exactly how a
+    // trained tokenizer deploys. Emits per-doc word/subword/char
+    // counts and chars-per-subword (compression) in basis points; the
+    // DuckDB mirror reuses the p70 CTE chain's final vocab.
+    RegQuery("p71_bpe_tokenize",
+      (s, d) => {
+        val seg = bpeLearn(s, d, rounds = 10)._2
+          .select(col("w"), size(col("syms")).as("ns"),
+            length(col("w")).as("nc"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text")))
+            .as("w"))
+          .join(seg, "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            sum(col("ns").cast("long")).as("n_sub"),
+            sum(col("nc").cast("long")).as("n_chars"))
+          .select(col("doc_id"), col("n_tok"), col("n_sub"),
+            col("n_chars"),
+            expr("n_chars * 10000 div n_sub").as("chars_per_sub_bp"))
+          .orderBy("doc_id")
+      },
+      Some(bpeChain(10) + """
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(len(syms)) AS BIGINT) AS n_sub,
+        |  CAST(sum(length(w)) AS BIGINT) AS n_chars,
+        |  CAST(sum(length(w)) * 10000 // sum(len(syms)) AS BIGINT)
+        |    AS chars_per_sub_bp
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |      FROM documents) t
+        |JOIN w10 USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
+
+  /** p70/p71's shared BPE training loop: word-frequency table →
+    * `rounds` (argmax pair, fold-merge) iterations. Returns the merge
+    * table rows and the final segmented vocab [w, freq, syms]. Only
+    * the per-round winning pair reaches the driver. */
+  private def bpeLearn(s: SparkSession, d: String, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    def applyMerge(syms: Column, a: String, b: String): Column =
+      aggregate(syms, array().cast("array<string>"), (acc, x) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(element_at(acc, -1), x))))
+          .otherwise(concat(acc, array(x))))
+    var cur = Tables(s, d, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"), expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"))
+      .repartition(col("w"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 1 to rounds) {
+      val best = cur.where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(syms[i-1] AS lhs, syms[i] AS rhs))")).as("p"))
+        .groupBy("p.lhs", "p.rhs").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((rank, a, b, c))
+        cur = cur.select(col("w"), col("freq"),
+            applyMerge(col("syms"), a, b).as("syms"))
+          .localCheckpoint()
+      }
+    }
+    (merges.result(), cur)
+  }
 
   /** DuckDB mirror of p52: the textured-audio sample generator (the
     * p50 finalizer mapped to [-100,100]) and the twin nudge re-expressed
@@ -2395,6 +2499,42 @@ object Pipeline {
 
   /** DuckDB mirror of p48: identical plane congruence, fold order, and
     * rounding at every stage. */
+  /** DuckDB mirror of p70's BPE training loop: the same `n` rounds as
+    * chained CTEs — per round an adjacent-pair unnest + aggregate, a
+    * (cnt DESC, lhs, rhs) argmax, and the merge applied as a
+    * list_reduce string fold (whole-symbol tail compare, '/' as the
+    * out-of-alphabet separator) — so every learned merge, including
+    * tie-breaks, is hash-exact against the Spark fold. */
+  private def bpeChain(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+             |  string_split(w, '') AS syms
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+             |        FROM documents)
+             |  GROUP BY w)""".stripMargin
+    for (i <- 1 to n) {
+      val (prev, p, m, next) = (s"w${i - 1}", s"p$i", s"m$i", s"w$i")
+      sb ++= s""",
+$p AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs,
+    CAST(sum(freq) AS BIGINT) AS cnt
+  FROM $prev, unnest(range(1, len(syms))) AS u(i)
+  WHERE len(syms) >= 2 GROUP BY 1, 2),
+$m AS (SELECT lhs, rhs, cnt FROM $p ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+$next AS (SELECT w, freq, CASE WHEN len(syms) <= 1 THEN syms ELSE
+    string_split(list_reduce(syms, (acc, x) -> CASE
+      WHEN (acc = m.lhs OR acc LIKE '%/' || m.lhs) AND x = m.rhs
+      THEN acc || x ELSE acc || '/' || x END), '/') END AS syms
+  FROM $prev, $m AS m)"""
+    }
+    sb.toString
+  }
+
+  private def bpeOracle(n: Int): String =
+    bpeChain(n) + "\n" + (1 to n).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS mrank, lhs, rhs," +
+        s" cnt AS pair_freq FROM m$i").mkString(" UNION ALL ") +
+      " ORDER BY mrank"
+
   /** The deterministic hyperplane-LSH signature family shared by the
     * mirrored ANN/near-dup queries (p11, p48): 4 tables × 8 planes,
     * plane weights integers in [-500, 500] from an affine congruence of
