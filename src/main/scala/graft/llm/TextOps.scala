@@ -12,7 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens. */
+  /** Whitespace tokens. NOTE: `\\s+` collapses runs of whitespace while
+    * the DuckDB oracles split on a single space (`string_split(text,
+    * ' ')`) — identical on the single-spaced generator corpus the
+    * driver contract runs on, divergent on real text with tabs or
+    * doubled spaces (where the oracle would emit empty tokens). The
+    * regex form is the one you want at 100 TB; only the oracle SQL
+    * would need `regexp_split_to_array` on a messier corpus. */
   def tokens(text: Column): Column = split(text, "\\s+")
 
   /** BPE-style pre-tokenization regex (the GPT-2 family's shape:

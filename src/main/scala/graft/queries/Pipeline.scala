@@ -214,8 +214,11 @@ object Pipeline {
     * feeds it to connected components. Every stage is deterministic
     * integer arithmetic both engines share — unlike lshVerifiedPairs
     * (xxhash64), this source is DuckDB-expressible end to end. */
-  private[queries] def mirrorVerifiedPairs(s: SparkSession,
-      d: String): DataFrame = {
+  /** The mirrored pair source's shingle-hash + banding stage, shared by
+    * [[mirrorVerifiedPairs]] and p72's incremental probe: (hs [doc_id,
+    * sorted poly-hash shingles], bands [doc_id, bi, bv]). */
+  private[queries] def mirrorHsBands(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
     val P = 1000000007L
     def polyH(g: Column): Column = TextOps.polyHash(g) // native codegen fold
     val hs = docsWithTwins(s, d)
@@ -234,6 +237,12 @@ object Pipeline {
         transform(sequence(lit(0), lit(7)), j =>
           element_at(col("mh"), j * 2 + 1) * P +
             element_at(col("mh"), j * 2 + 2))).as(Seq("bi", "bv")))
+    (hs, bands)
+  }
+
+  private[queries] def mirrorVerifiedPairs(s: SparkSession,
+      d: String): DataFrame = {
+    val (hs, bands) = mirrorHsBands(s, d)
     val cand = bands.select(col("bi"), col("bv"), col("doc_id").as("a_id"))
       .join(bands.select(col("bi"), col("bv"), col("doc_id").as("b_id")),
         Seq("bi", "bv"))
@@ -2375,7 +2384,73 @@ object Pipeline {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |      FROM documents) t
         |JOIN w10 USING (w)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- p72: incremental dedup — new batch vs persisted corpus index ---
+    // The OPERATIONAL dedup path at 100 TB: a daily increment is never
+    // deduped by re-LSHing the whole corpus — the corpus's band index
+    // is persisted, and only the NEW batch builds signatures and
+    // PROBES it by equi-join (probe cost ~ |batch|, corpus never
+    // self-joins), plus one bounded intra-batch self-join. Semantics
+    // per new doc (the s08 admission-log shape, batch form):
+    // corpus_dup (min matching corpus id) beats batch_dup (min smaller
+    // matching batch id) beats novel (own id) — all from the same
+    // mirrored polyhash/minhash/band family, so every stage including
+    // chance band collisions is DuckDB-hash-checked. The oracle
+    // derives the identical dispositions from the full mirrored pair
+    // set; the Spark plan is the asymmetric probe.
+    RegQuery("p72_incremental_dedup",
+      (s, d) => {
+        val (hs, bands) = mirrorHsBands(s, d)
+        val idx = bands.where(col("doc_id") < 1000000L)
+          .select(col("bi"), col("bv"), col("doc_id").as("a_id"))
+        val nb = bands.where(col("doc_id") >= 1000000L)
+        val candCorpus = nb.select(col("bi"), col("bv"),
+            col("doc_id").as("b_id"))
+          .join(idx, Seq("bi", "bv"))
+        val candBatch = nb.select(col("bi"), col("bv"),
+            col("doc_id").as("b_id"))
+          .join(nb.select(col("bi"), col("bv"), col("doc_id").as("a_id")),
+            Seq("bi", "bv"))
+          .where(col("a_id") < col("b_id"))
+        val cand = candCorpus.select("a_id", "b_id")
+          .unionAll(candBatch.select("a_id", "b_id")).distinct()
+        val hits = cand
+          .join(hs.select(col("doc_id").as("a_id"), col("hs").as("a_hs")),
+            "a_id")
+          .join(hs.select(col("doc_id").as("b_id"), col("hs").as("b_hs")),
+            "b_id")
+          .where(TextOps.jaccardSorted(col("a_hs"), col("b_hs")) >= 0.5)
+          .groupBy("b_id")
+          .agg(min(when(col("a_id") < 1000000L, col("a_id")))
+              .as("corpus_hit"),
+            min(when(col("a_id") >= 1000000L, col("a_id")))
+              .as("batch_hit"))
+        docsWithTwins(s, d).where(col("doc_id") >= 1000000L)
+          .select(col("doc_id"))
+          .join(hits.withColumnRenamed("b_id", "doc_id"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("corpus_hit").isNotNull, lit("corpus_dup"))
+              .when(col("batch_hit").isNotNull, lit("batch_dup"))
+              .otherwise(lit("novel")).as("status"),
+            coalesce(col("corpus_hit"), col("batch_hit"), col("doc_id"))
+              .as("canonical_id"))
+          .orderBy("doc_id")
+      },
+      Some(twinsCte + mirrorPairsCte +
+        """, nd AS (SELECT doc_id FROM alldocs WHERE doc_id >= 1000000),
+          |hit AS (SELECT b_id AS doc_id,
+          |    min(CASE WHEN a_id < 1000000 THEN a_id END) AS corpus_hit,
+          |    min(CASE WHEN a_id >= 1000000 THEN a_id END) AS batch_hit
+          |  FROM pr WHERE b_id >= 1000000 GROUP BY b_id)
+          |SELECT nd.doc_id,
+          |  CASE WHEN corpus_hit IS NOT NULL THEN 'corpus_dup'
+          |       WHEN batch_hit IS NOT NULL THEN 'batch_dup'
+          |       ELSE 'novel' END AS status,
+          |  COALESCE(corpus_hit, batch_hit, nd.doc_id) AS canonical_id
+          |FROM nd LEFT JOIN hit USING (doc_id)
+          |ORDER BY nd.doc_id""".stripMargin))
   )
 
   /** p70/p71's shared BPE training loop: word-frequency table →
