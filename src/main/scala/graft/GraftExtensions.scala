@@ -17,7 +17,9 @@ import graft.functions.{CosineSim, JaccardSorted, MinhashSigs, PolyHash, XxMinha
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // whole-plan rewrite: pure inequality joins -> binned equi-joins
-    // when spark.graft.rangeJoin.binWidth is set (see RangeJoinBinning)
+    // when spark.graft.rangeJoin.binWidth is set or a RANGE_BIN(w)
+    // hint marks the join (see RangeJoinBinning)
+    e.injectHintResolutionRule(_ => graft.plans.ResolveRangeBinHint())
     e.injectOptimizerRule(_ => graft.plans.RangeJoinBinning())
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),

@@ -6,6 +6,53 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
 
+/** Marker node carrying a per-join bin width from the `RANGE_BIN(w)`
+  * hint through analysis to [[RangeJoinBinning]], which rewrites the
+  * joins underneath and strips it. Pass-through output, so it is
+  * plan-transparent apart from briefly fencing pushdown above it —
+  * the hint belongs directly on the join result, where nothing needs
+  * to push through. */
+case class RangeBinHint(width: Double, child: LogicalPlan)
+    extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): RangeBinHint = copy(child = newChild)
+}
+
+/** Analyzer-side resolution for `df.hint("range_bin", w)` /
+  * `/*+ RANGE_BIN(w) */`: swaps the UnresolvedHint for the typed
+  * marker before Spark's unknown-hint sweep would drop it. */
+case class ResolveRangeBinHint() extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case UnresolvedHint(name, params, child)
+          if name.equalsIgnoreCase("RANGE_BIN") =>
+        val w = params match {
+          case Seq(Literal(v, _)) => numeric(v)
+          case Seq(v) => numeric(v)
+          case _ => None
+        }
+        w.filter(x => x > 0 && !x.isNaN && !x.isInfinite) match {
+          case Some(width) => RangeBinHint(width, child)
+          case None =>
+            logWarning(s"RANGE_BIN hint needs one positive numeric " +
+              s"width parameter, got $params — ignored")
+            child
+        }
+    }
+
+  private def numeric(v: Any): Option[Double] = v match {
+    case d: Double => Some(d)
+    case f: Float => Some(f.toDouble)
+    case i: Int => Some(i.toDouble)
+    case l: Long => Some(l.toDouble)
+    case s: Short => Some(s.toDouble)
+    case d: java.math.BigDecimal => Some(d.doubleValue())
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case _ => None
+  }
+}
+
 /** Binned range-join rewrite — the missing OSS-Spark optimization for
   * pure inequality joins (`point BETWEEN lo AND hi` with no equi keys),
   * which the planner otherwise executes as BroadcastNestedLoopJoin:
@@ -44,11 +91,19 @@ case class RangeJoinBinning() extends Rule[LogicalPlan]
     with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // per-join widths from RANGE_BIN hints first (marker stripped
+    // either way), then the session-wide conf as the blanket setting
+    val hinted = plan.transformUp {
+      case RangeBinHint(w, child) => child.transformUp {
+        case j @ Join(_, _, Inner, Some(cond), _) =>
+          rewrite(j, cond, w).getOrElse(j)
+      }
+    }
     val w = try {
       conf.getConfString("spark.graft.rangeJoin.binWidth", "0").toDouble
     } catch { case _: NumberFormatException => 0.0 }
-    if (w <= 0 || w.isNaN || w.isInfinite) plan
-    else plan.transformUp {
+    if (w <= 0 || w.isNaN || w.isInfinite) hinted
+    else hinted.transformUp {
       case j @ Join(_, _, Inner, Some(cond), _) =>
         rewrite(j, cond, w).getOrElse(j)
     }

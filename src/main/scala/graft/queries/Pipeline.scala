@@ -2273,24 +2273,28 @@ object Pipeline {
               concat_ws(" ", slice(col("tk"), i * 5 + 1, lit(5)))))
             .otherwise(array().cast("array<string>")))
             .as(Seq("idx", "line")))
+        // the boilerplate set is tiny (per-source furniture) — cut it
+        // once so the anti-join side doesn't recompute the full
+        // (source, line) aggregate; dropped count = n_chunks − kept,
+        // so no second (semi) pass over the line stream is needed
         val bp = lines.groupBy("source", "line")
           .agg(countDistinct(col("doc_id")).as("nd"))
           .where(col("nd") >= 3)
           .select("source", "line")
+          .localCheckpoint()
         val body = lines.join(bp, Seq("source", "line"), "left_anti")
           .groupBy("doc_id")
           .agg(concat_ws(" ", transform(
             array_sort(collect_list(struct(col("idx"), col("line")))),
-            x => x("line"))).as("body"))
-        val nbp = lines.join(bp, Seq("source", "line"), "left_semi")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_bp"))
+            x => x("line"))).as("body"),
+            count(lit(1)).as("n_kept"))
         tk.select(col("doc_id"), col("nch").cast("long").as("n_chunks"),
             concat_ws(" ", slice(col("tk"), col("nch") * 5 + 1,
               size(col("tk")) - col("nch") * 5)).as("rem"))
           .join(body, Seq("doc_id"), "left")
-          .join(nbp, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_chunks"),
-            coalesce(col("n_bp"), lit(0L)).as("n_bp"),
+            (col("n_chunks") - coalesce(col("n_kept"), lit(0L)))
+              .as("n_bp"),
             trim(concat_ws(" ", col("body"), col("rem")))
               .as("cleaned_text"))
           .orderBy("doc_id")

@@ -85,6 +85,32 @@ class RangeJoinBinningSpec extends SparkSpec {
     assert(!q.queryExecution.executedPlan.toString.contains("graft_bin"))
   }
 
+  test("RANGE_BIN hint bins a single join without the session conf") {
+    val q = intervals.join(points, col("pt").between(col("lo"), col("hi")))
+    val base = sortedRows(q)
+    val hinted = q.hint("range_bin", 7.0)
+    val plan = hinted.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bin"), plan.take(1500))
+    assert(sortedRows(hinted) == base)
+    // invalid parameter -> hint ignored, planner default survives
+    val bad = q.hint("range_bin", "wide")
+    assert(!bad.queryExecution.executedPlan.toString.contains("graft_bin"))
+    assert(sortedRows(bad) == base)
+  }
+
+  test("SQL /*+ RANGE_BIN(w) */ hint reaches the rewrite") {
+    intervals.createOrReplaceTempView("rb_intervals")
+    points.createOrReplaceTempView("rb_points")
+    val q = spark.sql("""
+      SELECT /*+ RANGE_BIN(7) */ iid, pid FROM rb_intervals JOIN rb_points
+      ON pt BETWEEN lo AND hi""")
+    assert(q.queryExecution.executedPlan.toString.contains("graft_bin"))
+    val base = spark.sql("""
+      SELECT iid, pid FROM rb_intervals JOIN rb_points
+      ON pt BETWEEN lo AND hi""")
+    assert(sortedRows(q) == sortedRows(base))
+  }
+
   test("q17's real-table shape: binned == default at sf0.001") {
     val part = graft.Tables(spark, sfDir, "part")
     val supplier = graft.Tables(spark, sfDir, "supplier")
