@@ -1322,4 +1322,189 @@ object GraphAnalytics {
       .na.fill(0L, Seq("tri"))
       .withColumn("cc_micro", expr("tri * 2000000 div (dg * (dg - 1))"))
       .select(col("c").as("id"), col("dg"), col("tri"), col("cc_micro"))
+
+  /** Strongly connected components over a directed long-id edge list
+    * [src, dst]; returns [id, scc_id] with scc_id = min member id.
+    *
+    * Distributed arm is FW-BW-Trim with min-label pivots: per round,
+    * (1) trim — a vertex with no in-edge or no out-edge in the live
+    * subgraph lies on no cycle, so it peels as a singleton (to
+    * fixpoint, which strips whole DAG tails); (2) two min-label
+    * fixpoints, F(v) = min id with a directed path TO v and B(v) =
+    * min id reachable FROM v; (3) peel every v with F(v) = B(v) = p —
+    * mutual reach puts p in SCC(v), and p is then exactly SCC(v)'s
+    * min member (min m of the SCC reaches v so F(v) ≤ m, while
+    * p ∈ SCC forces p ≥ m). The peeled label is therefore final with
+    * no relabel join. Every round peels at least the live min id's
+    * SCC, so termination is guaranteed; pathological pivot chains can
+    * take O(#SCC) rounds (the known coloring-algorithm worst case) —
+    * `maxRounds` guards that, and real transition graphs peel in a
+    * handful because every locally-minimal pivot fires simultaneously.
+    *
+    * Scale shape: everything is equi-joins and aggregates keyed on
+    * vertex id (shuffle-partitioned, no broadcast of unbounded sets);
+    * the live subgraph shrinks monotonically; per-iteration
+    * `Ckpt.cut` keeps lineage flat (reliable under
+    * spark.graft.checkpointDir like the other loops). Under
+    * `spark.graft.scc.localEdgeThreshold` (default 1M edges ≈ tens of
+    * MB of ids) an exact driver-side iterative Tarjan finishes the
+    * job — the CC dispatcher discipline; arms equality-pinned in
+    * GraphXSpec. */
+  def stronglyConnectedComponents(edges0: DataFrame,
+      maxRounds: Int = 100): DataFrame = {
+    val edges = edges0
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct().transform(graft.Ckpt.cut)
+    val spark = edges.sparkSession
+    val threshold = spark.conf
+      .get("spark.graft.scc.localEdgeThreshold", "1000000").toLong
+    val local = edges.count() <= threshold
+    spark.sparkContext.setLocalProperty("graft.scc.impl",
+      if (local) "local" else "distributed")
+    if (local) localTarjan(edges) else distributedScc(edges, maxRounds)
+  }
+
+  /** Iterative (explicit-stack) Tarjan over collected edges; relabels
+    * each component to its min member so both arms share the
+    * min-member-id contract. */
+  private def localTarjan(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.as[(Long, Long)].collect()
+    val adj = es.groupBy(_._1).map { case (s, a) => (s, a.map(_._2)) }
+    val verts = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    val index = scala.collection.mutable.HashMap.empty[Long, Int]
+    val low = scala.collection.mutable.HashMap.empty[Long, Int]
+    val onStk = scala.collection.mutable.HashSet.empty[Long]
+    val stk = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val comp = scala.collection.mutable.HashMap.empty[Long, Long]
+    var counter = 0
+    val empty = Array.empty[Long]
+    for (root <- verts if !index.contains(root)) {
+      // frames: (vertex, next child offset)
+      val call = scala.collection.mutable.ArrayBuffer((root, 0))
+      while (call.nonEmpty) {
+        val (v, ci) = call.last
+        if (ci == 0) {
+          index(v) = counter; low(v) = counter; counter += 1
+          stk += v; onStk += v
+        }
+        val kids = adj.getOrElse(v, empty)
+        if (ci < kids.length) {
+          call(call.length - 1) = (v, ci + 1)
+          val w = kids(ci)
+          if (!index.contains(w)) call += ((w, 0))
+          else if (onStk(w)) low(v) = math.min(low(v), index(w))
+        } else {
+          if (low(v) == index(v)) { // v roots an SCC: pop to v, label min
+            val members = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var w = 0L
+            while ({ w = stk.remove(stk.length - 1); onStk -= w
+                     members += w; w != v }) ()
+            val m = members.min
+            members.foreach(comp(_) = m)
+          }
+          call.remove(call.length - 1)
+          if (call.nonEmpty) {
+            val (p, _) = call.last
+            low(p) = math.min(low(p), low(v))
+          }
+        }
+      }
+    }
+    spark.createDataset(verts.toSeq.map(v => (v, comp(v))))
+      .toDF("id", "scc_id")
+  }
+
+  /** Min-label fixpoint over directed edges [from, to]: lab(v) = min
+    * id with a directed path to v (seed self). O(diameter) rounds,
+    * one propagate-join + observe-counted cut per round. */
+  private def minLabelFixpoint(verts: DataFrame, edges: DataFrame,
+      tag: String): DataFrame = {
+    var lab = verts.select(col("v"), col("v").as("lab"))
+      .transform(graft.Ckpt.cut)
+    var changed = 1L
+    var r = 0
+    while (changed > 0) {
+      val msg = edges
+        .join(lab.select(col("v").as("from"), col("lab")), "from")
+        .groupBy(col("to").as("v")).agg(min("lab").as("m"))
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_scc_${tag}_$r")
+      val next = lab.join(msg, Seq("v"), "left")
+        .select(col("v"),
+          least(col("lab"), coalesce(col("m"), col("lab"))).as("lab"),
+          col("lab").as("old"))
+        .observe(obs, coalesce(
+          sum(when(col("lab") =!= col("old"), 1L).otherwise(0L)),
+          lit(0L)).as("changed"))
+        .transform(graft.Ckpt.cut)
+      changed = obs.get("changed").asInstanceOf[Long]
+      lab = next.select("v", "lab")
+      r += 1
+    }
+    lab
+  }
+
+  private def distributedScc(edges0: DataFrame, maxRounds: Int): DataFrame = {
+    val spark = edges0.sparkSession
+    var rem = edges0
+    var verts = rem.select(col("src").as("v"))
+      .unionAll(rem.select(col("dst").as("v")))
+      .distinct().transform(graft.Ckpt.cut)
+    var out = verts.limit(0)
+      .select(col("v").as("id"), col("v").as("scc_id"))
+    var nVerts = verts.count()
+    var round = 0
+    while (nVerts > 0) {
+      round += 1
+      if (round > maxRounds) throw new IllegalStateException(
+        s"SCC peel exceeded $maxRounds rounds ($nVerts vertices live); " +
+          "raise maxRounds or spark.graft.scc.localEdgeThreshold")
+      // trim to fixpoint: no in-edge or no out-edge → singleton SCC
+      var trimming = true
+      while (trimming && nVerts > 0) {
+        val core = verts
+          .join(rem.select(col("dst").as("v")).distinct(), Seq("v"), "semi")
+          .join(rem.select(col("src").as("v")).distinct(), Seq("v"), "semi")
+          .transform(graft.Ckpt.cut)
+        val nCore = core.count()
+        if (nCore < nVerts) {
+          out = out.unionAll(verts.join(core, Seq("v"), "anti")
+              .select(col("v").as("id"), col("v").as("scc_id")))
+            .transform(graft.Ckpt.cut)
+          verts = core
+          nVerts = nCore
+          rem = rem
+            .join(core.select(col("v").as("src")), Seq("src"), "semi")
+            .join(core.select(col("v").as("dst")), Seq("dst"), "semi")
+            .select("src", "dst").transform(graft.Ckpt.cut)
+        } else trimming = false
+      }
+      if (nVerts > 0) {
+        val fwd = minLabelFixpoint(verts,
+          rem.select(col("src").as("from"), col("dst").as("to")),
+          s"f$round")
+        val bwd = minLabelFixpoint(verts,
+          rem.select(col("dst").as("from"), col("src").as("to")),
+          s"b$round")
+        val peel = fwd.join(bwd.withColumnRenamed("lab", "blab"), "v")
+          .where(col("lab") === col("blab"))
+          .select(col("v").as("id"), col("lab").as("scc_id"))
+          .transform(graft.Ckpt.cut)
+        out = out.unionAll(peel).transform(graft.Ckpt.cut)
+        verts = verts.join(peel.select(col("id").as("v")), Seq("v"), "anti")
+          .transform(graft.Ckpt.cut)
+        nVerts = verts.count()
+        rem = rem
+          .join(verts.select(col("v").as("src")), Seq("src"), "semi")
+          .join(verts.select(col("v").as("dst")), Seq("dst"), "semi")
+          .select("src", "dst").transform(graft.Ckpt.cut)
+      }
+    }
+    spark.sparkContext.setLocalProperty("graft.scc.rounds", round.toString)
+    out
+  }
 }

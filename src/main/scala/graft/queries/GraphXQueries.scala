@@ -1168,7 +1168,56 @@ object GraphXQueries {
              |SELECT l.cycle_min, CAST(count(*) AS BIGINT) AS n_nodes,
              |  CAST(count(DISTINCT wv.w) AS BIGINT) AS n_cycle
              |FROM lab l JOIN wv ON l.src = wv.src
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // strongly connected components of the item-transition graph
+    // (consecutive line items within an order → directed part→part
+    // edge, the session-graph construction recommendation pipelines
+    // run at corpus scale), hash-thinned below the giant-SCC density
+    // threshold so the structure is non-trivial (sf0.01: SCCs of
+    // 550/534/176/3 + 702 singletons). Engine is FW-BW-Trim min-label
+    // peeling (GraphAnalytics.stronglyConnectedComponents — trim
+    // strips DAG tails as singletons, F=B pivots peel whole SCCs);
+    // the DuckDB mirror is the O(V·E) reachability closure with
+    // mutual-reach min, viable only because the vertex set is capped.
+    // id_sum pins WHICH vertices anchor each size class, not just the
+    // histogram shape.
+    RegQuery("x25_scc",
+      (s, d) => {
+        val li = graft.Tables(s, d, "lineitem")
+          .where(col("l_partkey") <= 2000)
+          .select(col("l_orderkey").as("o"), col("l_linenumber").as("ln"),
+            col("l_partkey").as("p"))
+        val e = li.as("a").join(li.as("b"),
+            col("a.o") === col("b.o") && col("b.ln") === col("a.ln") + 1)
+          .where(col("a.p") =!= col("b.p") &&
+            (col("a.p") * 31 + col("b.p")) % 7 === 0)
+          .select(col("a.p").as("src"), col("b.p").as("dst"))
+          .distinct()
+        GraphAnalytics.stronglyConnectedComponents(e)
+          .groupBy("scc_id").agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("n_sccs"),
+            sum("scc_id").as("id_sum"))
+          .orderBy(col("sz").desc)
+      },
+      Some("""WITH RECURSIVE li AS (
+             |  SELECT l_orderkey o, l_linenumber ln, l_partkey p
+             |  FROM lineitem WHERE l_partkey <= 2000),
+             |e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+             |  FROM li a JOIN li b ON a.o = b.o AND b.ln = a.ln + 1
+             |  WHERE a.p <> b.p AND (a.p * 31 + b.p) % 7 = 0),
+             |reach AS (SELECT src, dst FROM e
+             |  UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+             |verts AS (SELECT DISTINCT src AS v FROM e
+             |  UNION SELECT dst FROM e),
+             |mutual AS (SELECT r1.src AS mv, r1.dst AS mu FROM reach r1
+             |  JOIN reach r2 ON r2.src = r1.dst AND r2.dst = r1.src),
+             |scc AS (SELECT v, least(coalesce(min(mu), v), v) AS scc_id
+             |  FROM verts LEFT JOIN mutual ON mv = v GROUP BY v),
+             |sizes AS (SELECT scc_id, count(*) AS sz FROM scc GROUP BY 1)
+             |SELECT sz, count(*) AS n_sccs,
+             |  CAST(sum(scc_id) AS BIGINT) AS id_sum
+             |FROM sizes GROUP BY sz ORDER BY sz DESC""".stripMargin))
   )
 
   /** Planted-community graph for x06: parts grouped into ~10-member

@@ -1466,6 +1466,47 @@ object Relational {
              |  CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_supps
              |FROM part JOIN supplier
              |  ON p_retailprice BETWEEN s_acctbal AND s_acctbal + 100
-             |GROUP BY 1 ORDER BY pk_band""".stripMargin))
+             |GROUP BY 1 ORDER BY pk_band""".stripMargin)),
+
+    // ---- q61: co-located join on a bucketed persisted layout ---------
+    // The 100 TB fact-to-fact join discipline as a registry query: both
+    // sides are persisted bucketed 16 ways on the join key (sorted
+    // within buckets), so the join itself plans with ZERO shuffle
+    // Exchange — the one shuffle is paid at layout time and amortized
+    // over every downstream join/aggregate keyed the same way
+    // (Hive-style bucketing; GraphStore's 32-bucket murmur3 layout is
+    // the same move for point gets). ScaleSpec pins the
+    // Exchange-free SortMergeJoin on the bucketed scan; the DuckDB
+    // mirror joins the RAW parquet, so the hash check additionally
+    // proves the bucketed write round-trips every row. Rewritten (not
+    // tableExists-guarded) each run: staleness bugs beat a ~1 s write.
+    RegQuery("q61_bucketed_join",
+      (s, d) => {
+        val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+        val liT = s"graft_q61_li_$tag"; val ordT = s"graft_q61_ord_$tag"
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"))
+          .write.mode("overwrite").bucketBy(16, "l_orderkey")
+          .sortBy("l_orderkey").format("parquet").saveAsTable(liT)
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+          .write.mode("overwrite").bucketBy(16, "o_orderkey")
+          .sortBy("o_orderkey").format("parquet").saveAsTable(ordT)
+        s.table(ordT)
+          .join(s.table(liT), col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(expr("cast(l_quantity as bigint)")).as("sum_qty"),
+            sum(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+              .as("rev_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             |    AS BIGINT) AS rev_cents
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -389,4 +389,35 @@ class ScaleSpec extends SparkSpec {
       assert(math.abs(a(1).asInstanceOf[Double] - b(1).asInstanceOf[Double]) < 1e-6)
     }
   }
+
+  test("q61 bucketed join plans with zero shuffle Exchange") {
+    // both sides persisted bucketed 16 ways on the join key: the join
+    // must read co-located buckets — any Exchange hashpartitioning
+    // means the layout was ignored and the 100 TB claim is void.
+    // Broadcast is disabled so the tiny-sf plan can't sidestep the
+    // bucketed SortMergeJoin being pinned.
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q61_bucketed_join")(spark, sfDir)
+      assert(df.collect().length == 5) // the five order priorities
+      // the registry run persisted the bucketed tables; pin the bare
+      // join (the agg/sort above it legitimately shuffle their few
+      // grouped rows — the claim is the JOIN reads co-located buckets)
+      val tag = sfDir.replaceAll("[^0-9a-zA-Z]", "_")
+      val j = spark.table(s"graft_q61_ord_$tag")
+        .join(spark.table(s"graft_q61_li_$tag"),
+          col("o_orderkey") === col("l_orderkey"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"not a SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"scan is not bucket-aware:\n$plan")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

@@ -112,6 +112,61 @@ class GraphXSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
   }
 
+  test("scc: known graph, both arms agree, min-member labels") {
+    import spark.implicits._
+    // two 3-cycles bridged one-way (distinct SCCs), a DAG tail off the
+    // first (trim fodder), and a 2-cycle touched only by an incoming
+    // edge — labels must be each SCC's min member
+    val edges = Seq(
+      1L -> 2L, 2L -> 3L, 3L -> 1L,       // SCC {1,2,3}
+      3L -> 10L,                          // one-way bridge
+      10L -> 11L, 11L -> 12L, 12L -> 10L, // SCC {10,11,12}
+      2L -> 20L, 20L -> 21L,              // DAG tail: 20, 21 singletons
+      21L -> 30L, 30L -> 31L, 31L -> 30L  // SCC {30,31}
+    ).toDF("src", "dst")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 21L, 30L -> 30L, 31L -> 30L)
+    val local = GraphAnalytics.stronglyConnectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spark.sparkContext.getLocalProperty("graft.scc.impl") == "local")
+    assert(local == expect, local.toString)
+    spark.conf.set("spark.graft.scc.localEdgeThreshold", "0")
+    try {
+      val dist = GraphAnalytics.stronglyConnectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(spark.sparkContext
+        .getLocalProperty("graft.scc.impl") == "distributed")
+      assert(dist == expect, dist.toString)
+    } finally spark.conf.unset("spark.graft.scc.localEdgeThreshold")
+  }
+
+  test("scc arms agree on the x25 item-transition graph (sf0.001)") {
+    // the real registry graph, distributed arm forced — peel rounds
+    // recorded for the scale-rehearsal narrative
+    val li = graft.Tables(spark, sfDir, "lineitem")
+      .where(col("l_partkey") <= 2000)
+      .select(col("l_orderkey").as("o"), col("l_linenumber").as("ln"),
+        col("l_partkey").as("p"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("b.ln") === col("a.ln") + 1)
+      .where(col("a.p") =!= col("b.p") &&
+        (col("a.p") * 31 + col("b.p")) % 7 === 0)
+      .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+    val local = GraphAnalytics.stronglyConnectedComponents(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.scc.localEdgeThreshold", "0")
+    try {
+      val dist = GraphAnalytics.stronglyConnectedComponents(e)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == local)
+      val rounds = spark.sparkContext
+        .getLocalProperty("graft.scc.rounds").toInt
+      assert(rounds >= 1 && rounds <= 20,
+        s"peel rounds $rounds outside sane band")
+    } finally spark.conf.unset("spark.graft.scc.localEdgeThreshold")
+  }
+
   test("triangleCounts: K4 plus a pendant edge") {
     import spark.implicits._
     // K4 on 1-4 (4 triangles, each vertex in 3) + pendant 4-5 (none)
