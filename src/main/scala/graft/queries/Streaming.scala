@@ -950,7 +950,55 @@ object Streaming {
              |  UNION ALL SELECT 'ALL', blk, bit_or(bit) FROM b GROUP BY blk)
              |SELECT flag, CAST(count(*) AS BIGINT) AS n_blocks,
              |  CAST(sum(bit_count(bm)) AS BIGINT) AS n_distinct
-             |FROM bm GROUP BY flag ORDER BY flag""".stripMargin))
+             |FROM bm GROUP BY flag ORDER BY flag""".stripMargin)),
+
+    // ---- s19: streaming event-transition matrix ------------------------
+    // q55 maintained BY the stream: Streams.TransitionProcessor keeps
+    // ONE row of state per user (the last-seen (ts, event_id, type)
+    // tail), sorts each micro-batch's rows per user, and emits the
+    // adjacent (from→to) pairs — so the Markov transition counts are
+    // live at ingest with O(|users|) state, not a buffered history.
+    // Exactness contract (docstring'd on the processor): per-user
+    // ts-monotone batch arrival — the log-ingest shape; StreamsSpec
+    // pins equality across a ts-boundary micro-batch split. The final
+    // normalization to ppm is the same integer window as q55, so the
+    // full q55 oracle hash-checks the drained pair stream.
+    RegQuery("s19_stream_transition",
+      (s, d) => {
+        import s.implicits._
+        Streams.withRocksDB(s) {
+          val q = withStatePartitions(s, 8) {
+            Streams.transitionPairs(streamEvents(s, d)
+                .select(col("user_id"), unix_micros(col("ts")).as("ts_micro"),
+                  col("event_id"), col("event_type").as("et"))
+                .as[Streams.TransRow])
+              .writeStream.format("memory").queryName("s19_sink")
+              .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          }
+          q.awaitTermination()
+          val tr = s.table("s19_sink")
+            .groupBy(col("from_type"), col("to_type"))
+            .agg(count(lit(1)).as("cnt"))
+          tr.withColumn("row_tot",
+              sum("cnt").over(Window.partitionBy("from_type")))
+            .select(col("from_type"), col("to_type"), col("cnt"),
+              expr("cnt * 1000000 div row_tot").as("p_ppm"))
+            .orderBy("from_type", "to_type")
+        }
+      },
+      Some("""WITH seq AS (SELECT event_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS next_type
+             |  FROM events),
+             |tr AS (SELECT event_type AS from_type, next_type AS to_type,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM seq WHERE next_type IS NOT NULL
+             |  GROUP BY event_type, next_type)
+             |SELECT from_type, to_type, cnt,
+             |  CAST(cnt * 1000000
+             |      // (sum(cnt) OVER (PARTITION BY from_type)) AS BIGINT)
+             |    AS p_ppm
+             |FROM tr ORDER BY from_type, to_type""".stripMargin))
   )
 
   private val docsSchema = StructType(Seq(

@@ -238,6 +238,58 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  // --- streaming event-transition pairs (s19) --------------------------
+
+  case class TransRow(user_id: Long, ts_micro: Long, event_id: Long,
+                      et: String)
+  case class TransPair(user_id: Long, from_type: String, to_type: String)
+  case class LastSeen(ts_micro: Long, event_id: Long, et: String)
+
+  /** Adjacent-event (from→to) pair emission with ONE row of state per
+    * user: the last-seen (ts, event_id, type). Rows are sorted by
+    * (ts, event_id) within each micro-batch and chained from the
+    * stored tail, so the pair stream equals q55's lead()-window pairs
+    * whenever each user's batches arrive ts-monotone — the log-ingest
+    * contract (a replayed file, a Kafka partition keyed by user). That
+    * assumption is inherent: adjacency is order-DEPENDENT, so unlike
+    * the funnel's min() state there is no order-free formulation with
+    * bounded state — the honest alternative (buffering each user's
+    * full history) is exactly what the bounded-state discipline
+    * forbids at 100 TB. StreamsSpec pins split-invariance across a
+    * ts-boundary split. */
+  class TransitionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TransRow, TransPair] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    @transient private var last: ValueState[LastSeen] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[LastSeen]("last",
+        org.apache.spark.sql.Encoders.product[LastSeen], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TransRow],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TransPair] = {
+      val sorted = rows.toArray.sortBy(r => (r.ts_micro, r.event_id))
+      var prev = Option(last.get())
+      val out = scala.collection.mutable.ArrayBuffer.empty[TransPair]
+      sorted.foreach { r =>
+        prev.foreach(p => out += TransPair(key, p.et, r.et))
+        prev = Some(LastSeen(r.ts_micro, r.event_id, r.et))
+      }
+      prev.foreach(last.update)
+      out.iterator
+    }
+  }
+
+  /** Per-user adjacent-transition pairs via transformWithState. */
+  def transitionPairs(events: Dataset[TransRow]): Dataset[TransPair] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Run `f` with the RocksDB state store provider (required by
     * transformWithState's column families; also the production 100 TB
     * state config), restoring the prior provider after. */

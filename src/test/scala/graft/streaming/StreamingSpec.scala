@@ -375,6 +375,32 @@ class StreamingSpec extends SparkSpec {
     assert(fin(2L) == UserMoments(2L, 3, 0L, 98L), fin(2L).toString)
   }
 
+  test("s19 transitions: ts-boundary split chains pairs across batches") {
+    import graft.streaming.Streams.{TransRow, TransPair}
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: a→b→c→d split 2/2 at a ts boundary — the c→d boundary
+    // pair must come from STATE (the stored batch-1 tail), not the
+    // batch-2 rows; user 2 entirely in batch 2, shuffled within the
+    // batch (in-batch sort must restore ts order); a lone event emits
+    // nothing
+    val b1 = Seq(TransRow(1L, 10L, 1L, "a"), TransRow(1L, 20L, 2L, "b"),
+      TransRow(1L, 30L, 3L, "c"))
+    val b2 = Seq(TransRow(2L, 15L, 6L, "y"), TransRow(2L, 5L, 5L, "x"),
+      TransRow(1L, 40L, 4L, "d"), TransRow(3L, 1L, 7L, "solo"))
+    Streams.withRocksDB(spark) {
+      val src = MemoryStream[TransRow]
+      val q = Streams.transitionPairs(src.toDS())
+        .writeStream.format("memory").queryName("t_trans")
+        .outputMode(OutputMode.Append()).start()
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+    }
+    val got = spark.table("t_trans").as[TransPair].collect().toSet
+    assert(got == Set(TransPair(1L, "a", "b"), TransPair(1L, "b", "c"),
+      TransPair(1L, "c", "d"), TransPair(2L, "x", "y")), got.toString)
+  }
+
   test("s16 funnel: first-touch state is arrival-order invariant") {
     import graft.streaming.Streams.FunnelState
     implicit val sqlCtx = spark.sqlContext
