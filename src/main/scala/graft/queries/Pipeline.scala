@@ -713,38 +713,9 @@ object Pipeline {
     // are hash-partitioned by term, df/avgdl are tiny broadcast sides,
     // and per-query top-k is one window over the matched docs only.
     RegQuery("p34_bm25_search",
-      (s, d) => {
-        import s.implicits._
-        val docs = Tables(s, d, "documents")
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-          .repartition(col("doc_id")) // token barrier: dl + explode both read tk
-          .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
-            col("tk"))
-          .localCheckpoint() // feeds postings AND the corpus stats row
-        val post = docs
-          .select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
-          .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-        val qterms = Seq((1, "spark"), (1, "join"), (2, "hash"),
-          (2, "table"), (2, "scan"), (3, "window"), (3, "agg"), (3, "data"))
-          .toDF("q_id", "term")
-        val dfreq = post.join(broadcast(qterms.select("term").distinct()), "term")
-          .groupBy("term").agg(count(lit(1)).as("df"))
-        val st = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-        val avgdl = col("sum_dl").cast("double") / col("n_docs")
-        val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-        val tfn = col("tf") * 2.2 / (col("tf") +
-          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
-        post.join(broadcast(qterms), "term")
-          .join(broadcast(dfreq), "term")
-          .crossJoin(broadcast(st))
-          .withColumn("u", floor(idf * tfn * 10000 + 0.5).cast("long"))
-          .groupBy("q_id", "doc_id").agg(sum(col("u")).as("score_u"))
-          .withColumn("rank", row_number().over(Window.partitionBy("q_id")
-            .orderBy(col("score_u").desc, col("doc_id"))))
-          .where(col("rank") <= 10)
-          .select("q_id", "rank", "doc_id", "score_u")
-          .orderBy("q_id", "rank")
-      },
+      (s, d) => bm25TopK(s, d, 10)
+        .select("q_id", "rank", "doc_id", "score_u")
+        .orderBy("q_id", "rank"),
       Some("""WITH docs AS (SELECT doc_id,
              |    CAST(len(string_split(text,' ')) AS BIGINT) AS dl,
              |    string_split(text,' ') AS t FROM documents),
@@ -2454,7 +2425,104 @@ object Pipeline {
           |       ELSE 'novel' END AS status,
           |  COALESCE(corpus_hit, batch_hit, nd.doc_id) AS canonical_id
           |FROM nd LEFT JOIN hit USING (doc_id)
-          |ORDER BY nd.doc_id""".stripMargin))
+          |ORDER BY nd.doc_id""".stripMargin)),
+
+    // ---- p73: hybrid retrieval via reciprocal-rank fusion ---------------
+    // The RAG-stack retrieval fusion: the lexical arm (p34's BM25
+    // top-10) and the vector arm (exact cosine top-10 of the query
+    // embedding, p09's determinization) merge by RRF —
+    // rrf_u = Σ 1000000 div (60 + rank) over the arms listing the doc.
+    // Rank fusion needs no score calibration between arms (the reason
+    // production stacks prefer it to weighted-score sums), and because
+    // it consumes RANKS, the fused score is pure integer arithmetic —
+    // fully hash-checkable even though BM25 and cosine are float
+    // internally. Scale: both arms end in bounded top-k frames (the
+    // corpus-side work is each arm's own one-shuffle plan), so the
+    // fusion join touches O(q·k) rows at any corpus size.
+    RegQuery("p73_hybrid_rrf",
+      (s, d) => {
+        val lex = bm25TopK(s, d, 10)
+          .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        val q = e.where(col("vec_id").between(1, 3))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val vec = e.select(col("vec_id").as("n_id"), col("v").as("nv"))
+          .crossJoin(broadcast(q))
+          .where(col("q_id") =!= col("n_id"))
+          .withColumn("cos_u",
+            floor(VectorOps.cosineFast(col("qv"), col("nv")) * 1000000 + 0.5))
+          .withColumn("vec_rank", row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("cos_u").desc, col("n_id"))))
+          .where(col("vec_rank") <= 10)
+          .select(col("q_id").cast("int").as("q_id"),
+            col("n_id").as("doc_id"), col("vec_rank"))
+        lex.join(vec, Seq("q_id", "doc_id"), "full")
+          .select(col("q_id"), col("doc_id"),
+            coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)).as("lex_u"),
+            coalesce(expr("1000000 div (60 + vec_rank)"), lit(0L)).as("vec_u"))
+          .withColumn("rrf_u", col("lex_u") + col("vec_u"))
+          .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("rrf_u").desc, col("doc_id"))))
+          .where(col("rank") <= 10)
+          .select("q_id", "rank", "doc_id", "rrf_u", "lex_u", "vec_u")
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH docs AS (SELECT doc_id,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS dl,
+             |    string_split(text,' ') AS t FROM documents),
+             |post AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM docs)
+             |  GROUP BY doc_id, dl, term),
+             |q(q_id, term) AS (VALUES (1,'spark'),(1,'join'),(2,'hash'),
+             |  (2,'table'),(2,'scan'),(3,'window'),(3,'agg'),(3,'data')),
+             |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
+             |  WHERE term IN (SELECT term FROM q) GROUP BY term),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM docs),
+             |sc AS (SELECT q.q_id, p.doc_id,
+             |  CAST(floor(ln(1.0 + (st.n_docs - f.df + 0.5)/(f.df + 0.5))
+             |    * (p.tf*2.2/(p.tf + 1.2*(0.25 + 0.75*p.dl
+             |        /(CAST(st.sum_dl AS DOUBLE)/st.n_docs))))
+             |    * 10000 + 0.5) AS BIGINT) AS u
+             |  FROM post p JOIN q ON p.term = q.term
+             |  JOIN dfreq f ON p.term = f.term CROSS JOIN st),
+             |a AS (SELECT q_id, doc_id, CAST(sum(u) AS BIGINT) AS score_u
+             |  FROM sc GROUP BY q_id, doc_id),
+             |lex AS (SELECT q_id, doc_id, ROW_NUMBER() OVER
+             |  (PARTITION BY q_id ORDER BY score_u DESC, doc_id) AS lex_rank
+             |  FROM a),
+             |e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |qv AS (SELECT vec_id AS q_id, v AS qv FROM e
+             |  WHERE vec_id BETWEEN 1 AND 3),
+             |pv AS (SELECT q_id, e.vec_id AS n_id,
+             |  list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*e.v[i]))
+             |    / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+             |       * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS c
+             |  FROM qv, e WHERE e.vec_id != q_id),
+             |vec AS (SELECT q_id, n_id AS doc_id, ROW_NUMBER() OVER
+             |  (PARTITION BY q_id ORDER BY floor(c*1000000+0.5) DESC, n_id)
+             |    AS vec_rank
+             |  FROM pv),
+             |lex10 AS (SELECT * FROM lex WHERE lex_rank <= 10),
+             |vec10 AS (SELECT * FROM vec WHERE vec_rank <= 10),
+             |f AS (SELECT coalesce(l.q_id, v.q_id) AS q_id,
+             |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+             |    coalesce(1000000 // (60 + l.lex_rank), 0) AS lex_u,
+             |    coalesce(1000000 // (60 + v.vec_rank), 0) AS vec_u
+             |  FROM lex10 l FULL JOIN vec10 v
+             |    ON l.q_id = v.q_id AND l.doc_id = v.doc_id),
+             |rr AS (SELECT q_id, doc_id, lex_u + vec_u AS rrf_u,
+             |    lex_u, vec_u, ROW_NUMBER() OVER (PARTITION BY q_id
+             |      ORDER BY lex_u + vec_u DESC, doc_id) AS rank
+             |  FROM f)
+             |SELECT CAST(q_id AS INTEGER) AS q_id,
+             |  CAST(rank AS INTEGER) AS rank, doc_id,
+             |  CAST(rrf_u AS BIGINT) AS rrf_u, CAST(lex_u AS BIGINT) AS lex_u,
+             |  CAST(vec_u AS BIGINT) AS vec_u
+             |FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin))
   )
 
   /** p70/p71's shared BPE training loop: word-frequency table →
@@ -2834,6 +2902,43 @@ $next AS (SELECT w, freq, CASE WHEN len(syms) <= 1 THEN syms ELSE
 
   /** DuckDB mirror of p09 (exact brute-force cosine top-k) — a def so
     * p68's recall harness can embed it as a subquery. */
+  /** BM25 top-k per query over `documents` in integer 1e-4 score
+    * units — the p34 ranking, shared with p73's hybrid fusion.
+    * Postings build once behind the token barrier; every query-side
+    * frame (terms, doc freqs, corpus stats) is broadcast, so the
+    * corpus is touched by exactly one shuffle at any scale. Returns
+    * [q_id, rank, doc_id, score_u], rank ≤ k. */
+  private def bm25TopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .repartition(col("doc_id")) // token barrier: dl + explode both read tk
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        col("tk"))
+      .localCheckpoint() // feeds postings AND the corpus stats row
+    val post = docs
+      .select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val qterms = Seq((1, "spark"), (1, "join"), (2, "hash"),
+      (2, "table"), (2, "scan"), (3, "window"), (3, "agg"), (3, "data"))
+      .toDF("q_id", "term")
+    val dfreq = post.join(broadcast(qterms.select("term").distinct()), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val st = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfn = col("tf") * 2.2 / (col("tf") +
+      lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    post.join(broadcast(qterms), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(st))
+      .withColumn("u", floor(idf * tfn * 10000 + 0.5).cast("long"))
+      .groupBy("q_id", "doc_id").agg(sum(col("u")).as("score_u"))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("score_u").desc, col("doc_id"))))
+      .where(col("rank") <= k)
+  }
+
   private def p09Oracle: String =
     """WITH e AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
