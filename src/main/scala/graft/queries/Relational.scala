@@ -1484,6 +1484,16 @@ object Relational {
       (s, d) => {
         val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
         val liT = s"graft_q61_li_$tag"; val ordT = s"graft_q61_ord_$tag"
+        // a fresh session can inherit an ORPHAN warehouse directory
+        // (table dir on disk, no catalog entry) — overwrite mode then
+        // refuses the managed location, so drop AND delete explicitly
+        Seq(liT, ordT).foreach { n =>
+          s.sql(s"DROP TABLE IF EXISTS $n")
+          val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+          val p = new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(wh), n.toLowerCase)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
         t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_quantity"),
             col("l_extendedprice"))

@@ -240,4 +240,46 @@ class ScaleRehearsalSpec extends SparkSpec {
       == "handoff@1",
       "a 100k frontier must hand the traversal to the distributed loop")
   }
+
+  test("SCC peel rounds are volume-independent: 10x == 1x (forced distributed)") {
+    // x25's item-transition graph inflated by 10 ISOMORPHIC disjoint
+    // copies (id offset preserves every intra-copy comparison, so each
+    // copy peels identically and simultaneously): FW-BW-Trim round
+    // count must not move, and components must scale exactly x10 —
+    // the property that makes the peel viable at 100 TB, where rounds,
+    // not rows, are the serial budget.
+    val li = graft.Tables(spark, "/root/testdata/sf0.1", "lineitem")
+      .where(col("l_partkey") <= 2000)
+      .select(col("l_orderkey").as("o"), col("l_linenumber").as("ln"),
+        col("l_partkey").as("p"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("b.ln") === col("a.ln") + 1)
+      .where(col("a.p") =!= col("b.p") &&
+        (col("a.p") * 31 + col("b.p")) % 7 === 0)
+      .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+      .localCheckpoint()
+    val copies = spark.range(10).select((col("id") * 10000000L).as("off"))
+    val inflated = edges.crossJoin(copies)
+      .select((col("src") + col("off")).as("src"),
+        (col("dst") + col("off")).as("dst"))
+    def rounds: Int = spark.sparkContext
+      .getLocalProperty("graft.scc.rounds").toInt
+    try {
+      spark.conf.set("spark.graft.scc.localEdgeThreshold", "0")
+      val base = GraphAnalytics.stronglyConnectedComponents(edges)
+        .select("scc_id").distinct().count()
+      val baseRounds = rounds
+      assert(spark.sparkContext.getLocalProperty("graft.scc.impl")
+        == "distributed")
+      val t0 = System.nanoTime()
+      val infl = GraphAnalytics.stronglyConnectedComponents(inflated)
+        .select("scc_id").distinct().count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(infl == 10 * base,
+        s"copies must stay disjoint: $infl vs 10*$base")
+      assert(rounds == baseRounds,
+        s"peel rounds grew with volume: $rounds vs $baseRounds")
+      assert(sec < 300, s"10x SCC took ${sec}s")
+    } finally spark.conf.unset("spark.graft.scc.localEdgeThreshold")
+  }
 }
