@@ -998,7 +998,44 @@ object Streaming {
              |  CAST(cnt * 1000000
              |      // (sum(cnt) OVER (PARTITION BY from_type)) AS BIGINT)
              |    AS p_ppm
-             |FROM tr ORDER BY from_type, to_type""".stripMargin))
+             |FROM tr ORDER BY from_type, to_type""".stripMargin)),
+
+    // ---- s20: streaming sequence packing -------------------------------
+    // p39 maintained BY the stream: Streams.PackProcessor holds ONE
+    // long of state per source (tokens packed so far) and assigns each
+    // landing doc its (seq_id, off) slot — training sequences pack at
+    // ingest time instead of via a corpus-wide window pass. Ordering
+    // contract as s19 (per-source doc_id-monotone arrival; in-batch
+    // sort); the full p39 oracle hash-checks the drained assignment.
+    RegQuery("s20_stream_packing",
+      (s, d) => {
+        import s.implicits._
+        Streams.withRocksDB(s) {
+          val q = withStatePartitions(s, 8) {
+            Streams.packSequences(streamDocs(s, d)
+                .select(col("source"), col("doc_id"),
+                  size(graft.llm.TextOps.tokens(col("text")))
+                    .cast("long").as("n_tok"))
+                .as[Streams.PackRow], cap = 2048L)
+              .writeStream.format("memory").queryName("s20_sink")
+              .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          }
+          q.awaitTermination()
+          s.table("s20_sink")
+            .select("doc_id", "source", "n_tok", "seq_id", "off")
+            .orderBy("source", "doc_id")
+        }
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |c AS (SELECT doc_id, source, n_tok,
+             |  sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             |    ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before FROM t)
+             |SELECT doc_id, source, n_tok,
+             |  CAST(cum_before // 2048 AS BIGINT) AS seq_id,
+             |  CAST(cum_before % 2048 AS BIGINT) AS off
+             |FROM c ORDER BY source, doc_id""".stripMargin))
   )
 
   private val docsSchema = StructType(Seq(

@@ -290,6 +290,54 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  // --- streaming sequence packing (s20) --------------------------------
+
+  case class PackRow(source: String, doc_id: Long, n_tok: Long)
+  case class PackOut(source: String, doc_id: Long, n_tok: Long,
+                     seq_id: Long, off: Long)
+
+  /** p39's prefix-sum sequence packing maintained by the stream: state
+    * per source is ONE long (tokens packed so far); each arriving doc
+    * takes seq_id = cum div cap, off = cum mod cap, then advances cum.
+    * Same ordering contract as the transition processor: per-source
+    * doc_id-monotone batch arrival (rows are doc_id-sorted within each
+    * micro-batch), under which the assignment equals the batch window
+    * exactly. A 100 TB ingest packs training sequences AS documents
+    * land — O(|sources|) state, no shuffle-the-corpus window. */
+  class PackProcessor(cap: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, PackRow, PackOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    @transient private var cum: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cum = getHandle.getValueState[Long]("cum",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[PackRow],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[PackOut] = {
+      // primitive state: exists() guards the unset case (get() would
+      // unbox null)
+      var c = if (cum.exists()) cum.get() else 0L
+      val out = rows.toArray.sortBy(_.doc_id).map { r =>
+        val o = PackOut(key, r.doc_id, r.n_tok, c / cap, c % cap)
+        c += r.n_tok
+        o
+      }
+      cum.update(c)
+      out.iterator
+    }
+  }
+
+  /** Per-source streaming prefix-sum packing. */
+  def packSequences(docs: Dataset[PackRow], cap: Long): Dataset[PackOut] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .transformWithState(new PackProcessor(cap),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Run `f` with the RocksDB state store provider (required by
     * transformWithState's column families; also the production 100 TB
     * state config), restoring the prior provider after. */

@@ -401,6 +401,34 @@ class StreamingSpec extends SparkSpec {
       TransPair(1L, "c", "d"), TransPair(2L, "x", "y")), got.toString)
   }
 
+  test("s20 packing: doc_id-boundary split continues the open sequence") {
+    import graft.streaming.Streams.{PackRow, PackOut}
+    implicit val sqlCtx = spark.sqlContext
+    // cap 10; source A: docs of 4+4 tokens in batch 1 (cum=8), then 4+9
+    // in batch 2 — doc 3 must START at off 8 of seq 0 (state-carried
+    // cum), doc 4 at off 12 → seq 1 off 2; batch-2 rows arrive
+    // doc_id-shuffled (in-batch sort must restore order); source B all
+    // in batch 2
+    val b1 = Seq(PackRow("A", 1L, 4L), PackRow("A", 2L, 4L))
+    val b2 = Seq(PackRow("A", 4L, 9L), PackRow("A", 3L, 4L),
+      PackRow("B", 1L, 7L), PackRow("B", 2L, 5L))
+    Streams.withRocksDB(spark) {
+      val src = MemoryStream[PackRow]
+      val q = Streams.packSequences(src.toDS(), cap = 10L)
+        .writeStream.format("memory").queryName("t_pack")
+        .outputMode(OutputMode.Append()).start()
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+    }
+    val got = spark.table("t_pack").as[PackOut].collect().toSet
+    assert(got == Set(
+      PackOut("A", 1L, 4L, 0L, 0L), PackOut("A", 2L, 4L, 0L, 4L),
+      PackOut("A", 3L, 4L, 0L, 8L), PackOut("A", 4L, 9L, 1L, 2L),
+      PackOut("B", 1L, 7L, 0L, 0L), PackOut("B", 2L, 5L, 0L, 7L)),
+      got.toString)
+  }
+
   test("s16 funnel: first-touch state is arrival-order invariant") {
     import graft.streaming.Streams.FunnelState
     implicit val sqlCtx = spark.sqlContext
