@@ -2522,7 +2522,49 @@ object Pipeline {
              |  CAST(rank AS INTEGER) AS rank, doc_id,
              |  CAST(rrf_u AS BIGINT) AS rrf_u, CAST(lex_u AS BIGINT) AS lex_u,
              |  CAST(vec_u AS BIGINT) AS vec_u
-             |FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin))
+             |FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- p74: greedy coverage source selection --------------------------
+    // Facility-location data selection: order sources by MARGINAL new
+    // distinct 8-grams (the submodular coverage objective — greedy is
+    // the (1−1/e) workhorse of training-data subset selection). Each
+    // of the k rounds is one hash-aggregate for the argmax plus one
+    // anti-join that retires the winner's grams — so cost is k passes
+    // over a monotonically SHRINKING gram table, never a 2^|sources|
+    // search, and the driver holds one (source, count) row per round.
+    // The DuckDB mirror runs the identical k rounds as chained CTEs
+    // (the p70 BPE-mirror pattern); grams are the p64 polynomial hash
+    // so both engines compare the same integers.
+    RegQuery("p74_greedy_coverage",
+      (s, d) => {
+        import s.implicits._
+        val tk = col("tk")
+        var remaining = Tables(s, d, "documents")
+          .select(col("source"), TextOps.tokens(col("text")).as("tk"))
+          .where(size(tk) >= 8)
+          .repartition(col("source")) // token barrier (p40 lesson)
+          .select(col("source"), explode(
+            transform(sequence(lit(0), size(tk) - 8),
+              i => TextOps.polyHash(concat_ws(" ", slice(tk, i + 1, lit(8))))))
+            .as("h"))
+          .distinct()
+          .localCheckpoint() // feeds k marginal passes
+        val picks = Seq.newBuilder[(Int, String, Long, Long)]
+        var cum = 0L
+        for (it <- 1 to 5) {
+          val top = remaining.groupBy("source").agg(count(lit(1)).as("m"))
+            .orderBy(col("m").desc, col("source")).limit(1).collect()(0)
+          val (src, m) = (top.getString(0), top.getLong(1))
+          cum += m
+          picks += ((it, src, m, cum))
+          remaining = remaining.where(col("source") =!= src)
+            .join(remaining.where(col("source") === src).select("h"),
+              Seq("h"), "anti")
+            .localCheckpoint()
+        }
+        picks.result().toDF("iter", "source", "marginal_new", "cum_cover")
+      },
+      Some(p74Oracle))
   )
 
   /** p70/p71's shared BPE training loop: word-frequency table →
@@ -2902,6 +2944,44 @@ $next AS (SELECT w, freq, CASE WHEN len(syms) <= 1 THEN syms ELSE
 
   /** DuckDB mirror of p09 (exact brute-force cosine top-k) — a def so
     * p68's recall harness can embed it as a subquery. */
+  /** p74's DuckDB mirror: the identical 5 greedy rounds as chained
+    * CTEs (p70's generated-mirror pattern) — round i picks the
+    * max-marginal source from g(i-1) with the same (m DESC, source)
+    * tie-break, then g(i) retires the winner's rows and grams. */
+  private def p74Oracle: String = {
+    val rounds = 5
+    val sb = new StringBuilder(
+      """WITH t AS (SELECT source, string_split(text,' ') AS tk
+        |  FROM documents WHERE len(string_split(text,' ')) >= 8),
+        |g0 AS (SELECT DISTINCT source,
+        |    unnest(list_transform(range(0, len(tk)-7),
+        |      i -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |        list_transform(string_split(
+        |          array_to_string(tk[i+1:i+8], ' '), ''),
+        |          x -> CAST(ord(x) AS BIGINT))),
+        |        (acc, x) -> (acc * 131 + x) % 1000000007))) AS h
+        |  FROM t)""".stripMargin)
+    for (i <- 1 to rounds) {
+      sb ++= s""",
+        |p$i AS (SELECT source, count(*) AS m FROM g${i - 1}
+        |  GROUP BY 1 ORDER BY m DESC, source LIMIT 1)""".stripMargin
+      if (i < rounds) sb ++= s""",
+        |g$i AS (SELECT g.source, g.h FROM g${i - 1} g
+        |  WHERE g.source != (SELECT source FROM p$i)
+        |    AND g.h NOT IN (SELECT h FROM g${i - 1}
+        |                    WHERE source = (SELECT source FROM p$i)))"""
+        .stripMargin
+    }
+    sb ++= s""",
+      |sel AS (${(1 to rounds).map(i =>
+        s"SELECT $i AS iter, source, m FROM p$i")
+        .mkString("\n|  UNION ALL ")})
+      |SELECT iter, source, CAST(m AS BIGINT) AS marginal_new,
+      |  CAST(sum(m) OVER (ORDER BY iter) AS BIGINT) AS cum_cover
+      |FROM sel ORDER BY iter""".stripMargin
+    sb.toString
+  }
+
   /** BM25 top-k per query over `documents` in integer 1e-4 score
     * units — the p34 ranking, shared with p73's hybrid fusion.
     * Postings build once behind the token barrier; every query-side

@@ -1517,6 +1517,56 @@ object Relational {
              |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
              |    AS BIGINT) AS rev_cents
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-             |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- q62: incremental aggregate maintenance (delta merge) ----------
+    // The materialized-view discipline at 100 TB: a persisted summary
+    // holds ALGEBRAIC partials — (n, Σqty, Σprice_cents), never the
+    // derived averages — so a delta batch folds in by one union +
+    // re-aggregate over |summary| + |delta| rows, and the corpus is
+    // NEVER re-scanned (the q48/q59 mergeable-sketch law applied to
+    // plain aggregates; averages derive from the merged sums by a
+    // closed integer formula at read time). Here the "history" is
+    // lineitem minus every 8th order, the delta is that remainder; the
+    // oracle recomputes from ALL raw rows, so the hash check proves
+    // base partials + delta partials == full recompute exactly.
+    RegQuery("q62_incremental_agg",
+      (s, d) => {
+        val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+        val sumPath = s.conf.get("spark.sql.warehouse.dir")
+          .stripSuffix("/") + s"/graft_q62_summary_$tag"
+        def partials(df: DataFrame) = df
+          .groupBy(col("l_returnflag").as("flag"),
+            col("l_linestatus").as("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(l_quantity as bigint)")).as("sum_qty"),
+            sum(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+              .as("sum_cents"))
+        // epoch 1: build + persist the summary from the base slice
+        partials(t(s, d, "lineitem").where(col("l_orderkey") % 8 =!= 7))
+          .write.mode("overwrite").parquet(sumPath)
+        // epoch 2: fold the delta into the PERSISTED partials
+        val delta = partials(
+          t(s, d, "lineitem").where(col("l_orderkey") % 8 === 7))
+        s.read.parquet(sumPath).unionAll(delta)
+          .groupBy("flag", "status")
+          .agg(sum("n").as("n"), sum("sum_qty").as("sum_qty"),
+            sum("sum_cents").as("sum_cents"))
+          .select(col("flag"), col("status"), col("n"), col("sum_qty"),
+            col("sum_cents"),
+            expr("sum_qty * 1000 div n").as("avg_qty_milli"),
+            expr("sum_cents div n").as("avg_price_cents"))
+          .orderBy("flag", "status")
+      },
+      Some("""SELECT l_returnflag AS flag, l_linestatus AS status,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             |    AS BIGINT) AS sum_cents,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) * 1000 // count(*)
+             |    AS BIGINT) AS avg_qty_milli,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             |    // count(*) AS BIGINT) AS avg_price_cents
+             |FROM lineitem GROUP BY 1, 2 ORDER BY flag, status""".stripMargin))
   )
 }
