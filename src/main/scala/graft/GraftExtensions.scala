@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // hint marks the join (see RangeJoinBinning)
     e.injectHintResolutionRule(_ => graft.plans.ResolveRangeBinHint())
     e.injectOptimizerRule(_ => graft.plans.RangeJoinBinning())
+    // whole-operator extension: CosineTopKPlan -> CosineTopKExec (one
+    // narrow corpus pass + bounded heap merge; see plans/CosineTopK)
+    e.injectPlannerStrategy(_ => new graft.plans.CosineTopKStrategy)
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),

@@ -2564,7 +2564,33 @@ object Pipeline {
         }
         picks.result().toDF("iter", "source", "marginal_new", "cum_cover")
       },
-      Some(p74Oracle))
+      Some(p74Oracle)),
+
+    // ---- p75: cosine top-k through the custom physical operator ---------
+    // p09's EXACT semantics executed by the whole-operator Catalyst
+    // extension (plans/CosineTopK): CosineTopKPlan → CosineTopKStrategy
+    // → CosineTopKExec — one narrow corpus pass with a bounded k-heap
+    // per query per partition, then a reduceByKey merge of the
+    // ≤ partitions·q·k survivors. The crossJoin×window plan p09 runs
+    // materializes |corpus|·|queries| rows into a rank shuffle; this
+    // one shuffles kilobytes at any corpus size. Determinization is
+    // bit-identical (left-to-right dot product, micro rounding,
+    // (cos desc, id) ties), so the UNCHANGED p09 oracle hash-checks
+    // the custom operator — and PlansSpec pins exec-node presence and
+    // row-for-row equality with p09's composed plan.
+    RegQuery("p75_ann_topk_exec",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        // the query side is driver-resident by design (it broadcasts);
+        // 3 rows here, and at scale the q·dim floats a probe batch holds
+        val qs = e.where(col("vec_id") < 3).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+        graft.plans.CosineTopK.topK(e, "vec_id", "v", qs, k = 5,
+          excludeSelf = true)
+          .orderBy("q_id", "rank")
+      },
+      Some(p09Oracle))
   )
 
   /** p70/p71's shared BPE training loop: word-frequency table →
