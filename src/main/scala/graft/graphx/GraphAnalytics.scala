@@ -1323,6 +1323,36 @@ object GraphAnalytics {
       .withColumn("cc_micro", expr("tri * 2000000 div (dg * (dg - 1))"))
       .select(col("c").as("id"), col("dg"), col("tri"), col("cc_micro"))
 
+  /** Exact BFS hop distances from one root over an undirected long-id
+    * edge list [u, v]; returns [v, dist]. O(ecc) rounds, each one
+    * distinct frontier-expansion join + anti-join against visited,
+    * with per-round lineage cuts — the x23/shortestPathsDF wave
+    * discipline for a single source. */
+  def bfsDistances(und0: DataFrame, root: Long): DataFrame = {
+    val spark = und0.sparkSession
+    import spark.implicits._
+    val und = und0.select(col("u"), col("v")).transform(graft.Ckpt.cut)
+    var visited = Seq((root, 0L)).toDF("v", "dist")
+      .transform(graft.Ckpt.cut)
+    var frontier = visited
+    var d = 0L
+    var n = 1L
+    while (n > 0) {
+      d += 1
+      val next = und.join(frontier.select(col("v").as("u")), "u")
+        .select(col("v")).distinct()
+        .join(visited.select("v"), Seq("v"), "anti")
+        .withColumn("dist", lit(d))
+        .transform(graft.Ckpt.cut)
+      n = next.count()
+      if (n > 0) {
+        visited = visited.unionAll(next).transform(graft.Ckpt.cut)
+        frontier = next
+      }
+    }
+    visited
+  }
+
   /** Strongly connected components over a directed long-id edge list
     * [src, dst]; returns [id, scc_id] with scc_id = min member id.
     *

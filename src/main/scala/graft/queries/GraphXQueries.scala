@@ -1217,7 +1217,76 @@ object GraphXQueries {
              |sizes AS (SELECT scc_id, count(*) AS sz FROM scc GROUP BY 1)
              |SELECT sz, count(*) AS n_sccs,
              |  CAST(sum(scc_id) AS BIGINT) AS id_sum
-             |FROM sizes GROUP BY sz ORDER BY sz DESC""".stripMargin))
+             |FROM sizes GROUP BY sz ORDER BY sz DESC""".stripMargin)),
+
+    // double-sweep diameter estimation (the iFUB seed step) on the
+    // UNDIRECTED thinned item-transition graph: BFS from the
+    // max-degree vertex, then BFS from its farthest vertex — ecc of
+    // sweep 2 is the classic high-quality diameter lower bound at the
+    // cost of exactly TWO O(ecc)-round BFS waves (vs |V| BFS runs for
+    // the exact diameter). Both sweeps' full profile is pinned (root,
+    // ecc, reached mass, tie-broken farthest vertex); the DuckDB
+    // mirror runs the identical two frontier recursions.
+    RegQuery("x26_double_sweep",
+      (s, d) => {
+        import s.implicits._
+        val li = graft.Tables(s, d, "lineitem")
+          .where(col("l_partkey") <= 2000)
+          .select(col("l_orderkey").as("o"), col("l_linenumber").as("ln"),
+            col("l_partkey").as("p"))
+        val de = li.as("a").join(li.as("b"),
+            col("a.o") === col("b.o") && col("b.ln") === col("a.ln") + 1)
+          .where(col("a.p") =!= col("b.p") &&
+            (col("a.p") * 31 + col("b.p")) % 7 === 0)
+          .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+        val und = de.select(col("src").as("u"), col("dst").as("v"))
+          .unionAll(de.select(col("dst").as("u"), col("src").as("v")))
+          .distinct().localCheckpoint()
+        val root1 = und.groupBy("u").agg(count(lit(1)).as("dg"))
+          .orderBy(col("dg").desc, col("u")).limit(1)
+          .collect()(0).getLong(0)
+        def sweep(i: Int, r: Long): (Int, Long, Long, Long, Long) = {
+          val dist = GraphAnalytics.bfsDistances(und, r).localCheckpoint()
+          val a = dist.agg(max("dist").as("ecc"),
+            count(lit(1)).as("n_reach")).collect()(0)
+          val far = dist.where(col("dist") === a.getLong(0))
+            .agg(min("v")).collect()(0).getLong(0)
+          (i, r, a.getLong(0), a.getLong(1), far)
+        }
+        val s1 = sweep(1, root1)
+        val s2 = sweep(2, s1._5)
+        Seq(s1, s2).toDF("sweep", "root", "ecc", "n_reach", "far")
+      },
+      Some("""WITH RECURSIVE li AS (
+             |  SELECT l_orderkey o, l_linenumber ln, l_partkey p
+             |  FROM lineitem WHERE l_partkey <= 2000),
+             |de AS (SELECT DISTINCT a.p AS src, b.p AS dst
+             |  FROM li a JOIN li b ON a.o = b.o AND b.ln = a.ln + 1
+             |  WHERE a.p <> b.p AND (a.p * 31 + b.p) % 7 = 0),
+             |e AS (SELECT src AS u, dst AS v FROM de
+             |  UNION SELECT dst, src FROM de),
+             |deg AS (SELECT u, count(*) AS dg FROM e GROUP BY u),
+             |r1 AS (SELECT u FROM deg ORDER BY dg DESC, u LIMIT 1),
+             |b1 AS (SELECT u AS v, 0 AS dist FROM r1
+             |  UNION SELECT e.v, b.dist + 1 FROM b1 b
+             |  JOIN e ON e.u = b.v WHERE b.dist < 60),
+             |m1 AS (SELECT v, min(dist) AS dist FROM b1 GROUP BY v),
+             |s1 AS (SELECT 1 AS sweep, (SELECT u FROM r1) AS root,
+             |  max(dist) AS ecc, count(*) AS n_reach,
+             |  min(CASE WHEN dist = (SELECT max(dist) FROM m1) THEN v END)
+             |    AS far FROM m1),
+             |b2 AS (SELECT far AS v, 0 AS dist FROM s1
+             |  UNION SELECT e.v, b.dist + 1 FROM b2 b
+             |  JOIN e ON e.u = b.v WHERE b.dist < 60),
+             |m2 AS (SELECT v, min(dist) AS dist FROM b2 GROUP BY v),
+             |s2 AS (SELECT 2 AS sweep, (SELECT far FROM s1) AS root,
+             |  max(dist) AS ecc, count(*) AS n_reach,
+             |  min(CASE WHEN dist = (SELECT max(dist) FROM m2) THEN v END)
+             |    AS far FROM m2)
+             |SELECT sweep, root, CAST(ecc AS BIGINT) AS ecc,
+             |  CAST(n_reach AS BIGINT) AS n_reach, far
+             |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+             |ORDER BY sweep""".stripMargin))
   )
 
   /** Planted-community graph for x06: parts grouped into ~10-member
