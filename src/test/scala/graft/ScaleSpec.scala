@@ -390,6 +390,23 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q62 delta fold reads ONLY the persisted summary plus the delta slice") {
+    // the materialized-view claim: epoch 2 must not re-scan the full
+    // corpus — its plan holds exactly two file scans (summary parquet
+    // + the lineitem delta) and the summary scan reads the PARTIALS,
+    // not raw rows
+    val df = SparkEntry.queries("q62_incremental_agg")(spark, sfDir)
+    df.collect()
+    // AQE's toString repeats the tree under "== Initial Plan ==" —
+    // count scans in the final section only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"expected summary+delta scans, got $scans:\n$plan")
+    assert(plan.contains("graft_q62_summary"),
+      s"merge does not read the persisted summary:\n$plan")
+  }
+
   test("q61 bucketed join plans with zero shuffle Exchange") {
     // both sides persisted bucketed 16 ways on the join key: the join
     // must read co-located buckets — any Exchange hashpartitioning

@@ -167,6 +167,19 @@ class GraphXSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.scc.localEdgeThreshold")
   }
 
+  test("bfsDistances: path + branch + unreachable island") {
+    import spark.implicits._
+    // 1-2-3-4 path, branch 2-10, island 50-51: dists from 1 are exact
+    // hop counts and the island never appears
+    val und = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L),
+      (4L, 3L), (2L, 10L), (10L, 2L), (50L, 51L), (51L, 50L))
+      .toDF("u", "v")
+    val got = GraphAnalytics.bfsDistances(und, 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 10L -> 2L, 4L -> 3L),
+      got.toString)
+  }
+
   test("triangleCounts: K4 plus a pendant edge") {
     import spark.implicits._
     // K4 on 1-4 (4 triangles, each vertex in 3) + pendant 4-5 (none)
