@@ -1323,6 +1323,43 @@ object GraphAnalytics {
       .withColumn("cc_micro", expr("tri * 2000000 div (dg * (dg - 1))"))
       .select(col("c").as("id"), col("dg"), col("tri"), col("cc_micro"))
 
+  /** Longest-path layering of a DAG edge list [src, dst]: layer(c) =
+    * 0 for sources, else 1 + max(layer(pred)) — the topological
+    * schedule depth. Iterative max-propagation to fixpoint, O(depth)
+    * rounds with the same observe-counted cut discipline as the SCC
+    * fixpoints. Caller guarantees acyclicity (a cycle never
+    * converges); the SCC condensation is acyclic by construction. */
+  def dagLayers(edges0: DataFrame): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst"))
+      .transform(graft.Ckpt.cut)
+    val verts = edges.select(col("src").as("c"))
+      .unionAll(edges.select(col("dst").as("c"))).distinct()
+    var lay = verts.select(col("c"), lit(0L).as("d"))
+      .transform(graft.Ckpt.cut)
+    var changed = 1L
+    var r = 0
+    while (changed > 0) {
+      val msg = edges
+        .join(lay.select(col("c").as("src"), col("d")), "src")
+        .groupBy(col("dst").as("c")).agg(max(col("d") + 1).as("m"))
+      val obs = org.apache.spark.sql.Observation(s"graft_dag_$r")
+      val next = lay.join(msg, Seq("c"), "left")
+        .select(col("c"),
+          greatest(col("d"), coalesce(col("m"), col("d"))).as("d"),
+          col("d").as("old"))
+        .observe(obs, coalesce(
+          sum(when(col("d") =!= col("old"), 1L).otherwise(0L)),
+          lit(0L)).as("changed"))
+        .transform(graft.Ckpt.cut)
+      changed = obs.get("changed").asInstanceOf[Long]
+      lay = next.select("c", "d")
+      r += 1
+      if (r > 10000) throw new IllegalStateException(
+        "dagLayers did not converge — input has a cycle")
+    }
+    lay.select(col("c"), col("d").as("layer"))
+  }
+
   /** Exact BFS hop distances from one root over an undirected long-id
     * edge list [u, v]; returns [v, dist]. O(ecc) rounds, each one
     * distinct frontier-expansion join + anti-join against visited,

@@ -1286,7 +1286,83 @@ object GraphXQueries {
              |SELECT sweep, root, CAST(ecc AS BIGINT) AS ecc,
              |  CAST(n_reach AS BIGINT) AS n_reach, far
              |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
-             |ORDER BY sweep""".stripMargin))
+             |ORDER BY sweep""".stripMargin)),
+
+    // SCC condensation DAG + longest-path layering: contract x25's
+    // components, keep the distinct inter-SCC edges (acyclic by
+    // construction), and compute each condensation node's topological
+    // depth — the schedule a dependency-aware pipeline executes the
+    // components in, and the classic second act of any SCC analysis.
+    // Engine composes stronglyConnectedComponents with the dagLayers
+    // max-propagation fixpoint; the mirror extends the x25 closure
+    // with a bounded depth walk. Layer histogram carries the vertex
+    // mass and a min-scc witness per layer (sf0.01: 13 layers, the
+    // giant SCCs at depths 4-5).
+    RegQuery("x27_scc_condensation",
+      (s, d) => {
+        val li = graft.Tables(s, d, "lineitem")
+          .where(col("l_partkey") <= 2000)
+          .select(col("l_orderkey").as("o"), col("l_linenumber").as("ln"),
+            col("l_partkey").as("p"))
+        val e = li.as("a").join(li.as("b"),
+            col("a.o") === col("b.o") && col("b.ln") === col("a.ln") + 1)
+          .where(col("a.p") =!= col("b.p") &&
+            (col("a.p") * 31 + col("b.p")) % 7 === 0)
+          .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+          .localCheckpoint() // feeds the SCC run AND the contraction
+        val lab = GraphAnalytics.stronglyConnectedComponents(e)
+          .localCheckpoint() // feeds contraction, the id universe, sizes
+        val ce = e
+          .join(lab.select(col("id").as("src"), col("scc_id").as("cs")),
+            "src")
+          .join(lab.select(col("id").as("dst"), col("scc_id").as("cd")),
+            "dst")
+          .where(col("cs") =!= col("cd"))
+          .select(col("cs").as("src"), col("cd").as("dst")).distinct()
+        // SCCs with no inter-SCC edge never enter the layer fixpoint —
+        // they are sources at depth 0 by definition
+        val layers = lab.select(col("scc_id").as("c")).distinct()
+          .join(GraphAnalytics.dagLayers(ce), Seq("c"), "left")
+          .na.fill(0L, Seq("layer"))
+        val sz = lab.groupBy("scc_id").agg(count(lit(1)).as("n"))
+        layers.join(sz, layers("c") === sz("scc_id"))
+          .groupBy("layer").agg(count(lit(1)).as("n_sccs"),
+            sum("n").as("n_vertices"), min("c").as("min_scc"))
+          .orderBy("layer")
+      },
+      Some("""WITH RECURSIVE li AS (
+             |  SELECT l_orderkey o, l_linenumber ln, l_partkey p
+             |  FROM lineitem WHERE l_partkey <= 2000),
+             |e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+             |  FROM li a JOIN li b ON a.o = b.o AND b.ln = a.ln + 1
+             |  WHERE a.p <> b.p AND (a.p * 31 + b.p) % 7 = 0),
+             |reach AS (SELECT src, dst FROM e
+             |  UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+             |verts AS (SELECT DISTINCT src AS v FROM e
+             |  UNION SELECT dst FROM e),
+             |mutual AS (SELECT r1.src AS mv, r1.dst AS mu FROM reach r1
+             |  JOIN reach r2 ON r2.src = r1.dst AND r2.dst = r1.src),
+             |scc AS (SELECT v, least(coalesce(min(mu), v), v) AS scc_id
+             |  FROM verts LEFT JOIN mutual ON mv = v GROUP BY v),
+             |ce AS (SELECT DISTINCT s1.scc_id AS src, s2.scc_id AS dst
+             |  FROM e JOIN scc s1 ON e.src = s1.v
+             |  JOIN scc s2 ON e.dst = s2.v
+             |  WHERE s1.scc_id <> s2.scc_id),
+             |cn AS (SELECT DISTINCT scc_id AS c FROM scc),
+             |walk AS (
+             |  SELECT c, 0 AS d FROM cn
+             |  WHERE c NOT IN (SELECT dst FROM ce)
+             |  UNION
+             |  SELECT ce.dst, w.d + 1 FROM walk w JOIN ce ON ce.src = w.c
+             |  WHERE w.d < 200),
+             |lay AS (SELECT c, max(d) AS layer FROM walk GROUP BY c),
+             |sz AS (SELECT scc_id, count(*) AS n FROM scc GROUP BY 1)
+             |SELECT CAST(layer AS BIGINT) AS layer,
+             |  CAST(count(*) AS BIGINT) AS n_sccs,
+             |  CAST(sum(n) AS BIGINT) AS n_vertices,
+             |  CAST(min(c) AS BIGINT) AS min_scc
+             |FROM lay JOIN sz ON lay.c = sz.scc_id
+             |GROUP BY layer ORDER BY layer""".stripMargin))
   )
 
   /** Planted-community graph for x06: parts grouped into ~10-member

@@ -180,6 +180,18 @@ class GraphXSpec extends SparkSpec {
       got.toString)
   }
 
+  test("dagLayers: diamond + chain = longest path, not BFS depth") {
+    import spark.implicits._
+    // diamond 1→2→4, 1→3→4 plus 4→5; and a long path 1→10→11→4:
+    // layer(4) must be 3 (the LONGEST path), layer(5) = 4
+    val dag = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L),
+      (1L, 10L), (10L, 11L), (11L, 4L)).toDF("src", "dst")
+    val got = GraphAnalytics.dagLayers(dag)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 10L -> 1L,
+      11L -> 2L, 4L -> 3L, 5L -> 4L), got.toString)
+  }
+
   test("triangleCounts: K4 plus a pendant edge") {
     import spark.implicits._
     // K4 on 1-4 (4 triangles, each vertex in 3) + pendant 4-5 (none)
