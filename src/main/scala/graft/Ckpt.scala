@@ -14,19 +14,26 @@ import org.apache.spark.sql.DataFrame
   */
 object Ckpt {
   // setCheckpointDir mints a fresh UUID subdirectory per call, so it
-  // runs once per configured dir, not once per cut
-  @volatile private var appliedDir: Option[String] = None
+  // runs once per (context, dir) — keyed on applicationId, NOT just the
+  // dir string: a restarted context in the same JVM with the same conf
+  // would otherwise skip the call and df.checkpoint() throws
+  // "checkpoint directory has not been set". The getCheckpointDir
+  // emptiness check backstops even an applicationId collision.
+  @volatile private var applied: Option[(String, String)] = None
 
   def cut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption("spark.graft.checkpointDir") match {
       case Some(dir) if dir.nonEmpty =>
-        if (!appliedDir.contains(dir)) synchronized {
-          if (!appliedDir.contains(dir)) {
-            spark.sparkContext.setCheckpointDir(dir)
-            appliedDir = Some(dir)
+        val sc = spark.sparkContext
+        val key = (sc.applicationId, dir)
+        if (!applied.contains(key) || sc.getCheckpointDir.isEmpty)
+          synchronized {
+            if (!applied.contains(key) || sc.getCheckpointDir.isEmpty) {
+              sc.setCheckpointDir(dir)
+              applied = Some(key)
+            }
           }
-        }
         df.checkpoint()
       case _ => df.localCheckpoint()
     }

@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: CosineTopKPlan -> CosineTopKExec (one
     // narrow corpus pass + bounded heap merge; see plans/CosineTopK)
     e.injectPlannerStrategy(_ => new graft.plans.CosineTopKStrategy)
+    // whole-operator extension: AsOfJoinPlan -> AsOfJoinExec (sorted
+    // single-cursor merge per co-partition; see plans/AsOfJoin)
+    e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),

@@ -1,0 +1,201 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, BoundReference, Expression, GenericInternalRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** As-of join as a dedicated physical operator — the second
+  * whole-operator Catalyst extension ((c) tier), the one-pass sorted
+  * merge commercial engines ship for temporal joins (the reference's
+  * temporal-attribute semantics anchor: reference
+  * src/ahghee/Printers.cs:139-152).
+  *
+  * Semantics (backward / "at or before"): for every left row, find the
+  * LAST right row with the same equi key whose ordering key is &lt;=
+  * the left row's, and append one value column from it (null when no
+  * such row). The composed q24 formulation unions both streams into a
+  * per-key window and materializes `last(...) ignoreNulls` over the
+  * FULL merged event history; this operator instead requires both
+  * children clustered on the equi keys and sorted by (equi, ord) —
+  * EnsureRequirements plans the standard exchanges/sorts — and then
+  * streams each co-partition pair ONCE with a single cursor into the
+  * right side. Per-partition state is one (equi key, value) pair; no
+  * window buffer, no merged materialization, and the operator
+  * preserves the left side's partitioning and ordering for downstream
+  * reuse.
+  *
+  * Key columns are addressed POSITIONALLY (index into each child's
+  * output), with the distribution/ordering expressions derived from
+  * `child.output` on demand — never stored: when both sides read the
+  * same base relation, re-analysis runs DeduplicateRelations and mints
+  * fresh exprIds for one subtree, which would orphan any stored
+  * attribute reference (the CosineTopK positional-access lesson
+  * applied to a keyed operator). The builder fixes the right child's
+  * layout to [equi keys…, ord keys…, value] via a fresh-alias Project,
+  * so ordinals are stable under every optimizer rewrite that preserves
+  * output order (they all do).
+  *
+  * Wiring mirrors CosineTopK: `AsOfJoinPlan` (logical; the value attr
+  * rides the constructor so optimizer copies keep its exprId) →
+  * `AsOfJoinStrategy` (injectPlannerStrategy) → `AsOfJoinExec`.
+  */
+case class AsOfJoinPlan(
+    leftKeyIdx: Seq[Int], // equi-key positions in left.output
+    leftOrdIdx: Seq[Int], // ordering-key positions in left.output
+    valueAttr: Attribute,
+    left: LogicalPlan,
+    right: LogicalPlan) // layout contract: [equi…, ord…, value]
+    extends BinaryNode {
+  override def output: Seq[Attribute] = left.output :+ valueAttr
+  // we pass through every left column and consume all of the right's
+  // (pre-projected) columns — declaring both child outputs referenced
+  // keeps ColumnPruning from cutting what the exec reads
+  override def references: AttributeSet = left.outputSet ++ right.outputSet
+  // valueAttr originates HERE (it rides the constructor, which
+  // QueryPlan would otherwise scan into references → phantom
+  // missingInput)
+  override def producedAttributes: AttributeSet = AttributeSet(valueAttr)
+  override protected def withNewChildrenInternal(l: LogicalPlan,
+      r: LogicalPlan): AsOfJoinPlan = copy(left = l, right = r)
+}
+
+class AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(lk, lo, va, l, r) =>
+      AsOfJoinExec(lk, lo, va, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKeyIdx: Seq[Int],
+    leftOrdIdx: Seq[Int],
+    valueAttr: Attribute,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output :+ valueAttr
+  override def producedAttributes: AttributeSet = AttributeSet(valueAttr)
+
+  private def nk = leftKeyIdx.length
+  private def no = leftOrdIdx.length
+  private def leftKeys: Seq[Expression] = leftKeyIdx.map(left.output)
+  private def rightKeys: Seq[Expression] = right.output.take(nk)
+
+  // both sides hash-clustered on the equi keys (EnsureRequirements
+  // inserts compatible exchanges, exactly as for a sort-merge join)…
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+  // …and sorted within partitions by (equi, ord) so one forward cursor
+  // per partition suffices
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeyIdx ++ leftOrdIdx).map(i => SortOrder(left.output(i), Ascending)),
+    right.output.take(nk + no).map(SortOrder(_, Ascending)))
+
+  // a pure append of one column: left's partitioning and ordering
+  // survive for downstream reuse
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(l: SparkPlan,
+      r: SparkPlan): AsOfJoinExec = copy(left = l, right = r)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val leftTypes = left.output.map(_.dataType)
+    val rightTypes = right.output.map(_.dataType)
+    val valueType = valueAttr.dataType
+    val lKeyIdx = (leftKeyIdx ++ leftOrdIdx).toArray
+    val nKeys = nk
+    val nAll = nk + no
+    val valuePos = right.output.length - 1
+
+    def bound(idx: Seq[Int], types: Seq[org.apache.spark.sql.types.DataType],
+        nullable: Seq[Boolean]): Seq[Expression] =
+      idx.map(i => BoundReference(i, types(i), nullable(i)))
+    val lNullable = left.output.map(_.nullable)
+    val rNullable = right.output.map(_.nullable)
+    val lKeyExprs = bound(lKeyIdx.toSeq, leftTypes, lNullable)
+    val rKeyExprs = bound(0 until nAll, rightTypes, rNullable)
+    val keyRowOrder = lKeyExprs.zipWithIndex.map { case (e, i) =>
+      SortOrder(BoundReference(i, e.dataType, e.nullable), Ascending) }
+
+    left.execute().zipPartitions(right.execute()) { (li, ri) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs)
+      // orderings over the PROJECTED key rows (same types both sides —
+      // the builder enforces it)
+      val fullOrd = new LazilyGeneratedOrdering(keyRowOrder)
+      val equiOrd = new LazilyGeneratedOrdering(keyRowOrder.take(nKeys))
+      val outProj = UnsafeProjection.create(
+        (leftTypes :+ valueType).toArray)
+      val rBuf = ri.buffered
+
+      // single-cursor merge state: the last right row consumed, as its
+      // (copied) key row + (copied) value — one pair per partition
+      var lastKey: UnsafeRow = null
+      var lastVal: Any = null
+
+      li.map { lrow =>
+        val lk = lKeyProj(lrow)
+        // consume every right row at-or-before this left row; the
+        // right projection uses its own buffer so comparing against lk
+        // is safe, and the consumed row's key/value are copied out
+        // before the buffered iterator reuses the row object
+        while (rBuf.hasNext && fullOrd.compare(rKeyProj(rBuf.head), lk) <= 0) {
+          val r = rBuf.next()
+          lastKey = rKeyProj(r).copy()
+          lastVal =
+            if (r.isNullAt(valuePos)) null
+            else InternalRow.copyValue(r.get(valuePos, valueType))
+        }
+        val matched = lastKey != null && equiOrd.compare(lastKey, lk) == 0
+        val vals = new Array[Any](leftTypes.length + 1)
+        var i = 0
+        while (i < leftTypes.length) {
+          vals(i) = lrow.get(i, leftTypes(i)); i += 1
+        }
+        vals(leftTypes.length) = if (matched) lastVal else null
+        outProj(new GenericInternalRow(vals)).copy(): InternalRow
+      }
+    }
+  }
+}
+
+object AsOfJoin {
+  /** Backward as-of join: for each `left` row, the last `right` row
+    * with equal `on` keys and (ord of right) &lt;= (ord of left),
+    * appending right's `valueCol` as `as` (null when no match).
+    * Columns are resolved by name on each side and must agree in type.
+    */
+  def asOfLE(left: DataFrame, right: DataFrame, on: Seq[String],
+      ord: Seq[String], valueCol: String, as: String): DataFrame = {
+    val l = left.queryExecution.analyzed
+    val r = right.queryExecution.analyzed
+    def resolve(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"as-of join: column '$n' not found in [${p.output.map(_.name).mkString(", ")}]"))
+    val lk = on.map(resolve(l, _))
+    val lo = ord.map(resolve(l, _))
+    val rk = on.map(resolve(r, _))
+    val ro = ord.map(resolve(r, _))
+    require(lk.map(_.dataType) == rk.map(_.dataType) &&
+      lo.map(_.dataType) == ro.map(_.dataType),
+      "as-of join: key/ordering column types must match across sides")
+    val rv = resolve(r, valueCol)
+    // fix the right layout to [equi…, ord…, value] behind FRESH aliases
+    // (fresh exprIds survive DeduplicateRelations when both sides read
+    // the same base relation; the value alias also dodges a duplicate
+    // column when valueCol is itself a key)
+    val rProj = Project((rk ++ ro).map(a => Alias(a, a.name)()) :+
+      Alias(rv, "graft_asof_value")(), r)
+    val va = AttributeReference(as, rv.dataType, nullable = true)()
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(left.sparkSession,
+      AsOfJoinPlan(lk.map(l.output.indexOf), lo.map(l.output.indexOf),
+        va, l, rProj))
+  }
+}

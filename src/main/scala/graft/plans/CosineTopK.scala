@@ -4,8 +4,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, GenericInternalRow}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
 
@@ -22,6 +23,23 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
   * loop), rounds to micro units, ranks by (cos desc, id asc) — so the
   * SAME DuckDB oracle hash-checks both plans.
   *
+  * The operator is a true BINARY node: the probe side is a second
+  * child plan, not a driver-resident literal — it can be any query
+  * (a filter over the corpus, a loaded probe table, the output of
+  * another operator) and EnsureRequirements plans it as a
+  * `BroadcastExchange` (IdentityBroadcastMode), never a shuffle. So
+  * probe batches ride Spark's torrent broadcast like any build side,
+  * and the operator slots into arbitrary plans — the reference's
+  * plugin aspiration (reference README.md:34-57) realized at the
+  * whole-operator tier.
+  *
+  * Degenerate-vector contract: zero-norm corpus rows are SKIPPED and
+  * zero-norm probe rows emit nothing (cosine is undefined at zero
+  * norm; the composed p09 plan would propagate NaN, which Spark sorts
+  * largest — silently ranking garbage first). Probe ids must be
+  * unique — two probe rows sharing an id would have their heaps
+  * merged as if one query.
+  *
   * Wiring: `CosineTopKPlan` (logical, fixed output) is planned by
   * `CosineTopKStrategy` (injected via
   * `SparkSessionExtensions.injectPlannerStrategy`) into
@@ -29,58 +47,58 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
   * `classic.Dataset.ofRows`.
   */
 case class CosineTopKPlan(
-    queries: Seq[(Long, Seq[Double])],
     k: Int,
     excludeSelf: Boolean,
     // output attrs are a constructor FIELD, not a generated val —
     // Catalyst copies nodes freely during optimization, and fresh
     // exprIds on copy would orphan every downstream reference
     output: Seq[Attribute],
-    child: LogicalPlan) extends UnaryNode {
-  // we consume every child column (id, vector) — declaring the full
-  // child output as referenced keeps ColumnPruning honest about it
-  override def references: AttributeSet = child.outputSet
+    left: LogicalPlan, // corpus (id, vector)
+    right: LogicalPlan) // probes (id, vector)
+    extends BinaryNode {
+  // we consume every column of both children — declaring the full
+  // child outputs as referenced keeps ColumnPruning honest about it
+  override def references: AttributeSet = left.outputSet ++ right.outputSet
   // the output attrs originate HERE (they ride the constructor, which
   // QueryPlan would otherwise scan into references → phantom
   // missingInput)
   override def producedAttributes: AttributeSet = AttributeSet(output)
-  override protected def withNewChildInternal(c: LogicalPlan): CosineTopKPlan =
-    copy(child = c)
+  override protected def withNewChildrenInternal(l: LogicalPlan,
+      r: LogicalPlan): CosineTopKPlan = copy(left = l, right = r)
 }
 
 class CosineTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case CosineTopKPlan(queries, k, excludeSelf, out, child) =>
-      CosineTopKExec(queries, k, excludeSelf, out,
-        planLater(child)) :: Nil
+    case CosineTopKPlan(k, excludeSelf, out, corpus, probes) =>
+      CosineTopKExec(k, excludeSelf, out,
+        planLater(corpus), planLater(probes)) :: Nil
     case _ => Nil
   }
 }
 
 case class CosineTopKExec(
-    queries: Seq[(Long, Seq[Double])],
     k: Int,
     excludeSelf: Boolean,
     output: Seq[Attribute],
-    child: SparkPlan) extends UnaryExecNode {
+    left: SparkPlan, // corpus — streamed
+    right: SparkPlan) // probes — broadcast build side
+    extends BinaryExecNode {
 
   override def producedAttributes: AttributeSet = AttributeSet(output)
 
-  override protected def withNewChildInternal(c: SparkPlan): CosineTopKExec =
-    copy(child = c)
+  // the probe side is a build side: EnsureRequirements wraps it in a
+  // BroadcastExchange (identity mode — plain rows), NEVER a shuffle;
+  // the corpus side streams wherever it already lives
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override protected def withNewChildrenInternal(l: SparkPlan,
+      r: SparkPlan): CosineTopKExec = copy(left = l, right = r)
 
   protected override def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val exclSelf = excludeSelf
-    // pre-normalize the (broadcast-sized) query side once
-    val qs = queries.map { case (qid, v) =>
-      val arr = v.toArray
-      var nq = 0.0
-      var i = 0
-      while (i < arr.length) { nq += arr(i) * arr(i); i += 1 }
-      (qid, arr, math.sqrt(nq))
-    }.toArray
-    val bc = sparkContext.broadcast(qs)
+    val bc = right.executeBroadcast[Array[InternalRow]]()
 
     // heap entries (id, cosMicro); "worst" = smaller cos, then larger
     // id — it compares GREATEST (PriorityQueue dequeues the max), so
@@ -93,8 +111,18 @@ case class CosineTopKExec(
     }
 
     val partials: RDD[(Long, Array[(Long, Long)])] =
-      child.execute().mapPartitions { iter =>
-        val q = bc.value
+      left.execute().mapPartitions { iter =>
+        // normalize the broadcast probe rows once per partition;
+        // zero-norm probes are dropped (see contract above)
+        val q = bc.value.iterator.filter(r =>
+            !r.isNullAt(0) && !r.isNullAt(1))
+          .map { r =>
+            val arr = r.getArray(1).toDoubleArray()
+            var nq = 0.0
+            var i = 0
+            while (i < arr.length) { nq += arr(i) * arr(i); i += 1 }
+            (r.getLong(0), arr, math.sqrt(nq))
+          }.filter(_._3 > 0).toArray.sortBy(_._1)
         val heaps = q.map(_ =>
           new scala.collection.mutable.PriorityQueue[(Long, Long)]()(
             worstFirst))
@@ -108,7 +136,9 @@ case class CosineTopKExec(
             while (i < v.length) { nv += v(i) * v(i); i += 1 }
             nv = math.sqrt(nv)
             var j = 0
-            while (j < q.length) {
+            // zero-norm corpus rows are skipped (guard on nv), so the
+            // NaN → 0-cos silent ranking cannot happen
+            while (j < q.length && nv > 0) {
               val (qid, qv, nq) = q(j)
               if (!(exclSelf && id == qid)) {
                 val n = math.min(qv.length, v.length)
@@ -160,16 +190,30 @@ object CosineTopK {
     AttributeReference("n_id", LongType, nullable = false)(),
     AttributeReference("cos_r", DoubleType, nullable = false)())
 
-  /** Top-k cosine neighbours of each query vector over `corpus`
-    * (columns: long id, array&lt;double&gt; vector — projected/cast
-    * here). Returns [q_id, rank, n_id, cos_r]. */
+  /** Top-k cosine neighbours over `corpus` of each probe row in
+    * `probes` — BOTH are DataFrames (columns projected/cast here);
+    * the probe side plans as a broadcast build side. Returns
+    * [q_id, rank, n_id, cos_r]. */
+  def topK(corpus: DataFrame, idCol: String, vecCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      k: Int, excludeSelf: Boolean): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long"),
+      col(vecCol).cast(ArrayType(DoubleType)))
+    val p = probes.select(col(probeIdCol).cast("long"),
+      col(probeVecCol).cast(ArrayType(DoubleType)))
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(corpus.sparkSession,
+      CosineTopKPlan(k, excludeSelf, outputAttrs,
+        c.queryExecution.analyzed, p.queryExecution.analyzed))
+  }
+
+  /** Literal-probe sugar over the binary form: the Seq becomes a
+    * local relation on the probe side. */
   def topK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: Seq[(Long, Seq[Double])], k: Int,
       excludeSelf: Boolean = false): DataFrame = {
-    val proj = corpus.select(col(idCol).cast("long"),
-      col(vecCol).cast(ArrayType(DoubleType)))
-    org.apache.spark.sql.graftbridge.Bridge.ofRows(corpus.sparkSession,
-      CosineTopKPlan(queries, k, excludeSelf, outputAttrs,
-        proj.queryExecution.analyzed))
+    val s = corpus.sparkSession
+    import s.implicits._
+    topK(corpus, idCol, vecCol,
+      queries.toDF("q_id", "q_vec"), "q_id", "q_vec", k, excludeSelf)
   }
 }

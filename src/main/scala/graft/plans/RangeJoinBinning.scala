@@ -158,6 +158,25 @@ case class RangeJoinBinning() extends Rule[LogicalPlan]
         if (intervalOnLeft) (j.left, j.right) else (j.right, j.left)
       // interval side: drop empty intervals, explode covered bins
       val binAttr = AttributeReference("graft_bin", LongType)()
+      // a width far below the interval span would explode one row per
+      // covered bin without bound (per-row OOM / Sequence's
+      // MAX_ROUNDED_ARRAY_LENGTH) — cap bins-per-interval and turn the
+      // overrun into an ACTIONABLE error instead of a silent blowup;
+      // the And/Or operands below are ordered so the raise is reached
+      // only by a non-null in-order interval that exceeds the cap
+      val cap = try {
+        conf.getConfString("spark.graft.rangeJoin.maxBinsPerRow", "8192")
+          .toLong
+      } catch { case _: NumberFormatException => 8192L }
+      val binsOk = LessThanOrEqual(Subtract(bin(hi), bin(lo)),
+        Literal(math.max(cap, 1L)))
+      val capGuard = Or(binsOk, IsNull(new RaiseError(Literal(
+        s"graft range-join binning: an interval spans more than " +
+          s"${math.max(cap, 1L)} bins at width $w — raise " +
+          "spark.graft.rangeJoin.binWidth or " +
+          "spark.graft.rangeJoin.maxBinsPerRow"))))
+      val intervalFilter = And(And(IsNotNull(lo), IsNotNull(hi)),
+        And(LessThanOrEqual(lo, hi), capGuard))
       // timeZoneId must be filled by hand: Sequence is time-zone aware
       // and the analyzer's ResolveTimeZone already ran
       val gen = Generate(
@@ -165,7 +184,7 @@ case class RangeJoinBinning() extends Rule[LogicalPlan]
           Some(conf.sessionLocalTimeZone))),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(binAttr),
-        child = Filter(LessThanOrEqual(lo, hi), intervalChild))
+        child = Filter(intervalFilter, intervalChild))
       // point side: the single bin the point lands in
       val ptAlias = Alias(bin(pt), "graft_bin")()
       val proj = Project(pointChild.output :+ ptAlias, pointChild)

@@ -2551,16 +2551,24 @@ object Pipeline {
           .localCheckpoint() // feeds k marginal passes
         val picks = Seq.newBuilder[(Int, String, Long, Long)]
         var cum = 0L
-        for (it <- 1 to 5) {
-          val top = remaining.groupBy("source").agg(count(lit(1)).as("m"))
-            .orderBy(col("m").desc, col("source")).limit(1).collect()(0)
-          val (src, m) = (top.getString(0), top.getLong(1))
-          cum += m
-          picks += ((it, src, m, cum))
-          remaining = remaining.where(col("source") =!= src)
-            .join(remaining.where(col("source") === src).select("h"),
-              Seq("h"), "anti")
-            .localCheckpoint()
+        var exhausted = false
+        for (it <- 1 to 5 if !exhausted) {
+          // headOption, not (0): with fewer sources than rounds (or
+          // full coverage) `remaining` empties early — then the greedy
+          // just stops, exactly where the oracle emits fewer rows
+          remaining.groupBy("source").agg(count(lit(1)).as("m"))
+            .orderBy(col("m").desc, col("source")).limit(1)
+            .collect().headOption match {
+            case None => exhausted = true
+            case Some(top) =>
+              val (src, m) = (top.getString(0), top.getLong(1))
+              cum += m
+              picks += ((it, src, m, cum))
+              remaining = remaining.where(col("source") =!= src)
+                .join(remaining.where(col("source") === src).select("h"),
+                  Seq("h"), "anti")
+                .localCheckpoint()
+          }
         }
         picks.result().toDF("iter", "source", "marginal_new", "cum_cover")
       },
@@ -2582,11 +2590,12 @@ object Pipeline {
       (s, d) => {
         val e = Tables(s, d, "embeddings")
           .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
-        // the query side is driver-resident by design (it broadcasts);
-        // 3 rows here, and at scale the q·dim floats a probe batch holds
-        val qs = e.where(col("vec_id") < 3).collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-        graft.plans.CosineTopK.topK(e, "vec_id", "v", qs, k = 5,
+        // the probe side is a CHILD PLAN (a filter over the same scan),
+        // never a driver collect — EnsureRequirements plans it as a
+        // BroadcastExchange, so a probe batch scales exactly as far as
+        // any broadcast build side
+        graft.plans.CosineTopK.topK(e, "vec_id", "v",
+          e.where(col("vec_id") < 3), "vec_id", "v", k = 5,
           excludeSelf = true)
           .orderBy("q_id", "rank")
       },
@@ -2739,7 +2748,7 @@ $next AS (SELECT w, freq, CASE WHEN len(syms) <= 1 THEN syms ELSE
     string_split(list_reduce(syms, (acc, x) -> CASE
       WHEN (acc = m.lhs OR acc LIKE '%/' || m.lhs) AND x = m.rhs
       THEN acc || x ELSE acc || '/' || x END), '/') END AS syms
-  FROM $prev, $m AS m)"""
+  FROM $prev LEFT JOIN $m AS m ON TRUE)"""
     }
     sb.toString
   }

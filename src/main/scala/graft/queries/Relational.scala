@@ -1437,30 +1437,26 @@ object Relational {
     // between-predicate but over ALL parts (q17 pre-filters to 200
     // partkeys precisely because the planner's only plan for a pure
     // inequality join is BroadcastNestedLoopJoin — O(|parts|·|supps|)
-    // compares). With spark.graft.rangeJoin.binWidth set, the injected
-    // RangeJoinBinning optimizer rule turns it into an equi-join on
-    // floor(x/W) bins (interval side explodes its covered bins, point
-    // side computes one) — a shuffle-partitioned hash join whose work
-    // is linear in rows + true matches. The plan is forced while the
-    // conf is set, then the conf is restored so no other registry
-    // query's plan silently changes. The aggregate keeps the output
-    // bounded (~matches per price band) at any SF.
+    // compares). The RANGE_BIN(100) hint marks THIS join for the
+    // injected RangeJoinBinning optimizer rule, which turns it into an
+    // equi-join on floor(x/W) bins (interval side explodes its covered
+    // bins, point side computes one) — a shuffle-partitioned hash join
+    // whose work is linear in rows + true matches. The per-join hint
+    // (not the session-wide binWidth conf) means no other query
+    // planned concurrently on the shared session can be rewritten by
+    // accident. The aggregate keeps the output bounded (~matches per
+    // price band) at any SF.
     RegQuery("q60_range_join_binned",
-      (s, d) => {
-        s.conf.set("spark.graft.rangeJoin.binWidth", "100")
-        try {
-          val q = t(s, d, "part")
-            .join(t(s, d, "supplier"),
-              col("p_retailprice").between(col("s_acctbal"),
-                col("s_acctbal") + 100))
-            .groupBy(expr("p_partkey div 500").as("pk_band"))
-            .agg(count(lit(1)).as("n_matches"),
-              countDistinct(col("s_suppkey")).as("n_supps"))
-            .orderBy("pk_band")
-          q.queryExecution.executedPlan // plan under the conf, eagerly
-          q
-        } finally s.conf.unset("spark.graft.rangeJoin.binWidth")
-      },
+      (s, d) =>
+        t(s, d, "part")
+          .join(t(s, d, "supplier"),
+            col("p_retailprice").between(col("s_acctbal"),
+              col("s_acctbal") + 100))
+          .hint("range_bin", 100)
+          .groupBy(expr("p_partkey div 500").as("pk_band"))
+          .agg(count(lit(1)).as("n_matches"),
+            countDistinct(col("s_suppkey")).as("n_supps"))
+          .orderBy("pk_band"),
       Some("""SELECT p_partkey // 500 AS pk_band,
              |  CAST(count(*) AS BIGINT) AS n_matches,
              |  CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_supps
@@ -1567,6 +1563,42 @@ object Relational {
              |    AS BIGINT) AS avg_qty_milli,
              |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
              |    // count(*) AS BIGINT) AS avg_price_cents
-             |FROM lineitem GROUP BY 1, 2 ORDER BY flag, status""".stripMargin))
+             |FROM lineitem GROUP BY 1, 2 ORDER BY flag, status""".stripMargin)),
+
+    // ---- q63: as-of join through the custom physical operator ----------
+    // q24's EXACT semantics executed by the second whole-operator
+    // Catalyst extension (plans/AsOfJoin): AsOfJoinPlan →
+    // AsOfJoinStrategy → AsOfJoinExec — both sides clustered on
+    // user_id and sorted by (user_id, ts, event_id), then ONE forward
+    // cursor per co-partition appends the latest at-or-before view to
+    // each click. The composed q24 plan materializes the full merged
+    // event stream into a per-user window; this one holds a single
+    // (key, value) pair of state per partition and preserves the left
+    // side's partitioning/ordering for downstream reuse. Determinism
+    // is exact (same tuples, no floats), so q24's UNCHANGED oracle
+    // hash-checks the custom operator; AsOfJoinSpec pins exec-node
+    // presence, row equality with the window form, and the
+    // partition-boundary/no-match edges.
+    RegQuery("q63_asof_join_exec",
+      (s, d) => {
+        val ev = t(s, d, "events").select("user_id", "ts", "event_id",
+          "event_type")
+        graft.plans.AsOfJoin.asOfLE(
+          ev.filter(col("event_type") === "click")
+            .select("user_id", "ts", "event_id"),
+          ev.filter(col("event_type") === "view")
+            .select("user_id", "ts", "event_id"),
+          on = Seq("user_id"), ord = Seq("ts", "event_id"),
+          valueCol = "event_id", as = "last_view")
+          .select("event_id", "last_view")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, last_view FROM (
+             |  SELECT event_id, event_type,
+             |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view
+             |  FROM events)
+             |WHERE event_type = 'click' ORDER BY event_id""".stripMargin))
   )
 }

