@@ -2599,13 +2599,38 @@ object Pipeline {
           excludeSelf = true)
           .orderBy("q_id", "rank")
       },
-      Some(p09Oracle))
+      Some(p09Oracle)),
+
+    // ---- p76: batched BPE training (multi-merge rounds) -----------------
+    // p70's scale caveat closed: a production 32k-merge vocabulary
+    // cannot afford one Spark job per merge. Each round now selects up
+    // to 6 SYMBOL-DISJOINT pairs (greedy down the (cnt DESC, lhs, rhs)
+    // ranking; a pair is blocked when either symbol appeared in any
+    // higher-ranked pair) and applies them in ONE fold pass —
+    // disjointness makes the batch order-independent, so the single
+    // fold equals 6 sequential merges and the job count drops to
+    // ~vocab/6. Selection pulls only the ranked pair prefix to the
+    // driver; the DuckDB mirror runs the identical ranking + NOT
+    // EXISTS blocking + list-membership fold as chained CTEs, so every
+    // selected pair, rank, and tie-break is hash-checked.
+    RegQuery("p76_bpe_batch_merges",
+      (s, d) => {
+        import s.implicits._
+        bpeLearnBatched(s, d, rounds = 3, batchN = 6)._1
+          .toDF("rnd", "sel_rank", "lhs", "rhs", "pair_freq")
+          .orderBy("rnd", "sel_rank")
+      },
+      Some(bpeBatchOracle(3, 6)))
   )
 
   /** p70/p71's shared BPE training loop: word-frequency table →
     * `rounds` (argmax pair, fold-merge) iterations. Returns the merge
     * table rows and the final segmented vocab [w, freq, syms]. Only
     * the per-round winning pair reaches the driver. */
+  /** Test seam for the rehearsal pin comparing the two trainers. */
+  private[graft] def bpeLearnSeq(s: SparkSession, d: String, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = bpeLearn(s, d, rounds)
+
   private def bpeLearn(s: SparkSession, d: String, rounds: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     def applyMerge(syms: Column, a: String, b: String): Column =
@@ -2643,6 +2668,131 @@ object Pipeline {
     }
     (merges.result(), cur)
   }
+
+  /** p76's batched BPE training loop: like [[bpeLearn]], but each
+    * round selects up to `batchN` SYMBOL-DISJOINT pairs (greedy down
+    * the (cnt DESC, lhs, rhs) ranking, a pair eligible iff neither
+    * symbol appeared in ANY higher-ranked pair) and folds them all in
+    * ONE pass. Disjointness makes the merges order-independent within
+    * the round, so one fold applies them exactly as `batchN`
+    * sequential folds would — and a production 32k-merge vocabulary
+    * costs ~vocab/batchN sequential Spark jobs instead of vocab (the
+    * round-5 verdict's p70 scale caveat, closed). Only the ranked
+    * pair prefix reaches the driver (adaptively grown until the
+    * selection closes), and the blocking rule scans pairs in rank
+    * order so the DuckDB mirror's NOT EXISTS formulation is
+    * hash-exact including every tie-break. */
+  private[graft] def bpeLearnBatched(s: SparkSession, d: String,
+      rounds: Int, batchN: Int)
+      : (Seq[(Int, Int, String, String, Long)], DataFrame) = {
+    def applyMerges(syms: Column, ps: Seq[(String, String)]): Column =
+      aggregate(syms, array().cast("array<string>"), (acc, x) => {
+        val last = element_at(acc, -1)
+        val hit = ps.map { case (a, b) => last === lit(a) && x === lit(b) }
+          .reduce(_ || _)
+        when(size(acc) > 0 && hit,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(last, x))))
+          .otherwise(concat(acc, array(x)))
+      })
+    var cur = Tables(s, d, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"), expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"))
+      .repartition(col("w"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, Int, String, String, Long)]
+    for (rnd <- 1 to rounds) {
+      val pairs = cur.where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(syms[i-1] AS lhs, syms[i] AS rhs))")).as("p"))
+        .groupBy("p.lhs", "p.rhs").agg(sum("freq").as("cnt"))
+      // greedy disjoint selection over the RANKED pair prefix; grow the
+      // prefix until the selection closes or the ranking is exhausted,
+      // so the driver never holds more than the blocking frontier
+      var limit = 512
+      var sel: Seq[(String, String, Long)] = Seq.empty
+      var settled = false
+      while (!settled) {
+        val top = pairs
+          .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+          .limit(limit).collect()
+        val seen = scala.collection.mutable.Set.empty[String]
+        val picked = Seq.newBuilder[(String, String, Long)]
+        var n = 0
+        val it = top.iterator
+        while (n < batchN && it.hasNext) {
+          val r = it.next()
+          val (a, b) = (r.getString(0), r.getString(1))
+          if (!seen(a) && !seen(b)) {
+            picked += ((a, b, r.getLong(2))); n += 1
+          }
+          seen += a; seen += b
+        }
+        if (n == batchN || top.length < limit) {
+          sel = picked.result(); settled = true
+        } else limit *= 4
+      }
+      if (sel.nonEmpty) {
+        sel.zipWithIndex.foreach { case ((a, b, c), i) =>
+          merges += ((rnd, i + 1, a, b, c))
+        }
+        cur = cur.select(col("w"), col("freq"),
+            applyMerges(col("syms"), sel.map(p => (p._1, p._2))).as("syms"))
+          .localCheckpoint()
+      }
+    }
+    (merges.result(), cur)
+  }
+
+  /** DuckDB mirror of [[bpeLearnBatched]]: the same `n` rounds as
+    * chained CTEs — per round the pair aggregate, a (cnt DESC, lhs,
+    * rhs) row_number ranking, the symbol-disjoint selection as a NOT
+    * EXISTS against all higher-ranked pairs, and the batch applied in
+    * one list_reduce fold whose membership test scans the selected
+    * (lhs, rhs) lists. */
+  private def bpeBatchChain(n: Int, batchN: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+             |  string_split(w, '') AS syms
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+             |        FROM documents)
+             |  GROUP BY w)""".stripMargin
+    for (i <- 1 to n) {
+      val (prev, p, r, s, m, ms, next) = (s"w${i - 1}", s"p$i", s"r$i",
+        s"s$i", s"m$i", s"ms$i", s"w$i")
+      sb ++= s""",
+$p AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs,
+    CAST(sum(freq) AS BIGINT) AS cnt
+  FROM $prev, unnest(range(1, len(syms))) AS u(i)
+  WHERE len(syms) >= 2 GROUP BY 1, 2),
+$r AS (SELECT lhs, rhs, cnt,
+    row_number() OVER (ORDER BY cnt DESC, lhs, rhs) AS rn FROM $p),
+$s AS (SELECT a.lhs, a.rhs, a.cnt, a.rn FROM $r a WHERE NOT EXISTS (
+  SELECT 1 FROM $r b WHERE b.rn < a.rn
+    AND (b.lhs IN (a.lhs, a.rhs) OR b.rhs IN (a.lhs, a.rhs)))),
+$m AS (SELECT lhs, rhs, cnt,
+    row_number() OVER (ORDER BY rn) AS sr FROM $s ORDER BY rn LIMIT $batchN),
+$ms AS (SELECT coalesce(list(lhs ORDER BY sr), []) AS ll,
+    coalesce(list(rhs ORDER BY sr), []) AS lr FROM $m),
+$next AS (SELECT w, freq, CASE WHEN len(syms) <= 1 THEN syms ELSE
+    string_split(list_reduce(syms, (acc, x) -> CASE
+      WHEN len(list_filter(range(1, len(ll)+1),
+        k -> (acc = ll[k] OR acc LIKE '%/' || ll[k]) AND x = lr[k])) > 0
+      THEN acc || x ELSE acc || '/' || x END), '/') END AS syms
+  FROM $prev LEFT JOIN $ms ON TRUE)"""
+    }
+    sb.toString
+  }
+
+  private def bpeBatchOracle(n: Int, batchN: Int): String =
+    bpeBatchChain(n, batchN) + "\n" + (1 to n).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS rnd, CAST(sr AS INTEGER) AS sel_rank," +
+        s" lhs, rhs, cnt AS pair_freq FROM m$i").mkString(" UNION ALL ") +
+      " ORDER BY rnd, sel_rank"
 
   /** DuckDB mirror of p52: the textured-audio sample generator (the
     * p50 finalizer mapped to [-100,100]) and the twin nudge re-expressed

@@ -241,6 +241,78 @@ class ScaleRehearsalSpec extends SparkSpec {
       "a 100k frontier must hand the traversal to the distributed loop")
   }
 
+  test("batched BPE: vocab grows ~batchN per round, batch == sequential merges") {
+    // p76's scale claim made testable: ROUNDS, not merges, are the
+    // serial job budget — a batch of N disjoint merges per round must
+    // reach the vocabulary that the one-merge-per-round loop (p70)
+    // needs ~N times the rounds for, and produce the SAME merges
+    // (disjointness makes the one-pass fold order-independent).
+    val (batched, _) = graft.queries.Pipeline
+      .bpeLearnBatched(spark, sfDir, rounds = 3, batchN = 6)
+    val (sequential, _) = graft.queries.Pipeline
+      .bpeLearnSeq(spark, sfDir, rounds = batched.length)
+    // within every round the selected pairs are pairwise symbol-disjoint
+    batched.groupBy(_._1).foreach { case (rnd, sel) =>
+      val syms = sel.flatMap(m => Seq(m._3, m._4))
+      assert(syms.distinct.length == syms.length,
+        s"round $rnd selected overlapping pairs: $sel")
+      assert(sel.nonEmpty, s"round $rnd selected nothing")
+    }
+    // 3 batched rounds cover what took `batched.length` (= 10 at this
+    // corpus) sequential rounds — the vocab/N round-count claim
+    assert(batched.length >= 8,
+      s"batching degenerated to ${batched.length} merges in 3 rounds")
+    // the merge SET matches the sequential trainer's (order differs:
+    // a round's later picks may outrank the next round's top pair)
+    val batchSet = batched.map(m => (m._3, m._4)).toSet
+    val seqSet = sequential.map(m => (m._2, m._3)).toSet
+    assert((batchSet -- seqSet).size <= 2 && (seqSet -- batchSet).size <= 2,
+      s"batched and sequential vocabularies diverged:\n$batchSet\n$seqSet")
+  }
+
+  test("SCC adversarial shape: a chain of cycles peels one SCC per round; maxRounds guards") {
+    // FW-BW-Trim's documented worst case (GraphAnalytics Scaladoc): a
+    // chain of small SCCs whose ids INCREASE along the chain — every
+    // cycle's backward set contains cycle 0's global min, so only ONE
+    // pivot is locally minimal per round and the peel serializes.
+    // Pinning it keeps the failure mode VISIBLE (round count ~ chain
+    // length, and the maxRounds guard turning a runaway into an
+    // actionable error) rather than silently relying on real graphs
+    // peeling in a handful of rounds.
+    def chain(c: Int) = {
+      val cyc = spark.range(3L * c)
+        .selectExpr("id as src", "(id - id % 3) + (id + 1) % 3 as dst")
+      val link = spark.range(c - 1L)
+        .selectExpr("id * 3 + 2 as src", "(id + 1) * 3 as dst")
+      cyc.unionAll(link)
+    }
+    def rounds: Int = spark.sparkContext
+      .getLocalProperty("graft.scc.rounds").toInt
+    try {
+      spark.conf.set("spark.graft.scc.localEdgeThreshold", "0")
+      val scc12 = GraphAnalytics.stronglyConnectedComponents(chain(12))
+        .select("scc_id").distinct().count()
+      val r12 = rounds
+      assert(scc12 == 12, s"expected 12 SCCs, got $scc12")
+      val scc18 = GraphAnalytics.stronglyConnectedComponents(chain(18))
+        .select("scc_id").distinct().count()
+      val r18 = rounds
+      assert(scc18 == 18, s"expected 18 SCCs, got $scc18")
+      // one peeled SCC per round (±1 for the final empty-graph check):
+      // the round count must TRACK the chain length
+      assert(r12 >= 11 && r12 <= 13, s"12-chain peeled in $r12 rounds")
+      assert(r18 - r12 >= 5 && r18 - r12 <= 7,
+        s"round growth not ~chain growth: $r12 -> $r18")
+      // the guard: a budget below the chain length must fail FAST with
+      // the documented actionable error, not spin
+      val ex = intercept[IllegalStateException] {
+        GraphAnalytics.stronglyConnectedComponents(chain(12), maxRounds = 3)
+          .count()
+      }
+      assert(ex.getMessage.contains("exceeded 3 rounds"), ex.getMessage)
+    } finally spark.conf.unset("spark.graft.scc.localEdgeThreshold")
+  }
+
   test("SCC peel rounds are volume-independent: 10x == 1x (forced distributed)") {
     // x25's item-transition graph inflated by 10 ISOMORPHIC disjoint
     // copies (id offset preserves every intra-copy comparison, so each
