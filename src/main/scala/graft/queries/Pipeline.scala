@@ -124,6 +124,32 @@ object Pipeline {
       |         lang, source, n_chars FROM toks)
       |""".stripMargin
 
+  /** Three-generation corpus for p77: documents ∪ batch 1 (+1M: every
+    * 5th doc a first-THIRD excerpt — Jaccard ≈ 1/3, reliably novel and
+    * so admitted to the index; the rest drop-3-token twins, reliably
+    * corpus dups) ∪ a byte-identical REPLAY of batch 1 at +3M (the
+    * second incremental batch). Mirrors [[batch1Text]] exactly. */
+  private[queries] val twins3Cte =
+    """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t
+      |  FROM documents),
+      |b1docs AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+      |    THEN array_to_string(t[1:greatest(len(t)//3, 3)], ' ')
+      |    ELSE array_to_string(t[1:greatest(len(t)-3, 1)], ' ') END
+      |    AS text FROM toks),
+      |alldocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM b1docs
+      |  UNION ALL SELECT doc_id + 3000000, text FROM b1docs)
+      |""".stripMargin
+
+  /** Batch-1 text for p77 — the Spark twin of `twins3Cte`'s b1. */
+  private def batch1Text(t: Column): Column =
+    when(col("doc_id") % 5 === 0,
+      concat_ws(" ", slice(t, lit(1),
+        greatest(floor(size(t) / 3).cast("int"), lit(3)))))
+      .otherwise(concat_ws(" ",
+        slice(t, lit(1), greatest(size(t) - 3, lit(1)))))
+
   /** embeddings ∪ perturbed twins (id+1M, +0.05 on component 0), as
     * double vectors, optionally capped to ids < cap for O(n²) baselines. */
   private def vecsWithTwins(s: SparkSession, d: String, cap: Long): DataFrame = {
@@ -218,10 +244,16 @@ object Pipeline {
     * [[mirrorVerifiedPairs]] and p72's incremental probe: (hs [doc_id,
     * sorted poly-hash shingles], bands [doc_id, bi, bv]). */
   private[queries] def mirrorHsBands(s: SparkSession,
-      d: String): (DataFrame, DataFrame) = {
+      d: String): (DataFrame, DataFrame) =
+    mirrorHsBandsOf(docsWithTwins(s, d))
+
+  /** [[mirrorHsBands]] over an arbitrary (doc_id, text, …) corpus —
+    * p77 runs the same mirrored family over three generations. */
+  private[queries] def mirrorHsBandsOf(docs: DataFrame)
+      : (DataFrame, DataFrame) = {
     val P = 1000000007L
     def polyH(g: Column): Column = TextOps.polyHash(g) // native codegen fold
-    val hs = docsWithTwins(s, d)
+    val hs = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
       .where(size(col("tk")) >= 3)
       .repartition(col("doc_id"))
@@ -2620,7 +2652,131 @@ object Pipeline {
           .toDF("rnd", "sel_rank", "lhs", "rhs", "pair_freq")
           .orderBy("rnd", "sel_rank")
       },
-      Some(bpeBatchOracle(3, 6)))
+      Some(bpeBatchOracle(3, 6)))  ,
+
+    // ---- p77: incremental dedup index MAINTENANCE (fold + re-probe) -----
+    // p72 closes its operational loop: batch 1 (the twins, ids +1M)
+    // probes the PERSISTED corpus band index; its NOVEL docs' band
+    // rows are then APPENDED to the index (merge-on-read, GraphStore's
+    // append discipline) and the index is compacted (one re-bucketed
+    // rewrite); batch 2 (ids +3M — byte-identical to batch 1, the
+    // retry/replay shape) probes the COMPACTED index and must find
+    // every batch-1-admitted doc as a corpus_dup with canonical = the
+    // admitted id (x+3M → x+1M) — proving the fold actually landed.
+    // Cost per epoch stays ~|batch|: the batch band-joins the index,
+    // the corpus is never re-signed, and the compaction rewrites only
+    // the (constant-size-per-doc) band rows. The oracle derives the
+    // identical dispositions from the three-generation mirrored pair
+    // set with the index membership as a CTE, so admission, fold,
+    // and re-probe — including chance band collisions — are all
+    // hash-checked. `via` labels the match source (corpus /
+    // batch1_admitted / batch / self) to make the fold visible.
+    RegQuery("p77_dedup_index_fold",
+      (s, d) => {
+        val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+        val idxPath = s"$wh/graft_p77_bandidx_$tag"
+        val idx2Path = s"$wh/graft_p77_bandidx_compact_$tag"
+        Seq(idxPath, idx2Path).foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .delete(hp, true)
+        }
+        val base = Tables(s, d, "documents").select("doc_id", "text")
+        val batch1 = base.select((col("doc_id") + 1000000L).as("doc_id"),
+          batch1Text(TextOps.tokens(col("text"))).as("text"))
+        val docs3 = base.unionAll(batch1)
+          .unionAll(batch1
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        val (hs, bands) = mirrorHsBandsOf(docs3)
+        def verified(cand: DataFrame): DataFrame = cand
+          .join(hs.select(col("doc_id").as("a_id"), col("hs").as("a_hs")),
+            "a_id")
+          .join(hs.select(col("doc_id").as("b_id"), col("hs").as("b_hs")),
+            "b_id")
+          .where(TextOps.jaccardSorted(col("a_hs"), col("b_hs")) >= 0.5)
+        // epoch 0: persist the corpus band index
+        bands.where(col("doc_id") < 1000000L)
+          .write.mode("overwrite").parquet(idxPath)
+        // epoch 1: batch 1 probes the index + itself; novel = no hit
+        val b1 = bands.where(col("doc_id") >= 1000000L &&
+          col("doc_id") < 2000000L)
+        val cand1 = b1.select(col("bi"), col("bv"), col("doc_id").as("b_id"))
+          .join(s.read.parquet(idxPath)
+            .select(col("bi"), col("bv"), col("doc_id").as("a_id")),
+            Seq("bi", "bv"))
+          .unionAll(b1.select(col("bi"), col("bv"), col("doc_id").as("b_id"))
+            .join(b1.select(col("bi"), col("bv"), col("doc_id").as("a_id")),
+              Seq("bi", "bv"))
+            .where(col("a_id") < col("b_id")))
+          .select("a_id", "b_id").distinct()
+        val novel1 = batch1.select("doc_id")
+          .join(verified(cand1).select(col("b_id").as("doc_id")).distinct(),
+            Seq("doc_id"), "anti")
+          .localCheckpoint() // feeds the fold AND is itself one pass
+        // the FOLD: append the admitted docs' band rows, then compact
+        bands.join(novel1, Seq("doc_id"), "semi")
+          .write.mode("append").parquet(idxPath)
+        s.read.parquet(idxPath).repartition(8, col("bi"), col("bv"))
+          .write.mode("overwrite").parquet(idx2Path)
+        // epoch 2: batch 2 probes the COMPACTED index + itself
+        val b2 = bands.where(col("doc_id") >= 3000000L)
+        val cand2 = b2.select(col("bi"), col("bv"), col("doc_id").as("b_id"))
+          .join(s.read.parquet(idx2Path)
+            .select(col("bi"), col("bv"), col("doc_id").as("a_id")),
+            Seq("bi", "bv"))
+          .unionAll(b2.select(col("bi"), col("bv"), col("doc_id").as("b_id"))
+            .join(b2.select(col("bi"), col("bv"), col("doc_id").as("a_id")),
+              Seq("bi", "bv"))
+            .where(col("a_id") < col("b_id")))
+          .select("a_id", "b_id").distinct()
+        val hits2 = verified(cand2)
+          .groupBy("b_id")
+          .agg(min(when(col("a_id") < 2000000L, col("a_id"))).as("c_hit"),
+            min(when(col("a_id") >= 3000000L, col("a_id"))).as("b_hit"))
+        docs3.where(col("doc_id") >= 3000000L).select("doc_id")
+          .join(hits2.withColumnRenamed("b_id", "doc_id"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("c_hit").isNotNull, lit("corpus_dup"))
+              .when(col("b_hit").isNotNull, lit("batch_dup"))
+              .otherwise(lit("novel")).as("status"),
+            coalesce(col("c_hit"), col("b_hit"), col("doc_id"))
+              .as("canonical_id"),
+            when(col("c_hit") < 1000000L, lit("corpus"))
+              .when(col("c_hit").isNotNull, lit("batch1_admitted"))
+              .when(col("b_hit").isNotNull, lit("batch"))
+              .otherwise(lit("self")).as("via"))
+          .orderBy("doc_id")
+      },
+      Some(twins3Cte + mirrorPairsCte +
+        """, b1 AS (SELECT doc_id FROM alldocs
+          |    WHERE doc_id >= 1000000 AND doc_id < 2000000),
+          |h1 AS (SELECT b_id AS doc_id, count(*) AS nh
+          |  FROM pr WHERE b_id >= 1000000 AND b_id < 2000000
+          |  GROUP BY b_id),
+          |nov AS (SELECT b1.doc_id FROM b1 LEFT JOIN h1 USING (doc_id)
+          |  WHERE nh IS NULL),
+          |idx AS (SELECT doc_id FROM alldocs WHERE doc_id < 1000000
+          |  UNION ALL SELECT doc_id FROM nov),
+          |h2 AS (SELECT pr.b_id AS doc_id,
+          |    min(CASE WHEN idx.doc_id IS NOT NULL THEN pr.a_id END)
+          |      AS c_hit,
+          |    min(CASE WHEN pr.a_id >= 3000000 THEN pr.a_id END) AS b_hit
+          |  FROM pr LEFT JOIN idx ON pr.a_id = idx.doc_id
+          |  WHERE pr.b_id >= 3000000 GROUP BY pr.b_id),
+          |b2 AS (SELECT doc_id FROM alldocs WHERE doc_id >= 3000000)
+          |SELECT b2.doc_id,
+          |  CASE WHEN c_hit IS NOT NULL THEN 'corpus_dup'
+          |       WHEN b_hit IS NOT NULL THEN 'batch_dup'
+          |       ELSE 'novel' END AS status,
+          |  COALESCE(c_hit, b_hit, b2.doc_id) AS canonical_id,
+          |  CASE WHEN c_hit < 1000000 THEN 'corpus'
+          |       WHEN c_hit IS NOT NULL THEN 'batch1_admitted'
+          |       WHEN b_hit IS NOT NULL THEN 'batch'
+          |       ELSE 'self' END AS via
+          |FROM b2 LEFT JOIN h2 USING (doc_id)
+          |ORDER BY b2.doc_id""".stripMargin))
   )
 
   /** p70/p71's shared BPE training loop: word-frequency table →

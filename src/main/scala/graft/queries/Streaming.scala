@@ -1035,7 +1035,81 @@ object Streaming {
              |SELECT doc_id, source, n_tok,
              |  CAST(cum_before // 2048 AS BIGINT) AS seq_id,
              |  CAST(cum_before % 2048 AS BIGINT) AS off
-             |FROM c ORDER BY source, doc_id""".stripMargin))
+             |FROM c ORDER BY source, doc_id""".stripMargin)),
+
+    // ---- s21: streaming incremental aggregate maintenance --------------
+    // q62's materialized-view discipline run BY the stream — the one
+    // round-5 family that had no streaming twin. The lineitem corpus
+    // is staged as TWO files (q62's base/delta epochs) and consumed
+    // with maxFilesPerTrigger=1, so foreachBatch fires once per epoch
+    // and each firing APPENDS that micro-batch's ALGEBRAIC partials
+    // (n, Σqty, Σcents per (flag, status)) to the persisted summary —
+    // merge-on-read, the GraphStore append discipline applied to a
+    // materialized view: each epoch costs one |batch| aggregate + a
+    // bounded write, the corpus is never re-scanned, and a compactor
+    // can fold the summary dir at leisure because sum-of-partials is
+    // associative under ANY micro-batch split. The drain-time fold +
+    // derived averages hash-check against q62's oracle, which
+    // recomputes from ALL raw rows.
+    RegQuery("s21_stream_incremental_agg",
+      (s, d) => {
+        val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+        val stagePath = s"$wh/graft_s21_epochs_$tag"
+        val sumPath = s"$wh/graft_s21_summary_$tag"
+        Seq(stagePath, sumPath).foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .delete(hp, true)
+        }
+        // stage the two epochs: base (7/8 of orders) then the delta
+        val li = graft.Tables(s, d, "lineitem")
+          .select(lineitemSchema.map(f => col(f.name)): _*)
+        li.where(col("l_orderkey") % 8 =!= 7).coalesce(1)
+          .write.mode("append").parquet(stagePath)
+        li.where(col("l_orderkey") % 8 === 7).coalesce(1)
+          .write.mode("append").parquet(stagePath)
+        val q = withStatePartitions(s, 8) {
+          s.readStream.schema(lineitemSchema)
+            .option("maxFilesPerTrigger", "1").parquet(stagePath)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch
+                .groupBy(col("l_returnflag").as("flag"),
+                  col("l_linestatus").as("status"))
+                .agg(count(lit(1)).as("n"),
+                  sum(expr("cast(l_quantity as bigint)")).as("sum_qty"),
+                  sum(expr(
+                    "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+                    .as("sum_cents"))
+                .write.mode("append").parquet(sumPath)
+              ()
+            }
+            .trigger(Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination()
+        // merge-on-read fold of the appended per-epoch partials, then
+        // the same closed-form averages as q62
+        s.read.parquet(sumPath)
+          .groupBy("flag", "status")
+          .agg(sum("n").as("n"), sum("sum_qty").as("sum_qty"),
+            sum("sum_cents").as("sum_cents"))
+          .select(col("flag"), col("status"), col("n"), col("sum_qty"),
+            col("sum_cents"),
+            expr("sum_qty * 1000 div n").as("avg_qty_milli"),
+            expr("sum_cents div n").as("avg_price_cents"))
+          .orderBy("flag", "status")
+      },
+      Some("""SELECT l_returnflag AS flag, l_linestatus AS status,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             |    AS BIGINT) AS sum_cents,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) * 1000 // count(*)
+             |    AS BIGINT) AS avg_qty_milli,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             |    // count(*) AS BIGINT) AS avg_price_cents
+             |FROM lineitem GROUP BY 1, 2 ORDER BY flag, status""".stripMargin))
   )
 
   private val docsSchema = StructType(Seq(
