@@ -1574,4 +1574,68 @@ object GraphAnalytics {
     spark.sparkContext.setLocalProperty("graft.scc.rounds", round.toString)
     out
   }
+
+  /** Deterministic maximal independent set by Luby-style MIN-ID rounds
+    * (the derandomized variant: a vertex wins a round when its id is
+    * smaller than every LIVE neighbour's; winners and their neighbours
+    * leave). MIS is the primitive under parallel graph coloring,
+    * scheduling, and landmark selection; the min-id rule needs no
+    * randomness, and its fixpoint equals the SEQUENTIAL greedy-by-id
+    * MIS (a vertex is in iff no smaller MIS neighbour — well-founded
+    * on ids), which is what the x28 DuckDB mirror replays as
+    * round-by-round list algebra.
+    *
+    * Scale shape: each round is one grouped min over the live edges +
+    * two semi/anti joins, all keyed on vertex id — no broadcast of
+    * unbounded sets, per-round lineage cuts. Round count is graph-
+    * structural (every local minimum fires simultaneously; dense
+    * random graphs finish in O(log n)); the known worst case is an
+    * id-ascending path (one winner per round), `maxRounds`-guarded
+    * like the SCC peel. Emits `graft.mis.rounds`.
+    *
+    * Input edges [src, dst] are treated as undirected (symmetrized);
+    * returns MIS members as [v, mis_round]. */
+  def maximalIndependentSet(edges0: DataFrame,
+      maxRounds: Int = 200): DataFrame = {
+    val spark = edges0.sparkSession
+    val e0 = edges0
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+    val sym = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    var live = sym.select(col("u").as("v")).distinct()
+      .transform(graft.Ckpt.cut)
+    var liveEdges = sym.transform(graft.Ckpt.cut)
+    var mis = live.select(col("v"), lit(0).as("mis_round")).limit(0)
+    var round = 0
+    var nLive = live.count()
+    while (nLive > 0) {
+      round += 1
+      if (round > maxRounds) throw new IllegalStateException(
+        s"MIS exceeded $maxRounds rounds ($nLive vertices live); " +
+          "raise maxRounds (id-ascending chains serialize the peel)")
+      // winners: live vertices below every live neighbour (isolated
+      // live vertices have no live edge → win by definition)
+      val minNbr = liveEdges.groupBy("u").agg(min("v").as("mn"))
+        .withColumnRenamed("u", "v")
+      val winners = live.join(minNbr, Seq("v"), "left")
+        .where(col("mn").isNull || col("v") < col("mn"))
+        .select(col("v"), lit(round).as("mis_round"))
+        .transform(graft.Ckpt.cut)
+      mis = mis.unionAll(winners)
+      val killed = winners.select("v")
+        .unionAll(liveEdges
+          .join(winners.select(col("v").as("u")), Seq("u"), "semi")
+          .select("v"))
+        .distinct()
+      live = live.join(killed, Seq("v"), "anti").transform(graft.Ckpt.cut)
+      liveEdges = liveEdges
+        .join(live.select(col("v").as("u")), Seq("u"), "semi")
+        .join(live, Seq("v"), "semi")
+        .transform(graft.Ckpt.cut)
+      nLive = live.count()
+    }
+    spark.sparkContext.setLocalProperty("graft.mis.rounds", round.toString)
+    mis
+  }
 }

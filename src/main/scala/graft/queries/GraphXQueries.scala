@@ -1324,7 +1324,59 @@ object GraphXQueries {
              |  CAST(sum(n) AS BIGINT) AS n_vertices,
              |  CAST(min(c) AS BIGINT) AS min_scc
              |FROM lay JOIN sz ON lay.c = sz.scc_id
-             |GROUP BY layer ORDER BY layer""".stripMargin))
+             |GROUP BY layer ORDER BY layer""".stripMargin)),
+
+    // maximal independent set on the UNDIRECTED thinned transition
+    // graph — the primitive under parallel coloring / scheduling /
+    // landmark selection. Engine is the derandomized Luby min-id round
+    // peel (GraphAnalytics.maximalIndependentSet: winners = live local
+    // minima, winners+neighbours leave, per-round lineage cuts); its
+    // fixpoint equals the sequential greedy-by-id MIS, and the DuckDB
+    // mirror replays the SAME rounds as list algebra over a one-row
+    // recursive state (live list, mis list) — so the hash pins the
+    // round semantics, not just the final set. Output is per-vertex
+    // membership; MisSpec pins independence, maximality, and the
+    // round-count property.
+    RegQuery("x28_mis",
+      (s, d) => {
+        val de = transitionEdges(s, d)
+        val mis = GraphAnalytics.maximalIndependentSet(de)
+        de.select(col("src").as("v"))
+          .unionAll(de.select(col("dst").as("v"))).distinct()
+          .join(mis.select(col("v"), lit(true).as("in_mis")),
+            Seq("v"), "left")
+          .select(col("v"), coalesce(col("in_mis"), lit(false)).as("in_mis"))
+          .orderBy("v")
+      },
+      Some("WITH RECURSIVE " + transitionEdgesCte("de") +
+        """,
+          |e AS (SELECT src AS u, dst AS v FROM de
+          |  UNION SELECT dst, src FROM de),
+          |verts AS (SELECT DISTINCT u AS v FROM e),
+          |nb AS (SELECT u AS vv, list(v) AS nbrs
+          |  FROM (SELECT u, v FROM e) GROUP BY u),
+          |adj AS (SELECT list(vv ORDER BY vv) AS vs,
+          |  list(nbrs ORDER BY vv) AS ns FROM nb),
+          |step AS (
+          |  SELECT 0 AS r, (SELECT list(v ORDER BY v) FROM verts) AS live,
+          |    CAST([] AS BIGINT[]) AS mis
+          |  UNION ALL
+          |  SELECT s.r + 1,
+          |    list_filter(s.live, x -> NOT list_contains(win.w, x)
+          |      AND NOT list_has_any(win.w,
+          |        coalesce(a.ns[list_position(a.vs, x)],
+          |          CAST([] AS BIGINT[])))),
+          |    list_concat(s.mis, win.w)
+          |  FROM step s
+          |  CROSS JOIN adj a
+          |  CROSS JOIN LATERAL (SELECT list_filter(s.live, x ->
+          |      len(list_filter(coalesce(a.ns[list_position(a.vs, x)],
+          |        CAST([] AS BIGINT[])),
+          |        y -> y < x AND list_contains(s.live, y))) = 0) AS w) win
+          |  WHERE len(s.live) > 0),
+          |fin AS (SELECT mis FROM step ORDER BY r DESC LIMIT 1)
+          |SELECT v, list_contains((SELECT mis FROM fin), v) AS in_mis
+          |FROM verts ORDER BY v""".stripMargin))
   )
 
   /** Planted-community graph for x06: parts grouped into ~10-member

@@ -1482,7 +1482,10 @@ object Relational {
         val liT = s"graft_q61_li_$tag"; val ordT = s"graft_q61_ord_$tag"
         // a fresh session can inherit an ORPHAN warehouse directory
         // (table dir on disk, no catalog entry) — overwrite mode then
-        // refuses the managed location, so drop AND delete explicitly
+        // refuses the managed location, so drop AND delete explicitly.
+        // Sandbox-only move: a real deployment owns table lifecycle
+        // through its catalog (Hive metastore / catalog API), never
+        // raw filesystem deletes under the warehouse
         Seq(liT, ordT).foreach { n =>
           s.sql(s"DROP TABLE IF EXISTS $n")
           val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
@@ -1599,6 +1602,64 @@ object Relational {
              |      OVER (PARTITION BY user_id ORDER BY ts, event_id
              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view
              |  FROM events)
-             |WHERE event_type = 'click' ORDER BY event_id""".stripMargin))
+             |WHERE event_type = 'click' ORDER BY event_id""".stripMargin)),
+
+    // ---- q64: RETRACTABLE incremental aggregate (deletes + updates) ----
+    // q62 folds inserts; real materialized views also take DELETES and
+    // UPDATES. Because the summary stores ALGEBRAIC partials, a
+    // retraction is just a NEGATED partial: the delta batch carries
+    // sign -1 rows for deletions (here a %10==3 purge — the GDPR
+    // shape) and a -1/+1 pair for updates (%10==4 rows repriced to
+    // quantity+1), and the SAME union+re-aggregate fold q62 uses
+    // absorbs all three kinds — no special-casing, no corpus rescan.
+    // HAVING n > 0 retires groups the retraction emptied (the
+    // discipline that keeps the view exact, not just approximately
+    // decremented). The oracle recomputes from raw rows with the purge
+    // and reprice applied, so the hash proves base − deletes + updates
+    // == full recompute exactly.
+    RegQuery("q64_incremental_retract",
+      (s, d) => {
+        val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+        val sumPath = s.conf.get("spark.sql.warehouse.dir")
+          .stripSuffix("/") + s"/graft_q64_summary_$tag"
+        def partials(df: DataFrame, sign: Int) = df
+          .groupBy(col("l_returnflag").as("flag"),
+            col("l_linestatus").as("status"))
+          .agg(sum(lit(sign.toLong)).as("n"),
+            sum(expr(s"$sign * cast(l_quantity as bigint)")).as("sum_qty"),
+            sum(expr(s"$sign * cast(floor(l_extendedprice * 100 + 0.5)" +
+              " as bigint)")).as("sum_cents"))
+        val li = t(s, d, "lineitem")
+        // epoch 1: the full corpus becomes the persisted summary
+        partials(li, 1).write.mode("overwrite").parquet(sumPath)
+        // epoch 2: deletes (purge %10==3) + updates (%10==4 → qty+1)
+        // as retraction/insertion partial pairs
+        val dels = partials(li.where(col("l_orderkey") % 10 === 3), -1)
+        val updDel = partials(li.where(col("l_orderkey") % 10 === 4), -1)
+        val updIns = partials(li.where(col("l_orderkey") % 10 === 4)
+          .withColumn("l_quantity", col("l_quantity") + 1), 1)
+        s.read.parquet(sumPath)
+          .unionAll(dels).unionAll(updDel).unionAll(updIns)
+          .groupBy("flag", "status")
+          .agg(sum("n").as("n"), sum("sum_qty").as("sum_qty"),
+            sum("sum_cents").as("sum_cents"))
+          .where(col("n") > 0)
+          .select(col("flag"), col("status"), col("n"), col("sum_qty"),
+            col("sum_cents"),
+            expr("sum_qty * 1000 div n").as("avg_qty_milli"))
+          .orderBy("flag", "status")
+      },
+      Some("""SELECT l_returnflag AS flag, l_linestatus AS status,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(CASE WHEN l_orderkey % 10 = 4
+             |      THEN l_quantity + 1 ELSE l_quantity END AS BIGINT))
+             |    AS BIGINT) AS sum_qty,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             |    AS BIGINT) AS sum_cents,
+             |  CAST(sum(CAST(CASE WHEN l_orderkey % 10 = 4
+             |      THEN l_quantity + 1 ELSE l_quantity END AS BIGINT))
+             |    * 1000 // count(*) AS BIGINT) AS avg_qty_milli
+             |FROM lineitem WHERE l_orderkey % 10 <> 3
+             |GROUP BY 1, 2 ORDER BY flag, status""".stripMargin))
   )
 }

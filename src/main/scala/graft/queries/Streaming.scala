@@ -1109,7 +1109,43 @@ object Streaming {
              |    AS BIGINT) AS avg_qty_milli,
              |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
              |    // count(*) AS BIGINT) AS avg_price_cents
-             |FROM lineitem GROUP BY 1, 2 ORDER BY flag, status""".stripMargin))
+             |FROM lineitem GROUP BY 1, 2 ORDER BY flag, status""".stripMargin)),
+
+    // ---- s22: streaming as-of enrichment -------------------------------
+    // The as-of join family's third arm (q24 composed window, q63
+    // custom exec, s22 the stream): Streams.AsOfProcessor keeps ONE
+    // long of state per user (the last view's event_id) and stamps
+    // each landing click with it — event attribution computed AT
+    // INGEST with O(|users|) state, no merged-history window, no join
+    // buffer. Ordering contract as s19/s20 (per-user ts-monotone batch
+    // arrival; in-batch (ts, event_id) sort); StreamsSpec pins
+    // split-invariance across a ts-boundary micro-batch split. The
+    // drained click stream hash-checks against q24's UNCHANGED oracle,
+    // so all three arms are checked by the same SQL.
+    RegQuery("s22_stream_asof",
+      (s, d) => {
+        import s.implicits._
+        Streams.withRocksDB(s) {
+          val q = withStatePartitions(s, 8) {
+            Streams.asOfEnrich(streamEvents(s, d)
+                .select(col("user_id"), unix_micros(col("ts")).as("ts_micro"),
+                  col("event_id"), col("event_type").as("et"))
+                .as[Streams.TransRow])
+              .writeStream.format("memory").queryName("s22_sink")
+              .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          }
+          q.awaitTermination()
+          s.table("s22_sink").select("event_id", "last_view")
+            .orderBy("event_id")
+        }
+      },
+      Some("""SELECT event_id, last_view FROM (
+             |  SELECT event_id, event_type,
+             |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view
+             |  FROM events)
+             |WHERE event_type = 'click' ORDER BY event_id""".stripMargin))
   )
 
   private val docsSchema = StructType(Seq(

@@ -290,6 +290,54 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  // --- streaming as-of enrichment (s22) --------------------------------
+
+  case class AsOfOut(user_id: Long, event_id: Long,
+                     last_view: Option[Long])
+
+  /** The as-of join family's STREAMING arm (q24 composed window, q63
+    * custom exec, and this): enrich each click with the latest
+    * at-or-before view using ONE row of state per user — the last view
+    * seen. Ordering contract as the transition processor (per-user
+    * ts-monotone batch arrival; rows sorted by (ts, event_id) within
+    * each micro-batch), under which the enrichment equals the batch
+    * window exactly — this is how a 100 TB event firehose gets its
+    * attribution column at ingest, with O(|users|) state and no
+    * history buffer. */
+  class AsOfProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TransRow, AsOfOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    @transient private var lastView: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastView = getHandle.getValueState[Long]("lastView",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TransRow],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[AsOfOut] = {
+      val sorted = rows.toArray.sortBy(r => (r.ts_micro, r.event_id))
+      var lv: Option[Long] =
+        if (lastView.exists()) Some(lastView.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[AsOfOut]
+      sorted.foreach { r =>
+        if (r.et == "view") lv = Some(r.event_id)
+        else if (r.et == "click") out += AsOfOut(key, r.event_id, lv)
+      }
+      lv.foreach(lastView.update)
+      out.iterator
+    }
+  }
+
+  /** Click stream enriched with the latest at-or-before view id. */
+  def asOfEnrich(events: Dataset[TransRow]): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new AsOfProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   // --- streaming sequence packing (s20) --------------------------------
 
   case class PackRow(source: String, doc_id: Long, n_tok: Long)

@@ -401,6 +401,31 @@ class StreamingSpec extends SparkSpec {
       TransPair(1L, "c", "d"), TransPair(2L, "x", "y")), got.toString)
   }
 
+  test("s22 as-of: ts-boundary split attributes clicks from state") {
+    import graft.streaming.Streams.{TransRow, AsOfOut}
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: view(1) click(2) view(3) | click(4) — the batch-2 click
+    // must attribute to the STORED view 3, not re-derive from batch-2
+    // rows; user 2 all in batch 2 ts-shuffled (in-batch sort restores
+    // view-before-click); user 3: click with NO prior view → None
+    val b1 = Seq(TransRow(1L, 10L, 1L, "view"), TransRow(1L, 20L, 2L, "click"),
+      TransRow(1L, 30L, 3L, "view"))
+    val b2 = Seq(TransRow(2L, 15L, 6L, "click"), TransRow(2L, 5L, 5L, "view"),
+      TransRow(1L, 40L, 4L, "click"), TransRow(3L, 1L, 7L, "click"))
+    Streams.withRocksDB(spark) {
+      val src = MemoryStream[TransRow]
+      val q = Streams.asOfEnrich(src.toDS())
+        .writeStream.format("memory").queryName("t_asof")
+        .outputMode(OutputMode.Append()).start()
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+    }
+    val got = spark.table("t_asof").as[AsOfOut].collect().toSet
+    assert(got == Set(AsOfOut(1L, 2L, Some(1L)), AsOfOut(1L, 4L, Some(3L)),
+      AsOfOut(2L, 6L, Some(5L)), AsOfOut(3L, 7L, None)), got.toString)
+  }
+
   test("s20 packing: doc_id-boundary split continues the open sequence") {
     import graft.streaming.Streams.{PackRow, PackOut}
     implicit val sqlCtx = spark.sqlContext
