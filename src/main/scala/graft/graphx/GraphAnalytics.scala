@@ -1638,4 +1638,66 @@ object GraphAnalytics {
     spark.sparkContext.setLocalProperty("graft.mis.rounds", round.toString)
     mis
   }
+
+  /** Deterministic greedy graph coloring by Jones–Plassmann min-id
+    * rounds: a vertex colors itself the round after ALL its smaller-id
+    * neighbours are colored, taking the mex (smallest color absent
+    * among them). The parallel fixpoint equals the sequential greedy
+    * sweep by ascending id — within a round no two ready vertices are
+    * adjacent-and-ordered, so simultaneous coloring cannot conflict —
+    * and its color-0 class is exactly [[maximalIndependentSet]]'s
+    * greedy MIS (pinned in ColoringSpec). Colors ≤ maxDegree + 1.
+    *
+    * Scale shape mirrors the MIS peel: per round one semi/anti
+    * dependency probe + one grouped collect of (bounded, ≤ degree)
+    * neighbour colors, everything keyed on vertex id, per-round
+    * lineage cuts. Round count = longest id-ascending path + 1
+    * (graph-structural, not volume-bound); `maxRounds`-guarded.
+    * Emits `graft.coloring.rounds`. Input [src, dst] symmetrized;
+    * returns [v, color]. */
+  def greedyColoring(edges0: DataFrame, maxRounds: Int = 300): DataFrame = {
+    val spark = edges0.sparkSession
+    val e0 = edges0
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+    val sym = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    // dependency edges: v waits on its smaller neighbour s
+    val dep = sym.where(col("v") < col("u"))
+      .select(col("u").as("v"), col("v").as("s"))
+      .transform(graft.Ckpt.cut)
+    var uncolored = sym.select(col("u").as("v")).distinct()
+      .transform(graft.Ckpt.cut)
+    var colored = uncolored.select(col("v"), lit(0).as("color")).limit(0)
+    var round = 0
+    var n = uncolored.count()
+    while (n > 0) {
+      round += 1
+      if (round > maxRounds) throw new IllegalStateException(
+        s"coloring exceeded $maxRounds rounds ($n vertices uncolored); " +
+          "raise maxRounds (id-ascending paths serialize the sweep)")
+      val blocked = dep
+        .join(uncolored.select(col("v").as("s")), Seq("s"), "semi")
+        .select("v").distinct()
+      val ready = uncolored.join(blocked, Seq("v"), "anti")
+      // mex over the (≤ degree) colors of the smaller neighbours
+      val nbrColors = dep.join(ready, Seq("v"), "semi")
+        .join(colored.withColumnRenamed("v", "s"), Seq("s"))
+        .groupBy("v").agg(collect_set(col("color")).as("cs"))
+      val newColored = ready.join(nbrColors, Seq("v"), "left")
+        .select(col("v"), {
+          val cs = coalesce(col("cs"), array().cast("array<int>"))
+          element_at(filter(sequence(lit(0), size(cs)),
+            c => !array_contains(cs, c)), 1).as("color")
+        })
+        .transform(graft.Ckpt.cut)
+      colored = colored.unionAll(newColored)
+      uncolored = uncolored.join(newColored.select("v"), Seq("v"), "anti")
+        .transform(graft.Ckpt.cut)
+      n = uncolored.count()
+    }
+    spark.sparkContext.setLocalProperty("graft.coloring.rounds",
+      round.toString)
+    colored
+  }
 }

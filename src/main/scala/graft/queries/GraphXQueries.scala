@@ -1376,7 +1376,59 @@ object GraphXQueries {
           |  WHERE len(s.live) > 0),
           |fin AS (SELECT mis FROM step ORDER BY r DESC LIMIT 1)
           |SELECT v, list_contains((SELECT mis FROM fin), v) AS in_mis
-          |FROM verts ORDER BY v""".stripMargin))
+          |FROM verts ORDER BY v""".stripMargin)),
+
+    // greedy coloring (Jones–Plassmann min-id rounds) on the same
+    // graph — partition the vertices into independent classes for
+    // conflict-free parallel scheduling (chromatic scheduling, the
+    // update-batching trick for graph training pipelines). Engine is
+    // GraphAnalytics.greedyColoring (a vertex colors itself once all
+    // smaller-id neighbours are colored, mex rule, per-round cuts);
+    // equals the sequential greedy sweep, and its color-0 class is
+    // exactly x28's MIS — ColoringSpec pins both. The mirror replays
+    // the identical rounds as list algebra (one-row recursive state of
+    // colored-vertex and color lists). Output: per-color class size,
+    // min member, member sum.
+    RegQuery("x29_coloring",
+      (s, d) => {
+        GraphAnalytics.greedyColoring(transitionEdges(s, d))
+          .groupBy(col("color").cast("long").as("color"))
+          .agg(count(lit(1)).as("n"), min("v").as("min_v"),
+            sum("v").as("v_sum"))
+          .orderBy("color")
+      },
+      Some("WITH RECURSIVE " + transitionEdgesCte("de") +
+        """,
+          |e AS (SELECT src AS u, dst AS v FROM de
+          |  UNION SELECT dst, src FROM de),
+          |verts AS (SELECT DISTINCT u AS v FROM e),
+          |nb AS (SELECT u AS vv, list(v) AS nbrs
+          |  FROM (SELECT u, v FROM e) GROUP BY u),
+          |adj AS (SELECT list(vv ORDER BY vv) AS vs,
+          |  list(nbrs ORDER BY vv) AS ns,
+          |  (SELECT list(v ORDER BY v) FROM verts) AS av FROM nb),
+          |step AS (
+          |  SELECT 0 AS r, CAST([] AS BIGINT[]) AS cv,
+          |    CAST([] AS BIGINT[]) AS cc
+          |  UNION ALL
+          |  SELECT s.r + 1, list_concat(s.cv, rdy.vs2),
+          |    list_concat(s.cc, list_transform(rdy.vs2, x ->
+          |      list_filter(range(0,
+          |          CAST(len(a.ns[list_position(a.vs, x)]) AS BIGINT) + 1),
+          |        c -> NOT list_contains(
+          |          list_transform(
+          |            list_filter(a.ns[list_position(a.vs, x)], y -> y < x),
+          |            y -> s.cc[list_position(s.cv, y)]), c))[1]))
+          |  FROM step s CROSS JOIN adj a CROSS JOIN LATERAL (
+          |    SELECT list_filter(a.av, x -> NOT list_contains(s.cv, x)
+          |      AND len(list_filter(a.ns[list_position(a.vs, x)],
+          |        y -> y < x AND NOT list_contains(s.cv, y))) = 0) AS vs2) rdy
+          |  WHERE len(s.cv) < len(a.av)),
+          |fin AS (SELECT cv, cc FROM step ORDER BY r DESC LIMIT 1),
+          |res AS (SELECT unnest(cv) AS v, unnest(cc) AS color FROM fin)
+          |SELECT color, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(min(v) AS BIGINT) AS min_v, CAST(sum(v) AS BIGINT) AS v_sum
+          |FROM res GROUP BY color ORDER BY color""".stripMargin))
   )
 
   /** Planted-community graph for x06: parts grouped into ~10-member
