@@ -2776,7 +2776,106 @@ object Pipeline {
           |       WHEN b_hit IS NOT NULL THEN 'batch'
           |       ELSE 'self' END AS via
           |FROM b2 LEFT JOIN h2 USING (doc_id)
-          |ORDER BY b2.doc_id""".stripMargin))
+          |ORDER BY b2.doc_id""".stripMargin)),
+
+    // ---- p78: BM25 served from a PERSISTED term-bucketed index ----------
+    // p34 computes postings per query run; a deployed search engine
+    // builds the inverted index ONCE and every query touches only its
+    // terms' postings. Index build = postings (doc_id, dl, term, tf)
+    // bucketed 16 ways on term (q61's layout discipline applied to
+    // retrieval), plus the per-term document frequencies and the
+    // 1-row corpus stats as side tables. Query time reads NOTHING but
+    // the index: the term IN-list prunes the bucketed scan to the
+    // buckets holding the query terms (ScaleSpec pins
+    // SelectedBucketsCount < 16; a probe-serving session sets
+    // spark.sql.sources.bucketing.autoBucketedScan.enabled=false,
+    // since the auto heuristic weighs only partitioning interest, not
+    // pruning), df/stats broadcast, and the same
+    // integer micro-unit scoring as p34 runs over the matched postings
+    // only — so p34's UNCHANGED oracle hash-checks the index-served
+    // path, proving build + probe lose nothing vs scoring the corpus
+    // directly.
+    RegQuery("p78_bm25_index_probe",
+      (s, d) => {
+        import s.implicits._
+        val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+        val postT = s"graft_p78_post_$tag"
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+        val dfPath = s"$wh/graft_p78_df_$tag"
+        val statPath = s"$wh/graft_p78_stats_$tag"
+        s.sql(s"DROP TABLE IF EXISTS $postT")
+        Seq(s"$wh/${postT.toLowerCase}", dfPath, statPath).foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .delete(hp, true)
+        }
+        // ---- index build (once per corpus) ----
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .repartition(col("doc_id")) // token barrier (p34 discipline)
+          .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+            col("tk"))
+          .localCheckpoint() // feeds postings AND the stats row
+        docs.select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
+          .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+          .write.mode("overwrite").bucketBy(16, "term").sortBy("term")
+          .format("parquet").saveAsTable(postT)
+        s.table(postT).groupBy("term").agg(count(lit(1)).as("df"))
+          .write.mode("overwrite").parquet(dfPath)
+        docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+          .write.mode("overwrite").parquet(statPath)
+        // ---- query time: the index is the ONLY input ----
+        val qterms = Seq((1, "spark"), (1, "join"), (2, "hash"),
+          (2, "table"), (2, "scan"), (3, "window"), (3, "agg"), (3, "data"))
+          .toDF("q_id", "term")
+        val terms = qterms.select("term").distinct()
+          .as[String].collect().sorted.toSeq
+        val post = s.table(postT).where(col("term").isin(terms: _*))
+        val dfreq = s.read.parquet(dfPath)
+          .where(col("term").isin(terms: _*))
+        val st = s.read.parquet(statPath)
+        val avgdl = col("sum_dl").cast("double") / col("n_docs")
+        val idf = log(lit(1.0) +
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+        val tfn = col("tf") * 2.2 / (col("tf") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+        post.join(broadcast(qterms), "term")
+          .join(broadcast(dfreq), "term")
+          .crossJoin(broadcast(st))
+          .withColumn("u", floor(idf * tfn * 10000 + 0.5).cast("long"))
+          .groupBy("q_id", "doc_id").agg(sum(col("u")).as("score_u"))
+          .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("score_u").desc, col("doc_id"))))
+          .where(col("rank") <= 10)
+          .select("q_id", "rank", "doc_id", "score_u")
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH docs AS (SELECT doc_id,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS dl,
+             |    string_split(text,' ') AS t FROM documents),
+             |post AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM docs)
+             |  GROUP BY doc_id, dl, term),
+             |q(q_id, term) AS (VALUES (1,'spark'),(1,'join'),(2,'hash'),
+             |  (2,'table'),(2,'scan'),(3,'window'),(3,'agg'),(3,'data')),
+             |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
+             |  WHERE term IN (SELECT term FROM q) GROUP BY term),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM docs),
+             |sc AS (SELECT q.q_id, p.doc_id,
+             |  CAST(floor(ln(1.0 + (st.n_docs - f.df + 0.5)/(f.df + 0.5))
+             |    * (p.tf*2.2/(p.tf + 1.2*(0.25 + 0.75*p.dl
+             |        /(CAST(st.sum_dl AS DOUBLE)/st.n_docs))))
+             |    * 10000 + 0.5) AS BIGINT) AS u
+             |  FROM post p JOIN q ON p.term = q.term
+             |  JOIN dfreq f ON p.term = f.term CROSS JOIN st),
+             |a AS (SELECT q_id, doc_id, CAST(sum(u) AS BIGINT) AS score_u
+             |  FROM sc GROUP BY q_id, doc_id),
+             |r AS (SELECT q_id, doc_id, score_u, ROW_NUMBER() OVER
+             |  (PARTITION BY q_id ORDER BY score_u DESC, doc_id) AS rn FROM a)
+             |SELECT CAST(q_id AS INTEGER) AS q_id, CAST(rn AS INTEGER) AS rank,
+             |  doc_id, score_u
+             |FROM r WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin))
   )
 
   /** p70/p71's shared BPE training loop: word-frequency table →

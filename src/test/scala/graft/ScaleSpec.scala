@@ -437,4 +437,36 @@ class ScaleSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("p78 index probe prunes the bucketed postings scan to the query's buckets") {
+    // the deployed-search claim: query cost ~ postings of the QUERY
+    // terms, not the corpus — the term IN-list must prune the
+    // 16-bucket scan (SelectedBucketsCount < 16); losing the pruning
+    // silently degrades every probe to a full index scan at 100 TB.
+    val df = SparkEntry.queries("p78_bm25_index_probe")(spark, sfDir)
+    assert(df.collect().nonEmpty) // registry run persists the index
+    val tag = sfDir.replaceAll("[^0-9a-zA-Z]", "_")
+    // DisableUnnecessaryBucketedScan turns bucketing off for a
+    // filter-only plan (it only weighs partitioning interest, not
+    // pruning) — the deployment conf for a probe-serving session is
+    // autoBucketedScan=false, which is what we pin under
+    val saved = spark.conf
+      .get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val plan = try {
+      val probe = spark.table(s"graft_p78_post_$tag")
+        .where(col("term").isin("spark", "join", "hash", "table", "scan",
+          "window", "agg", "data"))
+      probe.collect()
+      probe.queryExecution.executedPlan.toString
+    } finally spark.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", saved)
+    assert(plan.contains("Bucketed: true"),
+      s"postings scan is not bucket-aware:\n$plan")
+    val sel = "SelectedBucketsCount: (\\d+)".r
+      .findFirstMatchIn(plan).map(_.group(1).toInt)
+    assert(sel.exists(n => n > 0 && n < 16),
+      s"bucket pruning lost (selected=$sel):\n${plan.take(2000)}")
+  }
 }
