@@ -2875,7 +2875,122 @@ object Pipeline {
              |  (PARTITION BY q_id ORDER BY score_u DESC, doc_id) AS rn FROM a)
              |SELECT CAST(q_id AS INTEGER) AS q_id, CAST(rn AS INTEGER) AS rank,
              |  doc_id, score_u
-             |FROM r WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin))
+             |FROM r WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- p79: incremental BM25 index maintenance ------------------------
+    // p78's index kept FRESH without a rebuild: a new-docs batch (the
+    // twins) appends (a) its postings rows into the SAME term-bucketed
+    // table — Spark appends respect the table's bucket spec, so probe
+    // pruning keeps working — and (b) its ALGEBRAIC df and corpus-
+    // stats partials as extra parquet rows, folded by sum at probe
+    // time (q62's merge-on-read law applied to retrieval: df and
+    // (n_docs, Σdl) are sums, so per-batch partials + read-time fold
+    // == full recompute, and a compactor can fold the side tables
+    // whenever it likes). The probe after the increment scores against
+    // base+batch postings with the folded stats, and the oracle is
+    // p34's SQL over the UNION corpus — proving append + fold serves
+    // exactly what a from-scratch rebuild would.
+    RegQuery("p79_bm25_index_increment",
+      (s, d) => {
+        import s.implicits._
+        val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+        val postT = s"graft_p79_post_$tag"
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+        val dfPath = s"$wh/graft_p79_df_$tag"
+        val statPath = s"$wh/graft_p79_stats_$tag"
+        s.sql(s"DROP TABLE IF EXISTS $postT")
+        Seq(s"$wh/${postT.toLowerCase}", dfPath, statPath).foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .delete(hp, true)
+        }
+        def tokenized(docs: DataFrame) = docs
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+            col("tk"))
+          .localCheckpoint()
+        def postings(docs: DataFrame) = docs
+          .select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
+          .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        def sidecars(post: DataFrame, docs: DataFrame,
+            mode: String): Unit = {
+          post.groupBy("term").agg(count(lit(1)).as("df"))
+            .write.mode(mode).parquet(dfPath)
+          docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+            .write.mode(mode).parquet(statPath)
+        }
+        // epoch 0: base index
+        val base = tokenized(Tables(s, d, "documents")
+          .select("doc_id", "text"))
+        postings(base).write.mode("overwrite").bucketBy(16, "term")
+          .sortBy("term").format("parquet").saveAsTable(postT)
+        sidecars(postings(base), base, "overwrite")
+        // epoch 1: the increment appends postings + partial sidecars
+        val t = TextOps.tokens(col("text"))
+        val batch = tokenized(Tables(s, d, "documents")
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat_ws(" ", slice(t, lit(1), greatest(size(t) - 3, lit(1))))
+              .as("text")))
+        val bPost = postings(batch)
+        bPost.write.mode("append").bucketBy(16, "term").sortBy("term")
+          .format("parquet").saveAsTable(postT)
+        sidecars(bPost, batch, "append")
+        // probe: folded sidecars + base+batch postings
+        val qterms = Seq((1, "spark"), (1, "join"), (2, "hash"),
+          (2, "table"), (2, "scan"), (3, "window"), (3, "agg"), (3, "data"))
+          .toDF("q_id", "term")
+        val terms = qterms.select("term").distinct()
+          .as[String].collect().sorted.toSeq
+        val post = s.table(postT).where(col("term").isin(terms: _*))
+        val dfreq = s.read.parquet(dfPath)
+          .where(col("term").isin(terms: _*))
+          .groupBy("term").agg(sum("df").as("df"))
+        val st = s.read.parquet(statPath)
+          .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+        val avgdl = col("sum_dl").cast("double") / col("n_docs")
+        val idf = log(lit(1.0) +
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+        val tfn = col("tf") * 2.2 / (col("tf") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+        post.join(broadcast(qterms), "term")
+          .join(broadcast(dfreq), "term")
+          .crossJoin(broadcast(st))
+          .withColumn("u", floor(idf * tfn * 10000 + 0.5).cast("long"))
+          .groupBy("q_id", "doc_id").agg(sum(col("u")).as("score_u"))
+          .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("score_u").desc, col("doc_id"))))
+          .where(col("rank") <= 10)
+          .select("q_id", "rank", "doc_id", "score_u")
+          .orderBy("q_id", "rank")
+      },
+      Some(twinsCte +
+        """, dd AS (SELECT doc_id,
+          |    CAST(len(string_split(text,' ')) AS BIGINT) AS dl,
+          |    string_split(text,' ') AS t FROM alldocs),
+          |post AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+          |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM dd)
+          |  GROUP BY doc_id, dl, term),
+          |q(q_id, term) AS (VALUES (1,'spark'),(1,'join'),(2,'hash'),
+          |  (2,'table'),(2,'scan'),(3,'window'),(3,'agg'),(3,'data')),
+          |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
+          |  WHERE term IN (SELECT term FROM q) GROUP BY term),
+          |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dd),
+          |sc AS (SELECT q.q_id, p.doc_id,
+          |  CAST(floor(ln(1.0 + (st.n_docs - f.df + 0.5)/(f.df + 0.5))
+          |    * (p.tf*2.2/(p.tf + 1.2*(0.25 + 0.75*p.dl
+          |        /(CAST(st.sum_dl AS DOUBLE)/st.n_docs))))
+          |    * 10000 + 0.5) AS BIGINT) AS u
+          |  FROM post p JOIN q ON p.term = q.term
+          |  JOIN dfreq f ON p.term = f.term CROSS JOIN st),
+          |a AS (SELECT q_id, doc_id, CAST(sum(u) AS BIGINT) AS score_u
+          |  FROM sc GROUP BY q_id, doc_id),
+          |r AS (SELECT q_id, doc_id, score_u, ROW_NUMBER() OVER
+          |  (PARTITION BY q_id ORDER BY score_u DESC, doc_id) AS rn FROM a)
+          |SELECT CAST(q_id AS INTEGER) AS q_id, CAST(rn AS INTEGER) AS rank,
+          |  doc_id, score_u
+          |FROM r WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin))
   )
 
   /** p70/p71's shared BPE training loop: word-frequency table →
