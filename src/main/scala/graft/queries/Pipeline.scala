@@ -2990,7 +2990,96 @@ object Pipeline {
           |  (PARTITION BY q_id ORDER BY score_u DESC, doc_id) AS rn FROM a)
           |SELECT CAST(q_id AS INTEGER) AS q_id, CAST(rn AS INTEGER) AS rank,
           |  doc_id, score_u
-          |FROM r WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin))
+          |FROM r WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- p80: int8 scalar quantization + retrieval-loss audit -----------
+    // The 4× vector-storage move at 100 TB: per-dimension max-abs is
+    // the SQ8 codebook (one tiny broadcast row), the corpus quantizes
+    // to q = floor(x/m*127 + 0.5) and serves search DEQUANTIZED
+    // (asymmetric: float query against int8-reconstructed corpus —
+    // the FAISS SQ8 deployment shape). The audit every quantization
+    // rollout needs: recall@5 of the quantized arm against the exact
+    // arm (p09's determinization on both), plus the global
+    // reconstruction error in micro units. All arithmetic is the same
+    // closed-form double math in both engines, so the whole audit —
+    // codebook, quantized ranks, overlap counts, error — is
+    // hash-checked.
+    RegQuery("p80_sq8_quantize_audit",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+          .localCheckpoint() // feeds codebook, quantize, and exact arm
+        val mx = e.select(posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy("i").agg(max(abs(col("x"))).as("m"))
+          .agg(sort_array(collect_list(struct(col("i"), col("m"))))
+            .as("im"))
+          .select(transform(col("im"), t => t.getField("m")).as("mx"))
+        val dq = e.crossJoin(broadcast(mx))
+          .select(col("vec_id"), col("v"),
+            zip_with(col("v"), col("mx"), (x, m) =>
+              when(m > 0, floor(x / m * 127 + 0.5) * m / 127)
+                .otherwise(lit(0.0))).as("dv"))
+          .localCheckpoint() // feeds error agg AND the quantized arm
+        val err = dq
+          .select(explode(zip_with(col("dv"), col("v"),
+            (a, b) => abs(a - b))).as("ae"))
+          .agg(floor(avg(col("ae")) * 1000000 + 0.5).cast("long")
+            .as("recon_err_u"))
+        val q = e.where(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        def top5(corpus: DataFrame, vcol: String) = corpus
+          .select(col("vec_id").as("n_id"), col(vcol).as("nv"))
+          .crossJoin(broadcast(q))
+          .where(col("q_id") =!= col("n_id"))
+          .withColumn("c", floor(VectorOps.cosineFast(col("qv"), col("nv"))
+            * 1000000 + 0.5) / 1000000)
+          .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("c").desc, col("n_id"))))
+          .where(col("rank") <= 5)
+          .select("q_id", "n_id")
+        top5(dq, "dv").join(top5(e, "v"), Seq("q_id", "n_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+          .crossJoin(err)
+          .orderBy("q_id")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |mx0 AS (SELECT u.i AS i, max(abs(e.v[CAST(u.i AS INTEGER)]))
+             |    AS m FROM e, unnest(range(1, 65)) AS u(i) GROUP BY u.i),
+             |mx AS (SELECT list(m ORDER BY i) AS m FROM mx0),
+             |dq AS (SELECT vec_id, v, list_transform(range(1, 65), i ->
+             |    CASE WHEN mx.m[i] > 0
+             |      THEN floor(v[i]/mx.m[i]*127 + 0.5)*mx.m[i]/127
+             |      ELSE 0.0 END) AS dv FROM e, mx),
+             |err AS (SELECT CAST(floor(avg(ae)*1000000 + 0.5) AS BIGINT)
+             |    AS recon_err_u
+             |  FROM (SELECT unnest(list_transform(range(1, 65),
+             |      i -> abs(dv[i] - v[i]))) AS ae FROM dq)),
+             |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
+             |pa AS (SELECT q_id, d.vec_id AS n_id,
+             |  floor(list_sum(list_transform(range(1, len(qv)+1),
+             |      i -> qv[i]*d.dv[i]))
+             |    / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+             |       * sqrt(list_sum(list_transform(d.dv, x -> x*x))))
+             |    * 1000000 + 0.5)/1000000 AS c
+             |  FROM q, dq d WHERE d.vec_id != q_id),
+             |ra AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+             |    ORDER BY c DESC, n_id) AS rn FROM pa),
+             |pe AS (SELECT q_id, e.vec_id AS n_id,
+             |  floor(list_sum(list_transform(range(1, len(qv)+1),
+             |      i -> qv[i]*e.v[i]))
+             |    / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+             |       * sqrt(list_sum(list_transform(e.v, x -> x*x))))
+             |    * 1000000 + 0.5)/1000000 AS c
+             |  FROM q, e WHERE e.vec_id != q_id),
+             |re AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+             |    ORDER BY c DESC, n_id) AS rn FROM pe)
+             |SELECT ra.q_id, CAST(count(*) AS BIGINT) AS n_hit, err.recon_err_u
+             |FROM ra JOIN re ON ra.q_id = re.q_id AND ra.n_id = re.n_id
+             |  AND ra.rn <= 5 AND re.rn <= 5
+             |CROSS JOIN err
+             |GROUP BY ra.q_id, err.recon_err_u ORDER BY ra.q_id""".stripMargin))
   )
 
   /** p70/p71's shared BPE training loop: word-frequency table →

@@ -1145,7 +1145,108 @@ object Streaming {
              |      OVER (PARTITION BY user_id ORDER BY ts, event_id
              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view
              |  FROM events)
-             |WHERE event_type = 'click' ORDER BY event_id""".stripMargin))
+             |WHERE event_type = 'click' ORDER BY event_id""".stripMargin)),
+
+    // ---- s23: streaming Bloom membership filter -------------------------
+    // p37's decontamination bloom maintained BY the stream — the fifth
+    // streamed sketch beside s10/s13/s17/s18, and the second EXACT-
+    // state one: the benchmark docs stream in and the 65536-bit filter
+    // accumulates as (block, bitmap) rows under bit_or (associative/
+    // commutative → same bits under ANY micro-batch split; state is
+    // bounded by the FILTER SIZE — ≤ 1040 block rows — not the stream
+    // length). At drain the corpus probes the streamed filter exactly
+    // as p37 probes its batch-built one (both polynomial bit
+    // positions set → bloom hit), and the full p37 oracle — including
+    // every FALSE POSITIVE — hash-checks that the stream-accumulated
+    // filter is bit-identical to building it at rest.
+    RegQuery("s23_stream_bloom",
+      (s, d) => {
+        def polyBits(g: Column, seed: Long, mult: Int): Column =
+          (graft.llm.TextOps.polyHash(g, seed, mult) % 65536).cast("long")
+        val q = withStatePartitions(s, 8) {
+          streamDocs(s, d)
+            .where(col("doc_id") % 97 === 0)
+            .select(col("doc_id"),
+              graft.llm.TextOps.tokens(col("text")).as("tk"))
+            .where(size(col("tk")) >= 3)
+            .select(explode(graft.llm.TextOps.shingles(col("tk"), 3))
+              .as("g"))
+            .select(explode(array(polyBits(col("g"), 7L, 131),
+              polyBits(col("g"), 11L, 137))).as("bit"))
+            .select(expr("bit div 63").as("blk"),
+              expr("shiftleft(cast(1 as bigint), cast(bit % 63 as int))")
+                .as("m"))
+            .groupBy("blk").agg(bit_or(col("m")).as("bm"))
+            .writeStream.format("memory").queryName("s23_sink")
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination()
+        // update-mode re-emissions only ever ADD bits → bit_or = state
+        val bits = s.table("s23_sink").groupBy("blk")
+          .agg(bit_or(col("bm")).as("bm"))
+          .select(col("blk"), explode(expr(
+            "filter(sequence(0, 62)," +
+              " i -> (shiftright(bm, cast(i as int)) & 1) = 1)")).as("i"))
+          .select((col("blk") * 63 + col("i")).as("bit"))
+          .localCheckpoint()
+        // batch-side probe — p37's shape, against the STREAMED filter
+        val grams = graft.Tables(s, d, "documents")
+          .select(col("doc_id"), graft.llm.TextOps.tokens(col("text"))
+            .as("tk"))
+          .where(size(col("tk")) >= 3)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"),
+            explode(graft.llm.TextOps.shingles(col("tk"), 3)).as("g"))
+          .withColumn("b1", polyBits(col("g"), 7L, 131))
+          .withColumn("b2", polyBits(col("g"), 11L, 137))
+          .localCheckpoint()
+        val bench = grams.where(col("doc_id") % 97 === 0)
+        val gb = grams
+          .join(broadcast(bits.select(col("bit").as("b1"))),
+            Seq("b1"), "left_semi")
+          .join(broadcast(bits.select(col("bit").as("b2"))),
+            Seq("b2"), "left_semi")
+          .select("doc_id").distinct().withColumn("bloom_hit", lit(1))
+        val ex = grams
+          .join(broadcast(bench.select("g").distinct()), "g")
+          .select("doc_id").distinct().withColumn("exact_hit", lit(1))
+        graft.Tables(s, d, "documents").select("doc_id")
+          .join(gb, Seq("doc_id"), "left")
+          .join(ex, Seq("doc_id"), "left")
+          .na.fill(0, Seq("bloom_hit", "exact_hit"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk
+             |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+             |g AS (SELECT doc_id, unnest(list_distinct(
+             |    list_transform(range(1, len(tk)-1),
+             |      i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]))) AS g FROM t),
+             |hb AS (SELECT doc_id, g,
+             |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+             |    list_transform(string_split(g,''),
+             |      c -> CAST(ord(c) AS BIGINT))),
+             |    (acc, x) -> (acc*131 + x) % 1000000007) % 65536 AS b1,
+             |  list_reduce(list_prepend(CAST(11 AS BIGINT),
+             |    list_transform(string_split(g,''),
+             |      c -> CAST(ord(c) AS BIGINT))),
+             |    (acc, x) -> (acc*137 + x) % 1000000007) % 65536 AS b2
+             |  FROM g),
+             |bench AS (SELECT * FROM hb WHERE doc_id % 97 = 0),
+             |bits AS (SELECT DISTINCT bit FROM (
+             |  SELECT b1 AS bit FROM bench UNION ALL SELECT b2 FROM bench)),
+             |gb AS (SELECT DISTINCT doc_id FROM hb
+             |  WHERE b1 IN (SELECT bit FROM bits)
+             |    AND b2 IN (SELECT bit FROM bits)),
+             |ex AS (SELECT DISTINCT h.doc_id FROM hb h
+             |  JOIN (SELECT DISTINCT g FROM bench) b USING (g))
+             |SELECT d.doc_id,
+             |  CAST(CASE WHEN gb.doc_id IS NOT NULL THEN 1 ELSE 0 END
+             |    AS INTEGER) AS bloom_hit,
+             |  CAST(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END
+             |    AS INTEGER) AS exact_hit
+             |FROM documents d LEFT JOIN gb ON d.doc_id = gb.doc_id
+             |LEFT JOIN ex ON d.doc_id = ex.doc_id
+             |ORDER BY d.doc_id""".stripMargin))
   )
 
   private val docsSchema = StructType(Seq(
