@@ -2673,15 +2673,9 @@ object Pipeline {
     // batch1_admitted / batch / self) to make the fold visible.
     RegQuery("p77_dedup_index_fold",
       (s, d) => {
-        val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
-        val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
-        val idxPath = s"$wh/graft_p77_bandidx_$tag"
-        val idx2Path = s"$wh/graft_p77_bandidx_compact_$tag"
-        Seq(idxPath, idx2Path).foreach { p =>
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-            .delete(hp, true)
-        }
+        val idxPath = Scratch.path(s, "p77_bandidx", d)
+        val idx2Path = Scratch.path(s, "p77_bandidx_compact", d)
+        Scratch.clear(s, idxPath, idx2Path)
         val base = Tables(s, d, "documents").select("doc_id", "text")
         val batch1 = base.select((col("doc_id") + 1000000L).as("doc_id"),
           batch1Text(TextOps.tokens(col("text"))).as("text"))
@@ -2800,15 +2794,10 @@ object Pipeline {
         import s.implicits._
         val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
         val postT = s"graft_p78_post_$tag"
-        val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
-        val dfPath = s"$wh/graft_p78_df_$tag"
-        val statPath = s"$wh/graft_p78_stats_$tag"
-        s.sql(s"DROP TABLE IF EXISTS $postT")
-        Seq(s"$wh/${postT.toLowerCase}", dfPath, statPath).foreach { p =>
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-            .delete(hp, true)
-        }
+        val dfPath = Scratch.path(s, "p78_df", d)
+        val statPath = Scratch.path(s, "p78_stats", d)
+        Scratch.dropTable(s, postT)
+        Scratch.clear(s, dfPath, statPath)
         // ---- index build (once per corpus) ----
         val docs = Tables(s, d, "documents")
           .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
@@ -2895,15 +2884,10 @@ object Pipeline {
         import s.implicits._
         val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
         val postT = s"graft_p79_post_$tag"
-        val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
-        val dfPath = s"$wh/graft_p79_df_$tag"
-        val statPath = s"$wh/graft_p79_stats_$tag"
-        s.sql(s"DROP TABLE IF EXISTS $postT")
-        Seq(s"$wh/${postT.toLowerCase}", dfPath, statPath).foreach { p =>
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-            .delete(hp, true)
-        }
+        val dfPath = Scratch.path(s, "p79_df", d)
+        val statPath = Scratch.path(s, "p79_stats", d)
+        Scratch.dropTable(s, postT)
+        Scratch.clear(s, dfPath, statPath)
         def tokenized(docs: DataFrame) = docs
           .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
           .repartition(col("doc_id"))

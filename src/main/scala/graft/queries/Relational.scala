@@ -1480,19 +1480,8 @@ object Relational {
       (s, d) => {
         val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
         val liT = s"graft_q61_li_$tag"; val ordT = s"graft_q61_ord_$tag"
-        // a fresh session can inherit an ORPHAN warehouse directory
-        // (table dir on disk, no catalog entry) — overwrite mode then
-        // refuses the managed location, so drop AND delete explicitly.
-        // Sandbox-only move: a real deployment owns table lifecycle
-        // through its catalog (Hive metastore / catalog API), never
-        // raw filesystem deletes under the warehouse
-        Seq(liT, ordT).foreach { n =>
-          s.sql(s"DROP TABLE IF EXISTS $n")
-          val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-          val p = new org.apache.hadoop.fs.Path(
-            new org.apache.hadoop.fs.Path(wh), n.toLowerCase)
-          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-        }
+        // rewritten (not guarded) each run; see Scratch for the caveat
+        Seq(liT, ordT).foreach(Scratch.dropTable(s, _))
         t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_quantity"),
             col("l_extendedprice"))
@@ -1531,9 +1520,7 @@ object Relational {
     // base partials + delta partials == full recompute exactly.
     RegQuery("q62_incremental_agg",
       (s, d) => {
-        val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
-        val sumPath = s.conf.get("spark.sql.warehouse.dir")
-          .stripSuffix("/") + s"/graft_q62_summary_$tag"
+        val sumPath = Scratch.path(s, "q62_summary", d)
         def partials(df: DataFrame) = df
           .groupBy(col("l_returnflag").as("flag"),
             col("l_linestatus").as("status"))
@@ -1619,9 +1606,7 @@ object Relational {
     // == full recompute exactly.
     RegQuery("q64_incremental_retract",
       (s, d) => {
-        val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
-        val sumPath = s.conf.get("spark.sql.warehouse.dir")
-          .stripSuffix("/") + s"/graft_q64_summary_$tag"
+        val sumPath = Scratch.path(s, "q64_summary", d)
         def partials(df: DataFrame, sign: Int) = df
           .groupBy(col("l_returnflag").as("flag"),
             col("l_linestatus").as("status"))

@@ -1053,15 +1053,9 @@ object Streaming {
     // recomputes from ALL raw rows.
     RegQuery("s21_stream_incremental_agg",
       (s, d) => {
-        val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
-        val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
-        val stagePath = s"$wh/graft_s21_epochs_$tag"
-        val sumPath = s"$wh/graft_s21_summary_$tag"
-        Seq(stagePath, sumPath).foreach { p =>
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-            .delete(hp, true)
-        }
+        val stagePath = Scratch.path(s, "s21_epochs", d)
+        val sumPath = Scratch.path(s, "s21_summary", d)
+        Scratch.clear(s, stagePath, sumPath)
         // stage the two epochs: base (7/8 of orders) then the delta
         val li = graft.Tables(s, d, "lineitem")
           .select(lineitemSchema.map(f => col(f.name)): _*)
