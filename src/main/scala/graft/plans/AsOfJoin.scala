@@ -47,27 +47,27 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoinPlan(
     leftKeyIdx: Seq[Int], // equi-key positions in left.output
     leftOrdIdx: Seq[Int], // ordering-key positions in left.output
-    valueAttr: Attribute,
+    valueAttrs: Seq[Attribute],
     left: LogicalPlan,
-    right: LogicalPlan) // layout contract: [equi…, ord…, value]
+    right: LogicalPlan) // layout contract: [equi…, ord…, values…]
     extends BinaryNode {
-  override def output: Seq[Attribute] = left.output :+ valueAttr
+  override def output: Seq[Attribute] = left.output ++ valueAttrs
   // we pass through every left column and consume all of the right's
   // (pre-projected) columns — declaring both child outputs referenced
   // keeps ColumnPruning from cutting what the exec reads
   override def references: AttributeSet = left.outputSet ++ right.outputSet
-  // valueAttr originates HERE (it rides the constructor, which
+  // valueAttrs originate HERE (they ride the constructor, which
   // QueryPlan would otherwise scan into references → phantom
   // missingInput)
-  override def producedAttributes: AttributeSet = AttributeSet(valueAttr)
+  override def producedAttributes: AttributeSet = AttributeSet(valueAttrs)
   override protected def withNewChildrenInternal(l: LogicalPlan,
       r: LogicalPlan): AsOfJoinPlan = copy(left = l, right = r)
 }
 
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(lk, lo, va, l, r) =>
-      AsOfJoinExec(lk, lo, va, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(lk, lo, vas, l, r) =>
+      AsOfJoinExec(lk, lo, vas, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -75,12 +75,12 @@ class AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     leftKeyIdx: Seq[Int],
     leftOrdIdx: Seq[Int],
-    valueAttr: Attribute,
+    valueAttrs: Seq[Attribute],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output :+ valueAttr
-  override def producedAttributes: AttributeSet = AttributeSet(valueAttr)
+  override def output: Seq[Attribute] = left.output ++ valueAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(valueAttrs)
 
   private def nk = leftKeyIdx.length
   private def no = leftOrdIdx.length
@@ -108,11 +108,12 @@ case class AsOfJoinExec(
   protected override def doExecute(): RDD[InternalRow] = {
     val leftTypes = left.output.map(_.dataType)
     val rightTypes = right.output.map(_.dataType)
-    val valueType = valueAttr.dataType
+    val valueTypes = valueAttrs.map(_.dataType).toArray
     val lKeyIdx = (leftKeyIdx ++ leftOrdIdx).toArray
     val nKeys = nk
     val nAll = nk + no
-    val valuePos = right.output.length - 1
+    val nVals = valueTypes.length
+    val valuePos0 = right.output.length - nVals
 
     def bound(idx: Seq[Int], types: Seq[org.apache.spark.sql.types.DataType],
         nullable: Seq[Boolean]): Seq[Expression] =
@@ -132,13 +133,13 @@ case class AsOfJoinExec(
       val fullOrd = new LazilyGeneratedOrdering(keyRowOrder)
       val equiOrd = new LazilyGeneratedOrdering(keyRowOrder.take(nKeys))
       val outProj = UnsafeProjection.create(
-        (leftTypes :+ valueType).toArray)
+        (leftTypes ++ valueTypes).toArray)
       val rBuf = ri.buffered
 
       // single-cursor merge state: the last right row consumed, as its
-      // (copied) key row + (copied) value — one pair per partition
+      // (copied) key row + (copied) values — one entry per partition
       var lastKey: UnsafeRow = null
-      var lastVal: Any = null
+      var lastVals: Array[Any] = null
 
       li.map { lrow =>
         val lk = lKeyProj(lrow)
@@ -149,17 +150,22 @@ case class AsOfJoinExec(
         while (rBuf.hasNext && fullOrd.compare(rKeyProj(rBuf.head), lk) <= 0) {
           val r = rBuf.next()
           lastKey = rKeyProj(r).copy()
-          lastVal =
-            if (r.isNullAt(valuePos)) null
-            else InternalRow.copyValue(r.get(valuePos, valueType))
+          lastVals = Array.tabulate(nVals) { j =>
+            if (r.isNullAt(valuePos0 + j)) null
+            else InternalRow.copyValue(r.get(valuePos0 + j, valueTypes(j)))
+          }
         }
         val matched = lastKey != null && equiOrd.compare(lastKey, lk) == 0
-        val vals = new Array[Any](leftTypes.length + 1)
+        val vals = new Array[Any](leftTypes.length + nVals)
         var i = 0
         while (i < leftTypes.length) {
           vals(i) = lrow.get(i, leftTypes(i)); i += 1
         }
-        vals(leftTypes.length) = if (matched) lastVal else null
+        var j = 0
+        while (j < nVals) {
+          vals(leftTypes.length + j) = if (matched) lastVals(j) else null
+          j += 1
+        }
         outProj(new GenericInternalRow(vals)).copy(): InternalRow
       }
     }
@@ -173,7 +179,13 @@ object AsOfJoin {
     * Columns are resolved by name on each side and must agree in type.
     */
   def asOfLE(left: DataFrame, right: DataFrame, on: Seq[String],
-      ord: Seq[String], valueCol: String, as: String): DataFrame = {
+      ord: Seq[String], valueCol: String, as: String): DataFrame =
+    asOfLE(left, right, on, ord, Seq(valueCol -> as))
+
+  /** Multi-value form: append several columns of the matched right
+    * row at once — `values` maps right column → output alias. */
+  def asOfLE(left: DataFrame, right: DataFrame, on: Seq[String],
+      ord: Seq[String], values: Seq[(String, String)]): DataFrame = {
     val l = left.queryExecution.analyzed
     val r = right.queryExecution.analyzed
     def resolve(p: LogicalPlan, n: String): Attribute =
@@ -186,16 +198,18 @@ object AsOfJoin {
     require(lk.map(_.dataType) == rk.map(_.dataType) &&
       lo.map(_.dataType) == ro.map(_.dataType),
       "as-of join: key/ordering column types must match across sides")
-    val rv = resolve(r, valueCol)
-    // fix the right layout to [equi…, ord…, value] behind FRESH aliases
-    // (fresh exprIds survive DeduplicateRelations when both sides read
-    // the same base relation; the value alias also dodges a duplicate
-    // column when valueCol is itself a key)
-    val rProj = Project((rk ++ ro).map(a => Alias(a, a.name)()) :+
-      Alias(rv, "graft_asof_value")(), r)
-    val va = AttributeReference(as, rv.dataType, nullable = true)()
+    val rvs = values.map { case (c, _) => resolve(r, c) }
+    // fix the right layout to [equi…, ord…, values…] behind FRESH
+    // aliases (fresh exprIds survive DeduplicateRelations when both
+    // sides read the same base relation; the value aliases also dodge
+    // duplicate columns when a value is itself a key)
+    val rProj = Project((rk ++ ro).map(a => Alias(a, a.name)()) ++
+      rvs.zipWithIndex.map { case (a, i) =>
+        Alias(a, s"graft_asof_value_$i")() }, r)
+    val vas = values.zip(rvs).map { case ((_, as), rv) =>
+      AttributeReference(as, rv.dataType, nullable = true)() }
     org.apache.spark.sql.graftbridge.Bridge.ofRows(left.sparkSession,
       AsOfJoinPlan(lk.map(l.output.indexOf), lo.map(l.output.indexOf),
-        va, l, rProj))
+        vas, l, rProj))
   }
 }

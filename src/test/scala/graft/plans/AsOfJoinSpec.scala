@@ -89,6 +89,26 @@ class AsOfJoinSpec extends SparkSpec {
       (200L, -1L), (300L, -1L)), got.toString)
   }
 
+  test("multi-value form appends several matched columns at once") {
+    import spark.implicits._
+    val clicks = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 200L))
+      .toDF("k", "t", "cid")
+    val views = Seq((1L, 5L, 900L, "a"), (1L, 20L, 901L, "b"))
+      .toDF("k", "t", "vid", "tag")
+    val got = AsOfJoin.asOfLE(clicks, views, Seq("k"), Seq("t"),
+        Seq("vid" -> "lv", "tag" -> "ltag", "t" -> "lt"))
+      .orderBy("cid")
+      .collect()
+      .map(r => (r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) "-" else r.getString(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5))).toSeq
+    // click 100 @10 → view 900@5 ("a"); click 101 @25 → view 901@20
+    // ("b"); key 2 has no views → all three appended columns null
+    assert(got == Seq((100L, 900L, "a", 5L), (101L, 901L, "b", 20L),
+      (200L, -1L, "-", -1L)), got.toString)
+  }
+
   test("merge survives many partitions and a skew-free repartition") {
     val exp = viaWindow.orderBy("event_id").collect().toSeq
     val clicksParts = events.filter(col("event_type") === "click")
