@@ -3063,7 +3063,69 @@ object Pipeline {
              |FROM ra JOIN re ON ra.q_id = re.q_id AND ra.n_id = re.n_id
              |  AND ra.rn <= 5 AND re.rn <= 5
              |CROSS JOIN err
-             |GROUP BY ra.q_id, err.recon_err_u ORDER BY ra.q_id""".stripMargin))
+             |GROUP BY ra.q_id, err.recon_err_u ORDER BY ra.q_id""".stripMargin)),
+
+    // ---- p81: quality-weighted canonical selection ----------------------
+    // Production dedup keeps the BEST member of each near-dup cluster,
+    // not the smallest id (a twin with its tail cut is strictly worse
+    // training data than its source). Pairs come from the mirrored LSH
+    // family (banding equi-join, never all-pairs), clusters from
+    // connected components, and the keeper is the (quality desc,
+    // doc_id) argmax per cluster — quality is a deterministic integer
+    // (type-token ratio in basis points + length), so selection,
+    // including every tie-break, is DuckDB-hash-checked; the oracle
+    // replays the closure + the same window. One window over cluster
+    // members only (dup mass, not corpus mass) at any scale.
+    RegQuery("p81_quality_canonical",
+      (s, d) => {
+        val pairs = mirrorVerifiedPairs(s, d)
+          .select(lpad(col("a_id").cast("string"), 9, "0").as("src_id"),
+            lpad(col("b_id").cast("string"), 9, "0").as("dst_id"))
+        val cc = graft.graphx.GraphAnalytics.connectedComponents(pairs)
+          .select(col("id").cast("long").as("doc_id"),
+            col("component").cast("long").as("cluster_id"))
+        val qual = docsWithTwins(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .select(col("doc_id"), expr(
+            "cast(size(array_distinct(tk)) as bigint) * 10000" +
+              " div cast(size(tk) as bigint)" +
+              " + cast(size(tk) as bigint)").as("q_u"))
+        val w = Window.partitionBy("cluster_id")
+          .orderBy(col("q_u").desc, col("doc_id"))
+        cc.join(qual, "doc_id")
+          .withColumn("canonical_id", first("doc_id").over(
+            w.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .select(col("doc_id"), col("cluster_id"), col("q_u"),
+            col("canonical_id"),
+            (col("doc_id") === col("canonical_id")).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some((twinsCte + mirrorPairsCte +
+        """, und AS (SELECT a_id AS u, b_id AS v FROM pr
+          |  UNION SELECT b_id, a_id FROM pr),
+          |reach AS (
+          |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM und)
+          |  UNION
+          |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+          |comp AS (SELECT u AS doc_id, min(v) AS cluster_id
+          |  FROM reach GROUP BY u),
+          |qual AS (SELECT doc_id,
+          |    CAST(len(list_distinct(string_split(text, ' '))) * 10000
+          |      // len(string_split(text, ' ')) AS BIGINT)
+          |      + len(string_split(text, ' ')) AS q_u
+          |  FROM alldocs),
+          |m AS (SELECT c.doc_id, c.cluster_id, q.q_u FROM comp c
+          |  JOIN qual q ON c.doc_id = q.doc_id),
+          |canon AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+          |  SELECT cluster_id, doc_id, ROW_NUMBER() OVER (
+          |    PARTITION BY cluster_id ORDER BY q_u DESC, doc_id) AS rn
+          |  FROM m) WHERE rn = 1)
+          |SELECT m.doc_id, m.cluster_id, CAST(m.q_u AS BIGINT) AS q_u,
+          |  canon.canonical_id, m.doc_id = canon.canonical_id AS kept
+          |FROM m JOIN canon ON m.cluster_id = canon.cluster_id
+          |ORDER BY m.doc_id""".stripMargin)
+        .replaceFirst("WITH ", "WITH RECURSIVE ")))
   )
 
   /** p70/p71's shared BPE training loop: word-frequency table →
