@@ -3072,7 +3072,9 @@ object Pipeline {
     // family (banding equi-join, never all-pairs), clusters from
     // connected components, and the keeper is the (quality desc,
     // doc_id) argmax per cluster — quality is a deterministic integer
-    // (type-token ratio in basis points + length), so selection,
+    // (length-dominant: tokens * 10000 + type-token ratio in basis
+    // points, so a truncated twin can never outrank its source but
+    // equal-length members split on lexical diversity), so selection,
     // including every tie-break, is DuckDB-hash-checked; the oracle
     // replays the closure + the same window. One window over cluster
     // members only (dup mass, not corpus mass) at any scale.
@@ -3087,9 +3089,9 @@ object Pipeline {
         val qual = docsWithTwins(s, d)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
           .select(col("doc_id"), expr(
-            "cast(size(array_distinct(tk)) as bigint) * 10000" +
-              " div cast(size(tk) as bigint)" +
-              " + cast(size(tk) as bigint)").as("q_u"))
+            "cast(size(tk) as bigint) * 10000" +
+              " + cast(size(array_distinct(tk)) as bigint) * 10000" +
+              " div cast(size(tk) as bigint)").as("q_u"))
         val w = Window.partitionBy("cluster_id")
           .orderBy(col("q_u").desc, col("doc_id"))
         cc.join(qual, "doc_id")
@@ -3111,9 +3113,9 @@ object Pipeline {
           |comp AS (SELECT u AS doc_id, min(v) AS cluster_id
           |  FROM reach GROUP BY u),
           |qual AS (SELECT doc_id,
-          |    CAST(len(list_distinct(string_split(text, ' '))) * 10000
-          |      // len(string_split(text, ' ')) AS BIGINT)
-          |      + len(string_split(text, ' ')) AS q_u
+          |    CAST(len(string_split(text, ' ')) * 10000
+          |      + len(list_distinct(string_split(text, ' '))) * 10000
+          |        // len(string_split(text, ' ')) AS BIGINT) AS q_u
           |  FROM alldocs),
           |m AS (SELECT c.doc_id, c.cluster_id, q.q_u FROM comp c
           |  JOIN qual q ON c.doc_id = q.doc_id),
