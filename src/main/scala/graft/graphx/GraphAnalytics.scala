@@ -1700,4 +1700,74 @@ object GraphAnalytics {
       round.toString)
     colored
   }
+
+  /** Deterministic maximal matching by MIN-POINTER handshake rounds
+    * (the derandomized symmetry-breaking variant: every live vertex
+    * points at its smallest live neighbour; mutual pointers match and
+    * both endpoints leave). Completes the parallel-scheduling trio
+    * with [[maximalIndependentSet]] and [[greedyColoring]] — matching
+    * is the pairwise-merge / two-party-exchange scheduling primitive.
+    * Progress is guaranteed: the globally smallest live vertex is its
+    * own min-neighbour's min-neighbour, so every round matches ≥ 1
+    * pair; an id-ascending path still serializes (~n/2 rounds, the
+    * family worst case) — `maxRounds`-guarded, `graft.matching.rounds`
+    * emitted. Per round: one grouped min + one self-join on the
+    * pointer pairs + two anti-join prunes, lineage-cut.
+    *
+    * Input [src, dst] symmetrized; returns matched pairs
+    * [u, v, mround] with u &lt; v. */
+  def maximalMatching(edges0: DataFrame, maxRounds: Int = 200): DataFrame = {
+    val spark = edges0.sparkSession
+    val e0 = edges0
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+    var liveEdges = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().transform(graft.Ckpt.cut)
+    // an explicit empty relation, NOT limit(0) over liveEdges: Union
+    // constraint rewriting trips over the pruned child's constraints
+    // (key-not-found on the checkpointed attr) when downstream plans
+    // aggregate over the union
+    var matched = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("u",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("mround",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    var round = 0
+    var nEdges = liveEdges.count()
+    while (nEdges > 0) {
+      round += 1
+      if (round > maxRounds) throw new IllegalStateException(
+        s"matching exceeded $maxRounds rounds ($nEdges edges live); " +
+          "raise maxRounds (id-ascending paths serialize the handshake)")
+      val mn = liveEdges.groupBy("u").agg(min("v").as("mn"))
+      val pairs = mn.as("a")
+        .join(mn.as("b"),
+          col("a.mn") === col("b.u") && col("b.mn") === col("a.u") &&
+            col("a.u") < col("b.u"))
+        .select(col("a.u").as("u"), col("b.u").as("v"),
+          lit(round).as("mround"))
+        .transform(graft.Ckpt.cut)
+      matched = matched.unionAll(pairs)
+      val mv = pairs.select(col("u").as("w"))
+        .unionAll(pairs.select(col("v").as("w"))).distinct()
+      liveEdges = liveEdges
+        .join(mv.withColumnRenamed("w", "u"), Seq("u"), "anti")
+        .join(mv.withColumnRenamed("w", "v"), Seq("v"), "anti")
+        .select("u", "v")
+        .transform(graft.Ckpt.cut)
+      nEdges = liveEdges.count()
+    }
+    spark.sparkContext.setLocalProperty("graft.matching.rounds",
+      round.toString)
+    // re-root the result: the checkpointed per-round pair frames carry
+    // origin constraints from the mn self-join whose attrs are no
+    // longer in scope, and Union constraint rewriting downstream
+    // throws key-not-found on them (Spark's LogicalRDD keeps
+    // originConstraints). One narrow conversion detaches the plan.
+    spark.createDataFrame(matched.rdd, matched.schema)
+  }
 }

@@ -1428,8 +1428,66 @@ object GraphXQueries {
           |res AS (SELECT unnest(cv) AS v, unnest(cc) AS color FROM fin)
           |SELECT color, CAST(count(*) AS BIGINT) AS n,
           |  CAST(min(v) AS BIGINT) AS min_v, CAST(sum(v) AS BIGINT) AS v_sum
-          |FROM res GROUP BY color ORDER BY color""".stripMargin))
+          |FROM res GROUP BY color ORDER BY color""".stripMargin)),
+
+    // maximal matching (min-pointer handshake rounds) on the same
+    // graph — the pairwise-merge scheduling primitive completing the
+    // x28/x29 trio. Engine is GraphAnalytics.maximalMatching (every
+    // live vertex points at its smallest live neighbour; mutual
+    // pointers match and both endpoints leave; progress guaranteed —
+    // the globally smallest live vertex always handshakes). The
+    // mirror replays the SAME rounds as one-row recursive list
+    // algebra, so pairs AND their round tags are hash-checked;
+    // MatchingSpec pins matching validity, maximality, and the
+    // serializing-path round count.
+    RegQuery("x30_matching",
+      (s, d) => GraphAnalytics.maximalMatching(transitionEdges(s, d))
+        .select(col("u"), col("v"), col("mround").cast("long").as("mround"))
+        .orderBy("u"),
+      Some(x30Oracle))
   )
+
+  /** DuckDB mirror of the min-pointer handshake rounds: `mmin(x)` is
+    * the smallest LIVE neighbour; a pair (x, mmin(x)) matches when the
+    * pointer is mutual. Nested-lambda expansion generated here so the
+    * doubly-inlined mmin stays in lockstep with itself. */
+  private def x30Oracle: String = {
+    def mmin(arg: String, lv: Int): String =
+      s"list_min(list_filter(a.ns[list_position(a.vs, $arg)]," +
+        s" z$lv -> list_contains(s.live, z$lv)))"
+    val m1 = mmin("x", 1)
+    val m2 = mmin(m1, 2)
+    "WITH RECURSIVE " + transitionEdgesCte("de") +
+      s""",
+         |e AS (SELECT src AS u, dst AS v FROM de
+         |  UNION SELECT dst, src FROM de),
+         |verts AS (SELECT DISTINCT u AS v FROM e),
+         |nb AS (SELECT u AS vv, list(v) AS nbrs
+         |  FROM (SELECT u, v FROM e) GROUP BY u),
+         |adj AS (SELECT list(vv ORDER BY vv) AS vs,
+         |  list(nbrs ORDER BY vv) AS ns FROM nb),
+         |step AS (
+         |  SELECT 0 AS r, (SELECT list(v ORDER BY v) FROM verts) AS live,
+         |    CAST([] AS BIGINT[]) AS mu, CAST([] AS BIGINT[]) AS mv,
+         |    CAST([] AS BIGINT[]) AS mr
+         |  UNION ALL
+         |  SELECT s.r + 1,
+         |    list_filter(s.live, x -> NOT list_contains(w0.wu, x)
+         |      AND NOT list_contains(w1.wv, x)),
+         |    list_concat(s.mu, w0.wu),
+         |    list_concat(s.mv, w1.wv),
+         |    list_concat(s.mr, list_transform(w0.wu, x -> s.r + 1))
+         |  FROM step s CROSS JOIN adj a
+         |  CROSS JOIN LATERAL (SELECT list_filter(s.live, x ->
+         |      $m1 IS NOT NULL AND x < $m1 AND $m2 = x) AS wu) w0
+         |  CROSS JOIN LATERAL (SELECT list_transform(w0.wu,
+         |      x -> $m1) AS wv) w1
+         |  WHERE len(list_filter(s.live, x -> $m1 IS NOT NULL)) > 0),
+         |fin AS (SELECT mu, mv, mr FROM step ORDER BY r DESC LIMIT 1)
+         |SELECT unnest(mu) AS u, unnest(mv) AS v,
+         |  CAST(unnest(mr) AS BIGINT) AS mround
+         |FROM fin ORDER BY u""".stripMargin
+  }
 
   /** Planted-community graph for x06: parts grouped into ~10-member
     * cliques by (brand, partkey-rank div 10) — the clique pair fan-out
