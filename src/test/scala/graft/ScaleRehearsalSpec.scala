@@ -313,6 +313,53 @@ class ScaleRehearsalSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.scc.localEdgeThreshold")
   }
 
+  test("MIS / coloring / matching rounds are volume-independent at 10x") {
+    // the scheduling-primitive trio (x28/x29/x30) under the standard
+    // 10-disjoint-isomorphic-copies inflation: every copy peels/colors/
+    // handshakes simultaneously (id offsets preserve intra-copy
+    // comparisons), so ROUND COUNTS must not move while set sizes
+    // scale exactly x10 — rounds, not rows, are the serial budget.
+    val li = graft.Tables(spark, "/root/testdata/sf0.01", "lineitem")
+      .where(col("l_partkey") <= 2000)
+      .select(col("l_orderkey").as("o"), col("l_linenumber").as("ln"),
+        col("l_partkey").as("p"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("b.ln") === col("a.ln") + 1)
+      .where(col("a.p") =!= col("b.p") &&
+        (col("a.p") * 31 + col("b.p")) % 7 === 0)
+      .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+      .localCheckpoint()
+    val copies = spark.range(10).select((col("id") * 10000000L).as("off"))
+    val inflated = edges.crossJoin(copies)
+      .select((col("src") + col("off")).as("src"),
+        (col("dst") + col("off")).as("dst"))
+      .localCheckpoint()
+    def prop(n: String): Int = spark.sparkContext
+      .getLocalProperty(s"graft.$n.rounds").toInt
+    val misBase = GraphAnalytics.maximalIndependentSet(edges).count()
+    val misR = prop("mis")
+    val colBase = GraphAnalytics.greedyColoring(edges)
+      .select("color").distinct().count()
+    val colR = prop("coloring")
+    val matBase = GraphAnalytics.maximalMatching(edges).count()
+    val matR = prop("matching")
+    val t0 = System.nanoTime()
+    assert(GraphAnalytics.maximalIndependentSet(inflated).count()
+      == 10 * misBase)
+    assert(prop("mis") == misR, s"MIS rounds moved: ${prop("mis")} vs $misR")
+    assert(GraphAnalytics.greedyColoring(inflated)
+      .select("color").distinct().count() == colBase,
+      "disjoint copies must not need new colors")
+    assert(prop("coloring") == colR,
+      s"coloring rounds moved: ${prop("coloring")} vs $colR")
+    assert(GraphAnalytics.maximalMatching(inflated).count()
+      == 10 * matBase)
+    assert(prop("matching") == matR,
+      s"matching rounds moved: ${prop("matching")} vs $matR")
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 300, s"10x trio took ${sec}s")
+  }
+
   test("SCC peel rounds are volume-independent: 10x == 1x (forced distributed)") {
     // x25's item-transition graph inflated by 10 ISOMORPHIC disjoint
     // copies (id offset preserves every intra-copy comparison, so each
