@@ -17,14 +17,14 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * Semantics (backward / "at or before"): for every left row, find the
   * LAST right row with the same equi key whose ordering key is &lt;=
-  * the left row's, and append one value column from it (null when no
-  * such row). The composed q24 formulation unions both streams into a
+  * the left row's, and append one or more value columns from it (null
+  * when no such row). The composed q24 formulation unions both streams into a
   * per-key window and materializes `last(...) ignoreNulls` over the
   * FULL merged event history; this operator instead requires both
   * children clustered on the equi keys and sorted by (equi, ord) —
   * EnsureRequirements plans the standard exchanges/sorts — and then
   * streams each co-partition pair ONCE with a single cursor into the
-  * right side. Per-partition state is one (equi key, value) pair; no
+  * right side. Per-partition state is one (equi key, values) entry; no
   * window buffer, no merged materialization, and the operator
   * preserves the left side's partitioning and ordering for downstream
   * reuse.
@@ -36,12 +36,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * fresh exprIds for one subtree, which would orphan any stored
   * attribute reference (the CosineTopK positional-access lesson
   * applied to a keyed operator). The builder fixes the right child's
-  * layout to [equi keys…, ord keys…, value] via a fresh-alias Project,
+  * layout to [equi keys…, ord keys…, values…] via a fresh-alias Project,
   * so ordinals are stable under every optimizer rewrite that preserves
   * output order (they all do).
   *
-  * Wiring mirrors CosineTopK: `AsOfJoinPlan` (logical; the value attr
-  * rides the constructor so optimizer copies keep its exprId) →
+  * Wiring mirrors CosineTopK: `AsOfJoinPlan` (logical; the value attrs
+  * ride the constructor so optimizer copies keep their exprIds) →
   * `AsOfJoinStrategy` (injectPlannerStrategy) → `AsOfJoinExec`.
   */
 case class AsOfJoinPlan(
@@ -97,7 +97,7 @@ case class AsOfJoinExec(
     (leftKeyIdx ++ leftOrdIdx).map(i => SortOrder(left.output(i), Ascending)),
     right.output.take(nk + no).map(SortOrder(_, Ascending)))
 
-  // a pure append of one column: left's partitioning and ordering
+  // a pure append of value columns: left's partitioning and ordering
   // survive for downstream reuse
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
