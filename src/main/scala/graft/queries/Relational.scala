@@ -1645,6 +1645,48 @@ object Relational {
              |      THEN l_quantity + 1 ELSE l_quantity END AS BIGINT))
              |    * 1000 // count(*) AS BIGINT) AS avg_qty_milli
              |FROM lineitem WHERE l_orderkey % 10 <> 3
-             |GROUP BY 1, 2 ORDER BY flag, status""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY flag, status""".stripMargin)),
+
+    // ---- q65: schema evolution (mergeSchema over mixed-epoch files) ----
+    // The decade-long table every warehouse actually has: early files
+    // lack columns later files carry. Epoch 1 writes (orderkey, qty)
+    // only; epoch 2 appends files that ALSO carry discount; one
+    // mergeSchema read unions the schemas, backfilling the legacy
+    // files' missing column with NULL — so count(col) / sum(col) see
+    // exactly the new-epoch rows and no cast ever guesses. The oracle
+    // recomputes from the raw table with the epoch rule as a CASE, so
+    // the hash proves schema-on-read merge + NULL backfill round-trips
+    // every row. (At 100 TB this is free: schema merge touches
+    // footers, and column pruning still reaches each file.)
+    RegQuery("q65_schema_evolution",
+      (s, d) => {
+        val base = Scratch.path(s, "q65_epochs", d)
+        Scratch.clear(s, base)
+        val li = t(s, d, "lineitem")
+        li.where(col("l_orderkey") % 2 === 0)
+          .select("l_orderkey", "l_quantity")
+          .write.parquet(base)
+        li.where(col("l_orderkey") % 2 === 1)
+          .select(col("l_orderkey"), col("l_quantity"),
+            expr("cast(floor(l_discount * 10000 + 0.5) as bigint)")
+              .as("disc_bp"))
+          .write.mode("append").parquet(base)
+        s.read.option("mergeSchema", "true").parquet(base)
+          .groupBy(expr("l_orderkey % 100").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(l_quantity as bigint)")).as("sum_qty"),
+            count(col("disc_bp")).as("n_disc"),
+            sum(col("disc_bp")).as("sum_disc_bp"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT l_orderkey % 100 AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  CAST(count(CASE WHEN l_orderkey % 2 = 1 THEN 1 END)
+             |    AS BIGINT) AS n_disc,
+             |  CAST(sum(CASE WHEN l_orderkey % 2 = 1
+             |    THEN CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) END)
+             |    AS BIGINT) AS sum_disc_bp
+             |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 }
