@@ -3004,11 +3004,13 @@ object Pipeline {
               when(m > 0, floor(x / m * 127 + 0.5) * m / 127)
                 .otherwise(lit(0.0))).as("dv"))
           .localCheckpoint() // feeds error agg AND the quantized arm
+        // per-element NANO-unit flooring BEFORE the aggregate: the sum
+        // is then exact integer math, immune to float-sum order (the
+        // micro-unit discipline applied to the error metric)
         val err = dq
-          .select(explode(zip_with(col("dv"), col("v"),
-            (a, b) => abs(a - b))).as("ae"))
-          .agg(floor(avg(col("ae")) * 1000000 + 0.5).cast("long")
-            .as("recon_err_u"))
+          .select(explode(zip_with(col("dv"), col("v"), (a, b) =>
+            floor(abs(a - b) * 1000000000L + 0.5).cast("long"))).as("ae"))
+          .agg(expr("sum(ae) div count(1)").as("recon_err_u"))
         val q = e.where(col("vec_id") < 3)
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
         def top5(corpus: DataFrame, vcol: String) = corpus
@@ -3036,10 +3038,11 @@ object Pipeline {
              |    CASE WHEN mx.m[i] > 0
              |      THEN floor(v[i]/mx.m[i]*127 + 0.5)*mx.m[i]/127
              |      ELSE 0.0 END) AS dv FROM e, mx),
-             |err AS (SELECT CAST(floor(avg(ae)*1000000 + 0.5) AS BIGINT)
+             |err AS (SELECT CAST(sum(ae) // count(*) AS BIGINT)
              |    AS recon_err_u
              |  FROM (SELECT unnest(list_transform(range(1, 65),
-             |      i -> abs(dv[i] - v[i]))) AS ae FROM dq)),
+             |      i -> CAST(floor(abs(dv[i] - v[i])*1000000000 + 0.5)
+             |        AS BIGINT))) AS ae FROM dq)),
              |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
              |pa AS (SELECT q_id, d.vec_id AS n_id,
              |  floor(list_sum(list_transform(range(1, len(qv)+1),
