@@ -3130,7 +3130,110 @@ object Pipeline {
           |  canon.canonical_id, m.doc_id = canon.canonical_id AS kept
           |FROM m JOIN canon ON m.cluster_id = canon.cluster_id
           |ORDER BY m.doc_id""".stripMargin)
-        .replaceFirst("WITH ", "WITH RECURSIVE ")))
+        .replaceFirst("WITH ", "WITH RECURSIVE "))),
+
+    // ---- p82: dedup index RETRACTION (takedown + re-resolution) ---------
+    // The third arm of the dedup-index lifecycle (p72 create, p77
+    // fold, p82 retract — mirroring the q62/q64/s21 materialized-view
+    // trio): a takedown batch (every 50th corpus doc — the GDPR/DMCA
+    // shape) removes its band rows from the index by one anti-join,
+    // and the incoming batch is resolved against BOTH generations so
+    // each doc's transition is visible: a dup whose only corpus match
+    // was purged downgrades to batch_dup or novel, everything else is
+    // pinned unchanged. Cost: the retraction is ~|takedown| (anti-join
+    // on the index), re-resolution is the ordinary ~|batch| probe —
+    // the corpus is never re-signed. The oracle derives both
+    // generations' dispositions from the mirrored pair set with the
+    // takedown as a filter, so every transition is hash-checked.
+    RegQuery("p82_dedup_index_retract",
+      (s, d) => {
+        val (hs, bands) = mirrorHsBands(s, d)
+        val idx0 = bands.where(col("doc_id") < 1000000L)
+          .select(col("bi"), col("bv"), col("doc_id").as("a_id"))
+          .localCheckpoint() // generation 0, feeds both resolutions
+        // the takedown batch arrives as a FRAME; retraction is one
+        // anti-join on the index — ~|takedown| work
+        val takedown = Tables(s, d, "documents")
+          .select(col("doc_id").as("a_id"))
+          .where(col("a_id") % 50 === 0)
+        val idx1 = idx0.join(takedown, Seq("a_id"), "anti")
+        val nb = bands.where(col("doc_id") >= 1000000L)
+        def resolve(idx: DataFrame): DataFrame = {
+          val cand = nb.select(col("bi"), col("bv"),
+              col("doc_id").as("b_id"))
+            .join(idx, Seq("bi", "bv"))
+            .unionAll(nb.select(col("bi"), col("bv"),
+                col("doc_id").as("b_id"))
+              .join(nb.select(col("bi"), col("bv"),
+                col("doc_id").as("a_id")), Seq("bi", "bv"))
+              .where(col("a_id") < col("b_id")))
+            .select("a_id", "b_id").distinct()
+          cand
+            .join(hs.select(col("doc_id").as("a_id"), col("hs").as("a_hs")),
+              "a_id")
+            .join(hs.select(col("doc_id").as("b_id"), col("hs").as("b_hs")),
+              "b_id")
+            .where(TextOps.jaccardSorted(col("a_hs"), col("b_hs")) >= 0.5)
+            .groupBy("b_id")
+            .agg(min(when(col("a_id") < 1000000L, col("a_id")))
+                .as("c_hit"),
+              min(when(col("a_id") >= 1000000L, col("a_id")))
+                .as("b_hit"))
+        }
+        def status(c: String, b: String) =
+          when(col(c).isNotNull, lit("corpus_dup"))
+            .when(col(b).isNotNull, lit("batch_dup"))
+            .otherwise(lit("novel"))
+        def canon(c: String, b: String) =
+          coalesce(col(c), col(b), col("doc_id"))
+        docsWithTwins(s, d).where(col("doc_id") >= 1000000L)
+          .select("doc_id")
+          .join(resolve(idx0).select(col("b_id").as("doc_id"),
+            col("c_hit").as("c_hit0"), col("b_hit").as("b_hit0")),
+            Seq("doc_id"), "left")
+          .join(resolve(idx1).select(col("b_id").as("doc_id"),
+            col("c_hit").as("c_hit1"), col("b_hit").as("b_hit1")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            status("c_hit0", "b_hit0").as("status_before"),
+            canon("c_hit0", "b_hit0").as("canonical_before"),
+            status("c_hit1", "b_hit1").as("status_after"),
+            canon("c_hit1", "b_hit1").as("canonical_after"))
+          .withColumn("changed",
+            col("status_before") =!= col("status_after") ||
+              col("canonical_before") =!= col("canonical_after"))
+          .orderBy("doc_id")
+      },
+      Some(twinsCte + mirrorPairsCte +
+        """, nd AS (SELECT doc_id FROM alldocs WHERE doc_id >= 1000000),
+          |h0 AS (SELECT b_id AS doc_id,
+          |    min(CASE WHEN a_id < 1000000 THEN a_id END) AS c_hit0,
+          |    min(CASE WHEN a_id >= 1000000 THEN a_id END) AS b_hit0
+          |  FROM pr WHERE b_id >= 1000000 GROUP BY b_id),
+          |h1 AS (SELECT b_id AS doc_id,
+          |    min(CASE WHEN a_id < 1000000 AND a_id % 50 <> 0
+          |      THEN a_id END) AS c_hit1,
+          |    min(CASE WHEN a_id >= 1000000 THEN a_id END) AS b_hit1
+          |  FROM pr WHERE b_id >= 1000000 GROUP BY b_id)
+          |SELECT nd.doc_id,
+          |  CASE WHEN c_hit0 IS NOT NULL THEN 'corpus_dup'
+          |       WHEN b_hit0 IS NOT NULL THEN 'batch_dup'
+          |       ELSE 'novel' END AS status_before,
+          |  COALESCE(c_hit0, b_hit0, nd.doc_id) AS canonical_before,
+          |  CASE WHEN c_hit1 IS NOT NULL THEN 'corpus_dup'
+          |       WHEN b_hit1 IS NOT NULL THEN 'batch_dup'
+          |       ELSE 'novel' END AS status_after,
+          |  COALESCE(c_hit1, b_hit1, nd.doc_id) AS canonical_after,
+          |  (CASE WHEN c_hit0 IS NOT NULL THEN 'corpus_dup'
+          |        WHEN b_hit0 IS NOT NULL THEN 'batch_dup'
+          |        ELSE 'novel' END)
+          |    <> (CASE WHEN c_hit1 IS NOT NULL THEN 'corpus_dup'
+          |        WHEN b_hit1 IS NOT NULL THEN 'batch_dup'
+          |        ELSE 'novel' END)
+          |  OR COALESCE(c_hit0, b_hit0, nd.doc_id)
+          |    <> COALESCE(c_hit1, b_hit1, nd.doc_id) AS changed
+          |FROM nd LEFT JOIN h0 USING (doc_id) LEFT JOIN h1 USING (doc_id)
+          |ORDER BY nd.doc_id""".stripMargin))
   )
 
   /** p70/p71's shared BPE training loop: word-frequency table →
