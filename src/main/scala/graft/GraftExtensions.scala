@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: AsOfJoinPlan -> AsOfJoinExec (sorted
     // single-cursor merge per co-partition; see plans/AsOfJoin)
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    // whole-operator extension: SessionizePlan -> SessionizeExec
+    // (three scalars of state per partition; see plans/Sessionize)
+    e.injectPlannerStrategy(_ => new graft.plans.SessionizeStrategy)
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),

@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BoundReference, Expression, GenericInternalRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
+
+/** Sessionization as a dedicated physical operator — the third
+  * whole-operator Catalyst extension, and the proof the (c)-tier
+  * wiring is a reusable PATTERN: same positional addressing as
+  * AsOfJoin, same clustered+sorted child contract, one forward cursor.
+  *
+  * Semantics (q41's): rows clustered by the key and sorted by the
+  * ordering columns; a new session starts at each key's first row and
+  * whenever the LONG gap column advances by more than `gapThreshold`
+  * since the previous row; the appended session id is the running
+  * 1-based count of session starts per key. The composed q41 plan
+  * materializes lag + a running-sum window over the full stream; this
+  * operator holds (last key, last gap value, session counter) — three
+  * scalars of state per partition — and emits rows as they stream.
+  * Determinism is exact (integer gaps, same ordering), so q41's
+  * UNCHANGED oracle hash-checks the custom operator.
+  */
+case class SessionizePlan(
+    keyIdx: Seq[Int], // key positions in child.output
+    ordIdx: Seq[Int], // ordering positions in child.output
+    gapIdx: Int, // LONG gap column position in child.output
+    gapThreshold: Long,
+    sidAttr: Attribute,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ sidAttr
+  override def references: AttributeSet = child.outputSet
+  override def producedAttributes: AttributeSet = AttributeSet(sidAttr)
+  override protected def withNewChildInternal(c: LogicalPlan): SessionizePlan =
+    copy(child = c)
+}
+
+class SessionizeStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case SessionizePlan(k, o, g, t, sid, child) =>
+      SessionizeExec(k, o, g, t, sid, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class SessionizeExec(
+    keyIdx: Seq[Int],
+    ordIdx: Seq[Int],
+    gapIdx: Int,
+    gapThreshold: Long,
+    sidAttr: Attribute,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ sidAttr
+  override def producedAttributes: AttributeSet = AttributeSet(sidAttr)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keyIdx.map(child.output)) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (keyIdx ++ ordIdx).map(i => SortOrder(child.output(i), Ascending)))
+
+  // a pure append of one column: the child's partitioning and ordering
+  // survive for downstream reuse
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+
+  override protected def withNewChildInternal(c: SparkPlan): SessionizeExec =
+    copy(child = c)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val types = child.output.map(_.dataType)
+    val nullable = child.output.map(_.nullable)
+    val keyExprs: Seq[Expression] =
+      keyIdx.map(i => BoundReference(i, types(i), nullable(i)))
+    val keyOrder = keyExprs.zipWithIndex.map { case (e, i) =>
+      SortOrder(BoundReference(i, e.dataType, e.nullable), Ascending) }
+    val gapPos = gapIdx
+    val thr = gapThreshold
+
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs)
+      val keyOrd = new LazilyGeneratedOrdering(keyOrder)
+      val outProj = UnsafeProjection.create((types :+ LongType).toArray)
+      // three scalars of per-partition state
+      var lastKey: UnsafeRow = null
+      var lastGap: Long = 0L
+      var sid: Long = 0L
+      iter.map { row =>
+        val k = keyProj(row)
+        val gap = if (row.isNullAt(gapPos)) Long.MinValue
+          else row.getLong(gapPos)
+        if (lastKey == null || keyOrd.compare(lastKey, k) != 0) {
+          lastKey = k.copy(); sid = 1L
+        } else if (gap - lastGap > thr) {
+          sid += 1L
+        }
+        lastGap = gap
+        val vals = new Array[Any](types.length + 1)
+        var i = 0
+        while (i < types.length) { vals(i) = row.get(i, types(i)); i += 1 }
+        vals(types.length) = sid
+        outProj(new GenericInternalRow(vals)).copy(): InternalRow
+      }
+    }
+  }
+}
+
+object Sessionize {
+  /** Append a 1-based session id per `key`: a new session starts when
+    * the LONG `gapCol` advances by more than `gapThreshold` between
+    * consecutive rows in `ord` order. Columns resolved by name. */
+  def assign(df: DataFrame, key: Seq[String], ord: Seq[String],
+      gapCol: String, gapThreshold: Long, as: String): DataFrame = {
+    val plan = df.queryExecution.analyzed
+    def idx(n: String): Int = {
+      val i = plan.output.indexWhere(_.name == n)
+      require(i >= 0, s"sessionize: column '$n' not found in " +
+        s"[${plan.output.map(_.name).mkString(", ")}]")
+      i
+    }
+    require(plan.output(idx(gapCol)).dataType == LongType,
+      s"sessionize: gap column '$gapCol' must be LONG")
+    val sid = AttributeReference(as, LongType, nullable = false)()
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(df.sparkSession,
+      SessionizePlan(key.map(idx), ord.map(idx), idx(gapCol),
+        gapThreshold, sid, plan))
+  }
+}

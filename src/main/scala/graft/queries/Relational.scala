@@ -1687,6 +1687,43 @@ object Relational {
              |  CAST(sum(CASE WHEN l_orderkey % 2 = 1
              |    THEN CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) END)
              |    AS BIGINT) AS sum_disc_bp
-             |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin))
+             |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- q66: sessionization through the custom physical operator ------
+    // q41's EXACT semantics executed by the third whole-operator
+    // Catalyst extension (plans/Sessionize): SessionizePlan →
+    // SessionizeStrategy → SessionizeExec — the child clustered on
+    // user_id and sorted by (user_id, ts, event_id), then ONE forward
+    // cursor holding three scalars of state (last key, last gap value,
+    // session counter) assigns session ids as rows stream. The
+    // composed q41 plan runs lag + a running-sum window over the full
+    // stream; this one materializes nothing, preserves the child's
+    // partitioning/ordering, and q41's UNCHANGED oracle hash-checks
+    // it — the third proof that the (c)-tier wiring is a reusable
+    // pattern, not a one-off.
+    RegQuery("q66_sessionize_exec",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            floor(unix_millis(col("ts")) / 1000.0).cast("long").as("tsec"))
+        graft.plans.Sessionize.assign(ev, key = Seq("user_id"),
+            ord = Seq("ts", "event_id"), gapCol = "tsec",
+            gapThreshold = 1800L, as = "sid")
+          .groupBy("user_id", "sid")
+          .agg(count(lit(1)).as("n_events"),
+            (max(col("tsec")) - min(col("tsec"))).as("dur_s"))
+          .orderBy("user_id", "sid")
+      },
+      Some("""WITH g AS (SELECT user_id, event_id, ts,
+             |  CASE WHEN lag(ts) OVER w IS NULL
+             |         OR epoch_ms(ts)//1000 - epoch_ms(lag(ts) OVER w)//1000 > 1800
+             |       THEN 1 ELSE 0 END AS brk
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT user_id, ts, SUM(brk) OVER (
+             |  PARTITION BY user_id ORDER BY ts, event_id
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+             |SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events,
+             |  max(epoch_ms(ts)//1000) - min(epoch_ms(ts)//1000) AS dur_s
+             |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin))
   )
 }
