@@ -1240,7 +1240,50 @@ object Streaming {
              |    AS INTEGER) AS exact_hit
              |FROM documents d LEFT JOIN gb ON d.doc_id = gb.doc_id
              |LEFT JOIN ex ON d.doc_id = ex.doc_id
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- s24: streaming sessionization ---------------------------------
+    // The sessionize family's third arm (q41 composed window, q66
+    // custom exec, s24 the stream): Streams.SessProcessor keeps TWO
+    // longs of state per user (last gap value, session counter) —
+    // SessionizeExec's cursor lifted into transformWithState — and
+    // stamps every event's session id at ingest, no window buffer, no
+    // batch boundary. Ordering contract as s19/s20/s22; StreamsSpec
+    // pins a session spanning a micro-batch split. The drained rows
+    // aggregate to q41's UNCHANGED oracle, so one SQL checks all
+    // three arms.
+    RegQuery("s24_stream_sessionize",
+      (s, d) => {
+        import s.implicits._
+        Streams.withRocksDB(s) {
+          val q = withStatePartitions(s, 8) {
+            Streams.sessionize(streamEvents(s, d)
+                .select(col("user_id"),
+                  expr("unix_millis(ts) div 1000").as("tsec"),
+                  col("event_id"))
+                .as[Streams.SessRow], gap = 1800L)
+              .writeStream.format("memory").queryName("s24_sink")
+              .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          }
+          q.awaitTermination()
+          s.table("s24_sink")
+            .groupBy("user_id", "sid")
+            .agg(count(lit(1)).as("n_events"),
+              (max(col("tsec")) - min(col("tsec"))).as("dur_s"))
+            .orderBy("user_id", "sid")
+        }
+      },
+      Some("""WITH g AS (SELECT user_id, event_id, ts,
+             |  CASE WHEN lag(ts) OVER w IS NULL
+             |         OR epoch_ms(ts)//1000 - epoch_ms(lag(ts) OVER w)//1000 > 1800
+             |       THEN 1 ELSE 0 END AS brk
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT user_id, ts, SUM(brk) OVER (
+             |  PARTITION BY user_id ORDER BY ts, event_id
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+             |SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events,
+             |  max(epoch_ms(ts)//1000) - min(epoch_ms(ts)//1000) AS dur_s
+             |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin))
   )
 
   private val docsSchema = StructType(Seq(

@@ -338,6 +338,56 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  // --- streaming sessionization (s24) ----------------------------------
+
+  case class SessRow(user_id: Long, tsec: Long, event_id: Long)
+  case class SessOut(user_id: Long, event_id: Long, tsec: Long, sid: Long)
+  case class SessState(last_tsec: Long, sid: Long)
+
+  /** The sessionize family's STREAMING arm (q41 composed window, q66
+    * custom exec, and this): assign session ids AT INGEST with two
+    * longs of state per user — the last gap value and the running
+    * session counter, exactly SessionizeExec's cursor lifted into
+    * transformWithState. Ordering contract as s19/s20/s22 (per-user
+    * ts-monotone batch arrival; in-batch (tsec, event_id) sort). */
+  class SessProcessor(gap: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessRow, SessOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    @transient private var st: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("sess",
+        org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessRow],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessOut] = {
+      val sorted = rows.toArray.sortBy(r => (r.tsec, r.event_id))
+      var cur = Option(st.get())
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+      sorted.foreach { r =>
+        cur = Some(cur match {
+          case None => SessState(r.tsec, 1L)
+          case Some(s) if r.tsec - s.last_tsec > gap =>
+            SessState(r.tsec, s.sid + 1)
+          case Some(s) => SessState(r.tsec, s.sid)
+        })
+        out += SessOut(key, r.event_id, r.tsec, cur.get.sid)
+      }
+      cur.foreach(st.update)
+      out.iterator
+    }
+  }
+
+  /** Per-user session ids via transformWithState. */
+  def sessionize(events: Dataset[SessRow], gap: Long): Dataset[SessOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessProcessor(gap),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   // --- streaming sequence packing (s20) --------------------------------
 
   case class PackRow(source: String, doc_id: Long, n_tok: Long)

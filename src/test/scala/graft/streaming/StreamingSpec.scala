@@ -426,6 +426,30 @@ class StreamingSpec extends SparkSpec {
       AsOfOut(2L, 6L, Some(5L)), AsOfOut(3L, 7L, None)), got.toString)
   }
 
+  test("s24 sessionize: a session spans a micro-batch split via state") {
+    import graft.streaming.Streams.{SessRow, SessOut}
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: t=0,100 | t=200 (same session, continued FROM STATE),
+    // t=2500 (gap 2300 > 1800 → session 2); user 2 all in batch 2,
+    // shuffled (in-batch sort restores order), its own sid sequence
+    val b1 = Seq(SessRow(1L, 0L, 1L), SessRow(1L, 100L, 2L))
+    val b2 = Seq(SessRow(2L, 50L, 6L), SessRow(2L, 5000L, 7L),
+      SessRow(1L, 200L, 3L), SessRow(1L, 2500L, 4L))
+    Streams.withRocksDB(spark) {
+      val src = MemoryStream[SessRow]
+      val q = Streams.sessionize(src.toDS(), gap = 1800L)
+        .writeStream.format("memory").queryName("t_sess")
+        .outputMode(OutputMode.Append()).start()
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+    }
+    val got = spark.table("t_sess").as[SessOut].collect()
+      .map(o => o.event_id -> o.sid).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      6L -> 1L, 7L -> 2L), got.toString)
+  }
+
   test("s20 packing: doc_id-boundary split continues the open sequence") {
     import graft.streaming.Streams.{PackRow, PackOut}
     implicit val sqlCtx = spark.sqlContext
