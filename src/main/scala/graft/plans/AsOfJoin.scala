@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 
 /** As-of join as a dedicated physical operator — the second
   * whole-operator Catalyst extension ((c) tier), the one-pass sorted
@@ -82,6 +83,12 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] = left.output ++ valueAttrs
   override def producedAttributes: AttributeSet = AttributeSet(valueAttrs)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext,
+      "number of rows with an as-of match"))
+
   private def nk = leftKeyIdx.length
   private def no = leftOrdIdx.length
   private def leftKeys: Seq[Expression] = leftKeyIdx.map(left.output)
@@ -124,6 +131,8 @@ case class AsOfJoinExec(
     val rKeyExprs = bound(0 until nAll, rightTypes, rNullable)
     val keyRowOrder = lKeyExprs.zipWithIndex.map { case (e, i) =>
       SortOrder(BoundReference(i, e.dataType, e.nullable), Ascending) }
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
 
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs)
@@ -156,6 +165,8 @@ case class AsOfJoinExec(
           }
         }
         val matched = lastKey != null && equiOrd.compare(lastKey, lk) == 0
+        numOutputRows += 1
+        if (matched) numMatched += 1
         val vals = new Array[Any](leftTypes.length + nVals)
         var i = 0
         while (i < leftTypes.length) {

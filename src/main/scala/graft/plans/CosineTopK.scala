@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
 
@@ -86,6 +87,12 @@ case class CosineTopKExec(
 
   override def producedAttributes: AttributeSet = AttributeSet(output)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "numCorpusRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of corpus rows scanned"))
+
   // the probe side is a build side: EnsureRequirements wraps it in a
   // BroadcastExchange (identity mode — plain rows), NEVER a shuffle;
   // the corpus side streams wherever it already lives
@@ -99,6 +106,8 @@ case class CosineTopKExec(
     val kLocal = k
     val exclSelf = excludeSelf
     val bc = right.executeBroadcast[Array[InternalRow]]()
+    val numOutputRows = longMetric("numOutputRows")
+    val numCorpusRows = longMetric("numCorpusRows")
 
     // heap entries (id, cosMicro); "worst" = smaller cos, then larger
     // id — it compares GREATEST (PriorityQueue dequeues the max), so
@@ -127,6 +136,7 @@ case class CosineTopKExec(
           new scala.collection.mutable.PriorityQueue[(Long, Long)]()(
             worstFirst))
         iter.foreach { row =>
+          numCorpusRows += 1
           if (!row.isNullAt(0) && !row.isNullAt(1)) {
             val id = row.getLong(0)
             val v = row.getArray(1).toDoubleArray()
@@ -175,6 +185,7 @@ case class CosineTopKExec(
         it.flatMap { case (qid, top) =>
           top.sorted(worstFirst).iterator.zipWithIndex.map {
             case ((id, micro), idx) =>
+              numOutputRows += 1
               proj(new GenericInternalRow(Array[Any](
                 qid, idx + 1, id, micro / 1e6))).copy(): InternalRow
           }

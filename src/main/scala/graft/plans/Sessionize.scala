@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.types.LongType
 
 /** Sessionization as a dedicated physical operator — the third
@@ -59,6 +60,12 @@ case class SessionizeExec(
   override def output: Seq[Attribute] = child.output :+ sidAttr
   override def producedAttributes: AttributeSet = AttributeSet(sidAttr)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "numSessions" -> SQLMetrics.createMetric(sparkContext,
+      "number of sessions started"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keyIdx.map(child.output)) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
@@ -81,6 +88,8 @@ case class SessionizeExec(
       SortOrder(BoundReference(i, e.dataType, e.nullable), Ascending) }
     val gapPos = gapIdx
     val thr = gapThreshold
+    val numOutputRows = longMetric("numOutputRows")
+    val numSessions = longMetric("numSessions")
 
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs)
@@ -95,11 +104,12 @@ case class SessionizeExec(
         val gap = if (row.isNullAt(gapPos)) Long.MinValue
           else row.getLong(gapPos)
         if (lastKey == null || keyOrd.compare(lastKey, k) != 0) {
-          lastKey = k.copy(); sid = 1L
+          lastKey = k.copy(); sid = 1L; numSessions += 1
         } else if (gap - lastGap > thr) {
-          sid += 1L
+          sid += 1L; numSessions += 1
         }
         lastGap = gap
+        numOutputRows += 1
         val vals = new Array[Any](types.length + 1)
         var i = 0
         while (i < types.length) { vals(i) = row.get(i, types(i)); i += 1 }
