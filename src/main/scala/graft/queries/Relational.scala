@@ -1724,6 +1724,41 @@ object Relational {
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
              |SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events,
              |  max(epoch_ms(ts)//1000) - min(epoch_ms(ts)//1000) AS dur_s
-             |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin))
+             |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin)),
+
+    // ---- q67: null-safe equi-join (<=> / IS NOT DISTINCT FROM) ---------
+    // The join every slowly-changing key eventually needs: NULL keys
+    // match each other instead of silently dropping. Spark treats
+    // EqualNullSafe as a genuine EQUI key — the plan is still a
+    // hash-partitioned join (shuffle on the coalesced key), never a
+    // nested loop — which is exactly why <=> scales where the
+    // OR-isnull rewrite would not. Keys are planted NULLs (nationkey
+    // residue 3 → NULL on both sides); the aggregate pins that the
+    // NULL block matched as one group.
+    RegQuery("q67_null_safe_join",
+      (s, d) => {
+        val c = t(s, d, "customer").where(col("c_custkey") <= 300)
+          .select(col("c_custkey"),
+            expr("nullif(c_nationkey % 7, 3)").as("k1"))
+        val su = t(s, d, "supplier")
+          .select(col("s_suppkey"),
+            expr("nullif(s_nationkey % 7, 3)").as("k2"))
+        c.join(su, col("k1") <=> col("k2"))
+          .groupBy(coalesce(col("k1"), lit(-1)).as("k"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct("c_custkey").as("n_cust"),
+            countDistinct("s_suppkey").as("n_supp"))
+          .orderBy("k")
+      },
+      Some("""SELECT COALESCE(k1, -1) AS k,
+             |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust,
+             |  CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_supp
+             |FROM (SELECT c_custkey, nullif(c_nationkey % 7, 3) AS k1
+             |      FROM customer WHERE c_custkey <= 300) c
+             |JOIN (SELECT s_suppkey, nullif(s_nationkey % 7, 3) AS k2
+             |      FROM supplier) s
+             |  ON k1 IS NOT DISTINCT FROM k2
+             |GROUP BY 1 ORDER BY k""".stripMargin))
   )
 }
