@@ -168,8 +168,16 @@ case class RangeJoinBinning() extends Rule[LogicalPlan]
         conf.getConfString("spark.graft.rangeJoin.maxBinsPerRow", "8192")
           .toLong
       } catch { case _: NumberFormatException => 8192L }
-      val binsOk = LessThanOrEqual(Subtract(bin(hi), bin(lo)),
+      // covered bins = bin(hi) - bin(lo) + 1, so "≤ cap bins" is a
+      // STRICT compare on the difference (diff < cap); <= would let
+      // cap+1 bins through while the error text promises cap
+      val binsOk = LessThan(Subtract(bin(hi), bin(lo)),
         Literal(math.max(cap, 1L)))
+      // RaiseError behind Or relies on Or's left-to-right short
+      // circuit surviving later optimizer batches — the same contract
+      // Spark's own assert_true lowering (RaiseError behind If/Or)
+      // depends on, so a rule reordering that broke this would break
+      // assert_true first
       val capGuard = Or(binsOk, IsNull(new RaiseError(Literal(
         s"graft range-join binning: an interval spans more than " +
           s"${math.max(cap, 1L)} bins at width $w — raise " +

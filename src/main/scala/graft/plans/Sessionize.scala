@@ -20,7 +20,10 @@ import org.apache.spark.sql.types.LongType
   * ordering columns; a new session starts at each key's first row and
   * whenever the LONG gap column advances by more than `gapThreshold`
   * since the previous row; the appended session id is the running
-  * 1-based count of session starts per key. The composed q41 plan
+  * 1-based count of session starts per key. The gap column is
+  * contractually NON-NULL — a NULL gap fails fast at runtime (it has
+  * no position on the session timeline, and any sentinel would make
+  * `gap - lastGap` arithmetic lie). The composed q41 plan
   * materializes lag + a running-sum window over the full stream; this
   * operator holds (last key, last gap value, session counter) — three
   * scalars of state per partition — and emits rows as they stream.
@@ -101,8 +104,17 @@ case class SessionizeExec(
       var sid: Long = 0L
       iter.map { row =>
         val k = keyProj(row)
-        val gap = if (row.isNullAt(gapPos)) Long.MinValue
-          else row.getLong(gapPos)
+        // non-null contract, enforced: a NULL gap has no position on
+        // the session timeline (the composed window form would emit a
+        // NULL break flag, not a sentinel), and any sentinel feeds the
+        // `gap - lastGap` subtraction with overflow hazards — so fail
+        // fast with an actionable message instead of guessing
+        if (row.isNullAt(gapPos)) {
+          throw new IllegalStateException("graft sessionize: NULL gap " +
+            "value — the gap column must be non-null (coalesce or " +
+            "filter NULL gaps before Sessionize.assign)")
+        }
+        val gap = row.getLong(gapPos)
         if (lastKey == null || keyOrd.compare(lastKey, k) != 0) {
           lastKey = k.copy(); sid = 1L; numSessions += 1
         } else if (gap - lastGap > thr) {
@@ -123,7 +135,10 @@ case class SessionizeExec(
 object Sessionize {
   /** Append a 1-based session id per `key`: a new session starts when
     * the LONG `gapCol` advances by more than `gapThreshold` between
-    * consecutive rows in `ord` order. Columns resolved by name. */
+    * consecutive rows in `ord` order. Columns resolved by name.
+    * `gapCol` must be non-null in the DATA (the schema may still say
+    * nullable, e.g. when derived from a nullable timestamp) — a NULL
+    * gap value fails the job with an actionable error. */
   def assign(df: DataFrame, key: Seq[String], ord: Seq[String],
       gapCol: String, gapThreshold: Long, as: String): DataFrame = {
     val plan = df.queryExecution.analyzed

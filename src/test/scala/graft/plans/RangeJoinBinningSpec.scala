@@ -111,6 +111,24 @@ class RangeJoinBinningSpec extends SparkSpec {
     assert(sortedRows(q) == sortedRows(base))
   }
 
+  test("bins-per-interval cap: exactly cap bins pass, cap+1 raises") {
+    // width 1.0 → interval [0, 9.5] covers bins 0..9 = exactly 10
+    val iv = Seq((1, 0.0, 9.5)).toDF("iid", "lo", "hi")
+    val pts = Seq((10, 4.0)).toDF("pid", "pt")
+    def run(cap: String): Seq[String] = {
+      spark.conf.set("spark.graft.rangeJoin.maxBinsPerRow", cap)
+      try withBin("1.0") {
+        sortedRows(iv.join(pts, col("pt").between(col("lo"), col("hi"))))
+      } finally spark.conf.unset("spark.graft.rangeJoin.maxBinsPerRow")
+    }
+    assert(run("10").size == 1) // 10 covered bins == cap → allowed
+    val e = intercept[Exception] { run("9") } // 10 > cap → actionable
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("more than 9 bins") ||
+        e.getCause != null && e.getCause.getMessage.contains("more than 9 bins")),
+      s"expected the cap message, got: ${e.getMessage}")
+  }
+
   test("q17's real-table shape: binned == default at sf0.001") {
     val part = graft.Tables(spark, sfDir, "part")
     val supplier = graft.Tables(spark, sfDir, "supplier")

@@ -73,6 +73,21 @@ class SessionizeSpec extends SparkSpec {
       got.toString)
   }
 
+  test("NULL gap fails fast with an actionable error (non-null contract)") {
+    import spark.implicits._
+    val rows = Seq((1L, java.lang.Long.valueOf(0L), 1L),
+        (1L, null.asInstanceOf[java.lang.Long], 2L))
+      .toDF("user_id", "tsec", "event_id")
+      .withColumn("ts", timestamp_seconds(col("event_id")))
+    val e = intercept[Exception] {
+      Sessionize.assign(rows, Seq("user_id"), Seq("ts", "event_id"),
+        "tsec", 1800L, "sid").collect()
+    }
+    def msg(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msg(t.getCause)
+    assert(msg(e).contains("NULL gap"), s"unexpected failure: $e")
+  }
+
   test("arbitrary input partitioning: EnsureRequirements re-clusters") {
     val exp = viaWindow.orderBy("event_id").collect().toSeq
     val got = viaExec(events.repartition(17))
