@@ -21,6 +21,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // hint marks the join (see RangeJoinBinning)
     e.injectHintResolutionRule(_ => graft.plans.ResolveRangeBinHint())
     e.injectOptimizerRule(_ => graft.plans.RangeJoinBinning())
+    // SQL-text surface for the custom-operator tier: SESSIONIZE(...) /
+    // ASOF_LE(...) hints become typed markers in the Hints batch, then
+    // resolve into SessionizePlan/AsOfJoinPlan through the same
+    // buildPlan wiring the Scala API uses (see plans/SqlSurface)
+    e.injectHintResolutionRule(_ => graft.plans.ResolveGraftOperatorHints())
+    e.injectResolutionRule(_ => graft.plans.ResolveGraftMarkers())
     // whole-operator extension: CosineTopKPlan -> CosineTopKExec (one
     // narrow corpus pass + bounded heap merge; see plans/CosineTopK)
     e.injectPlannerStrategy(_ => new graft.plans.CosineTopKStrategy)

@@ -196,9 +196,16 @@ object AsOfJoin {
   /** Multi-value form: append several columns of the matched right
     * row at once — `values` maps right column → output alias. */
   def asOfLE(left: DataFrame, right: DataFrame, on: Seq[String],
-      ord: Seq[String], values: Seq[(String, String)]): DataFrame = {
-    val l = left.queryExecution.analyzed
-    val r = right.queryExecution.analyzed
+      ord: Seq[String], values: Seq[(String, String)]): DataFrame =
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(left.sparkSession,
+      buildPlan(left.queryExecution.analyzed,
+        right.queryExecution.analyzed, on, ord, values))
+
+  /** ONE definition of the name→plan wiring, shared by the Scala API
+    * above and the SQL-hint resolution path (plans/SqlSurface). */
+  private[plans] def buildPlan(l: LogicalPlan, r: LogicalPlan,
+      on: Seq[String], ord: Seq[String],
+      values: Seq[(String, String)]): AsOfJoinPlan = {
     def resolve(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
         s"as-of join: column '$n' not found in [${p.output.map(_.name).mkString(", ")}]"))
@@ -219,8 +226,7 @@ object AsOfJoin {
         Alias(a, s"graft_asof_value_$i")() }, r)
     val vas = values.zip(rvs).map { case ((_, as), rv) =>
       AttributeReference(as, rv.dataType, nullable = true)() }
-    org.apache.spark.sql.graftbridge.Bridge.ofRows(left.sparkSession,
-      AsOfJoinPlan(lk.map(l.output.indexOf), lo.map(l.output.indexOf),
-        vas, l, rProj))
+    AsOfJoinPlan(lk.map(l.output.indexOf), lo.map(l.output.indexOf),
+      vas, l, rProj)
   }
 }

