@@ -37,3 +37,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Djava.io.tmpdir=$graftTmp",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// ad-hoc JVM flags for A/B bench runs (e.g. SPARK_GRAFT_JAVA_OPTS=
+// "-Dspark.sql.codegen.wholeStage=false" to measure an exec's
+// interpreted path in the same session) — space-separated
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS")
+  .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Nil)

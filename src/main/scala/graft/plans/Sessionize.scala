@@ -4,12 +4,13 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BoundReference, Expression, GenericInternalRow, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral, JavaCode, LazilyGeneratedOrdering}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.SQLMetrics
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{BooleanType, ByteType, DateType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** Sessionization as a dedicated physical operator — the third
   * whole-operator Catalyst extension, and the proof the (c)-tier
@@ -58,7 +59,7 @@ case class SessionizeExec(
     gapIdx: Int,
     gapThreshold: Long,
     sidAttr: Attribute,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan) extends UnaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = child.output :+ sidAttr
   override def producedAttributes: AttributeSet = AttributeSet(sidAttr)
@@ -81,6 +82,95 @@ case class SessionizeExec(
 
   override protected def withNewChildInternal(c: SparkPlan): SessionizeExec =
     copy(child = c)
+
+  // ---- whole-stage codegen --------------------------------------------
+  // The exec used to break pipeline fusion above and below it (the
+  // round-6 verdict's hazard (b)); as a CodegenSupport pass-through it
+  // now fuses into the same stage as its sorted child and its parent —
+  // the three scalars of state become three generated mutable fields.
+  //
+  // Gated to integral/date/time key types: for those, generated `==`
+  // and the interpreted path's ordering-compare agree bit-for-bit.
+  // Float/double keys (NaN equality differs between `==` and ordering
+  // compare) and strings/binaries (buffer-reuse copies) fall back to
+  // the interpreted doExecute — correctness never depends on which
+  // path planned.
+  override def supportCodegen: Boolean =
+    conf.getConfString("spark.graft.sessionize.codegen", "true") == "true" &&
+      keyIdx.forall { i =>
+        child.output(i).dataType match {
+          case BooleanType | ByteType | ShortType | IntegerType | LongType |
+               DateType | TimestampType | TimestampNTZType => true
+          case _ => false
+        }
+      }
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    child.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  // we address columns positionally (no Expression fields), so nothing
+  // is pre-evaluated for us by consume(); we evaluate key + gap
+  // ourselves and leave the rest deferred for the parent
+  override def usedInputs: AttributeSet = AttributeSet.empty
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+      row: ExprCode): String = {
+    val numOutputRows = metricTerm(ctx, "numOutputRows")
+    val numSessions = metricTerm(ctx, "numSessions")
+    // per-partition state = generated mutable fields, initialized once
+    // per task instance (the generated class is per-partition)
+    val hasLast = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN,
+      "sessHasLast", v => s"$v = false;")
+    val lastGap = ctx.addMutableState(CodeGenerator.JAVA_LONG, "sessLastGap")
+    val sid = ctx.addMutableState(CodeGenerator.JAVA_LONG, "sessSid")
+    val keyStates = keyIdx.map { i =>
+      val dt = child.output(i).dataType
+      (ctx.addMutableState(CodeGenerator.javaType(dt), "sessLastKey"),
+        ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "sessLastKeyNull"),
+        dt)
+    }
+    val needed = AttributeSet((keyIdx :+ gapIdx).map(child.output))
+    val evalKeyGap = evaluateRequiredVariables(child.output, input, needed)
+    val gapEv = input(gapIdx)
+    val keyEvs = keyIdx.map(input)
+    // changed ⇔ (null flags differ) or (both non-null and values differ)
+    val keyChanged = keyStates.zip(keyEvs).map { case ((v, n, dt), ev) =>
+      s"((${ev.isNull}) != $n || (!(${ev.isNull}) && " +
+        s"!(${ctx.genEqual(dt, ev.value.toString, v)})))"
+    }.mkString(" || ")
+    val storeKeys = keyStates.zip(keyEvs).map { case ((v, n, dt), ev) =>
+      s"""$n = ${ev.isNull};
+         |$v = $n ? ${CodeGenerator.defaultValue(dt)} : ${ev.value};""".stripMargin
+    }.mkString("\n")
+    val changed = ctx.freshName("sessChanged")
+    // the state field mutates on the NEXT row — hand the parent a local
+    val sidLocal = ctx.freshName("sessSidLocal")
+    val sidCode = ExprCode(code"", FalseLiteral,
+      JavaCode.variable(sidLocal, LongType))
+    s"""
+       |$evalKeyGap
+       |if (${gapEv.isNull}) {
+       |  throw new IllegalStateException("graft sessionize: NULL gap " +
+       |    "value — the gap column must be non-null (coalesce or " +
+       |    "filter NULL gaps before Sessionize.assign)");
+       |}
+       |boolean $changed = !$hasLast || ($keyChanged);
+       |if ($changed) {
+       |  $sid = 1L; $numSessions.add(1);
+       |} else if (${gapEv.value} - $lastGap > ${gapThreshold}L) {
+       |  $sid += 1L; $numSessions.add(1);
+       |}
+       |$hasLast = true;
+       |$storeKeys
+       |$lastGap = ${gapEv.value};
+       |$numOutputRows.add(1);
+       |long $sidLocal = $sid;
+       |${consume(ctx, input :+ sidCode)}
+     """.stripMargin
+  }
 
   protected override def doExecute(): RDD[InternalRow] = {
     val types = child.output.map(_.dataType)

@@ -73,6 +73,41 @@ class SessionizeSpec extends SparkSpec {
       got.toString)
   }
 
+  test("whole-stage codegen: the exec fuses into a WholeStageCodegen stage") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findFused(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => findFused(a.executedPlan)
+      case q: QueryStageExec => findFused(q.plan)
+      case w: WholeStageCodegenExec =>
+        w.collect { case e: SessionizeExec => e }.nonEmpty ||
+          w.children.exists(findFused)
+      case p => p.children.exists(findFused)
+    }
+    val df = viaExec(events)
+    df.collect() // force execution so AQE finalizes stages
+    val plan = df.queryExecution.executedPlan
+    assert(findFused(plan),
+      s"SessionizeExec did not fuse into a WholeStageCodegen stage:\n$plan")
+    // and the fused plan still matches the window form row-for-row
+    val exp = viaWindow.orderBy("event_id").collect().toSeq
+    val got = viaExec(events).select("user_id", "event_id", "sid")
+      .orderBy("event_id").collect().toSeq
+    assert(got == exp)
+  }
+
+  test("non-integral keys fall back to the interpreted path, same rows") {
+    import spark.implicits._
+    // string session key → supportCodegen=false → interpreted doExecute
+    val rows = Seq(("a", 0L, 1L), ("a", 2000L, 2L), ("b", 10L, 3L))
+      .toDF("k", "tsec", "event_id")
+    val df = Sessionize.assign(rows, Seq("k"), Seq("tsec", "event_id"),
+      "tsec", 1800L, "sid")
+    val got = df.orderBy("event_id")
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSeq
+    assert(got == Seq(("a", 1L), ("a", 2L), ("b", 1L)), got.toString)
+  }
+
   test("NULL gap fails fast with an actionable error (non-null contract)") {
     import spark.implicits._
     val rows = Seq((1L, java.lang.Long.valueOf(0L), 1L),
