@@ -1283,7 +1283,86 @@ object Streaming {
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
              |SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events,
              |  max(epoch_ms(ts)//1000) - min(epoch_ms(ts)//1000) AS dur_s
-             |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin))
+             |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin)),
+
+    // ---- s25: streaming RETRACTION maintenance (CDC deletes/updates) ---
+    // Completes the MV lifecycle's streaming arm: s21 streams INSERT
+    // epochs; this streams q64's delete/update fold — a CDC feed whose
+    // rows carry a SIGN (+1 insert, -1 retract; an update is a -1/+1
+    // pair), staged as three files (base inserts, the %10==3 purge, the
+    // %10==4 reprice pairs) and consumed with maxFilesPerTrigger=1 so
+    // foreachBatch fires once per epoch. Each firing appends that
+    // micro-batch's SIGNED algebraic partials — the identical fold s21
+    // uses, no retraction special-casing, because signed partials are
+    // associative under ANY micro-batch split. HAVING n > 0 at the
+    // drain-time read retires groups the retractions emptied. q64's
+    // UNCHANGED full-recompute oracle hash-checks the result, so the
+    // batch fold (q64) and the streamed fold (this) are checked by one
+    // SQL.
+    RegQuery("s25_stream_retract",
+      (s, d) => {
+        val stagePath = Scratch.path(s, "s25_cdc", d)
+        val sumPath = Scratch.path(s, "s25_summary", d)
+        Scratch.clear(s, stagePath, sumPath)
+        // stage the CDC feed pre-cast: (sign, flag, status, qty, cents)
+        val li = graft.Tables(s, d, "lineitem")
+        def cdc(df: DataFrame, sign: Int) = df.select(
+          lit(sign.toLong).as("sign"),
+          col("l_returnflag").as("flag"), col("l_linestatus").as("status"),
+          expr("cast(l_quantity as bigint)").as("qty"),
+          expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")
+            .as("cents"))
+        // epoch 1: full corpus as inserts
+        cdc(li, 1).coalesce(1).write.mode("append").parquet(stagePath)
+        // epoch 2: the GDPR purge as retractions
+        cdc(li.where(col("l_orderkey") % 10 === 3), -1)
+          .coalesce(1).write.mode("append").parquet(stagePath)
+        // epoch 3: the reprice as retract/insert pairs in ONE batch
+        cdc(li.where(col("l_orderkey") % 10 === 4), -1)
+          .unionAll(cdc(li.where(col("l_orderkey") % 10 === 4)
+            .withColumn("l_quantity", col("l_quantity") + 1), 1))
+          .coalesce(1).write.mode("append").parquet(stagePath)
+        val cdcSchema = StructType(Seq(
+          StructField("sign", LongType), StructField("flag", StringType),
+          StructField("status", StringType), StructField("qty", LongType),
+          StructField("cents", LongType)))
+        val q = withStatePartitions(s, 8) {
+          s.readStream.schema(cdcSchema)
+            .option("maxFilesPerTrigger", "1").parquet(stagePath)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.groupBy("flag", "status")
+                .agg(sum("sign").as("n"),
+                  sum(col("sign") * col("qty")).as("sum_qty"),
+                  sum(col("sign") * col("cents")).as("sum_cents"))
+                .write.mode("append").parquet(sumPath)
+              ()
+            }
+            .trigger(Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination()
+        s.read.parquet(sumPath)
+          .groupBy("flag", "status")
+          .agg(sum("n").as("n"), sum("sum_qty").as("sum_qty"),
+            sum("sum_cents").as("sum_cents"))
+          .where(col("n") > 0)
+          .select(col("flag"), col("status"), col("n"), col("sum_qty"),
+            col("sum_cents"),
+            expr("sum_qty * 1000 div n").as("avg_qty_milli"))
+          .orderBy("flag", "status")
+      },
+      Some("""SELECT l_returnflag AS flag, l_linestatus AS status,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(CASE WHEN l_orderkey % 10 = 4
+             |      THEN l_quantity + 1 ELSE l_quantity END AS BIGINT))
+             |    AS BIGINT) AS sum_qty,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             |    AS BIGINT) AS sum_cents,
+             |  CAST(sum(CAST(CASE WHEN l_orderkey % 10 = 4
+             |      THEN l_quantity + 1 ELSE l_quantity END AS BIGINT))
+             |    * 1000 // count(*) AS BIGINT) AS avg_qty_milli
+             |FROM lineitem WHERE l_orderkey % 10 <> 3
+             |GROUP BY 1, 2 ORDER BY flag, status""".stripMargin))
   )
 
   private val docsSchema = StructType(Seq(

@@ -508,6 +508,38 @@ class StreamingSpec extends SparkSpec {
     assert(!completed(fin(1L)) && completed(fin(2L)))
   }
 
+  test("s25 signed partials: update pair split across batches; emptied group retired") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("s25spec").toString
+    val src = MemoryStream[(Long, String, Long)] // (sign, key, qty)
+    val q = src.toDF().toDF("sign", "key", "qty")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.groupBy("key").agg(sum("sign").as("n"),
+            sum(col("sign") * col("qty")).as("s"))
+          .write.mode("append").parquet(dir)
+        ()
+      }
+      .start()
+    // batch 1: inserts — a has two rows, b one
+    src.addData((1L, "a", 10L), (1L, "a", 20L), (1L, "b", 5L))
+    q.processAllAvailable()
+    // batch 2: ONLY the retract half of a's update (10 → 11) — the
+    // -1/+1 pair is split across different micro-batches
+    src.addData((-1L, "a", 10L))
+    q.processAllAvailable()
+    // batch 3: the insert half, plus the retraction that EMPTIES b
+    src.addData((1L, "a", 11L), (-1L, "b", 5L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(dir).groupBy("key")
+      .agg(sum("n").as("n"), sum("s").as("s")).where(col("n") > 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // a: 2 rows, 20 + 11 = 31; b retired by HAVING n > 0
+    assert(got == Set(("a", 2L, 31L)), got.toString)
+  }
+
   test("editDistance matches Spark's levenshtein on random strings") {
     import graft.streaming.Streams
     val rnd = new scala.util.Random(42)
