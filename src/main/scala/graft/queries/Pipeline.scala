@@ -3233,7 +3233,31 @@ object Pipeline {
           |  OR COALESCE(c_hit0, b_hit0, nd.doc_id)
           |    <> COALESCE(c_hit1, b_hit1, nd.doc_id) AS changed
           |FROM nd LEFT JOIN h0 USING (doc_id) LEFT JOIN h1 USING (doc_id)
-          |ORDER BY nd.doc_id""".stripMargin))
+          |ORDER BY nd.doc_id""".stripMargin)),
+
+    // ---- p83: kNN GRAPH build at corpus scale ---------------------------
+    // The missing LLM-pipeline shape (round-6 verdict #5): every doc's
+    // top-k neighbors — the SemDeDup / embedding-cluster input — not a
+    // small probe set served by an index. Same trained IVF as p14
+    // (8 seeds, 2 Lloyd rounds, 1e-6 rounding — the oracle prelude is
+    // literally shared via ivfOracleFor), but the probe side is the
+    // WHOLE corpus: each vector probes its nprobe=2 nearest cells and
+    // meets candidates through an EQUI-JOIN on cell — the corpus is
+    // never broadcast, never crossed with itself (the only cross join
+    // is each scan × the broadcast 8-row centroid table, the trained-
+    // quantizer assignment pass). At 100 TB: K grows ∝ N/targetCellSize
+    // so per-probe candidates stay bounded and total candidate rows
+    // grow LINEARLY with the corpus (ScaleRehearsalSpec pins the 10×
+    // growth and no-cartesian plan shape via knnCandidatesIvf);
+    // assignment is written bucketed by cell, so each probe's scan is
+    // bucket-pruned (the ScaleSpec IVF pin).
+    RegQuery("p83_knn_graph",
+      (s, d) => knnGraphIvf(
+          Tables(s, d, "embeddings").select(col("vec_id"),
+            VectorOps.toDouble(col("embedding")).as("v")),
+          kCells = 8, nprobe = 2, topK = 3)
+        .orderBy("q_id", "rank"),
+      Some(ivfOracleFor("TRUE", 2, 3)))
   )
 
   /** p70/p71's shared BPE training loop: word-frequency table →
@@ -3834,7 +3858,13 @@ $next AS (SELECT w, freq, CASE WHEN len(syms) <= 1 THEN syms ELSE
       |SELECT q_id, CAST(rn AS INTEGER) AS rank, n_id, cos_r FROM r
       |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
 
-  private def ivfOracle: String = {
+  private def ivfOracle: String = ivfOracleFor("e.vec_id < 3", 2, 5)
+
+  /** Parameterized form shared by p14 (3 probe vectors, top-5) and p83
+    * (probeWhere=TRUE — EVERY vector probes, the kNN-graph build);
+    * training (8 seeds, 2 Lloyd rounds, 1e-6 rounding) is identical. */
+  private def ivfOracleFor(probeWhere: String, nprobe: Int,
+      topK: Int): String = {
     def cos(a: String, b: String) =
       s"""floor(list_sum(list_transform(range(1, len($a)+1),
          |      i -> $a[i]*$b[i]))
@@ -3863,7 +3893,7 @@ $next AS (SELECT w, freq, CASE WHEN len(syms) <= 1 THEN syms ELSE
        |  SELECT e.vec_id, e.v, c.c_id, ROW_NUMBER() OVER (
        |    PARTITION BY e.vec_id
        |    ORDER BY ${cos("e.v", "c.cv")} DESC, c.c_id) AS rn
-       |  FROM e, c2 c WHERE e.vec_id < 3) WHERE rn <= 2),
+       |  FROM e, c2 c WHERE $probeWhere) WHERE rn <= $nprobe),
        |cand AS (SELECT p.q_id, a.vec_id AS n_id,
        |  ${cos("p.qv", "a.v")} AS cos_r
        |  FROM prb p JOIN asg a ON p.cell = a.cell
@@ -3871,8 +3901,57 @@ $next AS (SELECT w, freq, CASE WHEN len(syms) <= 1 THEN syms ELSE
        |r AS (SELECT q_id, n_id, cos_r, ROW_NUMBER() OVER (
        |  PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rn FROM cand)
        |SELECT q_id, CAST(rn AS INTEGER) AS rank, n_id, cos_r FROM r
-       |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
+       |WHERE rn <= $topK ORDER BY q_id, rank""".stripMargin
   }
+
+  /** p83 core, candidate stage — factored so the scale rehearsal can
+    * count candidate rows directly. Trains the p14 IVF (seeds =
+    * vec_id < kCells, 2 Lloyd rounds, 1e-6-rounded centroids) over
+    * [vec_id, v], assigns every vector to its nearest cell, then joins
+    * every vector's `nprobe` nearest cells to the assignment by an
+    * EQUI-JOIN on cell (self excluded). `kCells` is the scale knob:
+    * production sets it ∝ corpus/targetCellSize, which holds per-probe
+    * candidates bounded and total candidates LINEAR in the corpus —
+    * never an all-pairs form. Returns [q_id, qv, cell, vec_id, v,
+    * cos_r] candidates, unranked. */
+  def knnCandidatesIvf(e: DataFrame, kCells: Int,
+      nprobe: Int): DataFrame = {
+    def sim6(a: Column, b: Column) =
+      floor(VectorOps.cosineFast(a, b) * 1000000 + 0.5) / 1000000
+    def nearest(vecs: DataFrame, cents: DataFrame, keep: Int) =
+      vecs.crossJoin(broadcast(cents)) // kCells-row broadcast side only
+        .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+          .orderBy(sim6(col("v"), col("cv")).desc, col("c_id"))))
+        .where(col("rn") <= keep)
+    var cents = e.where(col("vec_id") < kCells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val centroid = udaf(graft.functions.VectorCentroid)
+    for (_ <- 1 to 2) // Lloyd: assign → per-cell mean, rounded 1e-6
+      cents = nearest(e, cents, 1)
+        .groupBy("c_id")
+        .agg(transform(centroid(col("v")),
+          x => floor(x * 1000000 + 0.5) / 1000000).as("cv"))
+    cents = cents.localCheckpoint() // train once; feeds assign + probes
+    val assigned = nearest(e, cents, 1)
+      .select(col("vec_id"), col("v"), col("c_id").as("cell"))
+    val probes = nearest(e, cents, nprobe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("c_id").as("cell"))
+    probes.join(assigned, "cell")
+      .where(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_r", sim6(col("qv"), col("v")))
+  }
+
+  /** p83: the full kNN graph — every vector's `topK` nearest by the
+    * IVF candidate stage above, ranked (cos desc, id) per query. */
+  def knnGraphIvf(e: DataFrame, kCells: Int, nprobe: Int,
+      topK: Int): DataFrame =
+    knnCandidatesIvf(e, kCells, nprobe)
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("cos_r").desc, col("vec_id"))))
+      .where(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        col("cos_r"))
 
   /** p41 core over any [doc_id, text] frame (factored so the spec can
     * plant a corpus with a known rare term): per-doc top-`topK` terms by

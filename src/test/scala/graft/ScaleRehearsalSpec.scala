@@ -193,6 +193,42 @@ class ScaleRehearsalSpec extends SparkSpec {
     assert(sec < 300, s"10x spine took ${sec}s")
   }
 
+  test("p83 kNN graph at 10x: candidates linear when cells scale with corpus; no cartesian") {
+    import graft.queries.Pipeline
+    // unit circle in dims 1-2 at golden-ratio angles (low-discrepancy:
+    // uniform arc coverage at ANY n, and the first kCells ids — the
+    // seeds — are already spread): trained cells are K near-equal arcs,
+    // so expected cell size is n/K at both scales. Constant tail dims
+    // keep norms non-zero.
+    def synth(n: Int) = {
+      val phi = 0.6180339887498949
+      val theta = (col("id").cast("double") * phi) % 1.0 * (2 * math.Pi)
+      spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(8)), j =>
+          when(j === 1, cos(theta)).when(j === 2, sin(theta))
+            .otherwise(lit(0.1))).as("v"))
+    }
+    // production contract: kCells ∝ corpus/targetCellSize — 10× the
+    // vectors, 10× the cells, per-probe candidates ~constant
+    val base = Pipeline.knnCandidatesIvf(synth(300), kCells = 8, nprobe = 2)
+    val baseCnt = base.count()
+    val cand10 = Pipeline
+      .knnCandidatesIvf(synth(3000), kCells = 80, nprobe = 2).count()
+    // the all-pairs failure mode would be ~100×; k-means imbalance
+    // wobbles the constant, linearity must hold
+    assert(baseCnt > 0 && cand10 >= 5 * baseCnt && cand10 <= 20 * baseCnt,
+      s"candidate growth not linear: $cand10 vs 10x of $baseCnt")
+    // plan shape: candidates meet through the cell equi-join — the only
+    // nested-loop is each scan × the broadcast kCells-row centroid
+    // table, and nothing ever plans a cartesian
+    val plan = base.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // every probe with ≥ topK candidates gets exactly topK neighbors
+    val graph = Pipeline.knnGraphIvf(synth(300), 8, 2, 3)
+    assert(graph.groupBy("q_id").count().where(col("count") > 3).isEmpty)
+    assert(graph.count() >= 3L * 290) // near-universal coverage
+  }
+
   test("p53 prefix-filter join at 10x: candidates and result histogram exactly x10") {
     import graft.queries.Pipeline
     // cp-prefixing is df-preserving (each renamed token's document
