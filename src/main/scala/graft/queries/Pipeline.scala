@@ -2674,8 +2674,7 @@ object Pipeline {
     RegQuery("p77_dedup_index_fold",
       (s, d) => {
         val idxPath = Scratch.path(s, "p77_bandidx", d)
-        val idx2Path = Scratch.path(s, "p77_bandidx_compact", d)
-        Scratch.clear(s, idxPath, idx2Path)
+        Scratch.clear(s, idxPath)
         val base = Tables(s, d, "documents").select("doc_id", "text")
         val batch1 = base.select((col("doc_id") + 1000000L).as("doc_id"),
           batch1Text(TextOps.tokens(col("text"))).as("text"))
@@ -2689,14 +2688,18 @@ object Pipeline {
           .join(hs.select(col("doc_id").as("b_id"), col("hs").as("b_hs")),
             "b_id")
           .where(TextOps.jaccardSorted(col("a_hs"), col("b_hs")) >= 0.5)
-        // epoch 0: persist the corpus band index
-        bands.where(col("doc_id") < 1000000L)
-          .write.mode("overwrite").parquet(idxPath)
+        // epoch 0: persist the corpus band index as generation 0
+        // (lifecycle through graft.llm.DedupIndex — the generation
+        // policy module the rehearsal pins; cap forced to 1 here so
+        // the fold EXERCISES the policy-triggered compaction)
+        import graft.llm.DedupIndex
+        s.conf.set(DedupIndex.MaxGenerationsConf, "1")
+        DedupIndex.create(s, idxPath, bands.where(col("doc_id") < 1000000L))
         // epoch 1: batch 1 probes the index + itself; novel = no hit
         val b1 = bands.where(col("doc_id") >= 1000000L &&
           col("doc_id") < 2000000L)
         val cand1 = b1.select(col("bi"), col("bv"), col("doc_id").as("b_id"))
-          .join(s.read.parquet(idxPath)
+          .join(DedupIndex.read(s, idxPath)
             .select(col("bi"), col("bv"), col("doc_id").as("a_id")),
             Seq("bi", "bv"))
           .unionAll(b1.select(col("bi"), col("bv"), col("doc_id").as("b_id"))
@@ -2708,15 +2711,17 @@ object Pipeline {
           .join(verified(cand1).select(col("b_id").as("doc_id")).distinct(),
             Seq("doc_id"), "anti")
           .localCheckpoint() // feeds the fold AND is itself one pass
-        // the FOLD: append the admitted docs' band rows, then compact
-        bands.join(novel1, Seq("doc_id"), "semi")
-          .write.mode("append").parquet(idxPath)
-        s.read.parquet(idxPath).repartition(8, col("bi"), col("bv"))
-          .write.mode("overwrite").parquet(idx2Path)
+        // the FOLD: append the admitted docs' band rows as generation 1
+        // — 2 generations > cap 1, so DedupIndex compacts to one
+        // band-clustered generation before the next probe
+        val gens = DedupIndex.append(s, idxPath,
+          bands.join(novel1, Seq("doc_id"), "semi"))
+        require(gens == 1, s"p77: expected policy compaction to 1 " +
+          s"generation, found $gens")
         // epoch 2: batch 2 probes the COMPACTED index + itself
         val b2 = bands.where(col("doc_id") >= 3000000L)
         val cand2 = b2.select(col("bi"), col("bv"), col("doc_id").as("b_id"))
-          .join(s.read.parquet(idx2Path)
+          .join(DedupIndex.read(s, idxPath)
             .select(col("bi"), col("bv"), col("doc_id").as("a_id")),
             Seq("bi", "bv"))
           .unionAll(b2.select(col("bi"), col("bv"), col("doc_id").as("b_id"))

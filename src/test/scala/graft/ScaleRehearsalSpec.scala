@@ -193,6 +193,44 @@ class ScaleRehearsalSpec extends SparkSpec {
     assert(sec < 300, s"10x spine took ${sec}s")
   }
 
+  test("dedup index generations: exact merge-on-read at every count; policy compacts; retract collapses") {
+    import graft.llm.DedupIndex
+    val path = java.nio.file.Files
+      .createTempDirectory("dedupidx").toString + "/idx"
+    // 4 deterministic band rows per doc — enough to catch a compaction
+    // that dups or drops rows, cheap enough to assert exactly
+    def bandsOf(ids: Seq[Long]) = ids.toDF("doc_id")
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("bi"))
+      .withColumn("bv", xxhash64(col("doc_id") * 7 + col("bi")))
+    spark.conf.set(DedupIndex.MaxGenerationsConf, "3")
+    try {
+      DedupIndex.create(spark, path, bandsOf(0L to 9L))
+      var expected = (0L to 9L).toSet
+      for (e <- 1 to 5) { // 5 fold epochs across TWO compaction cycles
+        val ids = (e * 100L) to (e * 100L + 4L)
+        val gens = DedupIndex.append(spark, path, bandsOf(ids))
+        expected ++= ids
+        assert(gens <= 3, s"epoch $e: $gens generations past the cap")
+        val got = DedupIndex.read(spark, path).select("doc_id")
+          .distinct().collect().map(_.getLong(0)).toSet
+        assert(got == expected, s"epoch $e: merge-on-read diverged")
+        assert(DedupIndex.read(spark, path).count() == expected.size * 4L,
+          s"epoch $e: compaction duplicated or dropped band rows")
+      }
+      // generation trace with cap 3: 1,2,3,(4→compact)1,2,3 — the cap
+      // was genuinely crossed and recovered mid-run
+      assert(DedupIndex.generations(spark, path).size == 3)
+      // takedown: one anti-join collapses history to a single
+      // generation with the retracted docs gone from EVERY epoch's rows
+      DedupIndex.retract(spark, path, Seq(0L, 100L, 500L).toDF("doc_id"))
+      expected --= Set(0L, 100L, 500L)
+      assert(DedupIndex.generations(spark, path) == Seq(0))
+      val after = DedupIndex.read(spark, path)
+      assert(after.where(col("doc_id").isin(0L, 100L, 500L)).isEmpty)
+      assert(after.count() == expected.size * 4L)
+    } finally spark.conf.unset(DedupIndex.MaxGenerationsConf)
+  }
+
   test("p83 kNN graph at 10x: candidates linear when cells scale with corpus; no cartesian") {
     import graft.queries.Pipeline
     // unit circle in dims 1-2 at golden-ratio angles (low-discrepancy:
