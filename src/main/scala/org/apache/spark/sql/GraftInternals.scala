@@ -11,6 +11,13 @@ object GraftInternals {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Drain the async listener bus so a test listener has seen every
+    * completed task's metrics before asserting on them (the bus
+    * dispatches on its own thread; `private[spark]`, reachable from
+    * this subpackage). */
+  def flushListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Unload every loaded streaming state-store provider and stop the
     * maintenance thread (they restart lazily on the next stateful
     * query). A finished stream's providers otherwise linger up to the
