@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, GenericInternalRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, Cast, GenericInternalRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
@@ -215,6 +215,26 @@ object CosineTopK {
     org.apache.spark.sql.graftbridge.Bridge.ofRows(corpus.sparkSession,
       CosineTopKPlan(k, excludeSelf, outputAttrs,
         c.queryExecution.analyzed, p.queryExecution.analyzed))
+  }
+
+  /** ONE definition of the name→plan wiring for the SQL-hint path
+    * (plans/SqlSurface): casts each side's (id, vector) to
+    * (long, array&lt;double&gt;) behind a Project, exactly the shape
+    * `topK` builds through the DataFrame API. */
+  private[plans] def buildPlan(corpus: LogicalPlan, idCol: String,
+      vecCol: String, probes: LogicalPlan, probeIdCol: String,
+      probeVecCol: String, k: Int, excludeSelf: Boolean): CosineTopKPlan = {
+    def castSide(p: LogicalPlan, id: String, vec: String): LogicalPlan = {
+      def res(n: String) = p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"cosine_topk: column '$n' " +
+          s"not found in [${p.output.map(_.name).mkString(", ")}]"))
+      Project(Seq(
+        Alias(Cast(res(id), LongType), id)(),
+        Alias(Cast(res(vec), ArrayType(DoubleType)), vec)()), p)
+    }
+    CosineTopKPlan(k, excludeSelf, outputAttrs,
+      castSide(corpus, idCol, vecCol),
+      castSide(probes, probeIdCol, probeVecCol))
   }
 
   /** Literal-probe sugar over the binary form: the Seq becomes a

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Join, LogicalPlan, UnaryNode, UnresolvedHint}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DecimalType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL-text surface for the custom-operator tier — the missing seam the
@@ -70,6 +70,18 @@ case class AsOfJoinMarker(on: Seq[String], ord: Seq[String],
       r: LogicalPlan): AsOfJoinMarker = copy(left = l, right = r)
 }
 
+/** Typed carrier for a COSINE_TOPK hint; replaces the bare Join
+  * (left = corpus, right = probes). Same contract as the others. */
+case class CosineTopKMarker(idCol: String, vecCol: String,
+    probeIdCol: String, probeVecCol: String, k: Int,
+    excludeSelf: Boolean, left: LogicalPlan,
+    right: LogicalPlan) extends BinaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildrenInternal(l: LogicalPlan,
+      r: LogicalPlan): CosineTopKMarker = copy(left = l, right = r)
+}
+
 /** Hints-batch rule (injectHintResolutionRule): swaps the UnresolvedHint
   * for the typed marker before Spark's unknown-hint sweep drops it.
   * Malformed parameters degrade to a logged no-op (the hint contract),
@@ -96,31 +108,55 @@ case class ResolveGraftOperatorHints() extends Rule[LogicalPlan] {
         params.map(str) match {
           case Seq(Some(on), Some(ord), values @ _*)
               if values.nonEmpty && values.forall(_.isDefined) =>
-            var replaced = false
-            // topmost Join under the hint is the target; transformDown
-            // still recurses into the marker's children, so the guard
-            // stops a second replacement
-            val out = child.transformDown {
-              case j: Join if !replaced =>
-                replaced = true
-                if (j.condition.nonEmpty) {
-                  logWarning("ASOF_LE: the marked JOIN's ON clause is " +
-                    "ignored — the as-of spec in the hint IS the join " +
-                    "condition; write a bare JOIN")
-                }
-                AsOfJoinMarker(splitNames(on), splitNames(ord),
-                  values.flatten.map(parseValue), j.left, j.right)
-            }
-            if (replaced) out else {
-              logWarning("ASOF_LE hint found no JOIN underneath — ignored")
-              child
-            }
+            onBareJoin("ASOF_LE", child)(j =>
+              AsOfJoinMarker(splitNames(on), splitNames(ord),
+                values.flatten.map(parseValue), j.left, j.right))
           case _ =>
             logWarning("ASOF_LE hint needs (equi keys, ordering cols, " +
               s"value cols…), got $params — ignored")
             child
         }
+
+      case UnresolvedHint(name, params, child)
+          if name.equalsIgnoreCase("COSINE_TOPK") =>
+        (params.map(str), params.lift(4).flatMap(long),
+          params.lift(5).map(bool)) match {
+          case (Seq(Some(id), Some(vec), Some(pid), Some(pvec), _*),
+              Some(k), exclOpt)
+              if k > 0 && params.length >= 5 && params.length <= 6 &&
+                exclOpt.forall(_.isDefined) =>
+            onBareJoin("COSINE_TOPK", child)(j =>
+              CosineTopKMarker(id, vec, pid, pvec, k.toInt,
+                exclOpt.flatten.getOrElse(false), j.left, j.right))
+          case _ =>
+            logWarning("COSINE_TOPK hint needs (corpus id col, corpus " +
+              "vector col, probe id col, probe vector col, k " +
+              s"[, excludeSelf]), got $params — ignored")
+            child
+        }
     }
+
+  /** Replace the TOPMOST bare Join under `child` with `build(join)`;
+    * transformDown still recurses into the new node's children, so the
+    * guard stops a second replacement. A populated ON clause is warned
+    * about and ignored — the spec in the hint IS the join condition. */
+  private def onBareJoin(hint: String, child: LogicalPlan)(
+      build: Join => LogicalPlan): LogicalPlan = {
+    var replaced = false
+    val out = child.transformDown {
+      case j: Join if !replaced =>
+        replaced = true
+        if (j.condition.nonEmpty) {
+          logWarning(s"$hint: the marked JOIN's ON clause is ignored — " +
+            "the spec in the hint IS the join condition; write a bare JOIN")
+        }
+        build(j)
+    }
+    if (replaced) out else {
+      logWarning(s"$hint hint found no JOIN underneath — ignored")
+      child
+    }
+  }
 
   /** 'a,b' → Seq(a, b); single names pass through. */
   private def splitNames(s: String): Seq[String] =
@@ -147,6 +183,11 @@ case class ResolveGraftOperatorHints() extends Rule[LogicalPlan] {
       Some(d.toLong)
     case _ => None
   }
+
+  private def bool(e: Expression): Option[Boolean] = e match {
+    case Literal(b: Boolean, BooleanType) => Some(b)
+    case other => str(other).map(_.equalsIgnoreCase("true"))
+  }
 }
 
 /** Resolution-batch rule (injectResolutionRule): once a marker's
@@ -162,5 +203,8 @@ case class ResolveGraftMarkers() extends Rule[LogicalPlan] {
           m.gapThreshold, m.sidName)
       case m: AsOfJoinMarker if m.childrenResolved =>
         AsOfJoin.buildPlan(m.left, m.right, m.on, m.ord, m.values)
+      case m: CosineTopKMarker if m.childrenResolved =>
+        CosineTopK.buildPlan(m.left, m.idCol, m.vecCol, m.right,
+          m.probeIdCol, m.probeVecCol, m.k, m.excludeSelf)
     }
 }

@@ -3262,7 +3262,28 @@ object Pipeline {
             VectorOps.toDouble(col("embedding")).as("v")),
           kCells = 8, nprobe = 2, topK = 3)
         .orderBy("q_id", "rank"),
-      Some(ivfOracleFor("TRUE", 2, 3)))
+      Some(ivfOracleFor("TRUE", 2, 3))),
+
+    // ---- p84: cosine top-k from PURE SQL TEXT ---------------------------
+    // Completes the SQL surface across ALL THREE custom physical
+    // operators (q68 sessionize, q69 as-of, this): a COSINE_TOPK hint
+    // marks a bare JOIN (corpus ⋈ probes — the spec in the hint IS the
+    // join condition) and plans into CosineTopKExec through the same
+    // buildPlan as the Scala API, probe side a BroadcastExchange child.
+    // p09's UNCHANGED oracle now checks three arms: composed
+    // crossJoin×window (p09), custom exec via Scala (p75), SQL text
+    // (this).
+    RegQuery("p84_cosine_topk_sql",
+      (s, d) => {
+        Tables(s, d, "embeddings").createOrReplaceTempView("p84_emb")
+        s.sql("""
+          SELECT q_id, rank, n_id, cos_r FROM (
+            SELECT /*+ COSINE_TOPK('vec_id', 'embedding', 'vec_id', 'embedding', 5, true) */ *
+            FROM p84_emb
+            JOIN (SELECT vec_id, embedding FROM p84_emb WHERE vec_id < 3))
+          ORDER BY q_id, rank""")
+      },
+      Some(p09Oracle))
   )
 
   /** p70/p71's shared BPE training loop: word-frequency table →

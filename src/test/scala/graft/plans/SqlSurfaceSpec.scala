@@ -74,6 +74,27 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rows == exp)
   }
 
+  test("COSINE_TOPK hint: bare JOIN plans into CosineTopKExec, rows match the Scala API") {
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    emb.createOrReplaceTempView("sqlsurf_emb")
+    val df = spark.sql("""
+      SELECT q_id, rank, n_id, cos_r FROM (
+        SELECT /*+ COSINE_TOPK('vec_id', 'embedding', 'vec_id', 'embedding', 5, true) */ *
+        FROM sqlsurf_emb
+        JOIN (SELECT vec_id, embedding FROM sqlsurf_emb WHERE vec_id < 3))
+      ORDER BY q_id, rank""")
+    val rows = df.collect().toSeq
+    assert(find(df.queryExecution.executedPlan) {
+      case e: CosineTopKExec => e }.nonEmpty,
+      s"SQL text did not plan into CosineTopKExec:\n${df.queryExecution.executedPlan}")
+    val viaApi = CosineTopK.topK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, excludeSelf = true)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(rows == viaApi)
+    assert(rows.nonEmpty)
+  }
+
   test("appended columns ride select-star and resolve by name upstream") {
     events.createOrReplaceTempView("sqlsurf_events")
     val df = spark.sql("""
