@@ -3283,7 +3283,57 @@ object Pipeline {
             JOIN (SELECT vec_id, embedding FROM p84_emb WHERE vec_id < 3))
           ORDER BY q_id, rank""")
       },
-      Some(p09Oracle))
+      Some(p09Oracle)),
+
+    // ---- p85: SemDeDup — cluster-local semantic dedup -------------------
+    // The published SemDeDup shape (Abbas et al. 2023): cluster the
+    // corpus with the trained coarse quantizer, then dedup PAIRWISE
+    // ONLY WITHIN A CLUSTER — the design point that makes semantic
+    // dedup linear (cluster count scales with the corpus, so the
+    // within-cell self-join is bounded by cell size, never all-pairs).
+    // Deterministic keep rule: drop b iff some same-cell a < b has
+    // cos6(a,b) ≥ 0.99; canonical = the smallest such a. Scaled twins
+    // (×1.5, cosine-invariant → cos exactly 1 after rounding) are
+    // planted for vec_id % 10 == 0 so the rule provably fires; organic
+    // sf pairs top out ~0.51 and survive. DuckDB mirrors the identical
+    // trained assignment (shared ivfAsgPrelude) + pair rule.
+    RegQuery("p85_semdedup",
+      (s, d) => {
+        val e0 = Tables(s, d, "embeddings").select(col("vec_id"),
+          VectorOps.toDouble(col("embedding")).as("v"))
+        val e = e0.unionAll(e0.where(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("v"), x => x * 1.5).as("v")))
+        val (assigned, _) = ivfAssign(e, 8)
+        val drops = assigned.select(col("cell"), col("vec_id").as("a_id"),
+            col("v").as("av"))
+          .join(assigned.select(col("cell"), col("vec_id").as("b_id"),
+            col("v").as("bv")), "cell")
+          .where(col("a_id") < col("b_id") &&
+            ivfSim6(col("av"), col("bv")) >= 0.99)
+          .groupBy("b_id").agg(min("a_id").as("canon"))
+        e.select("vec_id")
+          .join(drops.withColumnRenamed("b_id", "vec_id"),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"), col("canon").isNull.as("kept"),
+            coalesce(col("canon"), col("vec_id")).as("canonical"))
+          .orderBy("vec_id")
+      },
+      Some(s"""${ivfAsgPrelude(
+          s"""$ivfEmbedCte
+             |  UNION ALL
+             |  SELECT vec_id + 1000000,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5)
+             |  FROM embeddings WHERE vec_id % 10 = 0""".stripMargin)},
+         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM asg a JOIN asg b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${ivfCosSql("a.v", "b.v")} >= 0.99),
+         |dr AS (SELECT b_id AS vec_id, min(a_id) AS canon
+         |  FROM p GROUP BY b_id)
+         |SELECT e.vec_id, dr.canon IS NULL AS kept,
+         |  COALESCE(dr.canon, e.vec_id) AS canonical
+         |FROM e LEFT JOIN dr USING (vec_id) ORDER BY vec_id""".stripMargin))
   )
 
   /** p70/p71's shared BPE training loop: word-frequency table →
@@ -3886,17 +3936,26 @@ $next AS (SELECT w, freq, CASE WHEN len(syms) <= 1 THEN syms ELSE
 
   private def ivfOracle: String = ivfOracleFor("e.vec_id < 3", 2, 5)
 
-  /** Parameterized form shared by p14 (3 probe vectors, top-5) and p83
-    * (probeWhere=TRUE — EVERY vector probes, the kNN-graph build);
-    * training (8 seeds, 2 Lloyd rounds, 1e-6 rounding) is identical. */
-  private def ivfOracleFor(probeWhere: String, nprobe: Int,
-      topK: Int): String = {
-    def cos(a: String, b: String) =
-      s"""floor(list_sum(list_transform(range(1, len($a)+1),
-         |      i -> $a[i]*$b[i]))
-         |    / (sqrt(list_sum(list_transform($a, x -> x*x)))
-         |       * sqrt(list_sum(list_transform($b, x -> x*x))))
-         |    * 1000000 + 0.5)/1000000""".stripMargin
+  /** The 1e-6-rounded cosine, DuckDB list-algebra form — the single
+    * definition every IVF-family oracle interpolates. */
+  private def ivfCosSql(a: String, b: String): String =
+    s"""floor(list_sum(list_transform(range(1, len($a)+1),
+       |      i -> $a[i]*$b[i]))
+       |    / (sqrt(list_sum(list_transform($a, x -> x*x)))
+       |       * sqrt(list_sum(list_transform($b, x -> x*x))))
+       |    * 1000000 + 0.5)/1000000""".stripMargin
+
+  // def, not val: the registry val above initializes first and would
+  // read a null field (object-init order)
+  private def ivfEmbedCte: String =
+    """SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings""".stripMargin
+
+  /** WITH-prelude mirroring ivfAssign: trained centroids (c2) and the
+    * full assignment (asg) over the `e` CTE body supplied — shared by
+    * p14/p83 (probe tails) and p85 (pairwise SemDeDup tail). */
+  private def ivfAsgPrelude(eCte: String): String = {
     val avgList = (1 to 64)
       .map(i => s"floor(avg(v[$i])*1000000+0.5)/1000000")
       .mkString("[", ", ", "]")
@@ -3904,17 +3963,24 @@ $next AS (SELECT w, freq, CASE WHEN len(syms) <= 1 THEN syms ELSE
       s"""$out AS (SELECT vec_id, v, c_id AS cell FROM (
          |  SELECT e.vec_id, e.v, c.c_id, ROW_NUMBER() OVER (
          |    PARTITION BY e.vec_id
-         |    ORDER BY ${cos("e.v", "c.cv")} DESC, c.c_id) AS rn
+         |    ORDER BY ${ivfCosSql("e.v", "c.cv")} DESC, c.c_id) AS rn
          |  FROM e, $cSrc c) WHERE rn = 1)""".stripMargin
-    s"""WITH e AS (SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+    s"""WITH e AS ($eCte),
        |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
        |${asg("c0", "a1")},
        |c1 AS (SELECT cell AS c_id, $avgList AS cv FROM a1 GROUP BY cell),
        |${asg("c1", "a2")},
        |c2 AS (SELECT cell AS c_id, $avgList AS cv FROM a2 GROUP BY cell),
-       |${asg("c2", "asg")},
+       |${asg("c2", "asg")}""".stripMargin
+  }
+
+  /** Parameterized form shared by p14 (3 probe vectors, top-5) and p83
+    * (probeWhere=TRUE — EVERY vector probes, the kNN-graph build);
+    * training (8 seeds, 2 Lloyd rounds, 1e-6 rounding) is identical. */
+  private def ivfOracleFor(probeWhere: String, nprobe: Int,
+      topK: Int): String = {
+    def cos(a: String, b: String) = ivfCosSql(a, b)
+    s"""${ivfAsgPrelude(ivfEmbedCte)},
        |prb AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell FROM (
        |  SELECT e.vec_id, e.v, c.c_id, ROW_NUMBER() OVER (
        |    PARTITION BY e.vec_id
@@ -3940,32 +4006,43 @@ $next AS (SELECT w, freq, CASE WHEN len(syms) <= 1 THEN syms ELSE
     * candidates bounded and total candidates LINEAR in the corpus —
     * never an all-pairs form. Returns [q_id, qv, cell, vec_id, v,
     * cos_r] candidates, unranked. */
-  def knnCandidatesIvf(e: DataFrame, kCells: Int,
-      nprobe: Int): DataFrame = {
-    def sim6(a: Column, b: Column) =
-      floor(VectorOps.cosineFast(a, b) * 1000000 + 0.5) / 1000000
-    def nearest(vecs: DataFrame, cents: DataFrame, keep: Int) =
-      vecs.crossJoin(broadcast(cents)) // kCells-row broadcast side only
-        .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
-          .orderBy(sim6(col("v"), col("cv")).desc, col("c_id"))))
-        .where(col("rn") <= keep)
+  private def ivfSim6(a: Column, b: Column) =
+    floor(VectorOps.cosineFast(a, b) * 1000000 + 0.5) / 1000000
+
+  private def ivfNearest(vecs: DataFrame, cents: DataFrame, keep: Int) =
+    vecs.crossJoin(broadcast(cents)) // kCells-row broadcast side only
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(ivfSim6(col("v"), col("cv")).desc, col("c_id"))))
+      .where(col("rn") <= keep)
+
+  /** Train the p14 IVF over [vec_id, v] (seeds = vec_id &lt; kCells,
+    * 2 Lloyd rounds, 1e-6-rounded centroids) and assign every vector
+    * to its nearest cell. Returns (assigned [vec_id, v, cell], trained
+    * centroids [c_id, cv] — localCheckpointed). Shared by the kNN
+    * graph (p83) and SemDeDup (p85). */
+  def ivfAssign(e: DataFrame, kCells: Int): (DataFrame, DataFrame) = {
     var cents = e.where(col("vec_id") < kCells)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     val centroid = udaf(graft.functions.VectorCentroid)
     for (_ <- 1 to 2) // Lloyd: assign → per-cell mean, rounded 1e-6
-      cents = nearest(e, cents, 1)
+      cents = ivfNearest(e, cents, 1)
         .groupBy("c_id")
         .agg(transform(centroid(col("v")),
           x => floor(x * 1000000 + 0.5) / 1000000).as("cv"))
-    cents = cents.localCheckpoint() // train once; feeds assign + probes
-    val assigned = nearest(e, cents, 1)
-      .select(col("vec_id"), col("v"), col("c_id").as("cell"))
-    val probes = nearest(e, cents, nprobe)
+    cents = cents.localCheckpoint() // train once; feeds every consumer
+    (ivfNearest(e, cents, 1)
+      .select(col("vec_id"), col("v"), col("c_id").as("cell")), cents)
+  }
+
+  def knnCandidatesIvf(e: DataFrame, kCells: Int,
+      nprobe: Int): DataFrame = {
+    val (assigned, cents) = ivfAssign(e, kCells)
+    val probes = ivfNearest(e, cents, nprobe)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("c_id").as("cell"))
     probes.join(assigned, "cell")
       .where(col("q_id") =!= col("vec_id"))
-      .withColumn("cos_r", sim6(col("qv"), col("v")))
+      .withColumn("cos_r", ivfSim6(col("qv"), col("v")))
   }
 
   /** p83: the full kNN graph — every vector's `topK` nearest by the
