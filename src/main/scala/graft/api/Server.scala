@@ -16,6 +16,7 @@ import graft.ingest.{GraphMlReader, NTriplesReader}
   *
   *   POST /put      body = AHGHEE put script          → {"ok":true}
   *   POST /get      body = AHGHEE get query           → NDJSON row stream
+  *   POST /sql      body = one SQL statement          → NDJSON row stream
   *   POST /load     body = path or http(s) url,
   *                  ?format=nt|graphml                → {"ok":true}
   *   GET  /metrics                                    → JSON entries
@@ -67,6 +68,26 @@ object Server {
       val schema = df.schema
       ex.getResponseHeaders.add("Content-Type", "application/x-ndjson")
       ex.sendResponseHeaders(200, 0) // chunked — length unknown up front
+      val out = ex.getResponseBody
+      try {
+        val it = df.toLocalIterator()
+        while (it.hasNext)
+          out.write((jsonRow(schema, it.next()) + "\n").getBytes(UTF_8))
+      } finally out.close()
+    })
+
+    http.createContext("/sql", (ex: HttpExchange) => guard(ex) {
+      // the ANALYTICS wire surface (the reference UI's query box,
+      // reference src/UI/Pages/Query.razor, re-based on SQL): one SQL
+      // statement over the session catalog — including the hint-marked
+      // custom-operator tier (plans/SqlSurface: SESSIONIZE / ASOF_LE /
+      // COSINE_TOPK plan into the custom execs from this endpoint).
+      // Same streaming discipline as /get: toLocalIterator into a
+      // chunked NDJSON response, nothing collected.
+      val df = engine.spark.sql(body(ex))
+      val schema = df.schema
+      ex.getResponseHeaders.add("Content-Type", "application/x-ndjson")
+      ex.sendResponseHeaders(200, 0)
       val out = ex.getResponseBody
       try {
         val it = df.toLocalIterator()

@@ -3262,7 +3262,7 @@ object Pipeline {
             VectorOps.toDouble(col("embedding")).as("v")),
           kCells = 8, nprobe = 2, topK = 3)
         .orderBy("q_id", "rank"),
-      Some(ivfOracleFor("TRUE", 2, 3))),
+      Some(knnGraphOracle)),
 
     // ---- p84: cosine top-k from PURE SQL TEXT ---------------------------
     // Completes the SQL surface across ALL THREE custom physical
@@ -3974,6 +3974,10 @@ $next AS (SELECT w, freq, CASE WHEN len(syms) <= 1 THEN syms ELSE
        |${asg("c2", "asg")}""".stripMargin
   }
 
+  /** p83's oracle — shared VERBATIM by s26, the streamed serving arm
+    * (one SQL checks the batch kNN build and the stream). */
+  private[queries] def knnGraphOracle: String = ivfOracleFor("TRUE", 2, 3)
+
   /** Parameterized form shared by p14 (3 probe vectors, top-5) and p83
     * (probeWhere=TRUE — EVERY vector probes, the kNN-graph build);
     * training (8 seeds, 2 Lloyd rounds, 1e-6 rounding) is identical. */
@@ -4006,10 +4010,11 @@ $next AS (SELECT w, freq, CASE WHEN len(syms) <= 1 THEN syms ELSE
     * candidates bounded and total candidates LINEAR in the corpus —
     * never an all-pairs form. Returns [q_id, qv, cell, vec_id, v,
     * cos_r] candidates, unranked. */
-  private def ivfSim6(a: Column, b: Column) =
+  private[queries] def ivfSim6(a: Column, b: Column) =
     floor(VectorOps.cosineFast(a, b) * 1000000 + 0.5) / 1000000
 
-  private def ivfNearest(vecs: DataFrame, cents: DataFrame, keep: Int) =
+  private[queries] def ivfNearest(vecs: DataFrame, cents: DataFrame,
+      keep: Int) =
     vecs.crossJoin(broadcast(cents)) // kCells-row broadcast side only
       .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
         .orderBy(ivfSim6(col("v"), col("cv")).desc, col("c_id"))))

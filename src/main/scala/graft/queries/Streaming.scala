@@ -1362,7 +1362,66 @@ object Streaming {
              |      THEN l_quantity + 1 ELSE l_quantity END AS BIGINT))
              |    * 1000 // count(*) AS BIGINT) AS avg_qty_milli
              |FROM lineitem WHERE l_orderkey % 10 <> 3
-             |GROUP BY 1, 2 ORDER BY flag, status""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY flag, status""".stripMargin)),
+
+    // ---- s26: streaming kNN enrichment (the ANN family's stream arm) ---
+    // New vectors arriving on a stream are enriched with their top-k
+    // corpus neighbors AT INGEST: the IVF is trained once in batch
+    // (Pipeline.ivfAssign — centroids broadcast, corpus assignment
+    // localCheckpointed), then each micro-batch of probes assigns its
+    // nprobe cells against the 8-row centroid table and equi-joins the
+    // STATIC assignment by cell — per-batch cost ~|batch|·cellSize,
+    // the corpus never rescans, no stream state at all (each probe's
+    // top-k is complete within its own batch, so per-batch ranking is
+    // exact under ANY split — proven by staging the probe set as 3
+    // files consumed one per trigger). The drained enrichment
+    // hash-matches p83's UNCHANGED kNN-graph oracle: one SQL now
+    // checks the batch build AND the streamed serving path.
+    RegQuery("s26_stream_knn",
+      (s, d) => {
+        val stagePath = Scratch.path(s, "s26_probes", d)
+        val outPath = Scratch.path(s, "s26_knn", d)
+        Scratch.clear(s, stagePath, outPath)
+        val e = graft.Tables(s, d, "embeddings").select(col("vec_id"),
+          graft.llm.VectorOps.toDouble(col("embedding")).as("v"))
+        val (assigned0, cents) = Pipeline.ivfAssign(e, 8)
+        val assigned = assigned0.localCheckpoint() // probe target, fixed
+        // stage the probe stream as 3 files → 3 micro-batches
+        for (m <- 0 to 2)
+          e.where(col("vec_id") % 3 === m).coalesce(1)
+            .write.mode("append").parquet(stagePath)
+        val probeSchema = StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("v", ArrayType(DoubleType))))
+        val q = withStatePartitions(s, 8) {
+          s.readStream.schema(probeSchema)
+            .option("maxFilesPerTrigger", "1").parquet(stagePath)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              val probes = Pipeline.ivfNearest(batch, cents, 2)
+                .select(col("vec_id").as("q_id"), col("v").as("qv"),
+                  col("c_id").as("cell"))
+              probes.join(assigned, "cell")
+                .where(col("q_id") =!= col("vec_id"))
+                .withColumn("cos_r", Pipeline.ivfSim6(col("qv"), col("v")))
+                .withColumn("rank", row_number().over(
+                  Window.partitionBy("q_id")
+                    .orderBy(col("cos_r").desc, col("vec_id"))))
+                .where(col("rank") <= 3)
+                .select(col("q_id"), col("rank"),
+                  col("vec_id").as("n_id"), col("cos_r"))
+                .write.mode("append").parquet(outPath)
+              ()
+            }
+            .trigger(Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination()
+        s.read.parquet(outPath)
+          .select(col("q_id"), col("rank").cast("int").as("rank"),
+            col("n_id"), col("cos_r"))
+          .orderBy("q_id", "rank")
+      },
+      Some(Pipeline.knnGraphOracle))
   )
 
   private val docsSchema = StructType(Seq(
