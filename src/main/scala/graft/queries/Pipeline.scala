@@ -3299,11 +3299,7 @@ object Pipeline {
     // trained assignment (shared ivfAsgPrelude) + pair rule.
     RegQuery("p85_semdedup",
       (s, d) => {
-        val e0 = Tables(s, d, "embeddings").select(col("vec_id"),
-          VectorOps.toDouble(col("embedding")).as("v"))
-        val e = e0.unionAll(e0.where(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + 1000000L).as("vec_id"),
-            transform(col("v"), x => x * 1.5).as("v")))
+        val e = semDedupInput(s, d)
         val (assigned, _) = ivfAssign(e, 8)
         val drops = assigned.select(col("cell"), col("vec_id").as("a_id"),
             col("v").as("av"))
@@ -3319,22 +3315,39 @@ object Pipeline {
             coalesce(col("canon"), col("vec_id")).as("canonical"))
           .orderBy("vec_id")
       },
-      Some(s"""${ivfAsgPrelude(
-          s"""$ivfEmbedCte
-             |  UNION ALL
-             |  SELECT vec_id + 1000000,
-             |    list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5)
-             |  FROM embeddings WHERE vec_id % 10 = 0""".stripMargin)},
-         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
-         |  FROM asg a JOIN asg b
-         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  WHERE ${ivfCosSql("a.v", "b.v")} >= 0.99),
-         |dr AS (SELECT b_id AS vec_id, min(a_id) AS canon
-         |  FROM p GROUP BY b_id)
-         |SELECT e.vec_id, dr.canon IS NULL AS kept,
-         |  COALESCE(dr.canon, e.vec_id) AS canonical
-         |FROM e LEFT JOIN dr USING (vec_id) ORDER BY vec_id""".stripMargin))
+      Some(semDedupOracle))
   )
+
+  /** p85/s27 shared input: the corpus plus ×1.5 scaled twins (cosine-
+    * invariant → cos6 exactly 1 to the source) for vec_id % 10 == 0,
+    * twin ids offset by 1e6. */
+  private[queries] def semDedupInput(s: SparkSession,
+      d: String): DataFrame = {
+    val e0 = Tables(s, d, "embeddings").select(col("vec_id"),
+      VectorOps.toDouble(col("embedding")).as("v"))
+    e0.unionAll(e0.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), x => x * 1.5).as("v")))
+  }
+
+  /** p85's oracle — shared VERBATIM by s27, the ingest-time arm (one
+    * SQL checks the batch rule and the streamed rule). */
+  private[queries] def semDedupOracle: String =
+    s"""${ivfAsgPrelude(
+        s"""$ivfEmbedCte
+           |  UNION ALL
+           |  SELECT vec_id + 1000000,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5)
+           |  FROM embeddings WHERE vec_id % 10 = 0""".stripMargin)},
+       |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM asg a JOIN asg b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${ivfCosSql("a.v", "b.v")} >= 0.99),
+       |dr AS (SELECT b_id AS vec_id, min(a_id) AS canon
+       |  FROM p GROUP BY b_id)
+       |SELECT e.vec_id, dr.canon IS NULL AS kept,
+       |  COALESCE(dr.canon, e.vec_id) AS canonical
+       |FROM e LEFT JOIN dr USING (vec_id) ORDER BY vec_id""".stripMargin
 
   /** p70/p71's shared BPE training loop: word-frequency table →
     * `rounds` (argmax pair, fold-merge) iterations. Returns the merge

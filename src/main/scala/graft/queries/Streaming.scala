@@ -1421,7 +1421,53 @@ object Streaming {
             col("n_id"), col("cos_r"))
           .orderBy("q_id", "rank")
       },
-      Some(Pipeline.knnGraphOracle))
+      Some(Pipeline.knnGraphOracle)),
+
+    // ---- s27: streaming SemDeDup (ingest-time semantic dedup) ----------
+    // p85's cluster-local rule run BY the stream: rows keyed by IVF
+    // cell, state = every member seen so far in the cell — the rare
+    // list-state whose bound is a DESIGN CONSTANT (cell size, which
+    // the IVF holds ~fixed at any corpus scale by growing K with N).
+    // A landing doc compares against all prior same-cell members
+    // (dropped docs remain witnesses — exactly p85's ∃ a<b rule),
+    // takes the smallest ≥0.99 witness as canonical, and joins the
+    // state. Probes staged as 3 id-range files (sources before twins,
+    // one per trigger), so twin resolution crosses micro-batch
+    // boundaries through state. p85's UNCHANGED oracle hash-checks the
+    // drained dispositions: one SQL checks the batch rule and the
+    // streamed rule.
+    RegQuery("s27_stream_semdedup",
+      (s, d) => {
+        import s.implicits._
+        val stagePath = Scratch.path(s, "s27_members", d)
+        Scratch.clear(s, stagePath)
+        val e = Pipeline.semDedupInput(s, d)
+        val (assigned0, _) = Pipeline.ivfAssign(e, 8)
+        val assigned = assigned0.localCheckpoint()
+        // id-ordered ranges → per-cell id-monotone arrival; the twins
+        // (ids ≥ 1e6) land strictly AFTER their sources
+        for ((lo, hi) <- Seq((0L, 170L), (170L, 1000000L),
+            (1000000L, Long.MaxValue)))
+          assigned.where(col("vec_id") >= lo && col("vec_id") < hi)
+            .select("cell", "vec_id", "v").coalesce(1)
+            .write.mode("append").parquet(stagePath)
+        val semSchema = StructType(Seq(
+          StructField("cell", LongType), StructField("vec_id", LongType),
+          StructField("v", ArrayType(DoubleType))))
+        Streams.withRocksDB(s) {
+          val q = withStatePartitions(s, 8) {
+            Streams.semDeDup(s.readStream.schema(semSchema)
+                .option("maxFilesPerTrigger", "1").parquet(stagePath)
+                .as[Streams.SemRow], threshold = 0.99)
+              .writeStream.format("memory").queryName("s27_sink")
+              .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          }
+          q.awaitTermination()
+          s.table("s27_sink").select("vec_id", "kept", "canonical")
+            .orderBy("vec_id")
+        }
+      },
+      Some(Pipeline.semDedupOracle))
   )
 
   private val docsSchema = StructType(Seq(

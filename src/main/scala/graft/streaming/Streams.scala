@@ -388,6 +388,78 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  // --- streaming SemDeDup (s27) -----------------------------------------
+
+  case class SemRow(cell: Long, vec_id: Long, v: Array[Double])
+  case class SemOut(vec_id: Long, kept: Boolean, canonical: Long)
+  case class SemMember(vec_id: Long, v: Array[Double])
+
+  /** SemDeDup AT INGEST — p85's rule run by the stream. Keyed by IVF
+    * cell; state = every member seen so far in the cell, which is
+    * BOUNDED BY CELL SIZE — the quantity the IVF design holds roughly
+    * constant at any corpus scale (K grows with N), so this is the rare
+    * list-state whose bound is a design constant, like s08's band
+    * anchors. A landing doc compares against all prior same-cell
+    * members — kept or dropped, a dropped doc is still a valid witness,
+    * exactly p85's "∃ a &lt; b" rule — is dropped iff some prior member
+    * reaches cos6 ≥ threshold (canonical = the SMALLEST such witness),
+    * and always joins the state. Cosine matches the CosineSim
+    * expression op-for-op (single fused accumulation loop, then
+    * dot / (√nx · √ny), then floor(x·1e6 + 0.5)/1e6), so the DuckDB
+    * mirror is bit-identical. Ordering contract as s19/s20/s22:
+    * per-cell vec_id-monotone batch arrival; in-batch vec_id sort. */
+  class SemDeDupProcessor(threshold: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SemRow, SemOut] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TTLConfig}
+    @transient private var members: ListState[SemMember] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[SemMember]("members",
+        org.apache.spark.sql.Encoders.product[SemMember], TTLConfig.NONE)
+
+    private def sim6(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1
+      }
+      math.floor(dot / (math.sqrt(nx) * math.sqrt(ny)) * 1000000 + 0.5) /
+        1000000
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[SemRow],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SemOut] = {
+      val sorted = rows.toArray.sortBy(_.vec_id)
+      val cur = scala.collection.mutable.ArrayBuffer.empty[SemMember]
+      val it = members.get()
+      while (it.hasNext) cur += it.next()
+      val out = scala.collection.mutable.ArrayBuffer.empty[SemOut]
+      sorted.foreach { r =>
+        var canon = -1L
+        cur.foreach { m =>
+          if (sim6(m.v, r.v) >= threshold &&
+            (canon < 0 || m.vec_id < canon)) canon = m.vec_id
+        }
+        out += SemOut(r.vec_id, canon < 0,
+          if (canon < 0) r.vec_id else canon)
+        cur += SemMember(r.vec_id, r.v)
+      }
+      members.put(cur.toArray)
+      out.iterator
+    }
+  }
+
+  /** Per-cell streaming SemDeDup via transformWithState. */
+  def semDeDup(rows: Dataset[SemRow], threshold: Double): Dataset[SemOut] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.cell)
+      .transformWithState(new SemDeDupProcessor(threshold),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   // --- streaming sequence packing (s20) --------------------------------
 
   case class PackRow(source: String, doc_id: Long, n_tok: Long)
