@@ -4,11 +4,12 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, BoundReference, Expression, GenericInternalRow, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, JavaCode, LazilyGeneratedOrdering}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.types.{BooleanType, ByteType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** As-of join as a dedicated physical operator — the second
   * whole-operator Catalyst extension ((c) tier), the one-pass sorted
@@ -78,7 +79,7 @@ case class AsOfJoinExec(
     leftOrdIdx: Seq[Int],
     valueAttrs: Seq[Attribute],
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ valueAttrs
   override def producedAttributes: AttributeSet = AttributeSet(valueAttrs)
@@ -111,6 +112,172 @@ case class AsOfJoinExec(
 
   override protected def withNewChildrenInternal(l: SparkPlan,
       r: SparkPlan): AsOfJoinExec = copy(left = l, right = r)
+
+  // ---- whole-stage codegen --------------------------------------------
+  // The SortMergeJoin produce pattern applied to the as-of merge: both
+  // sorted children arrive as input iterators (they finish their own
+  // stages below; zipped by WholeStageCodegenExec exactly like the
+  // interpreted zipPartitions), and the single-cursor merge becomes a
+  // generated loop whose state — the lookahead right row, the matched
+  // equi key, and the matched values — are generated mutable fields.
+  // The win is ABOVE the operator: output rows flow into the parent's
+  // codegen as variables instead of a per-row GenericInternalRow +
+  // UnsafeProjection copy.
+  //
+  // Gated (with a spark.graft.asof.codegen kill-switch) to
+  // integral/date/time compare columns — generated comparisons agree
+  // bit-for-bit with the interpreted ordering there — and primitive
+  // value columns (stored across rows by plain field assignment;
+  // strings/binaries would need buffer-copy discipline and stay on the
+  // interpreted path).
+  override def supportCodegen: Boolean = {
+    def comparable(dt: org.apache.spark.sql.types.DataType) = dt match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    def storable(dt: org.apache.spark.sql.types.DataType) =
+      comparable(dt) || dt == FloatType || dt == DoubleType
+    conf.getConfString("spark.graft.asof.codegen", "true") == "true" &&
+      (leftKeyIdx ++ leftOrdIdx).forall(i =>
+        comparable(left.output(i).dataType)) &&
+      right.output.take(nk + no).forall(a => comparable(a.dataType)) &&
+      valueAttrs.forall(a => storable(a.dataType))
+  }
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // output vars reference the CURRENT left row and mutating fields — a
+  // buffering parent must copy
+  override def needCopyResult: Boolean = true
+
+  protected override def doProduce(ctx: CodegenContext): String = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofLeftInput", v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofRightInput", v => s"$v = inputs[1];", forceInline = true)
+    val pending = ctx.addMutableState("InternalRow", "asofPending")
+    val haveMatch = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN,
+      "asofHaveMatch", v => s"$v = false;")
+    val numOutputRows = metricTerm(ctx, "numOutputRows")
+    val numMatched = metricTerm(ctx, "numMatched")
+
+    val cmpIdxLeft = (leftKeyIdx ++ leftOrdIdx).toArray
+    val cmpTypes = right.output.take(nk + no).map(_.dataType).toArray
+    val valueTypes = valueAttrs.map(_.dataType).toArray
+    val valuePos0 = right.output.length - valueTypes.length
+
+    // stored matched equi key + values: generated mutable fields
+    val mk = cmpTypes.take(nk).map { dt =>
+      (ctx.addMutableState(CodeGenerator.javaType(dt), "asofMk"),
+        ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofMkNull"), dt)
+    }
+    val mv = valueTypes.map { dt =>
+      (ctx.addMutableState(CodeGenerator.javaType(dt), "asofVal"),
+        ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofValNull"), dt)
+    }
+
+    val leftRow = ctx.freshName("asofLeftRow")
+    // left compare tuple locals, in (equi, ord) order
+    val lTuple = cmpTypes.zipWithIndex.map { case (dt, j) =>
+      (ctx.freshName("asofLV"), ctx.freshName("asofLN"), dt, cmpIdxLeft(j))
+    }
+    val evalLeftTuple = lTuple.map { case (lv, ln, dt, idx) =>
+      s"""boolean $ln = $leftRow.isNullAt($idx);
+         |${CodeGenerator.javaType(dt)} $lv = $ln
+         |  ? ${CodeGenerator.defaultValue(dt)}
+         |  : ${CodeGenerator.getValue(leftRow, dt, idx.toString)};""".stripMargin
+    }.mkString("\n")
+
+    // right-vs-left tuple compare (Ascending, NULLS FIRST — the
+    // interpreted LazilyGeneratedOrdering's contract): first non-zero
+    // column decides
+    val cmp = ctx.freshName("asofCmp")
+    val rn = ctx.freshName("asofRN")
+    val rv = ctx.freshName("asofRV")
+    val compareCode = cmpTypes.zipWithIndex.map { case (dt, j) =>
+      val (lv, ln, _, _) = lTuple(j)
+      s"""if ($cmp == 0) {
+         |  boolean $rn$j = $pending.isNullAt($j);
+         |  if ($rn$j || $ln) {
+         |    $cmp = ($rn$j && $ln) ? 0 : ($rn$j ? -1 : 1);
+         |  } else {
+         |    ${CodeGenerator.javaType(dt)} $rv$j =
+         |      ${CodeGenerator.getValue(pending, dt, j.toString)};
+         |    $cmp = ${ctx.genComp(dt, s"$rv$j", lv)};
+         |  }
+         |}""".stripMargin
+    }.mkString("\n")
+
+    val storeMatch = (mk.zipWithIndex.map { case ((v, n, dt), j) =>
+      s"""$n = $pending.isNullAt($j);
+         |$v = $n ? ${CodeGenerator.defaultValue(dt)}
+         |  : ${CodeGenerator.getValue(pending, dt, j.toString)};""".stripMargin
+    } ++ mv.zipWithIndex.map { case ((v, n, dt), j) =>
+      val pos = valuePos0 + j
+      s"""$n = $pending.isNullAt($pos);
+         |$v = $n ? ${CodeGenerator.defaultValue(dt)}
+         |  : ${CodeGenerator.getValue(pending, dt, pos.toString)};""".stripMargin
+    }).mkString("\n")
+
+    // matched ⇔ a consumed right row exists with the SAME equi key
+    // (null == null matches — they cluster together, same as the
+    // interpreted projected-key-row compare)
+    val matched = ctx.freshName("asofMatched")
+    val equiCheck = mk.zipWithIndex.map { case ((v, n, dt), j) =>
+      val (lv, ln, _, _) = lTuple(j)
+      s"""if ($matched && ($ln != $n ||
+         |    (!$ln && !(${ctx.genEqual(dt, lv, v)})))) {
+         |  $matched = false;
+         |}""".stripMargin
+    }.mkString("\n")
+
+    // output vars: left columns as row accessors + matched values as
+    // locals (fields mutate on the NEXT row; parents get locals)
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val valueVars = mv.map { case (v, n, dt) =>
+      val on = ctx.freshName("asofOutN")
+      val ov = ctx.freshName("asofOutV")
+      ExprCode(
+        code"""boolean $on = !$matched || $n;
+              |${CodeGenerator.javaType(dt)} $ov = $on
+              |  ? ${CodeGenerator.defaultValue(dt)} : $v;""".stripMargin,
+        JavaCode.isNullVariable(on), JavaCode.variable(ov, dt))
+    }
+
+    s"""
+       |while ($limitNotReachedCond $leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  $evalLeftTuple
+       |  // consume every right row at-or-before this left row
+       |  while (true) {
+       |    if ($pending == null) {
+       |      if (!$rightInput.hasNext()) break;
+       |      $pending = (InternalRow) $rightInput.next();
+       |    }
+       |    int $cmp = 0;
+       |    $compareCode
+       |    if ($cmp <= 0) {
+       |      $storeMatch
+       |      $haveMatch = true;
+       |      $pending = null;
+       |    } else break;
+       |  }
+       |  boolean $matched = $haveMatch;
+       |  $equiCheck
+       |  $numOutputRows.add(1);
+       |  if ($matched) $numMatched.add(1);
+       |  ${consume(ctx, leftVars ++ valueVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
 
   protected override def doExecute(): RDD[InternalRow] = {
     val leftTypes = left.output.map(_.dataType)

@@ -122,6 +122,47 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("whole-stage codegen: the exec fuses; rows unchanged; kill-switch falls back") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def fused(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => fused(a.executedPlan)
+      case q: QueryStageExec => fused(q.plan)
+      case w: WholeStageCodegenExec =>
+        w.collect { case e: AsOfJoinExec => e }.nonEmpty ||
+          w.children.exists(fused)
+      case p => p.children.exists(fused)
+    }
+    val df = viaExec
+    df.collect()
+    assert(fused(df.queryExecution.executedPlan),
+      s"AsOfJoinExec did not fuse:\n${df.queryExecution.executedPlan}")
+    val exp = viaWindow.orderBy("event_id").collect().toSeq
+    val got = viaExec.select("event_id", "last_view")
+      .orderBy("event_id").collect().toSeq
+    assert(got == exp)
+    // kill-switch: same rows through the interpreted path
+    spark.conf.set("spark.graft.asof.codegen", "false")
+    try {
+      val off = viaExec
+      off.collect()
+      assert(!fused(off.queryExecution.executedPlan))
+      assert(off.select("event_id", "last_view").orderBy("event_id")
+        .collect().toSeq == exp)
+    } finally spark.conf.unset("spark.graft.asof.codegen")
+  }
+
+  test("string values fall back to the interpreted path, same rows") {
+    import spark.implicits._
+    // a string VALUE column is outside the codegen store gate
+    val clicks = Seq((1L, 10L, 100L)).toDF("k", "t", "cid")
+    val views = Seq((1L, 5L, "hello")).toDF("k", "t", "tag")
+    val got = AsOfJoin.asOfLE(clicks, views, Seq("k"), Seq("t"),
+        "tag", "ltag")
+      .collect().map(r => (r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq((100L, "hello")), got.toString)
+  }
+
   test("pathological skew: one key = 90% of rows, 17x5 partitions — window-equal, flat memory") {
     // the round-6 verdict's named audit: on a skewed co-partition the
     // cursor must walk right rows one at a time (one (key, values)
