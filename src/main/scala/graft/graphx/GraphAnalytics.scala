@@ -1770,4 +1770,93 @@ object GraphAnalytics {
     // originConstraints). One narrow conversion detaches the plan.
     spark.createDataFrame(matched.rdd, matched.schema)
   }
+
+  /** Borůvka minimum spanning forest (x31) over weighted undirected
+    * edges [u, v, w] (u &lt; v, one row per edge, integer weights):
+    * each round EVERY component picks its minimum incident cross edge
+    * under the TOTAL order (w, u, v) — no ties can exist, so the
+    * forest is UNIQUE and a sequential Kruskal over the same order
+    * (the DuckDB oracle) must produce the identical edge set — then
+    * components contract (connected components over the picked
+    * pseudo-forest) and the round repeats on the surviving cross
+    * edges. Component count at least halves per round (every live
+    * component hooks), so rounds ≤ log2(V) — volume-INDEPENDENT for
+    * fixed structure, the 100 TB property ScaleRehearsalSpec pins.
+    * Per round: two label joins + one struct-min aggregate + a CC over
+    * ≤ #components picked pairs — all equi-joins on the SHRINKING
+    * cross-edge set, lineage cut per round like the kCore loop.
+    * Returns the forest as [u, v, w, rnd]. */
+  def boruvkaMsf(edges0: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val spark = edges0.sparkSession
+    val e0 = edges0.select(col("u").cast("long").as("u"),
+        col("v").cast("long").as("v"), col("w").cast("long").as("w"))
+      .where(col("u") < col("v")).distinct()
+      .transform(graft.Ckpt.cut)
+    var comp = e0.select(col("u").as("vx"))
+      .unionAll(e0.select(col("v").as("vx"))).distinct()
+      .select(col("vx"), col("vx").as("c"))
+      .transform(graft.Ckpt.cut)
+    var live = e0
+    var forest = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("u",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rnd",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      if (round > maxRounds) throw new IllegalStateException(
+        s"Borůvka exceeded $maxRounds rounds; component count halves " +
+          "per round, so this indicates a contraction regression")
+      // cross edges under the current labels; within-component edges
+      // never become cross again, so the live set only shrinks
+      val ec = live
+        .join(comp.select(col("vx").as("u"), col("c").as("cu")), "u")
+        .join(comp.select(col("vx").as("v"), col("c").as("cv")), "v")
+        .where(col("cu") =!= col("cv"))
+        .transform(graft.Ckpt.cut)
+      if (ec.isEmpty) done = true
+      else {
+        // min incident edge per component — struct min IS the
+        // (w, u, v) total order; both endpoint components charge, the
+        // same edge picked from both sides dedups
+        val cand = ec.select(col("cu").as("c"),
+            struct(col("w"), col("u"), col("v"), col("cu"), col("cv"))
+              .as("e"))
+          .unionAll(ec.select(col("cv").as("c"),
+            struct(col("w"), col("u"), col("v"), col("cu"), col("cv"))
+              .as("e")))
+        val picked = cand.groupBy("c").agg(min("e").as("e"))
+          .select(col("e.w").as("w"), col("e.u").as("u"),
+            col("e.v").as("v"), col("e.cu").as("cu"), col("e.cv").as("cv"))
+          .distinct()
+          .transform(graft.Ckpt.cut)
+        forest = forest.unionAll(picked.select(col("u"), col("v"),
+          col("w"), lit(round).as("rnd")))
+        // contract: components of the picked pseudo-forest (≤ one pick
+        // per component, so |pairs| ≤ #components); labels relabel
+        // through the CC seam (string ids — any CONSISTENT
+        // representative works, labels never reach the output)
+        val cc = connectedComponents(picked.select(
+            col("cu").cast("string").as("src_id"),
+            col("cv").cast("string").as("dst_id")))
+          .select(col("id").cast("long").as("oldc"),
+            col("component").cast("long").as("newc"))
+        comp = comp
+          .join(cc.withColumnRenamed("oldc", "c"), Seq("c"), "left")
+          .select(col("vx"), coalesce(col("newc"), col("c")).as("c"))
+          .transform(graft.Ckpt.cut)
+        live = ec.select("u", "v", "w")
+      }
+    }
+    spark.sparkContext.setLocalProperty("graft.msf.rounds", round.toString)
+    spark.createDataFrame(forest.rdd, forest.schema)
+  }
 }

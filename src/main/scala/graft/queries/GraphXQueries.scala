@@ -1444,8 +1444,92 @@ object GraphXQueries {
       (s, d) => GraphAnalytics.maximalMatching(transitionEdges(s, d))
         .select(col("u"), col("v"), col("mround").cast("long").as("mround"))
         .orderBy("u"),
-      Some(x30Oracle))
+      Some(x30Oracle)),
+
+    // Borůvka minimum spanning forest on the weighted co-purchase
+    // graph (weight = number of shared orders) — THE parallel MST
+    // primitive (Borůvka 1926; the GNN-sampling / clustering-backbone
+    // shape). Engine is GraphAnalytics.boruvkaMsf: per round every
+    // component picks its min incident cross edge under the TOTAL
+    // order (w, u, v), components contract by CC over the picked
+    // pseudo-forest, rounds ≤ log2(V). The total order makes the
+    // forest UNIQUE, so the oracle need not replay rounds: a
+    // SEQUENTIAL Kruskal (one-row recursive CTE — one edge per step in
+    // the same (w, u, v) order, component labels as a list) must
+    // produce the identical edge set — a parallel algorithm checked by
+    // its sequential specification. MsfSpec pins forest shape
+    // (acyclic, spanning, per-component minimality on a hand graph)
+    // and the maxRounds guard; the 10× rehearsal pins round counts
+    // volume-independent.
+    RegQuery("x31_msf",
+      (s, d) => GraphAnalytics.boruvkaMsf(weightedCoPurchase(s, d))
+        .select(col("u"), col("v"), col("w"))
+        .orderBy("u", "v"),
+      Some(x31Oracle))
   )
+
+  /** Weighted co-purchase graph for x31: parts ≤ 150 sharing an order
+    * (u &lt; v), weight = number of DISTINCT orders sharing the pair —
+    * the bounded in-row fan-out of coPurchasePairs plus one count
+    * aggregate, never a self-join. */
+  private def weightedCoPurchase(s: org.apache.spark.sql.SparkSession,
+                                 d: String): org.apache.spark.sql.DataFrame =
+    graft.Tables(s, d, "lineitem")
+      .where(col("l_partkey") <= 150)
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (a, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))), b =>
+          struct(a.as("p1"), b.as("p2")))))).as("e"))
+      .select(col("e.p1").cast("long").as("u"),
+        col("e.p2").cast("long").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+
+  /** DuckDB mirror of x31: sequential Kruskal over the identical
+    * (w, u, v) edge order — one edge per recursion step, component
+    * labels carried as a vertex-aligned list, union = relabel the
+    * larger label to the smaller. The engine's parallel Borůvka must
+    * equal this by MSF uniqueness under the total order. */
+  private def x31Oracle: String =
+    """WITH RECURSIVE
+      |pp AS MATERIALIZED (SELECT p1 AS u, p2 AS v, CAST(count(*) AS BIGINT) AS w
+      |  FROM (SELECT DISTINCT a.l_orderkey AS o, a.l_partkey AS p1,
+      |      b.l_partkey AS p2
+      |    FROM lineitem a JOIN lineitem b
+      |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |    WHERE a.l_partkey <= 150 AND b.l_partkey <= 150)
+      |  GROUP BY p1, p2),
+      |verts AS MATERIALIZED (SELECT DISTINCT x AS v FROM
+      |  (SELECT u AS x FROM pp UNION SELECT v FROM pp)),
+      |ed AS MATERIALIZED (SELECT list(u ORDER BY w, u, v) AS eu,
+      |  list(v ORDER BY w, u, v) AS ev,
+      |  list(w ORDER BY w, u, v) AS ew,
+      |  (SELECT list(v ORDER BY v) FROM verts) AS vs FROM pp),
+      |step AS (
+      |  SELECT 0 AS r, (SELECT list(v ORDER BY v) FROM verts) AS lab,
+      |    CAST([] AS BIGINT[]) AS mu, CAST([] AS BIGINT[]) AS mv,
+      |    CAST([] AS BIGINT[]) AS mw
+      |  UNION ALL
+      |  SELECT s.r + 1,
+      |    CASE WHEN la.a <> lb.b THEN list_transform(s.lab,
+      |        x -> CASE WHEN x = greatest(la.a, lb.b)
+      |               THEN least(la.a, lb.b) ELSE x END)
+      |      ELSE s.lab END,
+      |    CASE WHEN la.a <> lb.b THEN list_append(s.mu, e.eu[s.r + 1])
+      |      ELSE s.mu END,
+      |    CASE WHEN la.a <> lb.b THEN list_append(s.mv, e.ev[s.r + 1])
+      |      ELSE s.mv END,
+      |    CASE WHEN la.a <> lb.b THEN list_append(s.mw, e.ew[s.r + 1])
+      |      ELSE s.mw END
+      |  FROM step s CROSS JOIN ed e
+      |  CROSS JOIN LATERAL (SELECT
+      |    s.lab[list_position(e.vs, e.eu[s.r + 1])] AS a) la
+      |  CROSS JOIN LATERAL (SELECT
+      |    s.lab[list_position(e.vs, e.ev[s.r + 1])] AS b) lb
+      |  WHERE s.r < len(e.eu)),
+      |fin AS (SELECT mu, mv, mw FROM step ORDER BY r DESC LIMIT 1)
+      |SELECT unnest(mu) AS u, unnest(mv) AS v, unnest(mw) AS w
+      |FROM fin ORDER BY u, v""".stripMargin
 
   /** DuckDB mirror of the min-pointer handshake rounds: `mmin(x)` is
     * the smallest LIVE neighbour; a pair (x, mmin(x)) matches when the

@@ -434,6 +434,39 @@ class ScaleRehearsalSpec extends SparkSpec {
     assert(sec < 300, s"10x trio took ${sec}s")
   }
 
+  test("Borůvka MSF rounds are volume-independent at 10x; forest exactly x10") {
+    // id offsets preserve intra-copy (w, u, v) comparisons and copies
+    // are disjoint, so every copy contracts simultaneously: the forest
+    // is the union of 10 per-copy forests and the round count must not
+    // move while sizes scale exactly x10
+    val pairs = graft.Tables(spark, "/root/testdata/sf0.01", "lineitem")
+      .where(col("l_partkey") <= 150)
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (a, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))), b =>
+          struct(a.as("p1"), b.as("p2")))))).as("e"))
+      .select(col("e.p1").cast("long").as("u"),
+        col("e.p2").cast("long").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    def rounds: Int = spark.sparkContext
+      .getLocalProperty("graft.msf.rounds").toInt
+    val base = graft.graphx.GraphAnalytics.boruvkaMsf(pairs).count()
+    val baseR = rounds
+    val copies = spark.range(10).select((col("id") * 10000000L).as("off"))
+    val inflated = pairs.crossJoin(copies)
+      .select((col("u") + col("off")).as("u"),
+        (col("v") + col("off")).as("v"), col("w"))
+      .localCheckpoint()
+    val t0 = System.nanoTime()
+    assert(graft.graphx.GraphAnalytics.boruvkaMsf(inflated).count()
+      == 10 * base)
+    assert(rounds == baseR, s"MSF rounds moved: $rounds vs $baseR")
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 300, s"10x MSF took ${sec}s")
+  }
+
   test("SCC peel rounds are volume-independent: 10x == 1x (forced distributed)") {
     // x25's item-transition graph inflated by 10 ISOMORPHIC disjoint
     // copies (id offset preserves every intra-copy comparison, so each
