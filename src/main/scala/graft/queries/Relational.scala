@@ -1820,6 +1820,32 @@ object Relational {
              |      OVER (PARTITION BY user_id ORDER BY ts, event_id
              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view
              |  FROM events)
-             |WHERE event_type = 'click' ORDER BY event_id""".stripMargin))
+             |WHERE event_type = 'click' ORDER BY event_id""".stripMargin)),
+
+    // ---- q70: RANGE_BIN from PURE SQL TEXT ----------------------------
+    // Completes SQL-text reach for the (b)-tier optimizer rule too:
+    // q60 invokes the binning rewrite via the DataFrame hint; this is
+    // the same join as one spark.sql string with /*+ RANGE_BIN(100) */
+    // — every injected extension tier (expressions, optimizer rule,
+    // whole operators) is now reachable from the engine's own SQL
+    // surfaces (/sql, CLI). q60's UNCHANGED oracle hash-checks it.
+    RegQuery("q70_range_bin_sql",
+      (s, d) => {
+        t(s, d, "part").createOrReplaceTempView("q70_part")
+        t(s, d, "supplier").createOrReplaceTempView("q70_supplier")
+        s.sql("""
+          SELECT /*+ RANGE_BIN(100) */ p_partkey div 500 AS pk_band,
+            count(*) AS n_matches,
+            count(DISTINCT s_suppkey) AS n_supps
+          FROM q70_part JOIN q70_supplier
+            ON p_retailprice BETWEEN s_acctbal AND s_acctbal + 100
+          GROUP BY 1 ORDER BY pk_band""")
+      },
+      Some("""SELECT p_partkey // 500 AS pk_band,
+             |  CAST(count(*) AS BIGINT) AS n_matches,
+             |  CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_supps
+             |FROM part JOIN supplier
+             |  ON p_retailprice BETWEEN s_acctbal AND s_acctbal + 100
+             |GROUP BY 1 ORDER BY pk_band""".stripMargin))
   )
 }
