@@ -3315,8 +3315,91 @@ object Pipeline {
             coalesce(col("canon"), col("vec_id")).as("canonical"))
           .orderBy("vec_id")
       },
-      Some(semDedupOracle))
+      Some(semDedupOracle)),
+
+    // ---- p86: content-defined chunking (CDC) ----------------------------
+    // The dedup-grade chunker fixed-size p46 cannot be: boundaries cut
+    // where a rolling CONTENT hash (the mirrorable poly_hash over the
+    // trailing 3-token gram) hits a residue class (h % 16 == 0,
+    // expected chunk ≈ 16 tokens) — so an edit near the start of a doc
+    // re-aligns within a few grams and every downstream chunk hash
+    // SURVIVES, where fixed-size windows shift and invalidate the
+    // whole tail (the rsync/LBFS/FastCDC property; CdcSpec pins the
+    // shift-invariance). Map-only in-row array work after the token
+    // barrier — chunking 100 TB is one codegen pass, no shuffle until
+    // chunks aggregate. Chunk hashes reuse p46's polynomial fold, so
+    // the chunks drop straight into the p25/p77 dedup machinery.
+    RegQuery("p86_cdc_chunks",
+      (s, d) => cdcChunks(Tables(s, d, "documents"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk
+             |  FROM documents WHERE len(string_split(text,' ')) >= 1),
+             |g AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+             |  CASE WHEN len(tk) >= 4 THEN
+             |    list_filter(list_transform(range(3, CAST(len(tk) AS BIGINT)),
+             |      i -> CASE WHEN list_reduce(list_prepend(CAST(7 AS BIGINT),
+             |          list_transform(string_split(
+             |            tk[i-2] || ' ' || tk[i-1] || ' ' || tk[i], ''),
+             |            x -> CAST(ord(x) AS BIGINT))),
+             |          (acc, x) -> (acc*131 + x) % 1000000007) % 16 = 0
+             |        THEN i ELSE -1 END),
+             |      x -> x > 0)
+             |  ELSE CAST([] AS BIGINT[]) END AS cuts FROM t),
+             |b AS (SELECT doc_id, tk,
+             |  list_concat(list_concat(CAST([0] AS BIGINT[]), cuts),
+             |    [n]) AS b FROM g),
+             |c AS (SELECT doc_id, tk, b, unnest(range(1,
+             |  CAST(len(b) AS BIGINT))) AS k FROM b)
+             |SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+             |  CAST(b[k] + 1 AS INTEGER) AS start_tok,
+             |  CAST(b[k+1] - b[k] AS INTEGER) AS n_tok,
+             |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+             |    list_transform(string_split(
+             |      array_to_string(tk[b[k]+1 : b[k+1]], ' '), ''),
+             |      x -> CAST(ord(x) AS BIGINT))),
+             |    (acc, x) -> (acc*131 + x) % 1000000007) AS chunk_hash
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
   )
+
+  /** p86 core over any [doc_id, text] frame (factored so CdcSpec can
+    * pin shift-invariance on planted edits): content-defined chunk
+    * boundaries cut after token i (3 ≤ i ≤ n−1) when the trailing
+    * 3-token gram's poly_hash lands in the h % 16 == 0 residue class;
+    * each chunk carries provenance (1-based start token, length) and
+    * p46's polynomial content hash. Map-only in-row array work. */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val tk = TextOps.tokens(col("text"))
+    def gram(i: Column) = concat_ws(" ",
+      element_at(col("tk"), i - 2), element_at(col("tk"), i - 1),
+      element_at(col("tk"), i))
+    docs
+      .where(size(tk) >= 1)
+      .select(col("doc_id"), tk.as("tk"))
+      .repartition(col("doc_id")) // token barrier (p16 rule)
+      .select(col("doc_id"), col("tk"),
+        // docs under 4 tokens have no interior gram positions
+        // (sequence(3, 2) would DESCEND — guard, don't clamp)
+        when(size(col("tk")) >= 4,
+          filter(transform(sequence(lit(3), size(col("tk")) - 1),
+            i => when(TextOps.polyHash(gram(i)) % 16 === 0, i)
+              .otherwise(lit(-1))), x => x > 0))
+          .otherwise(array().cast("array<int>")).as("cuts"))
+      .select(col("doc_id"), col("tk"),
+        concat(array(lit(0)), col("cuts"),
+          array(size(col("tk")))).as("b"))
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("b")) - 1), k => struct(
+          k.as("chunk_idx"),
+          (element_at(col("b"), k) + 1).as("start_tok"),
+          (element_at(col("b"), k + 1) - element_at(col("b"), k))
+            .as("n_tok"),
+          TextOps.polyHash(concat_ws(" ",
+            slice(col("tk"), element_at(col("b"), k) + 1,
+              element_at(col("b"), k + 1) - element_at(col("b"), k))))
+            .as("chunk_hash")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.start_tok"),
+        col("c.n_tok"), col("c.chunk_hash"))
+  }
 
   /** p85/s27 shared input: the corpus plus ×1.5 scaled twins (cosine-
     * invariant → cos6 exactly 1 to the source) for vec_id % 10 == 0,

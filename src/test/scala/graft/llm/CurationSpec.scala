@@ -260,4 +260,29 @@ class CurationSpec extends SparkSpec {
     assert(h((1L, 0)) == h((3L, 0)), "equal chunk text must hash equal")
     assert(h((1L, 0)) != h((1L, 1)), "different windows must differ")
   }
+
+  test("p86 CDC chunks: an edit near the start leaves the tail's chunk hashes intact") {
+    import spark.implicits._
+    // 400 deterministic tokens; the edited twin inserts ONE token at
+    // position 3 — content-defined boundaries realign right after the
+    // perturbed grams, so every later chunk hash SURVIVES (the
+    // rsync/FastCDC property); fixed-size windows would shift the
+    // whole tail
+    val toks = (1 to 400).map(i => s"w${(i * 2654435761L) % 997}")
+    val edited = (toks.take(3) :+ "INSERTED") ++ toks.drop(3)
+    val docs = Seq((1L, toks.mkString(" ")), (2L, edited.mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.queries.Pipeline.cdcChunks(docs).collect()
+    val orig = out.filter(_.getLong(0) == 1L).map(_.getLong(4)).toSet
+    val edit = out.filter(_.getLong(0) == 2L).map(_.getLong(4)).toSet
+    val shared = orig.intersect(edit).size
+    // all but the few chunks around the insertion point are shared
+    assert(orig.size > 10, s"expected many chunks, got ${orig.size}")
+    assert(shared >= orig.size - 3,
+      s"CDC lost shift-invariance: only $shared of ${orig.size} " +
+        "chunk hashes survived a 1-token insertion")
+    // and the chunks are genuinely content-defined: interior
+    // boundaries, not one whole-doc chunk
+    assert(out.count(_.getLong(0) == 1L) > 10)
+  }
 }
