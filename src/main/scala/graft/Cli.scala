@@ -72,9 +72,12 @@ object Cli {
     }
   }
 
-  /** A buffer is executable when quotes and braces are closed. */
+  /** A buffer is executable when quotes and braces are closed — and,
+    * for a `sql` statement, when parentheses balance too (multi-line
+    * subqueries keep the continuation prompt open). */
   private[graft] def complete(s: String): Boolean = {
     var depth = 0
+    var parens = 0
     var inStr = false
     var i = 0
     while (i < s.length) {
@@ -85,15 +88,19 @@ object Cli {
         case '"' => inStr = true
         case '{' => depth += 1
         case '}' => depth -= 1
+        case '(' => parens += 1
+        case ')' => parens -= 1
         case '#' => while (i < s.length && s.charAt(i) != '\n') i += 1
         case _ =>
       }
       i += 1
     }
-    !inStr && depth <= 0
+    !inStr && depth <= 0 &&
+      (!s.trim.startsWith("sql") || parens <= 0)
   }
 
   private val ExportCmd = """(?s)export\s+"([^"]+)"\s*(.*)""".r
+  private val SqlCmd = """(?s)sql\s+(.+)""".r
 
   private def execute(engine: Engine, text: String, out: PrintWriter): Unit = {
     if (text.trim.isEmpty) return
@@ -106,6 +113,30 @@ object Cli {
           engine.export(path, q)
           out.println(
             s"status> export.done $path in ${(System.nanoTime() - t0) / 1000000}ms")
+        } catch {
+          case e: Exception => out.println(s"status> err(${e.getMessage})")
+        }
+        return
+      case SqlCmd(stmt) =>
+        // sql <statement> — the analytics surface at the prompt
+        // (temp views + parquet paths + the hint-marked custom-operator
+        // tier); rows stream via toLocalIterator, never collected
+        val t0 = System.nanoTime()
+        try {
+          val df = engine.spark.sql(stmt)
+          val cols = df.columns
+          out.println(s"cols> ${cols.mkString(", ")}")
+          val it = df.toLocalIterator()
+          var n = 0
+          while (it.hasNext) {
+            val r = it.next()
+            out.println(s"row> " + cols.indices.map { i =>
+              if (r.isNullAt(i)) "null" else r.get(i).toString
+            }.mkString(", "))
+            n += 1
+          }
+          out.println(s"status> sql.done $n rows in " +
+            s"${(System.nanoTime() - t0) / 1000000}ms")
         } catch {
           case e: Exception => out.println(s"status> err(${e.getMessage})")
         }

@@ -47,6 +47,28 @@ class CliSpec extends SparkSpec {
     assert(lines.exists(_.value.iri.contains("x/2")))
   }
 
+  test("sql command streams rows; the hinted custom tier works at the prompt") {
+    graft.Tables(spark, sfDir, "events")
+      .createOrReplaceTempView("cli_events")
+    val o = session(
+      """sql SELECT 1 AS one, 'x' AS tag
+        |sql SELECT count(*) AS n FROM (
+        |  SELECT /*+ SESSIONIZE('user_id', 'ts,event_id', 'tsec', 1800, 'sid') */ *
+        |  FROM (SELECT user_id, ts, event_id,
+        |               CAST(floor(unix_millis(ts) / 1000.0) AS BIGINT) AS tsec
+        |        FROM cli_events))
+        |sql SELEC broken
+        |exit""".stripMargin)
+    assert(o.contains("cols> one, tag"), o)
+    assert(o.contains("row> 1, x"), o)
+    assert(o.contains("status> sql.done 1 rows"), o)
+    // the hinted statement ran and returned the event count
+    val evN = graft.Tables(spark, sfDir, "events").count()
+    assert(o.contains(s"row> $evN"), o)
+    // malformed SQL reports and the loop keeps going (exit reached)
+    assert(o.contains("status> err("), o)
+  }
+
   test("a parse error reports and the loop keeps going") {
     val o = session(
       """put oops
