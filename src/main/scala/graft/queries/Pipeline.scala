@@ -3332,34 +3332,42 @@ object Pipeline {
     RegQuery("p86_cdc_chunks",
       (s, d) => cdcChunks(Tables(s, d, "documents"))
         .orderBy("doc_id", "chunk_idx"),
-      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS tk
-             |  FROM documents WHERE len(string_split(text,' ')) >= 1),
-             |g AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
-             |  CASE WHEN len(tk) >= 4 THEN
-             |    list_filter(list_transform(range(3, CAST(len(tk) AS BIGINT)),
-             |      i -> CASE WHEN list_reduce(list_prepend(CAST(7 AS BIGINT),
-             |          list_transform(string_split(
-             |            tk[i-2] || ' ' || tk[i-1] || ' ' || tk[i], ''),
-             |            x -> CAST(ord(x) AS BIGINT))),
-             |          (acc, x) -> (acc*131 + x) % 1000000007) % 16 = 0
-             |        THEN i ELSE -1 END),
-             |      x -> x > 0)
-             |  ELSE CAST([] AS BIGINT[]) END AS cuts FROM t),
-             |b AS (SELECT doc_id, tk,
-             |  list_concat(list_concat(CAST([0] AS BIGINT[]), cuts),
-             |    [n]) AS b FROM g),
-             |c AS (SELECT doc_id, tk, b, unnest(range(1,
-             |  CAST(len(b) AS BIGINT))) AS k FROM b)
-             |SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
-             |  CAST(b[k] + 1 AS INTEGER) AS start_tok,
-             |  CAST(b[k+1] - b[k] AS INTEGER) AS n_tok,
-             |  list_reduce(list_prepend(CAST(7 AS BIGINT),
-             |    list_transform(string_split(
-             |      array_to_string(tk[b[k]+1 : b[k+1]], ' '), ''),
-             |      x -> CAST(ord(x) AS BIGINT))),
-             |    (acc, x) -> (acc*131 + x) % 1000000007) AS chunk_hash
-             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
+      Some(s"""WITH $cdcChunksCte
+             |SELECT doc_id, chunk_idx, start_tok, n_tok, chunk_hash
+             |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin))
   )
+
+  /** DuckDB mirror of [[cdcChunks]] as a CTE-list fragment ending in
+    * `ch(doc_id, chunk_idx, start_tok, n_tok, chunk_hash)` — shared by
+    * p86 and s28 (the streamed first-seen dedup over the chunks). */
+  private[queries] def cdcChunksCte: String =
+    """t AS (SELECT doc_id, string_split(text,' ') AS tk
+      |  FROM documents WHERE len(string_split(text,' ')) >= 1),
+      |g AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+      |  CASE WHEN len(tk) >= 4 THEN
+      |    list_filter(list_transform(range(3, CAST(len(tk) AS BIGINT)),
+      |      i -> CASE WHEN list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |          list_transform(string_split(
+      |            tk[i-2] || ' ' || tk[i-1] || ' ' || tk[i], ''),
+      |            x -> CAST(ord(x) AS BIGINT))),
+      |          (acc, x) -> (acc*131 + x) % 1000000007) % 16 = 0
+      |        THEN i ELSE -1 END),
+      |      x -> x > 0)
+      |  ELSE CAST([] AS BIGINT[]) END AS cuts FROM t),
+      |b AS (SELECT doc_id, tk,
+      |  list_concat(list_concat(CAST([0] AS BIGINT[]), cuts),
+      |    [n]) AS b FROM g),
+      |c AS (SELECT doc_id, tk, b, unnest(range(1,
+      |  CAST(len(b) AS BIGINT))) AS k FROM b),
+      |ch AS (SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+      |  CAST(b[k] + 1 AS INTEGER) AS start_tok,
+      |  CAST(b[k+1] - b[k] AS INTEGER) AS n_tok,
+      |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |    list_transform(string_split(
+      |      array_to_string(tk[b[k]+1 : b[k+1]], ' '), ''),
+      |      x -> CAST(ord(x) AS BIGINT))),
+      |    (acc, x) -> (acc*131 + x) % 1000000007) AS chunk_hash
+      |FROM c)""".stripMargin
 
   /** p86 core over any [doc_id, text] frame (factored so CdcSpec can
     * pin shift-invariance on planted edits): content-defined chunk

@@ -1467,7 +1467,65 @@ object Streaming {
             .orderBy("vec_id")
         }
       },
-      Some(Pipeline.semDedupOracle))
+      Some(Pipeline.semDedupOracle)),
+
+    // ---- s28: streaming CDC chunk dedup --------------------------------
+    // p86's chunker run ON the stream (map-only, so it simply rides the
+    // streaming plan) with first-seen ownership in state: one
+    // (doc_id, chunk_idx) per distinct chunk hash — the exact-dedup
+    // ledger a CDC-chunked firehose maintains at ingest. Docs staged as
+    // 3 id-range files (one per trigger), so a chunk's owner and its
+    // dups can land in different micro-batches and resolve through
+    // state. Oracle = the batch argmin over p86's shared chunk CTE
+    // (first occurrence by (doc_id, chunk_idx)), so one SQL checks the
+    // chunker AND the streamed ledger.
+    RegQuery("s28_stream_chunk_dedup",
+      (s, d) => {
+        import s.implicits._
+        val stagePath = Scratch.path(s, "s28_docs", d)
+        Scratch.clear(s, stagePath)
+        val docs = graft.Tables(s, d, "documents")
+          .select("doc_id", "text")
+        for ((lo, hi) <- Seq((0L, 170L), (170L, 340L),
+            (340L, Long.MaxValue)))
+          docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+            .coalesce(1).write.mode("append").parquet(stagePath)
+        val docSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType)))
+        Streams.withRocksDB(s) {
+          val q = withStatePartitions(s, 8) {
+            Streams.chunkDedup(Pipeline.cdcChunks(
+                s.readStream.schema(docSchema)
+                  .option("maxFilesPerTrigger", "1").parquet(stagePath))
+              .select(col("chunk_hash"), col("doc_id"), col("chunk_idx"))
+              .as[Streams.ChunkRow])
+              .writeStream.format("memory").queryName("s28_sink")
+              .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          }
+          q.awaitTermination()
+          s.table("s28_sink")
+            .select(col("doc_id"), col("chunk_idx"), col("chunk_hash"),
+              col("dup"), col("owner_doc"),
+              col("owner_idx").cast("int").as("owner_idx"))
+            .orderBy("doc_id", "chunk_idx")
+        }
+      },
+      Some(s"""WITH ${Pipeline.cdcChunksCte},
+             |o AS (SELECT doc_id, chunk_idx, chunk_hash,
+             |  ROW_NUMBER() OVER (PARTITION BY chunk_hash
+             |    ORDER BY doc_id, chunk_idx) AS rn,
+             |  first_value(doc_id) OVER (PARTITION BY chunk_hash
+             |    ORDER BY doc_id, chunk_idx
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS owner_doc,
+             |  first_value(chunk_idx) OVER (PARTITION BY chunk_hash
+             |    ORDER BY doc_id, chunk_idx
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS owner_idx
+             |  FROM ch)
+             |SELECT doc_id, chunk_idx, chunk_hash, rn > 1 AS dup,
+             |  owner_doc, CAST(owner_idx AS INTEGER) AS owner_idx
+             |FROM o ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 
   private val docsSchema = StructType(Seq(

@@ -460,6 +460,60 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  // --- streaming CDC chunk dedup (s28) ----------------------------------
+
+  case class ChunkRow(chunk_hash: Long, doc_id: Long, chunk_idx: Int)
+  case class ChunkOut(chunk_hash: Long, doc_id: Long, chunk_idx: Int,
+      dup: Boolean, owner_doc: Long, owner_idx: Int)
+  case class ChunkOwner(doc_id: Long, chunk_idx: Int)
+
+  /** First-seen chunk ownership AT INGEST: keyed by chunk hash, ONE
+    * (doc_id, chunk_idx) of state per distinct chunk — the exact-dedup
+    * ledger a CDC-chunked firehose needs (every later occurrence is
+    * stamped dup with its owner, so storage/training dedup happens as
+    * data lands). Ordering contract as s19/s20/s22: per-hash
+    * (doc_id, chunk_idx)-monotone batch arrival; in-batch sort — under
+    * which first-seen equals the batch argmin exactly. */
+  class ChunkDedupProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, ChunkRow, ChunkOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    @transient private var owner: ValueState[ChunkOwner] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState[ChunkOwner]("owner",
+        org.apache.spark.sql.Encoders.product[ChunkOwner], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ChunkRow],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ChunkOut] = {
+      val sorted = rows.toArray.sortBy(r => (r.doc_id, r.chunk_idx))
+      var cur = Option(owner.get())
+      val out = scala.collection.mutable.ArrayBuffer.empty[ChunkOut]
+      sorted.foreach { r =>
+        cur match {
+          case None =>
+            cur = Some(ChunkOwner(r.doc_id, r.chunk_idx))
+            out += ChunkOut(key, r.doc_id, r.chunk_idx, dup = false,
+              r.doc_id, r.chunk_idx)
+          case Some(o) =>
+            out += ChunkOut(key, r.doc_id, r.chunk_idx, dup = true,
+              o.doc_id, o.chunk_idx)
+        }
+      }
+      cur.foreach(owner.update)
+      out.iterator
+    }
+  }
+
+  /** Per-hash first-seen chunk dedup via transformWithState. */
+  def chunkDedup(rows: Dataset[ChunkRow]): Dataset[ChunkOut] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.chunk_hash)
+      .transformWithState(new ChunkDedupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   // --- streaming sequence packing (s20) --------------------------------
 
   case class PackRow(source: String, doc_id: Long, n_tok: Long)
