@@ -360,6 +360,23 @@ object AsOfJoin {
       ord: Seq[String], valueCol: String, as: String): DataFrame =
     asOfLE(left, right, on, ord, Seq(valueCol -> as))
 
+  /** FORWARD as-of join: for each `left` row, the FIRST `right` row
+    * with equal keys and (ord of right) &gt;= (ord of left) — the
+    * backward merge run on NEGATED ordering columns (sorted ascending
+    * by −ord, "last with −r ≤ −l" IS "first with r ≥ l"), so the same
+    * exec, codegen, and spill profile serve both directions. Ordering
+    * columns must be numeric (negatable). */
+  def asOfGE(left: DataFrame, right: DataFrame, on: Seq[String],
+      ord: Seq[String], valueCol: String, as: String): DataFrame = {
+    val neg = ord.map(c => c -> s"graft_asof_neg_$c")
+    def negate(df: DataFrame) = neg.foldLeft(df) { case (d, (c, n)) =>
+      d.withColumn(n, org.apache.spark.sql.functions.negate(
+        org.apache.spark.sql.functions.col(c)))
+    }
+    asOfLE(negate(left), negate(right), on, neg.map(_._2),
+      Seq(valueCol -> as)).drop(neg.map(_._2): _*)
+  }
+
   /** Multi-value form: append several columns of the matched right
     * row at once — `values` maps right column → output alias. */
   def asOfLE(left: DataFrame, right: DataFrame, on: Seq[String],

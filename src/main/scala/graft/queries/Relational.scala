@@ -1846,6 +1846,38 @@ object Relational {
              |  CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_supps
              |FROM part JOIN supplier
              |  ON p_retailprice BETWEEN s_acctbal AND s_acctbal + 100
-             |GROUP BY 1 ORDER BY pk_band""".stripMargin))
+             |GROUP BY 1 ORDER BY pk_band""".stripMargin)),
+
+    // ---- q71: FORWARD as-of join (first at-or-after) -------------------
+    // The as-of family's other direction — "which view FOLLOWS this
+    // click" (attribution lookahead, next-event features): the SAME
+    // AsOfJoinExec runs the forward merge on negated ordering columns
+    // ("last with −r ≤ −l" IS "first with r ≥ l"), so one operator,
+    // one codegen path, and one spill profile serve both directions.
+    // The mirror is the lookahead window (first_value over CURRENT ROW
+    // AND UNBOUNDED FOLLOWING) on the merged stream.
+    RegQuery("q71_asof_forward",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("tmicro"), col("event_id"),
+          col("event_type"))
+        graft.plans.AsOfJoin.asOfGE(
+          ev.filter(col("event_type") === "click")
+            .select("user_id", "tmicro", "event_id"),
+          ev.filter(col("event_type") === "view")
+            .select("user_id", "tmicro", "event_id"),
+          on = Seq("user_id"), ord = Seq("tmicro", "event_id"),
+          valueCol = "event_id", as = "next_view")
+          .select("event_id", "next_view")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, next_view FROM (
+             |  SELECT event_id, event_type,
+             |    first_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |      AS next_view
+             |  FROM events)
+             |WHERE event_type = 'click' ORDER BY event_id""".stripMargin))
   )
 }

@@ -89,6 +89,30 @@ class AsOfJoinSpec extends SparkSpec {
       (200L, -1L), (300L, -1L)), got.toString)
   }
 
+  test("forward as-of (asOfGE): first at-or-after; inclusive tie; none-later → null") {
+    import spark.implicits._
+    val clicks = Seq((1L, 4L, 100L), (1L, 10L, 101L), (1L, 30L, 102L),
+      (2L, 1L, 200L))
+      .toDF("k", "t", "cid")
+    val views = Seq((1L, 5L, 900L), (1L, 10L, 901L), (1L, 20L, 902L))
+      .toDF("k", "t", "vid")
+    val got = AsOfJoin.asOfGE(clicks, views, Seq("k"), Seq("t"),
+        "vid", "nv")
+      .orderBy("cid")
+      .collect()
+      .map(r => (r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    // 100@4 → 900@5; 101@10 → tie is INCLUSIVE → 901@10; 102@30 →
+    // nothing later → null; key 2 has no views at all → null
+    assert(got == Seq((100L, 900L), (101L, 901L), (102L, -1L),
+      (200L, -1L)), got.toString)
+    // and the negated-ord plan still runs the SAME custom exec
+    val df = AsOfJoin.asOfGE(clicks, views, Seq("k"), Seq("t"),
+      "vid", "nv")
+    df.collect()
+    assert(findExec(df.queryExecution.executedPlan).nonEmpty)
+  }
+
   test("multi-value form appends several matched columns at once") {
     import spark.implicits._
     val clicks = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 200L))
