@@ -66,14 +66,17 @@ object DedupIndex {
     bands.write.parquet(s"$path/gen=0")
   }
 
-  /** Fold one epoch: append the admitted docs' band rows as the next
+  /** Fold one epoch: append the admitted docs' rows as the next
     * generation, then compact if the policy cap is exceeded. Returns
     * the generation count AFTER the policy ran (≤ cap + 1: the cap
-    * triggers ON exceed, so a steady state oscillates up to it). */
-  def append(spark: SparkSession, path: String, bands: DataFrame): Int = {
+    * triggers ON exceed, so a steady state oscillates up to it).
+    * `clusterCols` is the compaction clustering key — (bi, bv) for the
+    * LSH band index, (chunk_hash) for the CDC chunk ledger. */
+  def append(spark: SparkSession, path: String, bands: DataFrame,
+      clusterCols: Seq[String] = Seq("bi", "bv")): Int = {
     val next = generations(spark, path).lastOption.getOrElse(-1) + 1
     bands.write.parquet(s"$path/gen=$next")
-    maybeCompact(spark, path)
+    maybeCompact(spark, path, clusterCols)
     generations(spark, path).size
   }
 
@@ -88,21 +91,24 @@ object DedupIndex {
     create(spark, path, kept)
   }
 
-  /** Fold all generations into a fresh gen=0, band-clustered. */
-  def compact(spark: SparkSession, path: String): Unit = {
+  /** Fold all generations into a fresh gen=0, clustered on
+    * `clusterCols` so probe-side equi-joins meet a clustered layout. */
+  def compact(spark: SparkSession, path: String,
+      clusterCols: Seq[String] = Seq("bi", "bv")): Unit = {
     val merged = read(spark, path)
-      .repartition(8, org.apache.spark.sql.functions.col("bi"),
-        org.apache.spark.sql.functions.col("bv"))
+      .repartition(8,
+        clusterCols.map(org.apache.spark.sql.functions.col): _*)
       .localCheckpoint() // materialize BEFORE dropping what it reads
     create(spark, path, merged)
   }
 
-  private def maybeCompact(spark: SparkSession, path: String): Unit = {
+  private def maybeCompact(spark: SparkSession, path: String,
+      clusterCols: Seq[String]): Unit = {
     val cap = try {
       spark.conf.get(MaxGenerationsConf, "16").toInt
     } catch { case _: NumberFormatException => 16 }
     if (generations(spark, path).size > math.max(cap, 1)) {
-      compact(spark, path)
+      compact(spark, path, clusterCols)
     }
   }
 }

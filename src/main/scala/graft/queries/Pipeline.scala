@@ -3334,15 +3334,99 @@ object Pipeline {
         .orderBy("doc_id", "chunk_idx"),
       Some(s"""WITH $cdcChunksCte
              |SELECT doc_id, chunk_idx, start_tok, n_tok, chunk_hash
-             |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin))
+             |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- p87: CDC-chunk INCREMENTAL dedup through the index policy -----
+    // The round-7 pieces composed into the operational loop a
+    // dedup-at-ingest platform actually runs: the corpus's CDC chunk
+    // hashes live in a persisted DedupIndex (gen=N layout, compaction
+    // policy); an arriving batch of EDITED near-copies (one token
+    // inserted at position 3 — p86's shift-invariance scenario) chunks
+    // itself, probes the index by ONE equi-join (~|batch| work, corpus
+    // never re-chunked), and folds only its NOVEL hashes as the next
+    // generation. CDC is why this works: the edit perturbs only the
+    // chunks around position 3, so n_matched_before/n_chunks stays
+    // high (fixed-size chunking would match ~nothing past the edit) —
+    // and the post-fold re-probe matching EVERYTHING pins the fold.
+    RegQuery("p87_cdc_incremental_dedup",
+      (s, d) => {
+        import graft.llm.DedupIndex
+        val idxPath = Scratch.path(s, "p87_chunkidx", d)
+        Scratch.clear(s, idxPath)
+        val docs = Tables(s, d, "documents").select("doc_id", "text")
+        val tk = TextOps.tokens(col("text"))
+        val twins = docs.where(col("doc_id") % 10 === 0 && size(tk) >= 4)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat_ws(" ", concat(slice(tk, 1, 3),
+              array(lit("INSERTED")), slice(tk, lit(4), size(tk) - 3)))
+              .as("text"))
+        // one chunk pass over corpus ∪ batch (the oracle mirrors the
+        // same union), split by id range afterwards
+        val allChunks = cdcChunks(docs.unionAll(twins)).localCheckpoint()
+        DedupIndex.create(s, idxPath,
+          allChunks.where(col("doc_id") < 1000000L)
+            .select("doc_id", "chunk_hash"))
+        val probe = allChunks.where(col("doc_id") >= 1000000L)
+          .select("doc_id", "chunk_idx", "chunk_hash")
+        val idx0 = DedupIndex.read(s, idxPath)
+          .select("chunk_hash").distinct().localCheckpoint()
+        val before = probe.join(idx0, Seq("chunk_hash"), "semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_matched_before"))
+        // fold: ONLY the batch's novel hashes append (one generation;
+        // the chunk ledger clusters on chunk_hash)
+        DedupIndex.append(s, idxPath,
+          probe.join(idx0, Seq("chunk_hash"), "anti")
+            .select("doc_id", "chunk_hash"),
+          clusterCols = Seq("chunk_hash"))
+        val idx1 = DedupIndex.read(s, idxPath)
+          .select("chunk_hash").distinct()
+        val after = probe.join(idx1, Seq("chunk_hash"), "semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_matched_after"))
+        probe.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+          .join(before, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_matched_before"))
+          .join(after, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_matched_after"))
+          .select(col("doc_id"), col("n_chunks"),
+            col("n_matched_before"),
+            expr("n_matched_before * 1000 div n_chunks").as("dup_milli"),
+            col("n_matched_after"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH alldocs AS (SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 1000000,
+             |    array_to_string(list_concat(list_concat(
+             |      string_split(text,' ')[1:3], ['INSERTED']),
+             |      string_split(text,' ')[4:len(string_split(text,' '))]),
+             |      ' ')
+             |  FROM documents WHERE doc_id % 10 = 0
+             |    AND len(string_split(text,' ')) >= 4),
+             |${cdcChunksCteFrom("alldocs")},
+             |cor AS (SELECT DISTINCT chunk_hash FROM ch
+             |  WHERE doc_id < 1000000),
+             |tw AS (SELECT doc_id, chunk_idx, chunk_hash FROM ch
+             |  WHERE doc_id >= 1000000),
+             |m AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(sum(CASE WHEN c.chunk_hash IS NOT NULL
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched_before
+             |  FROM tw t LEFT JOIN cor c USING (chunk_hash)
+             |  GROUP BY t.doc_id)
+             |SELECT doc_id, n_chunks, n_matched_before,
+             |  CAST(n_matched_before * 1000 // n_chunks AS BIGINT)
+             |    AS dup_milli,
+             |  n_chunks AS n_matched_after
+             |FROM m ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB mirror of [[cdcChunks]] as a CTE-list fragment ending in
     * `ch(doc_id, chunk_idx, start_tok, n_tok, chunk_hash)` — shared by
-    * p86 and s28 (the streamed first-seen dedup over the chunks). */
-  private[queries] def cdcChunksCte: String =
-    """t AS (SELECT doc_id, string_split(text,' ') AS tk
-      |  FROM documents WHERE len(string_split(text,' ')) >= 1),
+    * p86 and s28 (the streamed first-seen dedup over the chunks) and,
+    * via [[cdcChunksCteFrom]], p87 (corpus ∪ edited twins). */
+  private[queries] def cdcChunksCte: String = cdcChunksCteFrom("documents")
+
+  private[queries] def cdcChunksCteFrom(src: String): String =
+    s"""t AS (SELECT doc_id, string_split(text,' ') AS tk
+      |  FROM $src WHERE len(string_split(text,' ')) >= 1),
       |g AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
       |  CASE WHEN len(tk) >= 4 THEN
       |    list_filter(list_transform(range(3, CAST(len(tk) AS BIGINT)),
