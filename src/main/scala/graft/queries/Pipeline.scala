@@ -3415,7 +3415,53 @@ object Pipeline {
              |  CAST(n_matched_before * 1000 // n_chunks AS BIGINT)
              |    AS dup_milli,
              |  n_chunks AS n_matched_after
-             |FROM m ORDER BY doc_id""".stripMargin))
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ---- p88: temperature-scaled mixture sampling -----------------------
+    // The data-mixing move every multi-source training corpus runs
+    // (sample source i ∝ n_i^α, α < 1, so small sources are UP-weighted
+    // relative to their share): per-source targets floor(√n · 8) —
+    // α = 1/2 exactly, because IEEE-754 sqrt is CORRECTLY ROUNDED and
+    // therefore bit-identical across engines where exp/ln powers would
+    // not be — then the p45 deterministic hash-priority picks each
+    // source's docs. One aggregate + one per-source top-k window (the
+    // WindowGroupLimit partial top-k, so the shuffle moves O(k), not
+    // the corpus); selection checksums make the exact pick set
+    // hash-checkable, not just the counts.
+    RegQuery("p88_sqrt_mix",
+      (s, d) => {
+        val prio = expr("(doc_id * 2654435761 + 104729) % 1000000007")
+        val ranked = Tables(s, d, "documents")
+          .select(col("source"), col("doc_id"), prio.as("prio"))
+          .withColumn("rk", row_number().over(Window.partitionBy("source")
+            .orderBy(col("prio"), col("doc_id"))))
+        val targets = Tables(s, d, "documents")
+          .groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("target_n",
+            floor(sqrt(col("n_docs").cast("double")) * 8).cast("long"))
+        ranked.join(broadcast(targets), "source")
+          .where(col("rk") <= col("target_n"))
+          .groupBy("source")
+          .agg(first("n_docs").as("n_docs"),
+            first("target_n").as("target_n"),
+            count(lit(1)).as("n_sel"),
+            sum("doc_id").as("sel_sum"))
+          .orderBy("source")
+      },
+      Some("""WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 8) AS BIGINT)
+             |    AS target_n
+             |  FROM documents GROUP BY source),
+             |r AS (SELECT source, doc_id, ROW_NUMBER() OVER (
+             |    PARTITION BY source ORDER BY
+             |      (doc_id * 2654435761 + 104729) % 1000000007, doc_id)
+             |    AS rk FROM documents)
+             |SELECT n.source AS source, n.n_docs, n.target_n,
+             |  CAST(count(*) AS BIGINT) AS n_sel,
+             |  CAST(sum(r.doc_id) AS BIGINT) AS sel_sum
+             |FROM r JOIN n ON r.source = n.source AND r.rk <= n.target_n
+             |GROUP BY n.source, n.n_docs, n.target_n
+             |ORDER BY n.source""".stripMargin))
   )
 
   /** DuckDB mirror of [[cdcChunks]] as a CTE-list fragment ending in
