@@ -11,6 +11,15 @@ object GraftInternals {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Register a native-expression builder into the LIVE session's
+    * function registry (temp function) — the runtime-plugin seam
+    * (graft.Plugins); `sessionState` is `private[sql]`, reachable
+    * here. */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+
   /** Drain the async listener bus so a test listener has seen every
     * completed task's metrics before asserting on them (the bus
     * dispatches on its own thread; `private[spark]`, reachable from
