@@ -1859,4 +1859,108 @@ object GraphAnalytics {
     spark.sparkContext.setLocalProperty("graft.msf.rounds", round.toString)
     spark.createDataFrame(forest.rdd, forest.schema)
   }
+
+  /** One level of Louvain community detection (Blondel et al. 2008) as
+    * DETERMINISTIC synchronous gain rounds — the modularity-driven
+    * companion to [[labelPropagation]] and the local-move engine the
+    * classic sequential sweep hides inside a driver loop.
+    *
+    * Every round, from the SAME snapshot of assignments, each vertex u
+    * scores every neighbouring community c (plus staying put) by the
+    * exact-integer modularity-gain order
+    * `2m·k(u,c) − deg(u)·(tot(c) − [c = cur]·deg(u))` (the standard
+    * ΔQ comparison scaled by 2m² — BIGINT, no floats), picks the best
+    * non-current candidate (ties → smallest community id), and moves
+    * iff that beats staying STRICTLY. Synchronous moves can oscillate
+    * on symmetric pairs (u↔v swapping forever), so the classic
+    * parallel-Louvain guard applies: when both the current and the
+    * target community are singletons, only the vertex moving to the
+    * SMALLER label moves (Lu/Halappanavar-style swap prevention) —
+    * the pair merges instead of swapping. Rounds stop at fixpoint
+    * (no vertex moves) or `maxRounds`.
+    *
+    * Scale shape: per round one equi-join of edges against the
+    * assignment (k(u,c) by hash-agg), one grouped (size, degree-mass)
+    * frame per community, one window argmax per vertex — everything
+    * keyed on vertex/community ids, no all-pairs, per-round lineage
+    * cuts; state is one long per vertex. Emits `graft.louvain.rounds`.
+    *
+    * Input edges [src, dst] are treated as undirected (symmetrized,
+    * self-loops dropped); returns [v, comm, deg] after the level's
+    * fixpoint. */
+  def louvainOneLevel(edges0: DataFrame, maxRounds: Int = 16): DataFrame = {
+    val spark = edges0.sparkSession
+    val e0 = edges0
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+    val sym = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().transform(graft.Ckpt.cut)
+    val twoM = sym.count() // Σdeg = 2m
+    var comm = sym.groupBy(col("u").as("v"))
+      .agg(count(lit(1)).as("deg"))
+      .select(col("v"), col("v").as("c"), col("deg"))
+      .transform(graft.Ckpt.cut)
+    var round = 0
+    var moved = 1L
+    while (moved > 0) {
+      round += 1
+      if (round > maxRounds) {
+        // synchronous dynamics are not CONTRACTIVE like the peels —
+        // stop at the budget with the best-so-far assignment instead
+        // of failing (the guard exists so a pathological oscillation
+        // can't loop forever)
+        moved = 0L
+      } else {
+        val sizeTot = comm.groupBy("c")
+          .agg(count(lit(1)).as("csize"), sum("deg").as("tot"))
+        // k(u, c): edge mass from u into each neighbouring community,
+        // from the round's snapshot
+        val kuc = sym
+          .join(comm.select(col("v"), col("c").as("cand")), "v")
+          .groupBy("u", "cand").agg(count(lit(1)).as("k"))
+        // the stay option always scores, even with no own-community
+        // neighbours (k = 0)
+        val own = comm.select(col("v").as("u"), col("c").as("cand"))
+        val cands = kuc
+          .join(own.withColumn("is_own", lit(true)),
+            Seq("u", "cand"), "full")
+          .select(col("u"), col("cand"),
+            coalesce(col("k"), lit(0L)).as("k"))
+        val cur = comm.select(col("v").as("u"), col("c").as("cur"),
+          col("deg"))
+        val scored = cands
+          .join(cur, "u")
+          .join(sizeTot.withColumnRenamed("c", "cand")
+            .withColumnRenamed("csize", "cand_size")
+            .withColumnRenamed("tot", "cand_tot"), "cand")
+          .withColumn("score", lit(twoM) * col("k") - col("deg") *
+            (col("cand_tot") -
+              when(col("cand") === col("cur"), col("deg"))
+                .otherwise(lit(0L))))
+          .transform(graft.Ckpt.cut) // feeds best AND stay
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("u").orderBy(col("score").desc, col("cand").asc)
+        val best = scored.where(col("cand") =!= col("cur"))
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        val stay = scored.where(col("cand") === col("cur"))
+          .select(col("u"), col("score").as("stay_score"),
+            col("cand_size").as("cur_size"))
+        val moves = best.join(stay, "u")
+          .where(col("score") > col("stay_score") &&
+            !(col("cur_size") === 1 && col("cand_size") === 1 &&
+              col("cand") > col("cur")))
+          .select(col("u").as("v"), col("cand").as("newc"))
+          .transform(graft.Ckpt.cut)
+        moved = moves.count()
+        if (moved > 0)
+          comm = comm.join(moves, Seq("v"), "left")
+            .select(col("v"), coalesce(col("newc"), col("c")).as("c"),
+              col("deg"))
+            .transform(graft.Ckpt.cut)
+      }
+    }
+    spark.sparkContext.setLocalProperty("graft.louvain.rounds",
+      round.toString)
+    comm
+  }
 }

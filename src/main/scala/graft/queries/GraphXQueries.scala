@@ -1465,7 +1465,45 @@ object GraphXQueries {
       (s, d) => GraphAnalytics.boruvkaMsf(weightedCoPurchase(s, d))
         .select(col("u"), col("v"), col("w"))
         .orderBy("u", "v"),
-      Some(x31Oracle))
+      Some(x31Oracle)),
+
+    // Louvain community detection (one level) on the planted
+    // clique-chain graph — the modularity-DRIVEN recovery companion
+    // to x06's label propagation and x22's ground-truth modularity:
+    // deterministic synchronous gain rounds (exact-integer ΔQ order,
+    // smallest-label ties, strictly-better moves, singleton-swap
+    // guard) run to fixpoint, recovering the planted cliques. The
+    // DuckDB mirror replays the SAME rounds as one-row recursive list
+    // algebra — per round it rebuilds the community size/degree-mass
+    // tables and every vertex's argmax — so the hash pins the round
+    // semantics, not just the final partition. Output: per-community
+    // (labeled by min member) size, member sum, degree mass, and
+    // internal edge count — the exact inputs to x22's Q formula.
+    RegQuery("x32_louvain",
+      (s, d) => {
+        val pairs = brandCliqueChain(s, d).localCheckpoint()
+        val comm = GraphAnalytics.louvainOneLevel(
+          pairs.select(col("p1").as("src"), col("p2").as("dst")))
+        val lab = comm.groupBy("c").agg(min("v").as("comm_id"))
+        val mem = comm.join(lab, "c")
+          .select(col("v"), col("comm_id"), col("deg"))
+          .localCheckpoint() // feeds the agg AND both edge probes
+        val ec = pairs
+          .join(mem.select(col("v").as("p1"), col("comm_id").as("c1")),
+            "p1")
+          .join(mem.select(col("v").as("p2"), col("comm_id").as("c2")),
+            "p2")
+          .where(col("c1") === col("c2"))
+          .groupBy(col("c1").as("comm_id")).agg(count(lit(1)).as("e_c"))
+        mem.groupBy("comm_id")
+          .agg(count(lit(1)).as("n"), sum("v").as("v_sum"),
+            sum("deg").as("d_c"))
+          .join(ec, Seq("comm_id"), "left")
+          .select(col("comm_id"), col("n"), col("v_sum"), col("d_c"),
+            coalesce(col("e_c"), lit(0L)).as("e_c"))
+          .orderBy("comm_id")
+      },
+      Some(x32Oracle))
   )
 
   /** Weighted co-purchase graph for x31: parts ≤ 150 sharing an order
@@ -1530,6 +1568,94 @@ object GraphXQueries {
       |fin AS (SELECT mu, mv, mw FROM step ORDER BY r DESC LIMIT 1)
       |SELECT unnest(mu) AS u, unnest(mv) AS v, unnest(mw) AS w
       |FROM fin ORDER BY u, v""".stripMargin
+
+  /** DuckDB mirror of the Louvain synchronous gain rounds: a one-row
+    * recursive state carries the assignment list; each round rebuilds
+    * the community size/degree-mass lists once (O(V·C) list algebra)
+    * and every vertex picks its argmax candidate by the identical
+    * exact-integer score, tie, strictness, and singleton-swap rules as
+    * [[GraphAnalytics.louvainOneLevel]]. Subexpressions are generated
+    * here (the x30 nested-lambda trick) so the doubly-inlined score
+    * stays in lockstep with itself. */
+  private def x32Oracle: String = {
+    val ncs = "list_transform(a.ns[i], y -> s.cs[list_position(a.vs, y)])"
+    val cur = "s.cs[i]"
+    val deg = "a.degs[i]"
+    def size(c: String) = s"ag.sizes[list_position(cx.cls, $c)]"
+    def tot(c: String) = s"ag.tots[list_position(cx.cls, $c)]"
+    def k(c: String, lv: Int) =
+      s"CAST(len(list_filter($ncs, z$lv -> z$lv = $c)) AS BIGINT)"
+    val stay = s"(a.m2 * ${k(cur, 3)} - $deg * (${tot(cur)} - $deg))"
+    val cands = s"list_filter(list_distinct($ncs), c0 -> c0 <> $cur)"
+    // sort by (-score, label) ascending: [1] = max score, min label
+    val pick = s"list_sort(list_transform($cands, c9 -> " +
+      s"{'negs': -(a.m2 * ${k("c9", 4)} - $deg * ${tot("c9")})," +
+      s" 'cc': c9}))[1]"
+    """WITH RECURSIVE
+      |gp AS (SELECT CAST(p_partkey AS BIGINT) AS id, p_brand,
+      |    CAST(floor((row_number() OVER (PARTITION BY p_brand
+      |      ORDER BY p_partkey) - 1) / 10) AS BIGINT) AS grp
+      |  FROM part),
+      |cl AS (SELECT p_brand, grp, list_sort(list(id)) AS ps
+      |  FROM gp GROUP BY p_brand, grp),
+      |cpairs AS (SELECT unnest(flatten(list_transform(ps,
+      |    (aa, ii) -> list_transform(ps[ii+1:],
+      |      bb -> {'p1': aa, 'p2': bb})))) AS e
+      |  FROM cl),
+      |cp AS (SELECT e.p1 AS p1, e.p2 AS p2 FROM cpairs),
+      |br AS (SELECT ps[1] AS p1, lead(ps[1]) OVER
+      |    (ORDER BY p_brand, grp) AS p2 FROM cl),
+      |edges AS MATERIALIZED (SELECT p1, p2 FROM cp
+      |  UNION ALL SELECT p1, p2 FROM br WHERE p2 IS NOT NULL),
+      |e AS (SELECT p1 AS u, p2 AS v FROM edges
+      |  UNION SELECT p2, p1 FROM edges),
+      |nb AS (SELECT u AS vv, list(v) AS nbrs FROM e GROUP BY u),
+      |adj AS MATERIALIZED (SELECT list(vv ORDER BY vv) AS vs,
+      |  list(nbrs ORDER BY vv) AS ns,
+      |  list(CAST(len(nbrs) AS BIGINT) ORDER BY vv) AS degs,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS m2 FROM nb),
+      |step AS (
+      |  SELECT 0 AS r, true AS mv, (SELECT vs FROM adj) AS cs
+      |  UNION ALL
+      |  SELECT s.r + 1, nx.cs2 <> s.cs, nx.cs2
+      |  FROM step s CROSS JOIN adj a
+      |  CROSS JOIN LATERAL (SELECT list_distinct(s.cs) AS cls) cx
+      |  CROSS JOIN LATERAL (SELECT
+      |      list_transform(cx.cls, c1 ->
+      |        CAST(len(list_filter(s.cs, z1 -> z1 = c1)) AS BIGINT))
+      |        AS sizes,
+      |      list_transform(cx.cls, c2 -> list_sum(list_transform(
+      |        range(1, CAST(len(s.cs) AS BIGINT) + 1),
+      |        j -> CASE WHEN s.cs[j] = c2 THEN a.degs[j]
+      |             ELSE 0 END))) AS tots) ag
+      |""".stripMargin +
+      s"""  CROSS JOIN LATERAL (SELECT list_transform(a.vs, (x, i) ->
+         |      CASE WHEN $pick IS NOT NULL
+         |        AND -($pick.negs) > $stay
+         |        AND NOT (${size(cur)} = 1 AND ${size(s"$pick.cc")} = 1
+         |          AND $pick.cc > $cur)
+         |      THEN $pick.cc ELSE $cur END) AS cs2) nx
+         |  WHERE s.mv AND s.r < 16),
+         |""".stripMargin +
+      """fin AS (SELECT cs FROM step ORDER BY r DESC LIMIT 1),
+        |asn AS (SELECT unnest(a.vs) AS v, unnest(f.cs) AS c,
+        |    unnest(a.degs) AS deg FROM adj a, fin f),
+        |rel AS (SELECT c, min(v) AS comm_id FROM asn GROUP BY c),
+        |mem AS (SELECT asn.v, rel.comm_id, asn.deg
+        |  FROM asn JOIN rel USING (c)),
+        |ein AS (SELECT m1.comm_id, CAST(count(*) AS BIGINT) AS e_c
+        |  FROM edges ed JOIN mem m1 ON ed.p1 = m1.v
+        |    JOIN mem m2 ON ed.p2 = m2.v
+        |  WHERE m1.comm_id = m2.comm_id GROUP BY m1.comm_id),
+        |agg2 AS (SELECT comm_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS v_sum,
+        |    CAST(sum(deg) AS BIGINT) AS d_c
+        |  FROM mem GROUP BY comm_id)
+        |SELECT a.comm_id, a.n, a.v_sum, a.d_c,
+        |  CAST(coalesce(e.e_c, 0) AS BIGINT) AS e_c
+        |FROM agg2 a LEFT JOIN ein e USING (comm_id)
+        |ORDER BY comm_id""".stripMargin
+  }
 
   /** DuckDB mirror of the min-pointer handshake rounds: `mmin(x)` is
     * the smallest LIVE neighbour; a pair (x, mmin(x)) matches when the

@@ -1,0 +1,87 @@
+package graft.graphx
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Louvain one-level synchronous gain rounds: planted-structure
+  * recovery, the modularity contract (the fixpoint partition scores at
+  * least the singleton partition, i.e. Q > 0 on a clustered graph),
+  * the singleton-swap guard (a lone edge MERGES instead of
+  * oscillating), determinism, and the rounds metric.
+  */
+class LouvainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rounds: Int = spark.sparkContext
+    .getLocalProperty("graft.louvain.rounds").toInt
+
+  private def louvain(edges: Seq[(Long, Long)]) =
+    GraphAnalytics.louvainOneLevel(edges.toDF("src", "dst"))
+      .localCheckpoint()
+
+  test("two triangles with a bridge recover as two communities") {
+    // 1-2-3 triangle, 4-5-6 triangle, bridge 3-4 — the textbook case
+    val comm = louvain(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)))
+    val parts = comm.groupBy("c")
+      .agg(array_sort(collect_list("v")).as("ms"))
+      .select("ms").as[Seq[Long]].collect().toSet
+    assert(parts == Set(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      s"expected the two triangles, got $parts")
+  }
+
+  test("a lone edge merges under the singleton-swap guard") {
+    // synchronous gains would swap u and v forever; the guard lets
+    // only the larger-label vertex move, so the pair MERGES and the
+    // fixpoint lands in round 2 (move, then no-move)
+    val comm = louvain(Seq((7L, 9L)))
+    val cs = comm.select("v", "c").as[(Long, Long)].collect().toMap
+    assert(cs == Map(7L -> 7L, 9L -> 7L), s"expected merge into 7: $cs")
+    assert(rounds <= 3, s"lone edge took $rounds rounds")
+  }
+
+  test("planted clique-chain fixpoint: clique-pure, positive Q") {
+    // the x32 graph shape in miniature: 3 cliques of 5 chained by
+    // their min vertices
+    val cliques = Seq(10L to 14L, 20L to 24L, 30L to 34L)
+    val cliqueEdges = cliques.flatMap(c =>
+      for (a <- c; b <- c if a < b) yield (a, b))
+    val bridges = Seq((10L, 20L), (20L, 30L))
+    val edges = cliqueEdges ++ bridges
+    val comm = louvain(edges)
+    // every clique ends wholly inside one community
+    val byV = comm.select("v", "c").as[(Long, Long)].collect().toMap
+    for (c <- cliques)
+      assert(c.map(byV).toSet.size == 1, s"clique $c split: ${c.map(byV)}")
+    // modularity of the fixpoint is strictly positive (the singleton
+    // start scores 0 by definition: e_c = 0 for every singleton)
+    val m = edges.size.toDouble
+    val labels = byV
+    val eIn = edges.count { case (a, b) => labels(a) == labels(b) }
+    val degs = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, xs) => v -> xs.size }
+    val dMass = labels.values.toSeq.distinct.map(c =>
+      labels.collect { case (v, cc) if cc == c => degs(v) }.sum)
+    val q = eIn / m - dMass.map(d => math.pow(d / (2 * m), 2)).sum
+    assert(q > 0.5, s"fixpoint modularity $q not clustered")
+  }
+
+  test("deterministic: two runs produce the identical assignment") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (4L, 6L), (6L, 7L), (7L, 8L))
+    val a = louvain(e).orderBy("v").collect().toSeq
+    val b = louvain(e).orderBy("v").collect().toSeq
+    assert(a == b)
+  }
+
+  test("rounds metric: clique chain converges in a handful of rounds") {
+    val cliqueEdges = (for (g <- 0L to 9L) yield {
+      val c = (g * 10) to (g * 10 + 9)
+      for (a <- c; b <- c if a < b) yield (a, b)
+    }).flatten
+    val bridges = (0L until 9L).map(g => (g * 10, (g + 1) * 10))
+    louvain(cliqueEdges ++ bridges)
+    assert(rounds <= 6, s"clique chain took $rounds rounds")
+  }
+}
