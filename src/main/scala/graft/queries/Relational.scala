@@ -1878,6 +1878,54 @@ object Relational {
              |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
              |      AS next_view
              |  FROM events)
-             |WHERE event_type = 'click' ORDER BY event_id""".stripMargin))
+             |WHERE event_type = 'click' ORDER BY event_id""".stripMargin)),
+
+    // ---- q72: runtime bloom-filter join pruning (SPARK-32268) -----------
+    // The non-partition-key sibling of DPP (LayoutSpec): a selective
+    // filter on the dim side of a SHUFFLE join makes Catalyst inject
+    // might_contain(bloom_filter_agg(dim keys)) on the fact side, so
+    // non-joining fact rows drop BEFORE the shuffle — at 100 TB the
+    // difference between shuffling the whole fact table and shuffling
+    // the ~10% that can join. The entry materializes under the
+    // bloom-enabling confs (broadcast off so the join shuffles —
+    // that's the regime where the filter pays; thresholds opened
+    // because the test corpus is far below the 10 GB production
+    // default) and restores them; BloomJoinSpec pins the injection,
+    // and the oracle pins that pre-shuffle filtering loses no rows.
+    RegQuery("q72_bloom_join_prune",
+      (s, d) => {
+        val confs = Seq(
+          "spark.sql.optimizer.runtime.bloomFilter." +
+            "applicationSideScanSizeThreshold" -> "0",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+        val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val li = t(s, d, "lineitem")
+            .select("l_suppkey", "l_quantity", "l_extendedprice")
+          val sup = t(s, d, "supplier")
+            .where(col("s_suppkey") % 10 === 0)
+            .select("s_suppkey", "s_acctbal")
+          li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+            .groupBy("s_suppkey")
+            .agg(count(lit(1)).as("n"),
+              sum(expr("cast(l_quantity as bigint)")).as("sum_qty"),
+              sum(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+                .as("sum_cents"))
+            .orderBy("s_suppkey")
+            // materialize NOW, while the bloom confs are in force —
+            // the returned frame must not re-optimize after restore
+            .localCheckpoint()
+        } finally saved.foreach { case (k, vOpt) =>
+          vOpt.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+      },
+      Some("""SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             |    AS BIGINT) AS sum_cents
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE s_suppkey % 10 = 0
+             |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin))
   )
 }
