@@ -317,6 +317,39 @@ object Pipeline {
       |pr AS (SELECT a_id, b_id, jac FROM jj WHERE jac >= 0.5)
       |""".stripMargin
 
+  /** ONE oracle for the whole BM25 family — p34 (per-run postings),
+    * p78 (persisted term-bucketed index probe), and s29 (the index
+    * maintained BY a stream) all hash-check against this same SQL:
+    * Okapi BM25 over the `documents` corpus, integer micro-unit
+    * scoring, top-10 per query. */
+  private[queries] val bm25ProbeOracle =
+    """WITH docs AS (SELECT doc_id,
+      |    CAST(len(string_split(text,' ')) AS BIGINT) AS dl,
+      |    string_split(text,' ') AS t FROM documents),
+      |post AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM docs)
+      |  GROUP BY doc_id, dl, term),
+      |q(q_id, term) AS (VALUES (1,'spark'),(1,'join'),(2,'hash'),
+      |  (2,'table'),(2,'scan'),(3,'window'),(3,'agg'),(3,'data')),
+      |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
+      |  WHERE term IN (SELECT term FROM q) GROUP BY term),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM docs),
+      |sc AS (SELECT q.q_id, p.doc_id,
+      |  CAST(floor(ln(1.0 + (st.n_docs - f.df + 0.5)/(f.df + 0.5))
+      |    * (p.tf*2.2/(p.tf + 1.2*(0.25 + 0.75*p.dl
+      |        /(CAST(st.sum_dl AS DOUBLE)/st.n_docs))))
+      |    * 10000 + 0.5) AS BIGINT) AS u
+      |  FROM post p JOIN q ON p.term = q.term
+      |  JOIN dfreq f ON p.term = f.term CROSS JOIN st),
+      |a AS (SELECT q_id, doc_id, CAST(sum(u) AS BIGINT) AS score_u
+      |  FROM sc GROUP BY q_id, doc_id),
+      |r AS (SELECT q_id, doc_id, score_u, ROW_NUMBER() OVER
+      |  (PARTITION BY q_id ORDER BY score_u DESC, doc_id) AS rn FROM a)
+      |SELECT CAST(q_id AS INTEGER) AS q_id, CAST(rn AS INTEGER) AS rank,
+      |  doc_id, score_u
+      |FROM r WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin
+
   val registry: Seq[RegQuery] = Seq(
 
     // ---- p01: exact dedup by content hash ------------------------------
@@ -748,32 +781,7 @@ object Pipeline {
       (s, d) => bm25TopK(s, d, 10)
         .select("q_id", "rank", "doc_id", "score_u")
         .orderBy("q_id", "rank"),
-      Some("""WITH docs AS (SELECT doc_id,
-             |    CAST(len(string_split(text,' ')) AS BIGINT) AS dl,
-             |    string_split(text,' ') AS t FROM documents),
-             |post AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
-             |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM docs)
-             |  GROUP BY doc_id, dl, term),
-             |q(q_id, term) AS (VALUES (1,'spark'),(1,'join'),(2,'hash'),
-             |  (2,'table'),(2,'scan'),(3,'window'),(3,'agg'),(3,'data')),
-             |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
-             |  WHERE term IN (SELECT term FROM q) GROUP BY term),
-             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM docs),
-             |sc AS (SELECT q.q_id, p.doc_id,
-             |  CAST(floor(ln(1.0 + (st.n_docs - f.df + 0.5)/(f.df + 0.5))
-             |    * (p.tf*2.2/(p.tf + 1.2*(0.25 + 0.75*p.dl
-             |        /(CAST(st.sum_dl AS DOUBLE)/st.n_docs))))
-             |    * 10000 + 0.5) AS BIGINT) AS u
-             |  FROM post p JOIN q ON p.term = q.term
-             |  JOIN dfreq f ON p.term = f.term CROSS JOIN st),
-             |a AS (SELECT q_id, doc_id, CAST(sum(u) AS BIGINT) AS score_u
-             |  FROM sc GROUP BY q_id, doc_id),
-             |r AS (SELECT q_id, doc_id, score_u, ROW_NUMBER() OVER
-             |  (PARTITION BY q_id ORDER BY score_u DESC, doc_id) AS rn FROM a)
-             |SELECT CAST(q_id AS INTEGER) AS q_id, CAST(rn AS INTEGER) AS rank,
-             |  doc_id, score_u
-             |FROM r WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin)),
+      Some(bm25ProbeOracle)),
 
     // ---- p35: exact duplicated-span detection (substring dedup) ---------
     // Lee et al., "Deduplicating Training Data Makes Language Models
@@ -2844,32 +2852,7 @@ object Pipeline {
           .select("q_id", "rank", "doc_id", "score_u")
           .orderBy("q_id", "rank")
       },
-      Some("""WITH docs AS (SELECT doc_id,
-             |    CAST(len(string_split(text,' ')) AS BIGINT) AS dl,
-             |    string_split(text,' ') AS t FROM documents),
-             |post AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
-             |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM docs)
-             |  GROUP BY doc_id, dl, term),
-             |q(q_id, term) AS (VALUES (1,'spark'),(1,'join'),(2,'hash'),
-             |  (2,'table'),(2,'scan'),(3,'window'),(3,'agg'),(3,'data')),
-             |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
-             |  WHERE term IN (SELECT term FROM q) GROUP BY term),
-             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM docs),
-             |sc AS (SELECT q.q_id, p.doc_id,
-             |  CAST(floor(ln(1.0 + (st.n_docs - f.df + 0.5)/(f.df + 0.5))
-             |    * (p.tf*2.2/(p.tf + 1.2*(0.25 + 0.75*p.dl
-             |        /(CAST(st.sum_dl AS DOUBLE)/st.n_docs))))
-             |    * 10000 + 0.5) AS BIGINT) AS u
-             |  FROM post p JOIN q ON p.term = q.term
-             |  JOIN dfreq f ON p.term = f.term CROSS JOIN st),
-             |a AS (SELECT q_id, doc_id, CAST(sum(u) AS BIGINT) AS score_u
-             |  FROM sc GROUP BY q_id, doc_id),
-             |r AS (SELECT q_id, doc_id, score_u, ROW_NUMBER() OVER
-             |  (PARTITION BY q_id ORDER BY score_u DESC, doc_id) AS rn FROM a)
-             |SELECT CAST(q_id AS INTEGER) AS q_id, CAST(rn AS INTEGER) AS rank,
-             |  doc_id, score_u
-             |FROM r WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin)),
+      Some(bm25ProbeOracle)),
 
     // ---- p79: incremental BM25 index maintenance ------------------------
     // p78's index kept FRESH without a rebuild: a new-docs batch (the
@@ -3461,7 +3444,79 @@ object Pipeline {
              |  CAST(sum(r.doc_id) AS BIGINT) AS sel_sum
              |FROM r JOIN n ON r.source = n.source AND r.rk <= n.target_n
              |GROUP BY n.source, n.n_docs, n.target_n
-             |ORDER BY n.source""".stripMargin))
+             |ORDER BY n.source""".stripMargin)),
+
+    // ---- p89: WordPiece-style tokenizer (train + greedy MaxMatch) -------
+    // The second tokenizer family beside BPE (p70/p71/p76): WordPiece /
+    // SentencePiece-style GREEDY LONGEST-MATCH inference (Wu et al.
+    // 2016 §4.1) over a frequency-trained subword vocabulary. Train:
+    // candidate pieces = all substrings of length 2-6 (distinct per
+    // word), scored by corpus-weighted frequency; vocab = top-512
+    // pieces + every single character (totality). Apply: greedy
+    // MaxMatch IS one regex pass — an alternation ordered longest-
+    // first under leftmost-FIRST semantics picks the longest vocab
+    // piece at each position and resumes after it, and both Java
+    // regex (engine) and RE2 (oracle) implement leftmost-first (the
+    // p13 BpePattern precedent) — so apply is a single codegen'd
+    // regexp_extract_all over the DISTINCT-WORD frame (the
+    // SentencePiece trick: tokenize each distinct word once, weight
+    // by corpus count), no joins, no per-round loops. At 100 TB:
+    // train is one explode + hash-agg + a bounded (512-row) collect,
+    // apply is embarrassingly parallel over words.
+    RegQuery("p89_wordpiece",
+      (s, d) => {
+        import s.implicits._
+        val words = Tables(s, d, "documents")
+          .select(explode(graft.llm.TextOps.tokens(col("text"))).as("w"))
+          .where(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // feeds vocab training AND the apply pass
+        val freq = words
+          .select(col("cnt"), explode(expr(
+            "array_distinct(filter(flatten(transform(" +
+              "sequence(1, char_length(w)), i -> transform(" +
+              "sequence(2, 6), l -> substring(w, i, l)))), " +
+              "p -> char_length(p) >= 2))")).as("s"))
+          .groupBy("s").agg(sum("cnt").as("freq"))
+        val top = freq.orderBy(col("freq").desc, col("s").asc)
+          .limit(512).select("s").as[String].collect() // bounded page
+        val chars = words.select(explode(split(col("w"), "")).as("c"))
+          .where(col("c") =!= "").distinct().as[String].collect()
+        // [a-z] corpus — no metacharacters to escape; longest-first,
+        // then lexicographic, so both engines build the same pattern
+        val vocab = (top.toSet ++ chars.toSet).toSeq
+          .sortBy(p => (-p.length, p))
+        val pat = "(" + vocab.mkString("|") + ")"
+        words
+          .select(explode(regexp_extract_all(col("w"), lit(pat), lit(0)))
+            .as("token"), col("cnt"))
+          .groupBy("token").agg(sum("cnt").as("n"))
+          .orderBy(col("n").desc, col("token").asc).limit(100)
+      },
+      Some("""WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |words AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM w0 WHERE w <> '' GROUP BY w),
+             |subs AS (SELECT unnest(list_filter(list_distinct(flatten(
+             |    list_transform(range(1, CAST(len(w) AS BIGINT) + 1),
+             |      i -> list_transform(range(2, 7), l -> w[i:i+l-1])))),
+             |    p -> len(p) >= 2)) AS s, cnt FROM words),
+             |freq AS (SELECT s, CAST(sum(cnt) AS BIGINT) AS freq
+             |  FROM subs GROUP BY s),
+             |top AS (SELECT s FROM freq ORDER BY freq DESC, s LIMIT 512),
+             |chars AS (SELECT DISTINCT unnest(string_split(w, '')) AS s
+             |  FROM words),
+             |vocab AS (SELECT DISTINCT s FROM
+             |  (SELECT s FROM top UNION ALL SELECT s FROM chars)),
+             |pat AS MATERIALIZED (SELECT '(' ||
+             |    string_agg(s, '|' ORDER BY len(s) DESC, s ASC)
+             |    || ')' AS p FROM vocab),
+             |tk AS (SELECT unnest(regexp_extract_all(w,
+             |    (SELECT p FROM pat))) AS token, cnt FROM words),
+             |agg AS (SELECT token, CAST(sum(cnt) AS BIGINT) AS n
+             |  FROM tk GROUP BY token)
+             |SELECT token, n FROM agg
+             |ORDER BY n DESC, token LIMIT 100""".stripMargin))
   )
 
   /** DuckDB mirror of [[cdcChunks]] as a CTE-list fragment ending in

@@ -1525,7 +1525,101 @@ object Streaming {
              |  FROM ch)
              |SELECT doc_id, chunk_idx, chunk_hash, rn > 1 AS dup,
              |  owner_doc, CAST(owner_idx AS INTEGER) AS owner_idx
-             |FROM o ORDER BY doc_id, chunk_idx""".stripMargin))
+             |FROM o ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- s29: streaming BM25 index maintenance -------------------------
+    // The retrieval-index lifecycle's streaming arm — the third leg
+    // beside p78 (build+probe) and p79 (batch increment), completing
+    // the same batch/incremental/streaming symmetry the MV family
+    // (q62/q64/s21) and the dedup index (p72/p77/s28) already have.
+    // The document corpus arrives as a STREAM (three files,
+    // maxFilesPerTrigger=1) and each foreachBatch firing maintains the
+    // p79 index shape: the micro-batch's postings rows append into the
+    // SAME 16-bucket term-bucketed table (bucket pruning keeps working
+    // across appends), and its ALGEBRAIC df / corpus-stats partials
+    // append as sidecar rows — each firing costs one |batch| aggregate
+    // plus bounded writes, the corpus is never re-scanned, and the fold
+    // is associative under ANY micro-batch split. The post-drain probe
+    // reads NOTHING but the index and hash-checks against
+    // [[Pipeline.bm25ProbeOracle]] — the identical SQL that checks p34
+    // and p78 — proving the stream-maintained index serves exactly what
+    // a from-scratch batch build would.
+    RegQuery("s29_stream_bm25_increment",
+      (s, d) => {
+        import s.implicits._
+        val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+        val postT = s"graft_s29_post_$tag"
+        val stagePath = Scratch.path(s, "s29_docs", d)
+        val dfPath = Scratch.path(s, "s29_df", d)
+        val statPath = Scratch.path(s, "s29_stats", d)
+        Scratch.dropTable(s, postT)
+        Scratch.clear(s, stagePath, dfPath, statPath)
+        // stage three doc_id-disjoint epochs (SF-independent split)
+        val docs = graft.Tables(s, d, "documents").select("doc_id", "text")
+        for (i <- 0L to 2L)
+          docs.where(col("doc_id") % 3 === i)
+            .coalesce(1).write.mode("append").parquet(stagePath)
+        val docSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType)))
+        val q = withStatePartitions(s, 8) {
+          s.readStream.schema(docSchema)
+            .option("maxFilesPerTrigger", "1").parquet(stagePath)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              val tok = batch
+                .select(col("doc_id"),
+                  graft.llm.TextOps.tokens(col("text")).as("tk"))
+                .repartition(col("doc_id")) // token barrier (p34)
+                .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+                  col("tk"))
+                .localCheckpoint() // feeds postings AND the stats partial
+              val post = tok
+                .select(col("doc_id"), col("dl"),
+                  explode(col("tk")).as("term"))
+                .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+                .localCheckpoint() // feeds the table AND the df partial
+              post.write.mode("append").bucketBy(16, "term").sortBy("term")
+                .format("parquet").saveAsTable(postT)
+              post.groupBy("term").agg(count(lit(1)).as("df"))
+                .write.mode("append").parquet(dfPath)
+              tok.agg(count(lit(1)).as("n_docs"),
+                  sum(col("dl")).as("sum_dl"))
+                .write.mode("append").parquet(statPath)
+              ()
+            }
+            .trigger(Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination()
+        // probe: folded sidecars + the bucket-pruned postings table —
+        // identical to the p78/p79 probe shape
+        val qterms = Seq((1, "spark"), (1, "join"), (2, "hash"),
+          (2, "table"), (2, "scan"), (3, "window"), (3, "agg"), (3, "data"))
+          .toDF("q_id", "term")
+        val terms = qterms.select("term").distinct()
+          .as[String].collect().sorted.toSeq
+        val post = s.table(postT).where(col("term").isin(terms: _*))
+        val dfreq = s.read.parquet(dfPath)
+          .where(col("term").isin(terms: _*))
+          .groupBy("term").agg(sum("df").as("df"))
+        val st = s.read.parquet(statPath)
+          .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+        val avgdl = col("sum_dl").cast("double") / col("n_docs")
+        val idf = log(lit(1.0) +
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+        val tfn = col("tf") * 2.2 / (col("tf") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+        post.join(broadcast(qterms), "term")
+          .join(broadcast(dfreq), "term")
+          .crossJoin(broadcast(st))
+          .withColumn("u", floor(idf * tfn * 10000 + 0.5).cast("long"))
+          .groupBy("q_id", "doc_id").agg(sum(col("u")).as("score_u"))
+          .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("score_u").desc, col("doc_id"))))
+          .where(col("rank") <= 10)
+          .select("q_id", "rank", "doc_id", "score_u")
+          .orderBy("q_id", "rank")
+      },
+      Some(Pipeline.bm25ProbeOracle))
   )
 
   private val docsSchema = StructType(Seq(
