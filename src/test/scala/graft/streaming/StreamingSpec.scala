@@ -540,6 +540,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(("a", 2L, 31L)), got.toString)
   }
 
+  test("restart from checkpoint: source offsets and dedup state survive") {
+    // the recovery contract a 100 TB ingest pipeline leans on: kill a
+    // stateful query between epochs, restart with the SAME checkpoint,
+    // and (a) already-committed input is NOT reprocessed (source
+    // offsets recovered — the file sink would otherwise duplicate
+    // epoch-1 rows), (b) operator state IS recovered (dropDuplicates
+    // must suppress an epoch-2 duplicate of an epoch-1 key it has only
+    // seen before the restart)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-recovery").toString
+    val stage = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .dropDuplicates("id")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(stage)
+    run() // epoch 1, then the query STOPS (simulated failure window)
+    Seq((2L, "DUP"), (3L, "c")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(stage)
+    run() // restart from the same checkpoint
+    val got = spark.read.parquet(out).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"recovery broke exactly-once: $got")
+  }
+
   test("editDistance matches Spark's levenshtein on random strings") {
     import graft.streaming.Streams
     val rnd = new scala.util.Random(42)
