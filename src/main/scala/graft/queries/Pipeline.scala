@@ -3516,7 +3516,73 @@ object Pipeline {
              |agg AS (SELECT token, CAST(sum(cnt) AS BIGINT) AS n
              |  FROM tk GROUP BY token)
              |SELECT token, n FROM agg
-             |ORDER BY n DESC, token LIMIT 100""".stripMargin))
+             |ORDER BY n DESC, token LIMIT 100""".stripMargin)),
+
+    // ---- p90: margin-based bitext mining --------------------------------
+    // Parallel-corpus mining (Artetxe & Schwenk 2019, the
+    // LASER/CCMatrix shape): every high-resource-side document is
+    // paired with its best low-resource candidate by embedding cosine,
+    // ACCEPTED only when the top-1/top-2 MARGIN clears a threshold —
+    // the margin criterion is what separates true translations from
+    // generically-near neighbours. Scores are 1e-6 micro-unit BIGINTs
+    // (the p09 discipline), so the margin is an exact integer
+    // difference. Plan shape: the LOW-RESOURCE side broadcasts (it is
+    // the small side by definition — that asymmetry is the production
+    // layout; at equal sizes the p83 IVF-cell equi-join is the scale
+    // path), one window top-2 per source doc, no driver loops.
+    RegQuery("p90_bitext_mine",
+      (s, d) => {
+        val langs = Tables(s, d, "documents").select("doc_id", "lang")
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"),
+            graft.llm.VectorOps.toDouble(col("embedding")).as("v"))
+          .join(langs, col("vec_id") === col("doc_id"))
+        val src = e.where(col("lang") === "en")
+          .select(col("vec_id").as("s_id"), col("v").as("sv"))
+        val tgt = e.where(col("lang") === "zh")
+          .select(col("vec_id").as("t_id"), col("v").as("tv"))
+        val scored = src.crossJoin(broadcast(tgt))
+          .withColumn("cu", floor(graft.llm.VectorOps
+            .cosineFast(col("sv"), col("tv")) * 1000000 + 0.5)
+            .cast("long"))
+        val w = Window.partitionBy("s_id")
+          .orderBy(col("cu").desc, col("t_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 2)
+          .groupBy("s_id")
+          .agg(max(when(col("rn") === 1, col("t_id"))).as("t_id"),
+            max(when(col("rn") === 1, col("cu"))).as("top1_u"),
+            max(when(col("rn") === 2, col("cu"))).as("top2_u"))
+          .where(col("top2_u").isNotNull &&
+            col("top1_u") - col("top2_u") >= 50000)
+          .select(col("s_id"), col("t_id"), col("top1_u"),
+            (col("top1_u") - col("top2_u")).as("margin_u"))
+          .orderBy("s_id")
+      },
+      Some("""WITH docs AS (SELECT doc_id, lang FROM documents),
+             |e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             |    lang
+             |  FROM embeddings JOIN docs ON vec_id = doc_id),
+             |s AS (SELECT vec_id AS s_id, v AS sv FROM e WHERE lang = 'en'),
+             |t AS (SELECT vec_id AS t_id, v AS tv FROM e WHERE lang = 'zh'),
+             |p AS (SELECT s_id, t_id, CAST(floor(
+             |    list_sum(list_transform(range(1, len(sv)+1),
+             |      i -> sv[i]*tv[i]))
+             |    / (sqrt(list_sum(list_transform(sv, x -> x*x)))
+             |       * sqrt(list_sum(list_transform(tv, x -> x*x))))
+             |    * 1000000 + 0.5) AS BIGINT) AS cu
+             |  FROM s, t),
+             |r AS (SELECT s_id, t_id, cu, ROW_NUMBER() OVER (
+             |    PARTITION BY s_id ORDER BY cu DESC, t_id) AS rn FROM p),
+             |a AS (SELECT s_id,
+             |    max(CASE WHEN rn = 1 THEN t_id END) AS t_id,
+             |    max(CASE WHEN rn = 1 THEN cu END) AS top1_u,
+             |    max(CASE WHEN rn = 2 THEN cu END) AS top2_u
+             |  FROM r WHERE rn <= 2 GROUP BY s_id)
+             |SELECT s_id, t_id, top1_u, top1_u - top2_u AS margin_u
+             |FROM a WHERE top2_u IS NOT NULL AND top1_u - top2_u >= 50000
+             |ORDER BY s_id""".stripMargin))
   )
 
   /** DuckDB mirror of [[cdcChunks]] as a CTE-list fragment ending in
