@@ -1926,6 +1926,58 @@ object Relational {
              |    AS BIGINT) AS sum_cents
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |WHERE s_suppkey % 10 = 0
-             |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin))
+             |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin)),
+
+    // ---- q73: VARIANT semi-structured type (Spark 4) ---------------------
+    // The open-schema ingestion path: parse_json lands the payload as
+    // a VARIANT (binary-encoded, shredding-ready — at 100 TB the
+    // columnar VARIANT encoding is what makes schema-on-read cheap,
+    // vs re-parsing JSON text per query as q22 does), and typed
+    // access is variant_get with a target type. Same aggregate as a
+    // JSON-text plan would produce — the oracle pins that the VARIANT
+    // path loses nothing.
+    RegQuery("q73_variant",
+      (s, d) => t(s, d, "events")
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'int')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+             |    AS BIGINT) AS sum_k,
+             |  CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER))
+             |    AS INTEGER) AS min_k,
+             |  CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER))
+             |    AS INTEGER) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- q74: SQL scalar UDF (CREATE FUNCTION ... RETURN) ---------------
+    // The engine's SQL surface is user-extensible WITHOUT Scala: a SQL
+    // scalar UDF declared in pure SQL text (the reference's WASM-hook
+    // ambition at the fourth tier — q34 native expression, q60/q68-q70
+    // hint-rewritten operators, runtime plugins, and now in-dialect
+    // functions). SQL UDFs inline into the plan at resolution (no
+    // black-box row-at-a-time call), so codegen and pushdown see
+    // through them.
+    RegQuery("q74_sql_udf",
+      (s, d) => {
+        s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_cents(" +
+          "p DOUBLE, disc DOUBLE) RETURNS BIGINT " +
+          "RETURN CAST(floor(p * (1.0 - disc) * 100 + 0.5) AS BIGINT)")
+        t(s, d, "lineitem").createOrReplaceTempView("graft_q74_li")
+        s.sql("""SELECT l_returnflag AS flag,
+                |  sum(graft_disc_cents(l_extendedprice, l_discount))
+                |    AS rev_cents,
+                |  count(*) AS n
+                |FROM graft_q74_li GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""SELECT l_returnflag AS flag,
+             |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+             |    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -467,6 +467,48 @@ class ScaleRehearsalSpec extends SparkSpec {
     assert(sec < 300, s"10x MSF took ${sec}s")
   }
 
+  test("Louvain at 10x: rounds stable, every planted clique recovered") {
+    // 40 cliques of 10 chained by their min vertices, then 10 disjoint
+    // offset copies. Louvain's gain score depends on the GLOBAL 2m
+    // (unlike the MIS/coloring/MSF peels), so per-round isomorphism is
+    // not automatic — what must survive scale is the OUTCOME: the
+    // fixpoint still lands in a handful of rounds and recovers every
+    // planted clique as one community, 10x as many of them. A
+    // regression that made rounds grow with volume (or let the bigger
+    // 2m smear cliques together) fails here first.
+    def cliqueChain(off: Long) = {
+      val cliques = (0L until 40L).flatMap { g =>
+        val c = (off + g * 10) to (off + g * 10 + 9)
+        for (a <- c; b <- c if a < b) yield (a, b)
+      }
+      val bridges = (0L until 39L).map(g =>
+        (off + g * 10, off + (g + 1) * 10))
+      cliques ++ bridges
+    }
+    def rounds: Int = spark.sparkContext
+      .getLocalProperty("graft.louvain.rounds").toInt
+    val base = GraphAnalytics.louvainOneLevel(
+      cliqueChain(0).toDF("src", "dst"))
+    val baseComms = base.select("c").distinct().count()
+    val baseR = rounds
+    assert(baseComms == 40, s"base recovered $baseComms of 40 cliques")
+    val inflated = (0L until 10L).flatMap(i => cliqueChain(i * 10000000L))
+    val t0 = System.nanoTime()
+    val comm = GraphAnalytics.louvainOneLevel(inflated.toDF("src", "dst"))
+      .localCheckpoint()
+    assert(rounds == baseR, s"Louvain rounds moved: $rounds vs $baseR")
+    assert(comm.select("c").distinct().count() == 400,
+      "10x fixpoint did not recover 400 cliques")
+    // clique-pure: every community is exactly one planted clique
+    val bad = comm.withColumn("clique", (col("v") / 10).cast("long"))
+      .groupBy("c").agg(countDistinct("clique").as("nc"),
+        count(lit(1)).as("n"))
+      .where(col("nc") =!= 1 || col("n") =!= 10).count()
+    assert(bad == 0, s"$bad communities are not single cliques")
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 300, s"10x Louvain took ${sec}s")
+  }
+
   test("SCC peel rounds are volume-independent: 10x == 1x (forced distributed)") {
     // x25's item-transition graph inflated by 10 ISOMORPHIC disjoint
     // copies (id offset preserves every intra-copy comparison, so each
