@@ -350,6 +350,69 @@ object Pipeline {
       |  doc_id, score_u
       |FROM r WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** WordPiece trainer shared by p89 (batch apply) and s30 (streamed
+    * apply): top-512 corpus-weighted substrings (len 2-6, distinct per
+    * word) + every single char, compiled to the greedy-MaxMatch regex —
+    * an alternation ordered longest-first, which under leftmost-first
+    * semantics (identical in Java regex and RE2) picks the longest
+    * vocab piece at every position. Two bounded collects (512 + the
+    * charset), the p76 page discipline. */
+  private[queries] def wordpiecePattern(s: SparkSession,
+      d: String): String = {
+    import s.implicits._
+    val words = graft.Tables(s, d, "documents")
+      .select(explode(graft.llm.TextOps.tokens(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the substring page AND the charset
+    val freq = words
+      .select(col("cnt"), explode(expr(
+        "array_distinct(filter(flatten(transform(" +
+          "sequence(1, char_length(w)), i -> transform(" +
+          "sequence(2, 6), l -> substring(w, i, l)))), " +
+          "p -> char_length(p) >= 2))")).as("s"))
+      .groupBy("s").agg(sum("cnt").as("freq"))
+    val top = freq.orderBy(col("freq").desc, col("s").asc)
+      .limit(512).select("s").as[String].collect() // bounded page
+    val chars = words.select(explode(split(col("w"), "")).as("c"))
+      .where(col("c") =!= "").distinct().as[String].collect()
+    // [a-z] corpus — no metacharacters to escape; longest-first, then
+    // lexicographic, so both engines build the same pattern
+    val vocab = (top.toSet ++ chars.toSet).toSeq
+      .sortBy(p => (-p.length, p))
+    "(" + vocab.mkString("|") + ")"
+  }
+
+  /** ONE oracle for the WordPiece family — p89 (batch train+apply) and
+    * s30 (the stream-served tokenizer) hash-check against this same
+    * SQL: trained top-512+chars vocab, greedy MaxMatch as the ordered
+    * alternation under RE2, corpus token frequencies top-100. */
+  private[queries] val wordpieceOracle =
+    """WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |words AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM w0 WHERE w <> '' GROUP BY w),
+      |subs AS (SELECT unnest(list_filter(list_distinct(flatten(
+      |    list_transform(range(1, CAST(len(w) AS BIGINT) + 1),
+      |      i -> list_transform(range(2, 7), l -> w[i:i+l-1])))),
+      |    p -> len(p) >= 2)) AS s, cnt FROM words),
+      |freq AS (SELECT s, CAST(sum(cnt) AS BIGINT) AS freq
+      |  FROM subs GROUP BY s),
+      |top AS (SELECT s FROM freq ORDER BY freq DESC, s LIMIT 512),
+      |chars AS (SELECT DISTINCT unnest(string_split(w, '')) AS s
+      |  FROM words),
+      |vocab AS (SELECT DISTINCT s FROM
+      |  (SELECT s FROM top UNION ALL SELECT s FROM chars)),
+      |pat AS MATERIALIZED (SELECT '(' ||
+      |    string_agg(s, '|' ORDER BY len(s) DESC, s ASC)
+      |    || ')' AS p FROM vocab),
+      |tk AS (SELECT unnest(regexp_extract_all(w,
+      |    (SELECT p FROM pat))) AS token, cnt FROM words),
+      |agg AS (SELECT token, CAST(sum(cnt) AS BIGINT) AS n
+      |  FROM tk GROUP BY token)
+      |SELECT token, n FROM agg
+      |ORDER BY n DESC, token LIMIT 100""".stripMargin
+
   val registry: Seq[RegQuery] = Seq(
 
     // ---- p01: exact dedup by content hash ------------------------------
@@ -3465,58 +3528,17 @@ object Pipeline {
     // apply is embarrassingly parallel over words.
     RegQuery("p89_wordpiece",
       (s, d) => {
-        import s.implicits._
-        val words = Tables(s, d, "documents")
+        val pat = wordpiecePattern(s, d)
+        Tables(s, d, "documents")
           .select(explode(graft.llm.TextOps.tokens(col("text"))).as("w"))
           .where(col("w") =!= "")
-          .groupBy("w").agg(count(lit(1)).as("cnt"))
-          .localCheckpoint() // feeds vocab training AND the apply pass
-        val freq = words
-          .select(col("cnt"), explode(expr(
-            "array_distinct(filter(flatten(transform(" +
-              "sequence(1, char_length(w)), i -> transform(" +
-              "sequence(2, 6), l -> substring(w, i, l)))), " +
-              "p -> char_length(p) >= 2))")).as("s"))
-          .groupBy("s").agg(sum("cnt").as("freq"))
-        val top = freq.orderBy(col("freq").desc, col("s").asc)
-          .limit(512).select("s").as[String].collect() // bounded page
-        val chars = words.select(explode(split(col("w"), "")).as("c"))
-          .where(col("c") =!= "").distinct().as[String].collect()
-        // [a-z] corpus — no metacharacters to escape; longest-first,
-        // then lexicographic, so both engines build the same pattern
-        val vocab = (top.toSet ++ chars.toSet).toSeq
-          .sortBy(p => (-p.length, p))
-        val pat = "(" + vocab.mkString("|") + ")"
-        words
+          .groupBy("w").agg(count(lit(1)).as("cnt")) // SentencePiece
           .select(explode(regexp_extract_all(col("w"), lit(pat), lit(0)))
-            .as("token"), col("cnt"))
+            .as("token"), col("cnt")) // tokenize each DISTINCT word once
           .groupBy("token").agg(sum("cnt").as("n"))
           .orderBy(col("n").desc, col("token").asc).limit(100)
       },
-      Some("""WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w
-             |  FROM documents),
-             |words AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
-             |  FROM w0 WHERE w <> '' GROUP BY w),
-             |subs AS (SELECT unnest(list_filter(list_distinct(flatten(
-             |    list_transform(range(1, CAST(len(w) AS BIGINT) + 1),
-             |      i -> list_transform(range(2, 7), l -> w[i:i+l-1])))),
-             |    p -> len(p) >= 2)) AS s, cnt FROM words),
-             |freq AS (SELECT s, CAST(sum(cnt) AS BIGINT) AS freq
-             |  FROM subs GROUP BY s),
-             |top AS (SELECT s FROM freq ORDER BY freq DESC, s LIMIT 512),
-             |chars AS (SELECT DISTINCT unnest(string_split(w, '')) AS s
-             |  FROM words),
-             |vocab AS (SELECT DISTINCT s FROM
-             |  (SELECT s FROM top UNION ALL SELECT s FROM chars)),
-             |pat AS MATERIALIZED (SELECT '(' ||
-             |    string_agg(s, '|' ORDER BY len(s) DESC, s ASC)
-             |    || ')' AS p FROM vocab),
-             |tk AS (SELECT unnest(regexp_extract_all(w,
-             |    (SELECT p FROM pat))) AS token, cnt FROM words),
-             |agg AS (SELECT token, CAST(sum(cnt) AS BIGINT) AS n
-             |  FROM tk GROUP BY token)
-             |SELECT token, n FROM agg
-             |ORDER BY n DESC, token LIMIT 100""".stripMargin)),
+      Some(wordpieceOracle)),
 
     // ---- p90: margin-based bitext mining --------------------------------
     // Parallel-corpus mining (Artetxe & Schwenk 2019, the

@@ -1619,7 +1619,53 @@ object Streaming {
           .select("q_id", "rank", "doc_id", "score_u")
           .orderBy("q_id", "rank")
       },
-      Some(Pipeline.bm25ProbeOracle))
+      Some(Pipeline.bm25ProbeOracle)),
+
+    // ---- s30: streamed tokenizer serving (WordPiece at ingest) ---------
+    // The production tokenizer shape: TRAIN OFFLINE (p89's trainer, a
+    // batch job over the corpus), then SERVE the frozen vocab inside
+    // the ingest stream — each foreachBatch firing tokenizes its
+    // micro-batch with the one compiled greedy-MaxMatch regex (pure
+    // map-side codegen, no joins) and appends its ALGEBRAIC token-count
+    // partials; the drain-time fold + top-100 hash-checks against
+    // [[Pipeline.wordpieceOracle]] — the identical SQL that checks
+    // p89 — proving streamed serving counts exactly what the batch
+    // tokenizer does under any micro-batch split.
+    RegQuery("s30_stream_wordpiece",
+      (s, d) => {
+        val stagePath = Scratch.path(s, "s30_docs", d)
+        val cntPath = Scratch.path(s, "s30_counts", d)
+        Scratch.clear(s, stagePath, cntPath)
+        val pat = Pipeline.wordpiecePattern(s, d) // offline training
+        val docs = graft.Tables(s, d, "documents").select("doc_id", "text")
+        for (i <- 0L to 2L)
+          docs.where(col("doc_id") % 3 === i)
+            .coalesce(1).write.mode("append").parquet(stagePath)
+        val docSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType)))
+        val q = withStatePartitions(s, 8) {
+          s.readStream.schema(docSchema)
+            .option("maxFilesPerTrigger", "1").parquet(stagePath)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch
+                .select(explode(graft.llm.TextOps.tokens(col("text")))
+                  .as("w"))
+                .where(col("w") =!= "")
+                .select(explode(regexp_extract_all(col("w"), lit(pat),
+                  lit(0))).as("token"))
+                .groupBy("token").agg(count(lit(1)).as("n"))
+                .write.mode("append").parquet(cntPath)
+              ()
+            }
+            .trigger(Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination()
+        s.read.parquet(cntPath)
+          .groupBy("token").agg(sum("n").as("n"))
+          .orderBy(col("n").desc, col("token").asc).limit(100)
+      },
+      Some(Pipeline.wordpieceOracle))
   )
 
   private val docsSchema = StructType(Seq(
