@@ -67,6 +67,21 @@ class LouvainSpec extends SparkSpec {
     assert(q > 0.5, s"fixpoint modularity $q not clustered")
   }
 
+  test("partitioning-invariant: 1 vs 8 input partitions agree") {
+    // the distributed-determinism contract: every per-round choice is
+    // made under a TOTAL order (score desc, label asc), so physical
+    // data placement must not leak into the fixpoint
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (4L, 6L), (6L, 7L), (7L, 8L), (8L, 9L), (9L, 7L))
+    val one = GraphAnalytics.louvainOneLevel(
+        e.toDF("src", "dst").repartition(1))
+      .orderBy("v").collect().toSeq
+    val eight = GraphAnalytics.louvainOneLevel(
+        e.toDF("src", "dst").repartition(8))
+      .orderBy("v").collect().toSeq
+    assert(one == eight)
+  }
+
   test("deterministic: two runs produce the identical assignment") {
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
       (5L, 6L), (4L, 6L), (6L, 7L), (7L, 8L))
