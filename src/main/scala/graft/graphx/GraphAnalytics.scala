@@ -1889,17 +1889,63 @@ object GraphAnalytics {
     * self-loops dropped); returns [v, comm, deg] after the level's
     * fixpoint. */
   def louvainOneLevel(edges0: DataFrame, maxRounds: Int = 16): DataFrame = {
-    val spark = edges0.sparkSession
     val e0 = edges0
       .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
       .where(col("u") =!= col("v"))
     val sym = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().transform(graft.Ckpt.cut)
-    val twoM = sym.count() // Σdeg = 2m
-    var comm = sym.groupBy(col("u").as("v"))
-      .agg(count(lit(1)).as("deg"))
-      .select(col("v"), col("v").as("c"), col("deg"))
-      .transform(graft.Ckpt.cut)
+      .distinct().withColumn("w", lit(1L))
+    louvainRounds(sym, selfLoops = None, maxRounds)
+  }
+
+  /** Weighted Louvain level over a contracted supergraph: `edges0` is
+    * [u, v, w] (undirected, no self rows), `selfLoops` is [v, sw] —
+    * the internal mass each supernode carries from the level below
+    * (counted TWICE in its degree, per the standard convention; it
+    * moves with the node, so it enters the gain order only through
+    * deg and 2m). Same deterministic round rules as the unweighted
+    * level. Returns [v, c, deg]. */
+  def louvainWeighted(edges0: DataFrame, selfLoops: DataFrame,
+      maxRounds: Int = 16): DataFrame = {
+    val e0 = edges0
+      .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"),
+        col("w").cast("long").as("w"))
+      .where(col("u") =!= col("v"))
+    val sym = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"),
+      col("w")))
+    louvainRounds(sym, Some(selfLoops
+      .select(col("v").cast("long").as("v"),
+        col("sw").cast("long").as("sw"))), maxRounds)
+  }
+
+  /** The shared synchronous gain-round engine: `sym` is the
+    * symmetrized weighted edge list [u, v, w]. */
+  private def louvainRounds(sym0: DataFrame, selfLoops: Option[DataFrame],
+      maxRounds: Int): DataFrame = {
+    val spark = sym0.sparkSession
+    // A lineage cut PRESERVES origin stats on its LogicalRDD leaf, and
+    // unlike the semi/anti-join peels (whose stats pass through
+    // unchanged), Louvain's inner+full joins MULTIPLY sizeInBytes —
+    // so across rounds the accumulator's BigInt stats would compound
+    // (~4x the digit count per round) until the stats walk itself
+    // dominates planning. Rebuilding the frame from the checkpointed
+    // RDD drops origin stats back to the session default: O(1)-size
+    // stats every round.
+    def rebase(df: DataFrame): DataFrame = {
+      val cut = graft.Ckpt.cut(df)
+      cut.sparkSession.createDataFrame(cut.rdd, cut.schema)
+    }
+    val sym = sym0.transform(graft.Ckpt.cut)
+    val adjMass = sym.groupBy(col("u").as("v"))
+      .agg(sum("w").as("aw"))
+    val degs = selfLoops match {
+      case None => adjMass.select(col("v"), col("aw").as("deg"))
+      case Some(sl) => adjMass.join(sl, Seq("v"), "left")
+        .select(col("v"),
+          (col("aw") + lit(2L) * coalesce(col("sw"), lit(0L))).as("deg"))
+    }
+    var comm = rebase(degs.select(col("v"), col("v").as("c"),
+      col("deg")))
+    val twoM = comm.agg(sum("deg")).first().getLong(0) // Σdeg = 2m
     var round = 0
     var moved = 1L
     while (moved > 0) {
@@ -1917,7 +1963,7 @@ object GraphAnalytics {
         // from the round's snapshot
         val kuc = sym
           .join(comm.select(col("v"), col("c").as("cand")), "v")
-          .groupBy("u", "cand").agg(count(lit(1)).as("k"))
+          .groupBy("u", "cand").agg(sum("w").as("k"))
         // the stay option always scores, even with no own-community
         // neighbours (k = 0)
         val own = comm.select(col("v").as("u"), col("c").as("cand"))
@@ -1953,10 +1999,9 @@ object GraphAnalytics {
           .transform(graft.Ckpt.cut)
         moved = moves.count()
         if (moved > 0)
-          comm = comm.join(moves, Seq("v"), "left")
+          comm = rebase(comm.join(moves, Seq("v"), "left")
             .select(col("v"), coalesce(col("newc"), col("c")).as("c"),
-              col("deg"))
-            .transform(graft.Ckpt.cut)
+              col("deg")))
       }
     }
     spark.sparkContext.setLocalProperty("graft.louvain.rounds",

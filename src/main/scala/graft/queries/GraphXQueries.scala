@@ -1503,7 +1503,49 @@ object GraphXQueries {
             coalesce(col("e_c"), lit(0L)).as("e_c"))
           .orderBy("comm_id")
       },
-      Some(x32Oracle))
+      Some(x32Oracle)),
+
+    // Louvain HIERARCHY: x32's level-1 fixpoint contracts into a
+    // weighted supergraph (supernode = community, edge weight =
+    // cross-community edge mass, self-loop = internal mass counted 2x
+    // in degree) and a SECOND weighted gain-round level runs on it —
+    // the full Blondel et al. loop, both levels deterministic. At
+    // 100 TB the contraction is the step that makes Louvain iterable:
+    // each level shrinks the graph by the community count, so level 2+
+    // costs a fraction of level 1. The mirror replays BOTH levels (the
+    // shared level-1 CTEs + a weighted recursive replay), so the hash
+    // pins contraction arithmetic and second-level dynamics alike.
+    RegQuery("x33_louvain_hier",
+      (s, d) => {
+        val pairs = brandCliqueChain(s, d).localCheckpoint()
+        val l1 = GraphAnalytics.louvainOneLevel(
+          pairs.select(col("p1").as("src"), col("p2").as("dst")))
+        val lab = l1.groupBy("c").agg(min("v").as("comm_id"))
+        val mem = l1.join(lab, "c").select(col("v"), col("comm_id"))
+          .localCheckpoint() // feeds the contraction joins AND sizes
+        val ej = pairs
+          .join(mem.select(col("v").as("p1"), col("comm_id").as("c1")),
+            "p1")
+          .join(mem.select(col("v").as("p2"), col("comm_id").as("c2")),
+            "p2")
+          .localCheckpoint() // feeds cross masses AND self masses
+        val cross = ej.where(col("c1") =!= col("c2"))
+          .select(least(col("c1"), col("c2")).as("u"),
+            greatest(col("c1"), col("c2")).as("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("w"))
+        val selfw = ej.where(col("c1") === col("c2"))
+          .groupBy(col("c1").as("v")).agg(count(lit(1)).as("sw"))
+        val l2 = GraphAnalytics.louvainWeighted(cross, selfw, maxRounds = 8)
+        val lab2 = l2.groupBy("c").agg(min("v").as("comm2_id"))
+        val sizes1 = mem.groupBy("comm_id").agg(count(lit(1)).as("nv"))
+        l2.join(lab2, "c")
+          .join(sizes1, l2("v") === sizes1("comm_id"))
+          .groupBy("comm2_id")
+          .agg(count(lit(1)).as("n_super"), sum("nv").as("n_vertices"),
+            sum("deg").as("mass"))
+          .orderBy("comm2_id")
+      },
+      Some(x33Oracle))
   )
 
   /** Weighted co-purchase graph for x31: parts ≤ 150 sharing an order
@@ -1577,7 +1619,12 @@ object GraphXQueries {
     * [[GraphAnalytics.louvainOneLevel]]. Subexpressions are generated
     * here (the x30 nested-lambda trick) so the doubly-inlined score
     * stays in lockstep with itself. */
-  private def x32Oracle: String = {
+  /** Shared level-1 Louvain replay (the x32 rounds) as a CTE-list
+    * fragment ending in `mem(v, comm_id, deg)` — reused verbatim by
+    * x33, whose contraction and weighted level-2 replay continue from
+    * it. Subexpressions are generated (the x30 nested-lambda trick)
+    * so the doubly-inlined score stays in lockstep with itself. */
+  private def louvainL1ReplayCtes: String = {
     val ncs = "list_transform(a.ns[i], y -> s.cs[list_position(a.vs, y)])"
     val cur = "s.cs[i]"
     val deg = "a.degs[i]"
@@ -1591,8 +1638,7 @@ object GraphXQueries {
     val pick = s"list_sort(list_transform($cands, c9 -> " +
       s"{'negs': -(a.m2 * ${k("c9", 4)} - $deg * ${tot("c9")})," +
       s" 'cc': c9}))[1]"
-    """WITH RECURSIVE
-      |gp AS (SELECT CAST(p_partkey AS BIGINT) AS id, p_brand,
+    """gp AS (SELECT CAST(p_partkey AS BIGINT) AS id, p_brand,
       |    CAST(floor((row_number() OVER (PARTITION BY p_brand
       |      ORDER BY p_partkey) - 1) / 10) AS BIGINT) AS grp
       |  FROM part),
@@ -1637,12 +1683,18 @@ object GraphXQueries {
          |      THEN $pick.cc ELSE $cur END) AS cs2) nx
          |  WHERE s.mv AND s.r < 16),
          |""".stripMargin +
-      """fin AS (SELECT cs FROM step ORDER BY r DESC LIMIT 1),
+      """fin AS MATERIALIZED (SELECT cs FROM step ORDER BY r DESC LIMIT 1),
         |asn AS (SELECT unnest(a.vs) AS v, unnest(f.cs) AS c,
         |    unnest(a.degs) AS deg FROM adj a, fin f),
         |rel AS (SELECT c, min(v) AS comm_id FROM asn GROUP BY c),
-        |mem AS (SELECT asn.v, rel.comm_id, asn.deg
-        |  FROM asn JOIN rel USING (c)),
+        |mem AS MATERIALIZED (SELECT asn.v, rel.comm_id, asn.deg
+        |  FROM asn JOIN rel USING (c))
+        |""".stripMargin
+  }
+
+  private def x32Oracle: String =
+    "WITH RECURSIVE\n" + louvainL1ReplayCtes + "," +
+      """
         |ein AS (SELECT m1.comm_id, CAST(count(*) AS BIGINT) AS e_c
         |  FROM edges ed JOIN mem m1 ON ed.p1 = m1.v
         |    JOIN mem m2 ON ed.p2 = m2.v
@@ -1655,7 +1707,89 @@ object GraphXQueries {
         |  CAST(coalesce(e.e_c, 0) AS BIGINT) AS e_c
         |FROM agg2 a LEFT JOIN ein e USING (comm_id)
         |ORDER BY comm_id""".stripMargin
+
+  /** DuckDB mirror of the full Louvain hierarchy: the shared level-1
+    * replay, a relational contraction into the weighted supergraph
+    * (cross-community edge masses + self-loop masses), then the SAME
+    * recursive round replay generalized to weights — k(u,c) sums edge
+    * weights, degrees carry 2x the self mass, and the gain order,
+    * tie, strictness and singleton-swap rules are identical to
+    * [[GraphAnalytics.louvainWeighted]]. */
+  private def x33Oracle: String = {
+    val cur = "s.cs[i]"
+    val deg = "a.degs[i]"
+    val ncs = "list_transform(a.ns[i], y -> s.cs[list_position(a.vs, y)])"
+    def size(c: String) = s"ag.sizes[list_position(cx.cls, $c)]"
+    def tot(c: String) = s"ag.tots[list_position(cx.cls, $c)]"
+    def k(c: String, lv: Int) =
+      s"CAST(list_sum(list_transform(range(1, " +
+        s"CAST(len(a.ns[i]) AS BIGINT) + 1), j$lv -> CASE WHEN " +
+        s"s.cs[list_position(a.vs, a.ns[i][j$lv])] = $c " +
+        s"THEN a.ws[i][j$lv] ELSE 0 END)) AS BIGINT)"
+    val stay = s"(a.m2 * ${k(cur, 3)} - $deg * (${tot(cur)} - $deg))"
+    val cands = s"list_filter(list_distinct($ncs), c0 -> c0 <> $cur)"
+    val pick = s"list_sort(list_transform($cands, c9 -> " +
+      s"{'negs': -(a.m2 * ${k("c9", 4)} - $deg * ${tot("c9")})," +
+      s" 'cc': c9}))[1]"
+    "WITH RECURSIVE\n" + louvainL1ReplayCtes + "," +
+      """
+        |ej AS MATERIALIZED (SELECT m1.comm_id AS c1, m2.comm_id AS c2
+        |  FROM edges ed JOIN mem m1 ON ed.p1 = m1.v
+        |    JOIN mem m2 ON ed.p2 = m2.v),
+        |cross2 AS MATERIALIZED (SELECT least(c1, c2) AS u, greatest(c1, c2) AS v,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM ej WHERE c1 <> c2 GROUP BY 1, 2),
+        |selfw AS MATERIALIZED (SELECT c1 AS v, CAST(count(*) AS BIGINT) AS sw
+        |  FROM ej WHERE c1 = c2 GROUP BY 1),
+        |e2 AS (SELECT u, v, w FROM cross2
+        |  UNION ALL SELECT v, u, w FROM cross2),
+        |nb2 AS (SELECT u AS vv, list(v ORDER BY v) AS nbrs,
+        |    list(w ORDER BY v) AS wts FROM e2 GROUP BY u),
+        |degt AS (SELECT nb2.vv, nb2.nbrs, nb2.wts,
+        |    CAST(list_sum(nb2.wts) + 2 * coalesce(sl.sw, 0) AS BIGINT)
+        |      AS dg
+        |  FROM nb2 LEFT JOIN selfw sl ON nb2.vv = sl.v),
+        |adj2 AS MATERIALIZED (SELECT list(vv ORDER BY vv) AS vs,
+        |  list(nbrs ORDER BY vv) AS ns, list(wts ORDER BY vv) AS ws,
+        |  list(dg ORDER BY vv) AS degs,
+        |  (SELECT CAST(sum(dg) AS BIGINT) FROM degt) AS m2 FROM degt),
+        |step2 AS (
+        |  SELECT 0 AS r, true AS mv, (SELECT vs FROM adj2) AS cs
+        |  UNION ALL
+        |  SELECT s.r + 1, nx.cs2 <> s.cs, nx.cs2
+        |  FROM step2 s CROSS JOIN adj2 a
+        |  CROSS JOIN LATERAL (SELECT list_distinct(s.cs) AS cls) cx
+        |  CROSS JOIN LATERAL (SELECT
+        |      list_transform(cx.cls, c1 ->
+        |        CAST(len(list_filter(s.cs, z1 -> z1 = c1)) AS BIGINT))
+        |        AS sizes,
+        |      list_transform(cx.cls, c2 -> list_sum(list_transform(
+        |        range(1, CAST(len(s.cs) AS BIGINT) + 1),
+        |        j -> CASE WHEN s.cs[j] = c2 THEN a.degs[j]
+        |             ELSE 0 END))) AS tots) ag
+        |""".stripMargin +
+      s"""  CROSS JOIN LATERAL (SELECT list_transform(a.vs, (x, i) ->
+         |      CASE WHEN $pick IS NOT NULL
+         |        AND -($pick.negs) > $stay
+         |        AND NOT (${size(cur)} = 1 AND ${size(s"$pick.cc")} = 1
+         |          AND $pick.cc > $cur)
+         |      THEN $pick.cc ELSE $cur END) AS cs2) nx
+         |  WHERE s.mv AND s.r < 8),
+         |""".stripMargin +
+      """fin2 AS MATERIALIZED (SELECT cs FROM step2 ORDER BY r DESC LIMIT 1),
+        |asn2 AS MATERIALIZED (SELECT unnest(a.vs) AS v, unnest(f.cs) AS c,
+        |    unnest(a.degs) AS deg FROM adj2 a, fin2 f),
+        |rel2 AS (SELECT c, min(v) AS comm2_id FROM asn2 GROUP BY c),
+        |sizes1 AS (SELECT comm_id, CAST(count(*) AS BIGINT) AS nv
+        |  FROM mem GROUP BY comm_id)
+        |SELECT r2.comm2_id, CAST(count(*) AS BIGINT) AS n_super,
+        |  CAST(sum(s1.nv) AS BIGINT) AS n_vertices,
+        |  CAST(sum(a2.deg) AS BIGINT) AS mass
+        |FROM asn2 a2 JOIN rel2 r2 USING (c)
+        |  JOIN sizes1 s1 ON a2.v = s1.comm_id
+        |GROUP BY r2.comm2_id ORDER BY r2.comm2_id""".stripMargin
   }
+
 
   /** DuckDB mirror of the min-pointer handshake rounds: `mmin(x)` is
     * the smallest LIVE neighbour; a pair (x, mmin(x)) matches when the
