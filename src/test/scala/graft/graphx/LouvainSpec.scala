@@ -90,6 +90,66 @@ class LouvainSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("property: engine rounds == in-memory simulator on random graphs") {
+    // an independent in-memory replay of the SAME rules (snapshot
+    // gains, exact-integer score, min-label ties, strict improvement,
+    // singleton-swap guard, 16-round budget) — any drift between the
+    // distributed implementation and its contract fails here on a
+    // graph the hand cases didn't think of
+    def simulate(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val sym = edges.filter(e => e._1 != e._2)
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      val nbrs = sym.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(_._2).toSet }
+      val deg = nbrs.map { case (u, ns) => u -> ns.size.toLong }
+      val twoM = deg.values.sum
+      var c = deg.keys.map(v => v -> v).toMap
+      var moved = true
+      var r = 0
+      while (moved && r < 16) {
+        r += 1
+        // toSeq first: grouping the KEY SET and mapping through deg
+        // would collapse duplicate degree values before summing
+        val tot = c.keys.toSeq.groupBy(c).map { case (cc, vs) =>
+          cc -> vs.map(deg).sum }
+        val size = c.keys.toSeq.groupBy(c)
+          .map { case (cc, vs) => cc -> vs.size }
+        val next = c.map { case (u, cu) =>
+          val k = nbrs(u).toSeq.groupBy(c).map { case (cc, ys) =>
+            cc -> ys.size.toLong }
+          def score(cc: Long) = twoM * k.getOrElse(cc, 0L) -
+            deg(u) * (tot(cc) - (if (cc == cu) deg(u) else 0L))
+          val stay = score(cu)
+          val cands = k.keys.filter(_ != cu).toSeq
+            .sortBy(cc => (-score(cc), cc))
+          u -> (cands.headOption match {
+            case Some(best) if score(best) > stay &&
+              !(size(cu) == 1 && size(best) == 1 && best > cu) => best
+            case _ => cu
+          })
+        }
+        moved = next != c
+        c = next
+      }
+      c
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 12) {
+      val n = 5 + rnd.nextInt(12)
+      val edges = (for {
+        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+        if rnd.nextDouble() < 0.35
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        val got = louvain(edges).select("v", "c")
+          .as[(Long, Long)].collect().toMap
+        val want = simulate(edges)
+        assert(got == want, s"trial $trial diverged (n=$n):" +
+          s" engine=$got sim=$want edges=$edges")
+      }
+    }
+  }
+
   test("rounds metric: clique chain converges in a handful of rounds") {
     val cliqueEdges = (for (g <- 0L to 9L) yield {
       val c = (g * 10) to (g * 10 + 9)
