@@ -578,6 +578,47 @@ class StreamingSpec extends SparkSpec {
       s"recovery broke exactly-once: $got")
   }
 
+  test("foreachBatch partials are replay-idempotent keyed by batchId") {
+    // the exactly-once discipline for the s21/s25/s29/s30 maintenance
+    // family: a foreachBatch APPEND duplicates its partials if the
+    // micro-batch replays after a mid-commit failure; keying the write
+    // by batchId under dynamic partition overwrite makes the replay
+    // OVERWRITE its own partition instead — the drain-time fold is
+    // then exactly-once under any retry, because sum-of-partials reads
+    // each batch partition exactly once regardless of how many times
+    // it was written
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-idem").toString
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      def writeEpoch(rows: Seq[(String, Long)], id: Long): Unit =
+        rows.toDF("k", "n").withColumn("batch", lit(id))
+          .write.mode("overwrite").partitionBy("batch").parquet(base)
+      def fold(): Map[String, Long] = spark.read.parquet(base)
+        .groupBy("k").agg(sum("n").as("n"))
+        .as[(String, Long)].collect().toMap
+      writeEpoch(Seq(("a", 1L), ("b", 2L)), 0L)
+      writeEpoch(Seq(("a", 10L), ("c", 5L)), 1L)
+      val committed = fold()
+      assert(committed == Map("a" -> 11L, "b" -> 2L, "c" -> 5L))
+      writeEpoch(Seq(("a", 10L), ("c", 5L)), 1L) // the REPLAY
+      assert(fold() == committed,
+        "replayed batch changed the fold — partials are not idempotent")
+      // and a plain APPEND of the same replay would have double-counted
+      // (the failure mode the pattern exists to prevent)
+      Seq(("a", 10L), ("c", 5L)).toDF("k", "n")
+        .withColumn("batch", lit(1L))
+        .write.mode("append").partitionBy("batch").parquet(base)
+      assert(fold() == Map("a" -> 21L, "b" -> 2L, "c" -> 10L),
+        s"append control: ${fold()}")
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("editDistance matches Spark's levenshtein on random strings") {
     import graft.streaming.Streams
     val rnd = new scala.util.Random(42)
