@@ -35,6 +35,19 @@ object Relational {
 
   private def ts(lit0: String): Column = to_timestamp(lit(lit0))
 
+  /** ONE oracle for the VARIANT family — q73 (batch parse_json +
+    * variant_get aggregate) and s31 (the same aggregate maintained by
+    * the stream) hash-check against this same SQL. */
+  private[queries] val variantAggOracle =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+      |    AS BIGINT) AS sum_k,
+      |  CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER))
+      |    AS INTEGER) AS min_k,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER))
+      |    AS INTEGER) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val registry: Seq[RegQuery] = Seq(
 
     // ---- scan / filter / project / sort -------------------------------
@@ -1945,14 +1958,7 @@ object Relational {
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type"),
-      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
-             |    AS BIGINT) AS sum_k,
-             |  CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER))
-             |    AS INTEGER) AS min_k,
-             |  CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER))
-             |    AS INTEGER) AS max_k
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+      Some(variantAggOracle)),
 
     // ---- q74: SQL scalar UDF (CREATE FUNCTION ... RETURN) ---------------
     // The engine's SQL surface is user-extensible WITHOUT Scala: a SQL

@@ -1665,7 +1665,32 @@ object Streaming {
           .groupBy("token").agg(sum("n").as("n"))
           .orderBy(col("n").desc, col("token").asc).limit(100)
       },
-      Some(Pipeline.wordpieceOracle))
+      Some(Pipeline.wordpieceOracle)),
+
+    // ---- s31: streaming VARIANT ingestion -------------------------------
+    // q73's streaming twin: the open-schema payload parses to a
+    // binary VARIANT as rows ARRIVE (schema-on-read at the ingest
+    // edge — no re-parse at query time), typed extraction feeds a
+    // running complete-mode aggregate, and the drained result
+    // hash-checks against the SAME SQL as q73.
+    RegQuery("s31_stream_variant",
+      (s, d) => {
+        val q = withStatePartitions(s, 8) {
+          streamEvents(s, d)
+            .select(col("event_type"),
+              expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+              min("k").as("min_k"), max("k").as("max_k"))
+            .writeStream.format("memory").queryName("s31_sink")
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination()
+        s.table("s31_sink")
+          .select("event_type", "n", "sum_k", "min_k", "max_k")
+          .orderBy("event_type")
+      },
+      Some(Relational.variantAggOracle))
   )
 
   private val docsSchema = StructType(Seq(
