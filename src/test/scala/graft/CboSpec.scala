@@ -22,6 +22,9 @@ class CboSpec extends SparkSpec {
   }
 
   test("ANALYZE TABLE stats reach the optimizer's Statistics") {
+    // a previous JVM's warehouse dir survives the in-memory catalog —
+    // drop table AND location (the Scratch discipline)
+    graft.queries.Scratch.dropTable(spark, "graft_cbo_sup")
     Tables(spark, sfDir, "supplier")
       .write.mode("overwrite").saveAsTable("graft_cbo_sup")
     val expected = spark.table("graft_cbo_sup").count()
