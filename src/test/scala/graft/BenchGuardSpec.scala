@@ -14,14 +14,24 @@ class BenchGuardSpec extends SparkSpec {
 
   private val sf001 = "/root/testdata/sf0.01"
 
-  private def minOf2(name: String): Double = {
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sf001).write
-        .format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    math.min(once(), once())
+  private def once(name: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, sf001).write
+      .format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def minOf2(name: String): Double =
+    math.min(once(name), once(name))
+
+  /** min-of-2, plus ONE extra sample only when that is over the limit:
+    * this host's documented stalls can blanket two consecutive samples
+    * mid-suite (x20 measured 12.8 s in a loaded 24-minute run vs 2.9 s
+    * standalone minutes later), while a genuine plan regression —
+    * the thing these guards exist for — fails all three. */
+  private def guarded(name: String, limit: Double): Double = {
+    val m2 = minOf2(name)
+    if (m2 < limit) m2 else math.min(m2, once(name))
   }
 
   // committed min-of-2 local[4]/sf0.01 baselines (calibrated 2026-08:
@@ -91,7 +101,7 @@ class BenchGuardSpec extends SparkSpec {
 
   guards.foreach { case (name, limitSec) =>
     test(s"$name stays under ${limitSec}s (3x committed time)") {
-      val sec = minOf2(name)
+      val sec = guarded(name, limitSec)
       info(f"$name: $sec%.2f s (limit $limitSec)")
       assert(sec < limitSec,
         f"$name took $sec%.1f s (limit $limitSec) — plan regression?")
