@@ -1939,13 +1939,27 @@ object GraphAnalytics {
       .agg(sum("w").as("aw"))
     val degs = selfLoops match {
       case None => adjMass.select(col("v"), col("aw").as("deg"))
-      case Some(sl) => adjMass.join(sl, Seq("v"), "left")
+      // FULL outer: a supernode whose only mass is self-loops (an
+      // isolated level-1 community — no cross-community edges) has no
+      // adjMass row but must stay in the vertex universe as its own
+      // community with deg = 2·sw, or the level silently drops it
+      // from the assignment (and the hierarchy's vertex/mass totals).
+      case Some(sl) => adjMass.join(sl, Seq("v"), "full")
         .select(col("v"),
-          (col("aw") + lit(2L) * coalesce(col("sw"), lit(0L))).as("deg"))
+          (coalesce(col("aw"), lit(0L)) +
+            lit(2L) * coalesce(col("sw"), lit(0L))).as("deg"))
     }
     var comm = rebase(degs.select(col("v"), col("v").as("c"),
       col("deg")))
-    val twoM = comm.agg(sum("deg")).first().getLong(0) // Σdeg = 2m
+    // coalesce: sum over ZERO rows is null — a degenerate/filtered-empty
+    // graph returns the empty [v, c, deg] frame like the other entry
+    // points instead of NPEing on the driver
+    val twoM = comm.agg(coalesce(sum("deg"), lit(0L)))
+      .first().getLong(0) // Σdeg = 2m
+    if (twoM == 0L) {
+      spark.sparkContext.setLocalProperty("graft.louvain.rounds", "0")
+      return comm
+    }
     var round = 0
     var moved = 1L
     while (moved > 0) {

@@ -1745,10 +1745,12 @@ object GraphXQueries {
         |  UNION ALL SELECT v, u, w FROM cross2),
         |nb2 AS (SELECT u AS vv, list(v ORDER BY v) AS nbrs,
         |    list(w ORDER BY v) AS wts FROM e2 GROUP BY u),
-        |degt AS (SELECT nb2.vv, nb2.nbrs, nb2.wts,
-        |    CAST(list_sum(nb2.wts) + 2 * coalesce(sl.sw, 0) AS BIGINT)
-        |      AS dg
-        |  FROM nb2 LEFT JOIN selfw sl ON nb2.vv = sl.v),
+        |degt AS (SELECT coalesce(nb2.vv, sl.v) AS vv,
+        |    coalesce(nb2.nbrs, CAST([] AS BIGINT[])) AS nbrs,
+        |    coalesce(nb2.wts, CAST([] AS BIGINT[])) AS wts,
+        |    CAST(coalesce(list_sum(nb2.wts), 0) + 2 * coalesce(sl.sw, 0)
+        |      AS BIGINT) AS dg
+        |  FROM nb2 FULL OUTER JOIN selfw sl ON nb2.vv = sl.v),
         |adj2 AS MATERIALIZED (SELECT list(vv ORDER BY vv) AS vs,
         |  list(nbrs ORDER BY vv) AS ns, list(wts ORDER BY vv) AS ws,
         |  list(dg ORDER BY vv) AS degs,

@@ -376,10 +376,18 @@ object Pipeline {
       .limit(512).select("s").as[String].collect() // bounded page
     val chars = words.select(explode(split(col("w"), "")).as("c"))
       .where(col("c") =!= "").distinct().as[String].collect()
-    // [a-z] corpus — no metacharacters to escape; longest-first, then
-    // lexicographic, so both engines build the same pattern
+    // [a-z0-9] corpus — no metacharacters to escape; longest-first,
+    // then lexicographic, so both engines build the same pattern. The
+    // alternation is interpolated UNQUOTED into Java regex here and
+    // into RE2 in the oracle; a regex metacharacter in a vocab piece
+    // would silently change match semantics (and differently per
+    // engine), so a corpus drift must fail loudly instead.
     val vocab = (top.toSet ++ chars.toSet).toSeq
       .sortBy(p => (-p.length, p))
+    val offender = vocab.find(!_.matches("[a-z0-9]+"))
+    require(offender.isEmpty, s"wordpiece vocab piece ${offender.get} " +
+      "contains non-[a-z0-9] chars — quote the alternation (\\Q...\\E) " +
+      "in BOTH engines before lifting this guard")
     "(" + vocab.mkString("|") + ")"
   }
 

@@ -1067,7 +1067,12 @@ object Streaming {
           s.readStream.schema(lineitemSchema)
             .option("maxFilesPerTrigger", "1").parquet(stagePath)
             .writeStream
-            .foreachBatch { (batch: DataFrame, _: Long) =>
+            .foreachBatch { (batch: DataFrame, bid: Long) =>
+              // exactly-once under replay: the partial is keyed by its
+              // batchId partition and written as a DYNAMIC overwrite,
+              // so a micro-batch replayed after a mid-commit failure
+              // REWRITES its own partition instead of double-counting
+              // (the StreamingSpec replay-idempotence pattern)
               batch
                 .groupBy(col("l_returnflag").as("flag"),
                   col("l_linestatus").as("status"))
@@ -1076,7 +1081,10 @@ object Streaming {
                   sum(expr(
                     "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
                     .as("sum_cents"))
-                .write.mode("append").parquet(sumPath)
+                .withColumn("batch_id", lit(bid))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id").parquet(sumPath)
               ()
             }
             .trigger(Trigger.AvailableNow()).start()
@@ -1330,12 +1338,17 @@ object Streaming {
           s.readStream.schema(cdcSchema)
             .option("maxFilesPerTrigger", "1").parquet(stagePath)
             .writeStream
-            .foreachBatch { (batch: DataFrame, _: Long) =>
+            .foreachBatch { (batch: DataFrame, bid: Long) =>
+              // signed partials keyed by batchId + dynamic overwrite —
+              // a replayed retraction batch rewrites, never re-retracts
               batch.groupBy("flag", "status")
                 .agg(sum("sign").as("n"),
                   sum(col("sign") * col("qty")).as("sum_qty"),
                   sum(col("sign") * col("cents")).as("sum_cents"))
-                .write.mode("append").parquet(sumPath)
+                .withColumn("batch_id", lit(bid))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id").parquet(sumPath)
               ()
             }
             .trigger(Trigger.AvailableNow()).start()
@@ -1565,7 +1578,7 @@ object Streaming {
           s.readStream.schema(docSchema)
             .option("maxFilesPerTrigger", "1").parquet(stagePath)
             .writeStream
-            .foreachBatch { (batch: DataFrame, _: Long) =>
+            .foreachBatch { (batch: DataFrame, bid: Long) =>
               val tok = batch
                 .select(col("doc_id"),
                   graft.llm.TextOps.tokens(col("text")).as("tk"))
@@ -1578,13 +1591,42 @@ object Streaming {
                   explode(col("tk")).as("term"))
                 .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
                 .localCheckpoint() // feeds the table AND the df partial
-              post.write.mode("append").bucketBy(16, "term").sortBy("term")
-                .format("parquet").saveAsTable(postT)
+              // exactly-once under replay: all THREE outputs are keyed
+              // by their batchId partition and written as DYNAMIC
+              // overwrites — a micro-batch replayed after a mid-commit
+              // failure rewrites its own partition instead of
+              // double-counting postings/df/stats (the StreamingSpec
+              // replay-idempotence pattern). The postings table stays
+              // term-bucketed WITHIN each batch partition, so probe
+              // pruning survives appends AND replays.
+              val postB = post.withColumn("batch_id", lit(bid))
+              if (!s.catalog.tableExists(postT))
+                postB.write.partitionBy("batch_id")
+                  .bucketBy(16, "term").sortBy("term")
+                  .format("parquet").mode("overwrite").saveAsTable(postT)
+              else {
+                // insertInto IGNORES the per-write partitionOverwriteMode
+                // option (measured: it statically wipes the table) — only
+                // the session conf reaches the catalog-table insert path.
+                // foreachBatch runs on the stream's CLONED session, so the
+                // conf must be set on the BATCH's session (the outer
+                // session's conf is invisible here); the clone dies with
+                // the query, so no restore needed
+                postB.sparkSession.conf
+                  .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+                postB.write.mode("overwrite").insertInto(postT)
+              }
               post.groupBy("term").agg(count(lit(1)).as("df"))
-                .write.mode("append").parquet(dfPath)
+                .withColumn("batch_id", lit(bid))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id").parquet(dfPath)
               tok.agg(count(lit(1)).as("n_docs"),
                   sum(col("dl")).as("sum_dl"))
-                .write.mode("append").parquet(statPath)
+                .withColumn("batch_id", lit(bid))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id").parquet(statPath)
               ()
             }
             .trigger(Trigger.AvailableNow()).start()
@@ -1647,7 +1689,9 @@ object Streaming {
           s.readStream.schema(docSchema)
             .option("maxFilesPerTrigger", "1").parquet(stagePath)
             .writeStream
-            .foreachBatch { (batch: DataFrame, _: Long) =>
+            .foreachBatch { (batch: DataFrame, bid: Long) =>
+              // token-count partials keyed by batchId + dynamic
+              // overwrite: replays rewrite, never double-count
               batch
                 .select(explode(graft.llm.TextOps.tokens(col("text")))
                   .as("w"))
@@ -1655,7 +1699,10 @@ object Streaming {
                 .select(explode(regexp_extract_all(col("w"), lit(pat),
                   lit(0))).as("token"))
                 .groupBy("token").agg(count(lit(1)).as("n"))
-                .write.mode("append").parquet(cntPath)
+                .withColumn("batch_id", lit(bid))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id").parquet(cntPath)
               ()
             }
             .trigger(Trigger.AvailableNow()).start()

@@ -21,15 +21,21 @@ class CboSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
-  test("ANALYZE TABLE stats reach the optimizer's Statistics") {
+  // each test creates + ANALYZEs its own fixture (idempotent), so the
+  // tests are independently runnable — no cross-test table dependency
+  private def analyzedSup(): Unit = {
     // a previous JVM's warehouse dir survives the in-memory catalog —
     // drop table AND location (the Scratch discipline)
     graft.queries.Scratch.dropTable(spark, "graft_cbo_sup")
     Tables(spark, sfDir, "supplier")
       .write.mode("overwrite").saveAsTable("graft_cbo_sup")
-    val expected = spark.table("graft_cbo_sup").count()
     spark.sql("ANALYZE TABLE graft_cbo_sup COMPUTE STATISTICS " +
       "FOR COLUMNS s_suppkey, s_acctbal")
+  }
+
+  test("ANALYZE TABLE stats reach the optimizer's Statistics") {
+    analyzedSup()
+    val expected = spark.table("graft_cbo_sup").count()
     withCbo {
       val stats = spark.table("graft_cbo_sup")
         .queryExecution.optimizedPlan.stats
@@ -47,8 +53,7 @@ class CboSpec extends SparkSpec {
   test("filter selectivity estimates shrink under column stats") {
     // with histograms/min-max known, the optimizer estimates a range
     // filter at a fraction of the table instead of the no-stats guess
-    spark.sql("ANALYZE TABLE graft_cbo_sup COMPUTE STATISTICS " +
-      "FOR COLUMNS s_suppkey")
+    analyzedSup()
     withCbo {
       val all = spark.table("graft_cbo_sup")
       val total = all.queryExecution.optimizedPlan.stats

@@ -619,6 +619,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch fold survives a kill BETWEEN partial append and commit") {
+    // the crash the batchId-keyed pattern exists for, rehearsed
+    // end-to-end: the query dies AFTER batch 1's partial has landed
+    // but BEFORE the offset log commits, restarts from the SAME
+    // checkpoint (so batch 1 REPLAYS), and the drained fold must still
+    // equal the batch recompute — the dynamic overwrite rewrites the
+    // half-committed partition instead of double-counting it
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-killfold").toString
+    val stage = s"$base/stage"; val sumDir = s"$base/sum"; val ck = s"$base/ck"
+    for (i <- 0 to 2)
+      Seq.tabulate(20)(j => (i * 20 + j.toLong, (j % 4).toString))
+        .toDF("id", "k").coalesce(1).write.mode("append").parquet(stage)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType)))
+    val killed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          batch.groupBy("k")
+            .agg(count(lit(1)).as("n"), sum("id").as("sum_id"))
+            .withColumn("batch_id", lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(sumDir)
+          // the partial for batch 1 is ON DISK; dying HERE (before
+          // foreachBatch returns) means the offset log never commits
+          // batch 1 — the exact mid-commit window
+          if (bid == 1L && !killed.getAndSet(true))
+            throw new RuntimeException("simulated crash between append and commit")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException
+        if e.getMessage.contains("simulated crash") => () }
+    }
+    run() // dies mid-batch-1
+    assert(killed.get(), "the simulated crash never fired")
+    run() // restart from the same checkpoint: batch 1 replays
+    val folded = spark.read.parquet(sumDir)
+      .groupBy("k").agg(sum("n").as("n"), sum("sum_id").as("sum_id"))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, n, s) => k -> ((n, s)) }.toMap
+    val expect = spark.read.parquet(stage)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("id").as("sum_id"))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, n, s) => k -> ((n, s)) }.toMap
+    assert(folded == expect,
+      s"fold after kill-and-restart diverged: $folded vs $expect")
+  }
+
   test("editDistance matches Spark's levenshtein on random strings") {
     import graft.streaming.Streams
     val rnd = new scala.util.Random(42)
