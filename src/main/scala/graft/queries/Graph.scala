@@ -294,6 +294,206 @@ object Graph {
              |UNION ALL SELECT 'nodes',
              |  (SELECT count(*) FROM customer) + (SELECT count(*) FROM nation)
              |  + (SELECT count(*) FROM region) + (SELECT count(*) FROM orders)
-             |) ORDER BY stat""".stripMargin))
+             |) ORDER BY stat""".stripMargin)),
+
+    // ---- g15: DataSource V2 point get (the storage seam, first-class) --
+    // g01 re-run through the `graft` CONNECTOR instead of the catalog
+    // bucketed table: the store is a path-managed generation log
+    // (sources/v2) a SQL-text user can address directly. The scan
+    // prunes to 1-of-32 buckets from the manifest AND pushes id= into
+    // the parquet row groups (GraftDsv2Spec pins both in the plan);
+    // the oracle is g01's VERBATIM — the provider must lose nothing.
+    RegQuery("g15_dsv2_point_get",
+      (s, d) => {
+        val root = Scratch.path(s, "dsv2_attrs", d)
+        Scratch.clear(s, root)
+        val attrs = graft.graph.GraphView.nodesAttrs(s, d)
+        graft.sources.v2.GraftTable.create(root, attrs.schema, "id")
+        attrs.write.format("graft").mode("append").save(root)
+        s.read.format("graft").load(root)
+          .where(col("id") === "customer/1")
+          .select(col("id"), col("key").as("attr_key"),
+            col("value.str").as("value_str"),
+            col("value.num").as("value_num"),
+            col("value.iri").as("value_iri"))
+          .orderBy("attr_key")
+      },
+      Some("""SELECT * FROM (
+             |SELECT 'customer/1' AS id, 'acctbal' AS attr_key,
+             |  CAST(NULL AS VARCHAR) AS value_str, c_acctbal AS value_num,
+             |  CAST(NULL AS VARCHAR) AS value_iri
+             |  FROM customer WHERE c_custkey = 1
+             |UNION ALL
+             |SELECT 'customer/1', 'name', c_name, NULL, NULL
+             |  FROM customer WHERE c_custkey = 1
+             |UNION ALL
+             |SELECT 'customer/1', 'nation', NULL, NULL, 'nation/' || c_nationkey
+             |  FROM customer WHERE c_custkey = 1
+             |) ORDER BY attr_key""".stripMargin)),
+
+    // ---- g16: storage-partitioned join over two graft V2 tables --------
+    // The q61 discipline carried through the connector: both stores
+    // are murmur3-bucketed 32 ways on the join key, their scans report
+    // KeyGroupedPartitioning(bucket(32, id)), and the GraftCatalog
+    // serves the bucket function — so the fact-to-dim join plans with
+    // ZERO Exchange under storage-partitioned-join rules, in PURE SQL
+    // text against catalog-addressed tables (GraftDsv2Spec pins the
+    // Exchange-free plan; the oracle joins the raw parquet, proving
+    // the V2 write+read round-trips every row).
+    RegQuery("g16_dsv2_spj_join",
+      (s, d) => {
+        val (cat, wh) = dsv2Catalog(s)
+        val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+        val nRoot = s"$wh/g/nodes_$tag"; val eRoot = s"$wh/g/edges_$tag"
+        Scratch.clear(s, nRoot, eRoot)
+        val nodes = Tables(s, d, "customer").select(
+          concat(lit("customer/"), col("c_custkey")).as("id"),
+          concat(lit("nation/"), col("c_nationkey")).as("nation"))
+        val edges = Tables(s, d, "orders").select(
+          concat(lit("customer/"), col("o_custkey")).as("id"),
+          expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            .as("total_cents"))
+        graft.sources.v2.GraftTable.create(nRoot, nodes.schema, "id")
+        graft.sources.v2.GraftTable.create(eRoot, edges.schema, "id")
+        nodes.write.format("graft").mode("append").save(nRoot)
+        edges.write.format("graft").mode("append").save(eRoot)
+        val confs = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+        val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        try s.sql(
+          s"""SELECT n.nation, count(*) AS n_orders,
+             |  sum(e.total_cents) AS sum_cents
+             |FROM $cat.g.edges_$tag e JOIN $cat.g.nodes_$tag n
+             |  ON e.id = n.id
+             |GROUP BY n.nation ORDER BY n.nation""".stripMargin)
+          // materialize while the SPJ confs are in force
+          .localCheckpoint()
+        finally saved.foreach { case (k, vOpt) =>
+          vOpt.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+      },
+      Some("""SELECT 'nation/' || c_nationkey AS nation,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |    AS BIGINT) AS sum_cents
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY nation""".stripMargin)),
+
+    // ---- g17: generation time travel (read the PRE-compaction past) ----
+    // The store's whole history is addressable: three committed
+    // generations (names@ts1, renames+orders@ts2, then a last-write-
+    // wins COMPACTION that rewrites the live set), and the engine
+    // reads `VERSION AS OF 2` — the snapshot BEFORE compaction — in
+    // pure SQL text AFTER the compaction committed. The oracle
+    // reconstructs epochs 1+2 from the raw parquet, so the hash proves
+    // compaction never rewrites history (manifests are append-only;
+    // GraftDsv2Spec pins byte-stability of every prior generation).
+    RegQuery("g17_dsv2_time_travel",
+      (s, d) => {
+        val (cat, wh) = dsv2Catalog(s)
+        val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+        val root = s"$wh/g/hist_$tag"
+        Scratch.clear(s, root)
+        buildHistoryStore(s, d, root)
+        s.sql(
+          s"""SELECT id, attr_key, value, ts
+             |FROM $cat.g.hist_$tag VERSION AS OF 2
+             |ORDER BY id, attr_key, ts""".stripMargin)
+      },
+      Some(historyEpoch12Oracle)),
+
+    // ---- g18: compaction = merge-on-read made durable -------------------
+    // The same three-generation store, reading the LIVE table after
+    // the compaction commit: last-write-wins per (id, attr_key) — the
+    // Engine.merge contract applied at rewrite time (the reference
+    // checkpoints FASTER stores for the same reason,
+    // NodeAttrIndex.cs:74,115-121). The oracle recomputes the merged
+    // view from raw parquet: compaction must equal merge-on-read.
+    RegQuery("g18_dsv2_compact_merge",
+      (s, d) => {
+        val (cat, wh) = dsv2Catalog(s)
+        val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+        val root = s"$wh/g/merged_$tag"
+        Scratch.clear(s, root)
+        buildHistoryStore(s, d, root)
+        s.sql(
+          s"""SELECT id, attr_key, value, ts
+             |FROM $cat.g.merged_$tag
+             |ORDER BY id, attr_key""".stripMargin)
+      },
+      Some("""SELECT * FROM (
+             |SELECT 'customer/' || c_custkey AS id, 'name' AS attr_key,
+             |  upper(c_name) AS value, CAST(2 AS BIGINT) AS ts
+             |FROM customer WHERE c_custkey <= 200
+             |UNION ALL
+             |SELECT 'orders/' || o_orderkey, 'total',
+             |  CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             |    AS VARCHAR), CAST(2 AS BIGINT)
+             |FROM orders WHERE o_orderkey <= 400
+             |) ORDER BY id, attr_key""".stripMargin))
   )
+
+  /** Epochs 1+2 reconstructed from raw parquet — what VERSION AS OF 2
+    * must read after the compaction commit. */
+  private def historyEpoch12Oracle: String =
+    """SELECT * FROM (
+      |SELECT 'customer/' || c_custkey AS id, 'name' AS attr_key,
+      |  c_name AS value, CAST(1 AS BIGINT) AS ts
+      |FROM customer WHERE c_custkey <= 200
+      |UNION ALL
+      |SELECT 'customer/' || c_custkey, 'name', upper(c_name),
+      |  CAST(2 AS BIGINT)
+      |FROM customer WHERE c_custkey <= 200
+      |UNION ALL
+      |SELECT 'orders/' || o_orderkey, 'total',
+      |  CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+      |  CAST(2 AS BIGINT)
+      |FROM orders WHERE o_orderkey <= 400
+      |) ORDER BY id, attr_key, ts""".stripMargin
+
+  /** Register the graft V2 catalog once per session (fixed warehouse
+    * under spark.sql.warehouse.dir; per-sf-dir table names keep scale
+    * factors apart). Returns (catalogName, warehouse). */
+  private def dsv2Catalog(s: SparkSession): (String, String) = {
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      .stripPrefix("file:") + "/graft_dsv2_cat"
+    s.conf.set("spark.sql.catalog.graft_store",
+      "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_store.warehouse", wh)
+    ("graft_store", wh)
+  }
+
+  /** The shared g17/g18 fixture: gen 1 = customer names (ts 1), gen 2
+    * += upper-cased renames and order totals (ts 2), gen 3 = the
+    * last-write-wins compaction rewrite (old generations retained). */
+  private def buildHistoryStore(s: SparkSession, d: String,
+                                root: String): Unit = {
+    val rows1 = Tables(s, d, "customer").where(col("c_custkey") <= 200)
+      .select(concat(lit("customer/"), col("c_custkey")).as("id"),
+        lit("name").as("attr_key"), col("c_name").as("value"),
+        lit(1L).as("ts"))
+    val rows2 = Tables(s, d, "customer").where(col("c_custkey") <= 200)
+      .select(concat(lit("customer/"), col("c_custkey")).as("id"),
+        lit("name").as("attr_key"), upper(col("c_name")).as("value"),
+        lit(2L).as("ts"))
+      .unionAll(Tables(s, d, "orders").where(col("o_orderkey") <= 400)
+        .select(concat(lit("orders/"), col("o_orderkey")).as("id"),
+          lit("total").as("attr_key"),
+          expr("cast(cast(floor(o_totalprice * 100 + 0.5) as bigint) " +
+            "as string)").as("value"),
+          lit(2L).as("ts")))
+    graft.sources.v2.GraftTable.create(root, rows1.schema, "id")
+    rows1.write.format("graft").mode("append").save(root) // gen 1
+    rows2.write.format("graft").mode("append").save(root) // gen 2
+    // gen 3: compaction — merge-on-read made durable (last write wins
+    // per (id, attr_key)), rewriting the live file set only
+    val w = Window.partitionBy("id", "attr_key").orderBy(col("ts").desc)
+    s.read.format("graft").load(root)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .drop("rn")
+      .localCheckpoint() // never read the store you are replacing
+      .write.format("graft").mode("overwrite").save(root)
+  }
 }

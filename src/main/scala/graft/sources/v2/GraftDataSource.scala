@@ -1,0 +1,479 @@
+package graft.sources.v2
+
+import java.io.File
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft` — a DataSource V2 table format over the engine's bucketed
+  * graph-store layout (the first-class storage seam the reference gets
+  * from FileStore.fs:514-551 + NodeAttrIndex.cs:35-50; here the same
+  * layout GraphStore.scala materializes through the session catalog,
+  * re-expressed as a connector so a SQL-text user can address the
+  * store directly, time-travel it, and join it shuffle-free).
+  *
+  * Layout: `<root>/data/part-*_<bucket%05d>.parquet` (immutable,
+  * murmur3-bucketed by the store's bucket column — Spark's own
+  * HashPartitioning routing) + `<root>/gen-*.json` manifests
+  * ([[StoreManifest]]) listing each generation's live file set.
+  *
+  * 100 TB shape:
+  *   - point lookups push `id = lit` into BOTH levels: the manifest
+  *     prunes to 1-of-32 buckets (file skip), the parquet predicate
+  *     prunes row groups inside the surviving files;
+  *   - scans report [[KeyGroupedPartitioning]] over `bucket(32, id)`,
+  *     so two graft tables bucketed alike join with ZERO Exchange
+  *     (storage-partitioned join; the [[GraftCatalog]] resolves the
+  *     `bucket` function for the planner);
+  *   - writes REQUIRE a clustered distribution on the bucket column
+  *     (32 partitions, sorted within), so the one shuffle is paid at
+  *     write time and every writer task emits whole-bucket files;
+  *   - commits are append-only manifests — append/compact never
+  *     rewrite history, so `VERSION AS OF` reads any prior
+  *     generation (the pre-compaction snapshot included).
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def root(options: CaseInsensitiveStringMap): String =
+    GraftTable.norm(Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft source needs a path")))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StoreManifest.resolve(root(options),
+      Option(options.get("generation")).map(_.toLong),
+      Option(options.get("timestampMs")).map(_.toLong)).schema
+
+  override def inferPartitioning(
+      options: CaseInsensitiveStringMap): Array[Transform] = {
+    val g = StoreManifest.resolve(root(options),
+      Option(options.get("generation")).map(_.toLong), None)
+    Array(Expressions.bucket(g.numBuckets, g.bucketCol))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GraftTable(root(opts),
+      Option(opts.get("generation")).map(_.toLong),
+      Option(opts.get("timestampMs")).map(_.toLong))
+  }
+}
+
+object GraftTable {
+  /** Local-FS path normalization: a `file:` URI and a bare path must
+    * name the SAME store (java.io manifest IO would otherwise treat
+    * the scheme as a relative directory while hadoop Paths parse it). */
+  def norm(path: String): String =
+    if (path.startsWith("file:")) path.stripPrefix("file:") else path
+
+  /** Bootstrap an empty store (gen 0: schema + bucket spec, no files) —
+    * after this, `df.write.format("graft").mode("append").save(root)`
+    * and the catalog route both work against it. */
+  def create(rootDir: String, schema: StructType, bucketCol: String,
+             numBuckets: Int = 32): Unit = {
+    require(schema.fieldNames.contains(bucketCol),
+      s"bucket column $bucketCol not in schema")
+    StoreManifest.commit(norm(rootDir), schema, bucketCol, numBuckets, Nil)
+  }
+
+  /** The murmur3 bucket of a key — EXACTLY Spark's HashPartitioning
+    * routing (seed 42, pmod), the same function the V1 bucketBy layout
+    * and the reference's GetPartitionFromHash (Types.fs:23-24) use, so
+    * V2 files interleave correctly with Spark's own bucketing. */
+  def bucketOf(key: Any, n: Int): Int = {
+    val h = key match {
+      case s: UTF8String => Murmur3_x86_32.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+      case s: String =>
+        val u = UTF8String.fromString(s)
+        Murmur3_x86_32.hashUnsafeBytes(
+          u.getBaseObject, u.getBaseOffset, u.numBytes, 42)
+      case i: Int => Murmur3_x86_32.hashInt(i, 42)
+      case l: Long => Murmur3_x86_32.hashLong(l, 42)
+      case other => throw new IllegalArgumentException(
+        s"unsupported bucket key $other")
+    }
+    val m = h % n
+    if (m < 0) m + n else m
+  }
+
+  private[v2] def bucketOfFile(name: String): Int = {
+    val m = "_([0-9]{5})\\.parquet$".r.findFirstMatchIn(name)
+    m.fold(throw new IllegalArgumentException(
+      s"not a graft bucket file: $name"))(_.group(1).toInt)
+  }
+}
+
+class GraftTable(rootDir0: String, pinnedGen: Option[Long],
+                 asOfMs: Option[Long])
+  extends Table with SupportsRead with SupportsWrite {
+
+  private val rootDir = GraftTable.norm(rootDir0)
+
+  private[v2] lazy val gen: StoreGen =
+    StoreManifest.resolve(rootDir, pinnedGen, asOfMs)
+
+  override def name(): String =
+    s"graft.`$rootDir`" + pinnedGen.fold("")(g => s"@v$g")
+  override def schema(): StructType = gen.schema
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.bucket(gen.numBuckets, gen.bucketCol))
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(rootDir, gen)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedGen.isEmpty && asOfMs.isEmpty,
+      "a time-travel snapshot is read-only — write to the live table")
+    new GraftWriteBuilder(rootDir, gen, info)
+  }
+}
+
+// ---------------------------------------------------------------- read
+
+class GraftScanBuilder(rootDir: String, gen: StoreGen)
+  extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = gen.schema
+  private var pushed: Array[Filter] = Array.empty
+  // None = no bucket constraint; Some(set) = only these buckets scan
+  private var buckets: Option[Set[Int]] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val supportable = filters.filter(parquetPredicate(_).isDefined)
+    pushed = supportable
+    filters.foreach {
+      case EqualTo(c, v) if c == gen.bucketCol =>
+        merge(Set(GraftTable.bucketOf(v, gen.numBuckets)))
+      case In(c, vs) if c == gen.bucketCol =>
+        merge(vs.map(GraftTable.bucketOf(_, gen.numBuckets)).toSet)
+      case _ => ()
+    }
+    // parquet pushdown is row-group/page granular, not exact — hand
+    // every filter back for Spark's post-scan re-evaluation (the same
+    // contract the built-in parquet source uses)
+    filters
+  }
+  private def merge(bs: Set[Int]): Unit =
+    buckets = Some(buckets.fold(bs)(_ intersect bs))
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  private def parquetPredicate(f: Filter): Option[FilterPredicate] =
+    GraftParquetFilters.predicate(gen.schema, f)
+
+  override def build(): Scan =
+    new GraftScan(rootDir, gen, required, pushed, buckets)
+}
+
+/** V1 Filter → parquet FilterPredicate for flat columns of the store's
+  * comparable types (built on BOTH sides: the scan builder decides
+  * supportability, the executor reader rebuilds the same predicate
+  * from the serialized Filters). */
+object GraftParquetFilters {
+  def predicate(schema: StructType, f: Filter): Option[FilterPredicate] = {
+    def typ(c: String): Option[DataType] =
+      schema.fields.find(_.name == c).map(_.dataType)
+    def eq(c: String, v: Any): Option[FilterPredicate] = typ(c).flatMap {
+      case StringType => Some(FilterApi.eq(FilterApi.binaryColumn(c),
+        Binary.fromString(v.toString)))
+      case LongType => Some(FilterApi.eq(FilterApi.longColumn(c),
+        java.lang.Long.valueOf(v.toString)))
+      case IntegerType => Some(FilterApi.eq(FilterApi.intColumn(c),
+        java.lang.Integer.valueOf(v.toString)))
+      case _ => None
+    }
+    f match {
+      case EqualTo(c, v) if v != null && !c.contains(".") => eq(c, v)
+      case In(c, vs) if !c.contains(".") && vs.nonEmpty &&
+          vs.forall(_ != null) =>
+        vs.toSeq.flatMap(eq(c, _)) match {
+          case ps if ps.length == vs.length =>
+            Some(ps.reduce(FilterApi.or))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  def combined(schema: StructType,
+               fs: Array[Filter]): Option[FilterPredicate] =
+    fs.flatMap(predicate(schema, _)) match {
+      case ps if ps.nonEmpty => Some(ps.reduce(FilterApi.and))
+      case _ => None
+    }
+}
+
+class GraftInputPartition(val bucket: Int, val files: Array[String])
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
+class GraftScan(rootDir: String, gen: StoreGen, required: StructType,
+                pushed: Array[Filter], buckets: Option[Set[Int]])
+  extends Scan with Batch with SupportsReportPartitioning {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String = {
+    val sel = buckets.fold(gen.numBuckets)(_.size)
+    s"GraftStore root=$rootDir gen=${gen.gen} " +
+      s"SelectedBuckets: $sel/${gen.numBuckets}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+  }
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val byBucket = gen.files.groupBy(f => GraftTable.bucketOfFile(f))
+    // ALL buckets plan (pruned/empty ones carry zero files): the
+    // partitioning stays a stable 32-way key set, so two graft scans
+    // always align for the storage-partitioned join
+    (0 until gen.numBuckets).map { b =>
+      val live = buckets.forall(_.contains(b))
+      val fs = if (live) byBucket.getOrElse(b, Seq.empty) else Seq.empty
+      new GraftInputPartition(b, fs.map(f => s"$rootDir/$f").toArray)
+    }.toArray
+  }
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.bucket(gen.numBuckets, gen.bucketCol)),
+      gen.numBuckets)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // a fully-pruned projection (count(*) scans) still has to COUNT
+    // records — read the cheapest single column, emit empty rows
+    val emptyProjection = required.isEmpty
+    val readCols =
+      if (emptyProjection)
+        StructType(gen.schema.fields.filter(_.name == gen.bucketCol))
+      else required
+    new GraftReaderFactory(readCols.toDDL, emptyProjection, pushed)
+  }
+}
+
+class GraftReaderFactory(readDdl: String, emptyProjection: Boolean,
+                         pushed: Array[Filter])
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(p.asInstanceOf[GraftInputPartition].files,
+      DataType.fromDDL(readDdl).asInstanceOf[StructType],
+      emptyProjection, pushed)
+}
+
+/** Row-group-pruned Group reader over one bucket's files. Projection
+  * reaches the parquet reader via the requested-schema conf; the
+  * pushed predicate prunes row groups (and, on the bucket column,
+  * whole files never reach this reader at all). */
+class GraftPartitionReader(files: Array[String], required: StructType,
+                           emptyProjection: Boolean, pushed: Array[Filter])
+  extends PartitionReader[InternalRow] {
+
+  private val emptyRow = InternalRow.empty
+
+  private val conf = new Configuration()
+  // parquet requested-schema projection: only the required columns
+  // (nested structs included whole — the store's VALUE struct is one
+  // logical column) decode from the file
+  conf.set(ReadSupport.PARQUET_READ_SCHEMA,
+    GroupRows.messageType(required).toString)
+
+  // rebuild the row-group predicate executor-side from the pushed
+  // V1 filters (FilterPredicate itself is not serialization-stable)
+  private val predicate: Option[FilterPredicate] =
+    GraftParquetFilters.combined(required, pushed)
+
+  private var idx = -1
+  private var reader: ParquetReader[org.apache.parquet.example.data.Group] = _
+  private var current: InternalRow = _
+
+  private def nextReader(): Boolean = {
+    if (reader != null) { reader.close(); reader = null }
+    idx += 1
+    if (idx >= files.length) false
+    else {
+      var b = ParquetReader.builder(new GroupReadSupport(),
+        new Path(files(idx))).withConf(conf)
+      predicate.foreach(p => b = b.withFilter(FilterCompat.get(p)))
+      reader = b.build()
+      true
+    }
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (reader == null && !nextReader()) return false
+      val g = reader.read()
+      if (g != null) {
+        current = if (emptyProjection) emptyRow
+          else GroupRows.toRow(g, required)
+        return true
+      }
+      reader.close(); reader = null
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = if (reader != null) reader.close()
+}
+
+// --------------------------------------------------------------- write
+
+class GraftWriteBuilder(rootDir: String, gen: StoreGen,
+                        info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = {
+    // names + types must match; nullability may tighten (writing
+    // non-null rows into a nullable store column is always safe)
+    def loose(st: StructType): String = StructType(st.fields.map(f =>
+      f.copy(nullable = true, metadata = Metadata.empty))).toDDL
+    require(loose(info.schema()) == loose(gen.schema),
+      s"write schema ${info.schema().toDDL} != store schema ${gen.schemaDdl}")
+    new GraftWrite(rootDir, gen, overwrite)
+  }
+}
+
+class GraftWrite(rootDir: String, gen: StoreGen, overwrite: Boolean)
+  extends Write with RequiresDistributionAndOrdering {
+
+  // the ONE shuffle, paid at write time: cluster rows by the bucket
+  // column into exactly numBuckets partitions — Spark satisfies a
+  // clustered distribution with murmur3 HashPartitioning, the very
+  // function bucketOf replicates, so each writer task receives
+  // (almost always) one whole bucket and emits one file for it
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.column(gen.bucketCol)))
+  override def requiredNumPartitions(): Int = gen.numBuckets
+  override def requiredOrdering(): Array[SortOrder] =
+    Array(Expressions.sort(Expressions.column(gen.bucketCol),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+
+  override def toBatch: BatchWrite =
+    new GraftBatchWrite(rootDir, gen, overwrite)
+}
+
+case class GraftCommit(files: Seq[String]) extends WriterCommitMessage
+
+class GraftBatchWrite(rootDir: String, gen: StoreGen, overwrite: Boolean)
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(rootDir, gen.schemaDdl, gen.bucketCol,
+      gen.numBuckets, UUID.randomUUID().toString)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val added = messages.flatMap { case GraftCommit(fs) => fs }.toSeq
+    val files = if (overwrite) added else gen.files ++ added
+    StoreManifest.commit(rootDir, gen.schema, gen.bucketCol,
+      gen.numBuckets, files)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach { case GraftCommit(fs) =>
+      fs.foreach(f => new File(s"$rootDir/$f").delete()) }
+}
+
+class GraftWriterFactory(rootDir: String, schemaDdl: String,
+                         bucketCol: String, numBuckets: Int, uuid: String)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(rootDir,
+      DataType.fromDDL(schemaDdl).asInstanceOf[StructType],
+      bucketCol, numBuckets, uuid, partitionId, taskId)
+}
+
+/** Writes each row to ITS OWN bucket's file (bucket recomputed per
+  * row — the clustered distribution makes that one file per task in
+  * practice, but correctness never rests on the partition index).
+  * Task-attempt-unique names: a retried task's losing attempt leaves
+  * orphans no manifest references. */
+class GraftDataWriter(rootDir: String, schema: StructType,
+                      bucketCol: String, numBuckets: Int, uuid: String,
+                      partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val mt = GroupRows.messageType(schema)
+  private val keyIdx = schema.fieldIndex(bucketCol)
+  private val keyType = schema.fields(keyIdx).dataType
+  private val writers =
+    scala.collection.mutable.Map.empty[Int,
+      (String, org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group])]
+
+  private def writerFor(bucket: Int) = writers.getOrElseUpdate(bucket, {
+    val rel = f"data/part-$uuid-p$partitionId-t$taskId" +
+      f"_$bucket%05d.parquet"
+    new File(s"$rootDir/data").mkdirs()
+    val w = ExampleParquetWriter.builder(new Path(s"$rootDir/$rel"))
+      .withConf(new Configuration())
+      .withType(mt)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    (rel, w)
+  })
+
+  override def write(row: InternalRow): Unit = {
+    val key = keyType match {
+      case StringType => row.getUTF8String(keyIdx)
+      case LongType => row.getLong(keyIdx)
+      case IntegerType => row.getInt(keyIdx)
+      case other => throw new IllegalArgumentException(
+        s"unsupported bucket key type $other")
+    }
+    val b = GraftTable.bucketOf(key, numBuckets)
+    writerFor(b)._2.write(GroupRows.toGroup(row, schema, mt))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_._2.close())
+    GraftCommit(writers.values.map(_._1).toSeq)
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach { case (rel, w) =>
+      try w.close() catch { case _: Throwable => () }
+      new File(s"$rootDir/$rel").delete(): Unit
+    }
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,218 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.v2.{GraftTable, StoreManifest}
+
+/** The `graft` DataSource V2 table format: filter pushdown + bucket
+  * pruning visible in the scan, murmur3-correct bucket files from the
+  * V2 writer, storage-partitioned joins with zero Exchange through the
+  * catalog, and generation time travel that survives compaction.
+  */
+class GraftDsv2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-dsv2").toString
+
+  private def sampleDf: DataFrame = Seq(
+    ("customer/1", "name", "Alice", 10L),
+    ("customer/1", "acct", "77", 10L),
+    ("customer/2", "name", "Bob", 11L),
+    ("nation/1", "name", "FRANCE", 12L),
+    ("orders/9", "total", "123", 13L))
+    .toDF("id", "key", "value", "ts")
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("bucketOf replicates Spark's HashPartitioning routing exactly") {
+    // the on-disk routing must be bit-identical to pmod(hash(col), n)
+    // (murmur3 seed 42) or V2 files would interleave wrongly with the
+    // V1 bucketBy layout and bucket pruning would read the wrong file
+    val ids = Seq("customer/1", "nation/25", "orders/123456", "", "a",
+      "doc/é世界")
+    val sparkSide = ids.toDF("id")
+      .select(col("id"), pmod(hash(col("id")), lit(32)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    ids.foreach { id =>
+      assert(GraftTable.bucketOf(id, 32) == sparkSide(id), s"id=$id")
+    }
+    val longs = Seq(0L, 1L, -5L, 123456789L)
+    val sparkL = longs.toDF("k")
+      .select(col("k"), pmod(hash(col("k")), lit(16)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    longs.foreach { k =>
+      assert(GraftTable.bucketOf(k, 16) == sparkL(k), s"k=$k")
+    }
+  }
+
+  test("create + append + read round-trips; files land in murmur3 buckets") {
+    val root = tmp()
+    GraftTable.create(root, sampleDf.schema, "id")
+    sampleDf.write.format("graft").mode("append").save(root)
+    val back = spark.read.format("graft").load(root)
+    assert(back.orderBy("id", "key").collect().toSeq ==
+      sampleDf.orderBy("id", "key").collect().toSeq)
+    // every committed file's NAME bucket must equal the murmur3 bucket
+    // of every row inside it — the writer re-derives the bucket per
+    // row, so this holds no matter how Spark satisfied the clustering
+    val gen = StoreManifest.readLatest(root).get
+    assert(gen.files.nonEmpty)
+    gen.files.foreach { f =>
+      val b = "_([0-9]{5})\\.parquet$".r.findFirstMatchIn(f).get.group(1).toInt
+      val ids = spark.read.parquet(s"$root/$f").select("id")
+        .as[String].collect()
+      assert(ids.nonEmpty && ids.forall(GraftTable.bucketOf(_, 32) == b),
+        s"file $f holds rows outside bucket $b")
+    }
+  }
+
+  test("point lookup: bucket pruning + pushed filters visible in the scan") {
+    val root = tmp()
+    GraftTable.create(root, sampleDf.schema, "id")
+    sampleDf.write.format("graft").mode("append").save(root)
+    val got = spark.read.format("graft").load(root)
+      .where(col("id") === "customer/1").select("key", "value")
+    val plan = planString(got)
+    assert(plan.contains("SelectedBuckets: 1/32"),
+      s"bucket pruning missing from scan:\n$plan")
+    assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo(id"),
+      s"pushed filter missing from scan:\n$plan")
+    assert(got.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("acct", "name"))
+    // projection reaches the reader: ReadSchema shows only id/key/value
+    assert(!plan.replaceAll("(?s).*ReadSchema: ", "").contains("ts"),
+      s"column pruning missing:\n$plan")
+  }
+
+  test("append after create: new generation, point-get still prunes + finds") {
+    val root = tmp()
+    GraftTable.create(root, sampleDf.schema, "id")
+    sampleDf.write.format("graft").mode("append").save(root)
+    Seq(("customer/999", "name", "Zed", 20L)).toDF("id", "key", "value", "ts")
+      .write.format("graft").mode("append").save(root)
+    assert(StoreManifest.latest(root).contains(2L)) // create, append, append
+    val got = spark.read.format("graft").load(root)
+      .where(col("id") === "customer/999")
+    assert(planString(got).contains("SelectedBuckets: 1/32"))
+    assert(got.count() == 1L)
+  }
+
+  test("storage-partitioned join through the catalog: zero Exchange") {
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.graft_spj",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_spj.warehouse", wh)
+    val nodes = (1 to 200)
+      .map(i => (s"node/$i", s"name-$i")).toDF("id", "name")
+    val edges = (1 to 600)
+      .map(i => (s"node/${i % 200 + 1}", s"node/${(i * 7) % 200 + 1}"))
+      .toDF("id", "dst")
+    GraftTable.create(s"$wh/g/nodes", nodes.schema, "id")
+    GraftTable.create(s"$wh/g/edges", edges.schema, "id")
+    nodes.write.format("graft").mode("append").save(s"$wh/g/nodes")
+    edges.write.format("graft").mode("append").save(s"$wh/g/edges")
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val j = spark.sql(
+        """SELECT e.id, e.dst, n.name FROM graft_spj.g.edges e
+          |JOIN graft_spj.g.nodes n ON e.id = n.id""".stripMargin)
+      val plan = planString(j)
+      assert(!plan.contains("Exchange"),
+        s"storage-partitioned join still shuffles:\n$plan")
+      // and it returns exactly what a plain shuffled join returns
+      assert(j.count() == 600L)
+      val expect = edges.join(nodes, "id").count()
+      assert(j.count() == expect)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("generation time travel: asOf(N) stable across append AND compaction") {
+    val root = tmp()
+    val s0 = sampleDf // gen 1 (gen 0 = empty create)
+    val s1 = Seq(("customer/1", "name", "Alice-v2", 30L),
+      ("part/5", "color", "red", 31L)).toDF("id", "key", "value", "ts")
+    GraftTable.create(root, s0.schema, "id")
+    s0.write.format("graft").mode("append").save(root)
+    s1.write.format("graft").mode("append").save(root) // gen 2
+    def rows(gen: Long) = spark.read.format("graft")
+      .option("generation", gen).load(root)
+      .orderBy("id", "key", "ts").collect().toSeq
+    val snap1 = rows(1L)
+    val snap2 = rows(2L)
+    assert(snap1.size == 5 && snap2.size == 7)
+    // compaction: rewrite latest as one merged generation (here:
+    // last-write-wins per (id, key) — the Engine merge contract)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id", "key").orderBy(col("ts").desc)
+    spark.read.format("graft").load(root)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .drop("rn")
+      .write.format("graft").mode("overwrite").save(root) // gen 3
+    val compacted = rows(3L)
+    assert(compacted.size == 6) // customer/1 name deduped
+    assert(compacted.exists(r => r.getString(2) == "Alice-v2"))
+    assert(!compacted.exists(r => r.getString(2) == "Alice"))
+    // THE pin: pre-compaction generations read byte-identically after
+    // the compaction commit — history is never rewritten
+    assert(rows(1L) == snap1, "asOf(1) changed after compact")
+    assert(rows(2L) == snap2, "asOf(2) changed after compact")
+    // and the live table reads the compacted generation
+    assert(spark.read.format("graft").load(root).count() == 6)
+  }
+
+  test("VERSION AS OF + TIMESTAMP AS OF through the catalog SQL surface") {
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.graft_tt",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_tt.warehouse", wh)
+    val root = s"$wh/g/attrs"
+    GraftTable.create(root, sampleDf.schema, "id")
+    sampleDf.write.format("graft").mode("append").save(root)
+    Seq(("extra/1", "k", "v", 99L)).toDF("id", "key", "value", "ts")
+      .write.format("graft").mode("append").save(root)
+    assert(spark.sql(
+      "SELECT * FROM graft_tt.g.attrs VERSION AS OF 1").count() == 5)
+    assert(spark.sql(
+      "SELECT * FROM graft_tt.g.attrs VERSION AS OF 2").count() == 6)
+    assert(spark.sql("SELECT * FROM graft_tt.g.attrs").count() == 6)
+    // TIMESTAMP AS OF: a timestamp at/after gen 2's commit reads gen 2
+    val t2 = new java.sql.Timestamp(
+      StoreManifest.read(root, 2L).commitMs)
+    val got = spark.sql(
+      s"SELECT * FROM graft_tt.g.attrs TIMESTAMP AS OF '$t2'").count()
+    assert(got == 6, s"timestamp travel read $got rows")
+    // a snapshot is read-only
+    val err = intercept[Exception] {
+      sampleDf.writeTo("graft_tt.g.attrs").overwritePartitions()
+      spark.read.format("graft").option("generation", "1").load(root)
+        .write.format("graft").mode("append")
+        .option("generation", "1").save(root)
+    }
+    assert(err != null)
+  }
+
+  test("catalog CTAS: writeTo(...).create() routes bucket spec + data") {
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.graft_ct",
+      "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ct.warehouse", wh)
+    sampleDf.writeTo("graft_ct.g2.t1")
+      .partitionedBy(org.apache.spark.sql.functions.bucket(32, col("id")))
+      .create()
+    val back = spark.sql("SELECT * FROM graft_ct.g2.t1")
+    assert(back.count() == 5)
+    val gen = StoreManifest.readLatest(s"$wh/g2/t1").get
+    assert(gen.bucketCol == "id" && gen.numBuckets == 32)
+  }
+}
