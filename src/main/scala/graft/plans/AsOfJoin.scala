@@ -413,4 +413,26 @@ object AsOfJoin {
     AsOfJoinPlan(lk.map(l.output.indexOf), lo.map(l.output.indexOf),
       vas, l, rProj)
   }
+
+  /** The FORWARD wiring at the logical level (the SQL-hint twin of
+    * [[asOfGE]]): negated ordering columns appended behind Projects on
+    * both children, the SAME backward buildPlan, then the helpers
+    * projected away — so ASOF_GE in SQL text shares every line of
+    * semantics with the Scala call and the ASOF_LE path. */
+  private[plans] def buildPlanGE(l: LogicalPlan, r: LogicalPlan,
+      on: Seq[String], ord: Seq[String],
+      values: Seq[(String, String)]): LogicalPlan = {
+    def resolve(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"as-of join: column '$n' not found in [${p.output.map(_.name).mkString(", ")}]"))
+    val negs = ord.map(c => c -> s"graft_asof_neg_$c")
+    def addNeg(p: LogicalPlan): LogicalPlan =
+      Project(p.output ++ negs.map { case (c, n) =>
+        Alias(org.apache.spark.sql.catalyst.expressions.UnaryMinus(
+          resolve(p, c), failOnError = false), n)()
+      }, p)
+    val asOf = buildPlan(addNeg(l), addNeg(r), on, negs.map(_._2), values)
+    val negNames = negs.map(_._2).toSet
+    Project(asOf.output.filterNot(a => negNames.contains(a.name)), asOf)
+  }
 }

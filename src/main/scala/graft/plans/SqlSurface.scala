@@ -37,6 +37,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT /+ ASOF_LE('user_id', 'ts,event_id', 'event_id AS last_view') +/ *
   * FROM clicks JOIN views
   * -- params: equi keys, ordering cols, value cols ('col AS alias', …)
+  *
+  * -- FORWARD as-of join (q71/q75 semantics: FIRST right row with
+  * -- ord >= left's; ordering cols must be numeric — negatable):
+  * SELECT /+ ASOF_GE('user_id', 'tmicro,event_id', 'event_id AS next_view') +/ *
+  * FROM clicks JOIN views
   * }}}
   *
   * The hint attaches above the whole query spec, so the select-star
@@ -59,10 +64,12 @@ case class SessionizeMarker(key: Seq[String], ord: Seq[String],
     copy(child = c)
 }
 
-/** Typed carrier for an ASOF_LE hint; replaces the bare Join the hint
-  * marked. Same never-resolved contract as [[SessionizeMarker]]. */
+/** Typed carrier for an ASOF_LE / ASOF_GE hint; replaces the bare Join
+  * the hint marked. `forward` selects the first-at-or-after direction
+  * (the negated-ordering twin — one operator, one codegen path). Same
+  * never-resolved contract as [[SessionizeMarker]]. */
 case class AsOfJoinMarker(on: Seq[String], ord: Seq[String],
-    values: Seq[(String, String)], left: LogicalPlan,
+    values: Seq[(String, String)], forward: Boolean, left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
   override lazy val resolved: Boolean = false
   override def output: Seq[Attribute] = Nil
@@ -104,16 +111,18 @@ case class ResolveGraftOperatorHints() extends Rule[LogicalPlan] {
         }
 
       case UnresolvedHint(name, params, child)
-          if name.equalsIgnoreCase("ASOF_LE") =>
+          if name.equalsIgnoreCase("ASOF_LE") ||
+            name.equalsIgnoreCase("ASOF_GE") =>
+        val forward = name.equalsIgnoreCase("ASOF_GE")
         params.map(str) match {
           case Seq(Some(on), Some(ord), values @ _*)
               if values.nonEmpty && values.forall(_.isDefined) =>
-            onBareJoin("ASOF_LE", child)(j =>
+            onBareJoin(name.toUpperCase, child)(j =>
               AsOfJoinMarker(splitNames(on), splitNames(ord),
-                values.flatten.map(parseValue), j.left, j.right))
+                values.flatten.map(parseValue), forward, j.left, j.right))
           case _ =>
-            logWarning("ASOF_LE hint needs (equi keys, ordering cols, " +
-              s"value cols…), got $params — ignored")
+            logWarning(s"${name.toUpperCase} hint needs (equi keys, " +
+              s"ordering cols, value cols…), got $params — ignored")
             child
         }
 
@@ -202,7 +211,9 @@ case class ResolveGraftMarkers() extends Rule[LogicalPlan] {
         Sessionize.buildPlan(m.child, m.key, m.ord, m.gapCol,
           m.gapThreshold, m.sidName)
       case m: AsOfJoinMarker if m.childrenResolved =>
-        AsOfJoin.buildPlan(m.left, m.right, m.on, m.ord, m.values)
+        if (m.forward)
+          AsOfJoin.buildPlanGE(m.left, m.right, m.on, m.ord, m.values)
+        else AsOfJoin.buildPlan(m.left, m.right, m.on, m.ord, m.values)
       case m: CosineTopKMarker if m.childrenResolved =>
         CosineTopK.buildPlan(m.left, m.idCol, m.vecCol, m.right,
           m.probeIdCol, m.probeVecCol, m.k, m.excludeSelf)

@@ -1984,6 +1984,37 @@ object Relational {
              |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
              |    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
              |  CAST(count(*) AS BIGINT) AS n
-             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q75: FORWARD as-of join from PURE SQL TEXT ---------------------
+    // Closes the SQL-surface gap the round-7 verdict named: the hint
+    // tier had ASOF_LE but not its twin, so a SQL/CLI/HTTP user could
+    // not express "first at-or-after". ASOF_GE resolves through
+    // AsOfJoin.buildPlanGE — negated ordering columns around the SAME
+    // backward buildPlan — so one operator, one codegen path, and one
+    // oracle (q71's, verbatim) cover both the Scala and SQL routes.
+    RegQuery("q75_asof_forward_sql",
+      (s, d) => {
+        t(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("tmicro"),
+            col("event_id"), col("event_type"))
+          .createOrReplaceTempView("q75_events")
+        s.sql("""
+          SELECT event_id, next_view FROM (
+            SELECT /*+ ASOF_GE('user_id', 'tmicro,event_id', 'event_id AS next_view') */ *
+            FROM (SELECT user_id, tmicro, event_id FROM q75_events
+                  WHERE event_type = 'click')
+            JOIN (SELECT user_id, tmicro, event_id FROM q75_events
+                  WHERE event_type = 'view'))
+          ORDER BY event_id""")
+      },
+      Some("""SELECT event_id, next_view FROM (
+             |  SELECT event_id, event_type,
+             |    first_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |      AS next_view
+             |  FROM events)
+             |WHERE event_type = 'click' ORDER BY event_id""".stripMargin))
   )
 }

@@ -74,6 +74,42 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rows == exp)
   }
 
+  test("ASOF_GE hint: forward direction plans into AsOfJoinExec, rows match the Scala API") {
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("tmicro"),
+        col("event_id"), col("event_type"))
+      .createOrReplaceTempView("sqlsurf_events_m")
+    val df = spark.sql("""
+      SELECT event_id, next_view FROM (
+        SELECT /*+ ASOF_GE('user_id', 'tmicro,event_id', 'event_id AS next_view') */ *
+        FROM (SELECT user_id, tmicro, event_id FROM sqlsurf_events_m
+              WHERE event_type = 'click')
+        JOIN (SELECT user_id, tmicro, event_id FROM sqlsurf_events_m
+              WHERE event_type = 'view'))
+      ORDER BY event_id""")
+    val rows = df.collect().toSeq
+    assert(find(df.queryExecution.executedPlan) {
+      case e: AsOfJoinExec => e }.nonEmpty,
+      s"SQL text did not plan into AsOfJoinExec:\n${df.queryExecution.executedPlan}")
+    // the Scala forward API must agree row-for-row (one buildPlan,
+    // two surfaces)
+    val ev = events.select(col("user_id"),
+      unix_micros(col("ts")).as("tmicro"), col("event_id"),
+      col("event_type"))
+    val viaApi = AsOfJoin.asOfGE(
+      ev.filter(col("event_type") === "click")
+        .select("user_id", "tmicro", "event_id"),
+      ev.filter(col("event_type") === "view")
+        .select("user_id", "tmicro", "event_id"),
+      on = Seq("user_id"), ord = Seq("tmicro", "event_id"),
+      valueCol = "event_id", as = "next_view")
+      .select("event_id", "next_view").orderBy("event_id")
+      .collect().toSeq
+    assert(rows == viaApi)
+    // and the helper negation columns never leak into the output
+    assert(!df.columns.exists(_.startsWith("graft_asof_neg_")))
+  }
+
   test("COSINE_TOPK hint: bare JOIN plans into CosineTopKExec, rows match the Scala API") {
     val emb = graft.Tables(spark, sfDir, "embeddings")
     emb.createOrReplaceTempView("sqlsurf_emb")
