@@ -2015,6 +2015,44 @@ object Relational {
              |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
              |      AS next_view
              |  FROM events)
-             |WHERE event_type = 'click' ORDER BY event_id""".stripMargin))
+             |WHERE event_type = 'click' ORDER BY event_id""".stripMargin)),
+
+    // ---- q76: VARIANT SHREDDED storage (write-side typed columns) -------
+    // q73 proves parse + typed access; this entry pins the 100 TB
+    // write-side win: with shredding enabled the parquet writer
+    // EXTRACTS typed columns from the VARIANT at write (the footer
+    // carries typed_value subcolumns — VariantShreddingSpec pins it),
+    // and with pushVariantIntoScan the read replaces the variant with
+    // a struct of ONLY the requested paths (ReadSchema v:struct<0:int>
+    // — no binary re-decode per row, columnar pruning like any typed
+    // column). Same aggregate, q73's oracle verbatim: the shredded
+    // round-trip loses nothing.
+    RegQuery("q76_variant_shredded",
+      (s, d) => {
+        val out = Scratch.path(s, "q76_shred", d)
+        Scratch.clear(s, out)
+        val confs = Seq(
+          "spark.sql.variant.writeShredding.enabled" -> "true",
+          "spark.sql.variant.inferShreddingSchema" -> "true",
+          "spark.sql.variant.pushVariantIntoScan" -> "true")
+        val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          t(s, d, "events")
+            .select(col("event_type"), parse_json(col("props")).as("v"))
+            .write.mode("overwrite").parquet(out)
+          s.read.parquet(out)
+            .select(col("event_type"),
+              expr("variant_get(v, '$.k', 'int')").as("k"))
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+              min("k").as("min_k"), max("k").as("max_k"))
+            .orderBy("event_type")
+            // materialize while the shredding confs are in force
+            .localCheckpoint()
+        } finally saved.foreach { case (k, vOpt) =>
+          vOpt.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+      },
+      Some(variantAggOracle))
   )
 }
