@@ -2022,4 +2022,143 @@ object GraphAnalytics {
       round.toString)
     comm
   }
+
+  /** The FULL Blondel et al. multi-level loop: run gain rounds to the
+    * level's fixpoint, contract communities into a weighted supergraph
+    * (cross masses + self loops), and repeat WHILE the level's
+    * exact-integer modularity gain clears `minGain` — closing the
+    * round-7 hazard that x33's fixed two-level budget surfaced a
+    * possibly-non-final assignment with no signal.
+    *
+    * Convergence is decided on Q·(2m)² = Σ_c (2m·in_c − tot_c²) —
+    * modularity scaled to an exact integer (DECIMAL(38,0) sums, no
+    * float drift), computed on the level's own supergraph; contraction
+    * preserves Q, so consecutive levels compare directly. A level
+    * whose fixpoint moves NOTHING ends the loop without counting (the
+    * contraction would be the identity); a level whose integer gain is
+    * below `minGain` keeps its assignment and ends it.
+    *
+    * Scale shape: per level one louvainRounds fixpoint (each round
+    * linear in edges), one Q aggregate (two equi-joins + hash agg),
+    * one contraction (two equi-joins + hash agg), one two-column
+    * mapping fold — and each level's graph shrinks by the community
+    * count, which is what makes the loop iterable at 100 TB.
+    *
+    * Emits local properties: `graft.louvain.levels` (levels that
+    * moved), `graft.louvain.levelRounds` (csv), `graft.louvain.gains`
+    * (csv of integer gains), `graft.louvain.converged`
+    * (true unless the maxLevels budget stopped it).
+    *
+    * Returns the composed assignment [v, comm] — original vertex to
+    * final community, labels stable as min original member. */
+  def louvainHierarchy(edges0: DataFrame, maxLevels: Int = 8,
+      maxRounds: Int = 16, minGain: Long = 1L): DataFrame = {
+    val spark = edges0.sparkSession
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def rebase(df: DataFrame): DataFrame = {
+      val cut = graft.Ckpt.cut(df)
+      cut.sparkSession.createDataFrame(cut.rdd, cut.schema)
+    }
+    val e0 = edges0
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+    var sym = rebase(e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().withColumn("w", lit(1L)))
+    var self: Option[DataFrame] = None // [v, sw]
+    var mapping = rebase(sym.select(col("u").as("v0")).distinct()
+      .select(col("v0"), col("v0").as("comm")))
+    val twoM = sym.agg(coalesce(sum("w"), lit(0L))).first().getLong(0)
+
+    /** Q·(2m)² of assignment `asg` [v, c, deg] on the CURRENT level's
+      * graph: in_c = internal symmetric edge mass + 2·self mass. */
+    def qScaled(asg: DataFrame): BigInt = {
+      if (twoM == 0L) return BigInt(0)
+      val mem = asg.select(col("v"), col("c"))
+      val inEdges = sym
+        .join(mem.select(col("v").as("u"), col("c").as("cu")), "u")
+        .join(mem.select(col("v"), col("c").as("cv")), "v")
+        .where(col("cu") === col("cv"))
+        .groupBy(col("cu").as("c")).agg(sum("w").as("iw"))
+      val inSelf = self.map(_.join(mem, "v").groupBy("c")
+        .agg((sum("sw") * lit(2L)).as("iw")))
+      val inC = inSelf.fold(inEdges)(inEdges.unionByName(_))
+        .groupBy("c").agg(sum("iw").as("iw"))
+      val q = asg.groupBy("c").agg(sum(col("deg").cast(dec)).as("tot"))
+        .join(inC, Seq("c"), "left")
+        .agg(coalesce(sum(lit(twoM).cast(dec) *
+          coalesce(col("iw"), lit(0L)).cast(dec) -
+          col("tot") * col("tot")), lit(0L).cast(dec)).as("q"))
+        .first().getDecimal(0)
+      BigInt(q.toBigInteger)
+    }
+
+    // Q of the current (singleton) partition — equal, by contraction
+    // invariance, to the previous level's fixpoint Q
+    def singletons(): DataFrame = {
+      val adj = sym.groupBy(col("u").as("v")).agg(sum("w").as("aw"))
+      val degs = self match {
+        case None => adj.select(col("v"), col("aw").as("deg"))
+        case Some(sl) => adj.join(sl, Seq("v"), "full").select(col("v"),
+          (coalesce(col("aw"), lit(0L)) +
+            lit(2L) * coalesce(col("sw"), lit(0L))).as("deg"))
+      }
+      degs.select(col("v"), col("v").as("c"), col("deg"))
+    }
+    var q = qScaled(singletons())
+    var level = 0
+    var converged = false
+    val levelRounds = scala.collection.mutable.ListBuffer.empty[String]
+    val gains = scala.collection.mutable.ListBuffer.empty[String]
+    while (level < maxLevels && !converged && twoM > 0L) {
+      val asg = rebase(louvainRounds(sym, self, maxRounds))
+      levelRounds += Option(spark.sparkContext
+        .getLocalProperty("graft.louvain.rounds")).getOrElse("?")
+      val moved = asg.where(col("c") =!= col("v")).count()
+      if (moved == 0L) converged = true // identity level: loop is done
+      else {
+        val qNew = qScaled(asg)
+        gains += (qNew - q).toString
+        if (qNew - q < BigInt(minGain)) {
+          // REJECT the level: synchronous rounds can end the budget on
+          // an oscillating state whose Q is no better (or worse) than
+          // the partition it started from — keep the best-so-far
+          // assignment and stop, like Blondel's outer loop does
+          converged = true
+        } else {
+          level += 1
+          val lab = asg.groupBy("c").agg(min("v").as("cid"))
+          val mem = rebase(asg.join(lab, "c").select(col("v"), col("cid")))
+          mapping = rebase(mapping
+            .join(mem.withColumnRenamed("v", "comm"), "comm")
+            .select(col("v0"), col("cid").as("comm")))
+          // contract: sym is SYMMETRIC, so cu<cv picks each undirected
+          // cross edge once and u<v each internal edge once
+          val ej = rebase(sym
+            .join(mem.select(col("v").as("u"), col("cid").as("cu")), "u")
+            .join(mem.select(col("v"), col("cid").as("cv")), "v"))
+          val cross = ej.where(col("cu") < col("cv"))
+            .groupBy(col("cu").as("u"), col("cv").as("v"))
+            .agg(sum("w").as("w"))
+          val internal = ej.where(col("cu") === col("cv") &&
+              col("u") < col("v"))
+            .groupBy(col("cu").as("v")).agg(sum("w").as("sw"))
+          val carried = self.map(_.join(mem, "v")
+            .groupBy(col("cid").as("v")).agg(sum("sw").as("sw")))
+          val newSelf = rebase(carried.fold(internal)(
+            internal.unionByName(_)).groupBy("v").agg(sum("sw").as("sw")))
+          sym = rebase(cross.unionAll(
+            cross.select(col("v").as("u"), col("u").as("v"), col("w"))))
+          self = Some(newSelf)
+          q = qNew
+        }
+      }
+    }
+    val sc = spark.sparkContext
+    sc.setLocalProperty("graft.louvain.levels", level.toString)
+    sc.setLocalProperty("graft.louvain.levelRounds",
+      levelRounds.mkString(","))
+    sc.setLocalProperty("graft.louvain.gains", gains.mkString(","))
+    sc.setLocalProperty("graft.louvain.converged", converged.toString)
+    mapping
+  }
 }

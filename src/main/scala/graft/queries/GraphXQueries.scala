@@ -1545,8 +1545,48 @@ object GraphXQueries {
             sum("deg").as("mass"))
           .orderBy("comm2_id")
       },
-      Some(x33Oracle))
+      Some(x33Oracle)),
+
+    // Louvain FULL multi-level loop (Blondel et al.'s outer recursion,
+    // closing x33's fixed-budget gap): levels repeat while the exact-
+    // integer modularity gain clears the threshold, a budget-limited
+    // oscillation is REJECTED (best-so-far kept), and an identity
+    // level ends the loop — levels/rounds/gains/converged surfaced as
+    // local properties (LouvainSpec pins them). The K4 chain fixture
+    // NEEDS three levels (K4s → pairs → quads; measured gains all
+    // positive, level 4 the identity stop), and the mirror replays ALL
+    // THREE — each one the same weighted one-row recursive round
+    // replay as x33's level 2, chained through two relational
+    // contractions — so the hash pins the whole hierarchy: round
+    // dynamics, contraction arithmetic, and mapping composition.
+    RegQuery("x34_louvain_full",
+      (s, d) => {
+        val m = GraphAnalytics.louvainHierarchy(
+          k4Chain(s, d).localCheckpoint(), maxLevels = 8)
+        m.groupBy("comm")
+          .agg(count(lit(1)).as("n_vertices"), sum("v0").as("v_sum"))
+          .orderBy("comm")
+      },
+      Some(x34Oracle))
   )
+
+  /** x34's fixture: 48 K4 cliques on part ids 0..191 chained by one
+    * bridge per adjacent clique — a hierarchy the gain dynamics fold
+    * one level at a time (cliques, then pairs, then quads). A CHAIN,
+    * not a ring: endpoints break the symmetry that makes synchronous
+    * supernode rounds oscillate. */
+  private def k4Chain(s: org.apache.spark.sql.SparkSession,
+                      d: String): org.apache.spark.sql.DataFrame = {
+    val ids = graft.Tables(s, d, "part").where(col("p_partkey") < 192)
+      .select(col("p_partkey").cast("long").as("id"))
+    val intra = ids.as("a").join(ids.as("b"),
+      expr("a.id div 4") === expr("b.id div 4") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"))
+    val chain = ids.where(col("id") % 4 === 0 && col("id") < 188)
+      .select(col("id").as("src"), (col("id") + 4).as("dst"))
+    intra.unionAll(chain)
+  }
 
   /** Weighted co-purchase graph for x31: parts ≤ 150 sharing an order
     * (u &lt; v), weight = number of DISTINCT orders sharing the pair —
@@ -1792,6 +1832,126 @@ object GraphXQueries {
         |GROUP BY r2.comm2_id ORDER BY r2.comm2_id""".stripMargin
   }
 
+
+  /** One weighted Louvain level as a DuckDB CTE-list fragment —
+    * x33's level-2 replay generalized with a level suffix so the x34
+    * mirror chains ANY number of levels. Consumes `e$l(u,v,w)`
+    * (symmetric) + `sl$l(v,sw)`, emits `mem$l(v, cid)`; gain order,
+    * ties, strictness, singleton-swap guard and the full-outer
+    * self-loop-only vertex universe identical to
+    * [[GraphAnalytics.louvainHierarchy]]'s louvainRounds. */
+  private def louvainLevelCtes(l: Int, rounds: Int): String = {
+    val cur = "s.cs[i]"
+    val deg = "a.degs[i]"
+    val ncs = "list_transform(a.ns[i], y -> s.cs[list_position(a.vs, y)])"
+    def size(c: String) = s"ag.sizes[list_position(cx.cls, $c)]"
+    def tot(c: String) = s"ag.tots[list_position(cx.cls, $c)]"
+    def k(c: String, lv: Int) =
+      s"CAST(list_sum(list_transform(range(1, " +
+        s"CAST(len(a.ns[i]) AS BIGINT) + 1), j$lv -> CASE WHEN " +
+        s"s.cs[list_position(a.vs, a.ns[i][j$lv])] = $c " +
+        s"THEN a.ws[i][j$lv] ELSE 0 END)) AS BIGINT)"
+    val stay = s"(a.m2 * ${k(cur, 3)} - $deg * (${tot(cur)} - $deg))"
+    val cands = s"list_filter(list_distinct($ncs), c0 -> c0 <> $cur)"
+    val pick = s"list_sort(list_transform($cands, c9 -> " +
+      s"{'negs': -(a.m2 * ${k("c9", 4)} - $deg * ${tot("c9")})," +
+      s" 'cc': c9}))[1]"
+    s"""nb$l AS (SELECT u AS vv, list(v ORDER BY v) AS nbrs,
+       |    list(w ORDER BY v) AS wts FROM e$l GROUP BY u),
+       |degt$l AS (SELECT coalesce(nb$l.vv, sl.v) AS vv,
+       |    coalesce(nb$l.nbrs, CAST([] AS BIGINT[])) AS nbrs,
+       |    coalesce(nb$l.wts, CAST([] AS BIGINT[])) AS wts,
+       |    CAST(coalesce(list_sum(nb$l.wts), 0) + 2 * coalesce(sl.sw, 0)
+       |      AS BIGINT) AS dg
+       |  FROM nb$l FULL OUTER JOIN sl$l sl ON nb$l.vv = sl.v),
+       |adj$l AS MATERIALIZED (SELECT list(vv ORDER BY vv) AS vs,
+       |  list(nbrs ORDER BY vv) AS ns, list(wts ORDER BY vv) AS ws,
+       |  list(dg ORDER BY vv) AS degs,
+       |  (SELECT CAST(sum(dg) AS BIGINT) FROM degt$l) AS m2
+       |  FROM degt$l),
+       |step$l AS (
+       |  SELECT 0 AS r, true AS mv, (SELECT vs FROM adj$l) AS cs
+       |  UNION ALL
+       |  SELECT s.r + 1, nx.cs2 <> s.cs, nx.cs2
+       |  FROM step$l s CROSS JOIN adj$l a
+       |  CROSS JOIN LATERAL (SELECT list_distinct(s.cs) AS cls) cx
+       |  CROSS JOIN LATERAL (SELECT
+       |      list_transform(cx.cls, c1 ->
+       |        CAST(len(list_filter(s.cs, z1 -> z1 = c1)) AS BIGINT))
+       |        AS sizes,
+       |      list_transform(cx.cls, c2 -> list_sum(list_transform(
+       |        range(1, CAST(len(s.cs) AS BIGINT) + 1),
+       |        j -> CASE WHEN s.cs[j] = c2 THEN a.degs[j]
+       |             ELSE 0 END))) AS tots) ag
+       |""".stripMargin +
+      s"""  CROSS JOIN LATERAL (SELECT list_transform(a.vs, (x, i) ->
+         |      CASE WHEN $pick IS NOT NULL
+         |        AND -($pick.negs) > $stay
+         |        AND NOT (${size(cur)} = 1 AND ${size(s"$pick.cc")} = 1
+         |          AND $pick.cc > $cur)
+         |      THEN $pick.cc ELSE $cur END) AS cs2) nx
+         |  WHERE s.mv AND s.r < $rounds),
+         |fin$l AS MATERIALIZED (SELECT cs FROM step$l
+         |  ORDER BY r DESC LIMIT 1),
+         |asn$l AS (SELECT unnest(a.vs) AS v, unnest(f.cs) AS c
+         |  FROM adj$l a, fin$l f),
+         |rel$l AS (SELECT c, min(v) AS cid FROM asn$l GROUP BY c),
+         |mem$l AS MATERIALIZED (SELECT asn$l.v, rel$l.cid
+         |  FROM asn$l JOIN rel$l USING (c))
+         |""".stripMargin
+  }
+
+  /** Relational contraction `l → l+1`: e$l is symmetric so c1&lt;c2
+    * counts each undirected cross edge once and u&lt;v each internal
+    * edge once; carried self masses fold in by community. Mirrors
+    * [[GraphAnalytics.louvainHierarchy]]'s contraction exactly. */
+  private def louvainContractionCtes(l: Int): String =
+    s"""ej$l AS MATERIALIZED (SELECT m1.cid AS c1, m2.cid AS c2, e.u, e.v, e.w
+       |  FROM e$l e JOIN mem$l m1 ON e.u = m1.v
+       |    JOIN mem$l m2 ON e.v = m2.v),
+       |cr$l AS (SELECT c1 AS u, c2 AS v, CAST(sum(w) AS BIGINT) AS w
+       |  FROM ej$l WHERE c1 < c2 GROUP BY c1, c2),
+       |inn$l AS (SELECT c1 AS v, CAST(sum(w) AS BIGINT) AS sw
+       |  FROM ej$l WHERE c1 = c2 AND u < v GROUP BY c1),
+       |car$l AS (SELECT m.cid AS v, CAST(sum(sl.sw) AS BIGINT) AS sw
+       |  FROM sl$l sl JOIN mem$l m ON sl.v = m.v GROUP BY m.cid),
+       |sl${l + 1} AS (SELECT v, CAST(sum(sw) AS BIGINT) AS sw FROM
+       |  (SELECT v, sw FROM inn$l UNION ALL SELECT v, sw FROM car$l)
+       |  GROUP BY v),
+       |e${l + 1} AS (SELECT u, v, w FROM cr$l
+       |  UNION ALL SELECT v, u, w FROM cr$l)
+       |""".stripMargin
+
+  /** x34's mirror: the K4-chain fixture, THREE chained weighted level
+    * replays (the number of accepted levels the engine's convergence
+    * loop takes on this fixture — level 4 is the identity stop, so it
+    * contributes nothing to replay), and the mapping composition. */
+  private def x34Oracle: String =
+    "WITH RECURSIVE\n" +
+      """gp AS (SELECT CAST(p_partkey AS BIGINT) AS id FROM part
+        |  WHERE p_partkey < 192),
+        |cl AS (SELECT a.id AS p1, b.id AS p2 FROM gp a JOIN gp b
+        |  ON a.id // 4 = b.id // 4 AND a.id < b.id),
+        |chn AS (SELECT id AS p1, id + 4 AS p2 FROM gp
+        |  WHERE id % 4 = 0 AND id < 188),
+        |ed0 AS (SELECT p1 AS u, p2 AS v FROM cl
+        |  UNION ALL SELECT p1, p2 FROM chn),
+        |e1 AS (SELECT u, v, CAST(1 AS BIGINT) AS w FROM ed0
+        |  UNION ALL SELECT v, u, CAST(1 AS BIGINT) FROM ed0),
+        |sl1 AS (SELECT CAST(NULL AS BIGINT) AS v,
+        |  CAST(NULL AS BIGINT) AS sw WHERE false),
+        |""".stripMargin +
+      louvainLevelCtes(1, 16) + "," +
+      louvainContractionCtes(1) + "," +
+      louvainLevelCtes(2, 16) + "," +
+      louvainContractionCtes(2) + "," +
+      louvainLevelCtes(3, 16) + "," +
+      """map3 AS (SELECT m1.v AS v0, m3.cid AS comm FROM mem1 m1
+        |  JOIN mem2 m2 ON m1.cid = m2.v
+        |  JOIN mem3 m3 ON m2.cid = m3.v)
+        |SELECT comm, CAST(count(*) AS BIGINT) AS n_vertices,
+        |  CAST(sum(v0) AS BIGINT) AS v_sum
+        |FROM map3 GROUP BY comm ORDER BY comm""".stripMargin
 
   /** DuckDB mirror of the min-pointer handshake rounds: `mmin(x)` is
     * the smallest LIVE neighbour; a pair (x, mmin(x)) matches when the

@@ -509,6 +509,54 @@ class ScaleRehearsalSpec extends SparkSpec {
     assert(sec < 300, s"10x Louvain took ${sec}s")
   }
 
+  test("Louvain hierarchy at 10x: converges, rounds bounded, components pure") {
+    // ten DISJOINT offset copies of the x34 K4 chain. The level COUNT
+    // is NOT volume-independent — that is the modularity resolution
+    // limit, not a bug: the gain order merges communities a,b over a
+    // link w iff 2m·w > tot_a·tot_b, and the 10x corpus carries 10x
+    // the 2m, so larger blocks keep merging for more levels (measured:
+    // 3 levels at 1x → 5 at 10x, deepening ~logarithmically). What
+    // MUST survive scale instead:
+    //   - the loop still converges inside the same level budget,
+    //   - per-level round counts stay in the same small band (the
+    //     per-level engine is the volume-independent part),
+    //   - no community ever spans two disjoint copies (dynamics only
+    //     couple through edges + the scalar 2m),
+    //   - level-1 structure stays atomic (no K4 splits).
+    import spark.implicits._
+    def k4Chain(off: Long): Seq[(Long, Long)] = {
+      val intra = (0L until 192L).flatMap(a =>
+        ((a + 1) until 192L).filter(b => b / 4 == a / 4)
+          .map(b => (off + a, off + b)))
+      val chain = (0L until 188L by 4).map(i => (off + i, off + i + 4))
+      intra ++ chain
+    }
+    def prop(n: String): String = spark.sparkContext
+      .getLocalProperty(s"graft.louvain.$n")
+    GraphAnalytics.louvainHierarchy(
+      k4Chain(0).toDF("src", "dst"), maxLevels = 8).count()
+    assert(prop("converged") == "true")
+    val baseMaxRounds = prop("levelRounds").split(",").map(_.toInt).max
+    val inflated = (0L until 10L).flatMap(i => k4Chain(i * 10000000L))
+    val t0 = System.nanoTime()
+    val big = GraphAnalytics.louvainHierarchy(
+      inflated.toDF("src", "dst"), maxLevels = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(prop("converged") == "true", "10x run hit the level budget")
+    val bigMaxRounds = prop("levelRounds").split(",").map(_.toInt).max
+    assert(bigMaxRounds <= baseMaxRounds + 2,
+      s"per-level rounds grew with volume: $bigMaxRounds vs $baseMaxRounds")
+    // component purity: a community never spans two copies
+    assert(big.forall { case (v, c) =>
+      v / 10000000L == c / 10000000L }, "a community spans copies")
+    // K4 atomicity: level 1's structure is never split higher up
+    big.keys.groupBy(v => v / 4).foreach { case (k4, vs) =>
+      assert(vs.map(big).toSet.size == 1, s"K4 $k4 split")
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 600, s"10x hierarchy took ${sec}s")
+  }
+
   test("SCC peel rounds are volume-independent: 10x == 1x (forced distributed)") {
     // x25's item-transition graph inflated by 10 ISOMORPHIC disjoint
     // copies (id offset preserves every intra-copy comparison, so each

@@ -159,4 +159,70 @@ class LouvainSpec extends SparkSpec {
     louvain(cliqueEdges ++ bridges)
     assert(rounds <= 6, s"clique chain took $rounds rounds")
   }
+
+  // ---- the full multi-level loop (louvainHierarchy) -------------------
+
+  private def prop(name: String): String = Option(spark.sparkContext
+    .getLocalProperty(s"graft.louvain.$name")).getOrElse("?")
+
+  /** x34's K4-chain shape, scaled by `groups`. */
+  private def k4Chain(groups: Int): Seq[(Long, Long)] = {
+    val n = groups * 4L
+    val intra = (0L until n).flatMap(a =>
+      ((a + 1) until n).filter(b => b / 4 == a / 4).map(a -> _))
+    val chain = (0L until n by 4).filter(_ + 4 < n).map(i => (i, i + 4))
+    intra ++ chain
+  }
+
+  test("hierarchy: K4 chain folds in >=3 levels, gains positive, converged") {
+    val m = GraphAnalytics.louvainHierarchy(
+      k4Chain(48).toDF("src", "dst"), maxLevels = 8).localCheckpoint()
+    assert(prop("converged") == "true", "budget stopped the loop")
+    val levels = prop("levels").toInt
+    assert(levels >= 3, s"hierarchy folded in only $levels levels")
+    val gains = prop("gains").split(",").map(BigInt(_))
+    // every ACCEPTED level strictly improved exact-integer modularity;
+    // a trailing rejected attempt (if any) is the one below threshold
+    assert(gains.take(levels).forall(_ > 0), s"gains: ${gains.toSeq}")
+    // communities are unions of whole K4s (the hierarchy never splits
+    // a level-1 community), and every vertex is assigned exactly once
+    val asg = m.select(col("v0"), col("comm")).as[(Long, Long)]
+      .collect().toMap
+    assert(asg.size == 192)
+    (0L until 192L).grouped(4).foreach { k4 =>
+      assert(k4.map(asg).toSet.size == 1, s"K4 $k4 split across comms")
+    }
+  }
+
+  test("hierarchy convergence: extra level budget changes nothing") {
+    // the convergence signal is REAL: with twice the budget the loop
+    // stops at the same level count with the same assignment
+    val e = k4Chain(24).toDF("src", "dst").localCheckpoint()
+    val a1 = GraphAnalytics.louvainHierarchy(e, maxLevels = 4)
+      .as[(Long, Long)].collect().toMap
+    val l1 = prop("levels")
+    val a2 = GraphAnalytics.louvainHierarchy(e, maxLevels = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(prop("levels") == l1,
+      s"levels moved with budget: ${prop("levels")} vs $l1")
+    assert(a1 == a2, "assignment changed with a larger level budget")
+  }
+
+  test("hierarchy: disconnected cliques stop at level 1 as themselves") {
+    // two disjoint K5s: level 1 recovers them; level 2's supergraph
+    // has NO cross edges — every supernode is self-loop-only (the
+    // full-outer universe fix keeps them), no moves, identity stop
+    val k5 = (0L to 4L).flatMap(a => ((a + 1) to 4L).map(a -> _))
+    val edges = k5 ++ k5.map { case (a, b) => (a + 100, b + 100) }
+    val m = GraphAnalytics.louvainHierarchy(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(prop("levels") == "1" && prop("converged") == "true")
+    assert(m.values.toSet == Set(0L, 100L))
+  }
+
+  test("hierarchy: empty edge input returns empty, no NPE") {
+    val m = GraphAnalytics.louvainHierarchy(
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+    assert(m.count() == 0L)
+  }
 }
