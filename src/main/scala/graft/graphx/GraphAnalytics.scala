@@ -868,7 +868,13 @@ object GraphAnalytics {
       .join(sup0, Seq("ek"), "left")
       .na.fill(0L, Seq("sup"))
       .transform(graft.Ckpt.cut)
-    for (_ <- 1 to rounds) {
+    val sc0 = pairs0.sparkSession.sparkContext
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      // round marker: jobs launched inside round r carry this local
+      // property, so a listener (bench.TrussProfile) can attribute
+      // jobs/stages/shuffle bytes to rounds — the x18 cost breakdown
+      sc0.setLocalProperty("graft.truss.round", r.toString)
       val removed = st.where(col("sup") < k - 2).select(col("ek").as("re"))
       val kept = st.where(col("sup") >= k - 2)
       // what one round peels is usually small mid-peel, and an explicit
@@ -878,19 +884,38 @@ object GraphAnalytics {
       // (already-checkpointed) filter is one cheap job, and past the
       // threshold the joins fall back to shuffles AQE can still replan
       val removedCnt = removed.count()
+      // CONVERGED: nothing peels this round, so no triangle dies, no
+      // support changes, and every later round is the identity — skip
+      // them. Semantics unchanged (the oracle's chained no-op CTEs
+      // produce the same rows); at sf0.1 this cuts the 3-round x18
+      // loop to the 2 rounds that actually move edges.
+      if (removedCnt == 0L) exhausted = true
+      else {
       val rem =
         if (removedCnt <= 4000000L) broadcast(removed) else removed
-      // dying triangles: distinct union of the three touch sides (a
-      // triangle losing TWO edges in one round must still be charged
-      // once, not twice)
-      val dead = tris.join(rem, col("e1") === col("re"), "left_semi")
-        .unionAll(tris.join(rem, col("e2") === col("re"), "left_semi"))
-        .unionAll(tris.join(rem, col("e3") === col("re"), "left_semi"))
+      // dying triangles in ONE probe pass: explode each surviving
+      // triangle's three edge keys, semi-join the removed set once,
+      // and dedup back to the triangle identity — one scan of `tris`
+      // and one probe instead of the previous three semi-joins +
+      // union + distinct (a triangle losing TWO edges in one round is
+      // still charged once: the distinct)
+      val dead = tris
+        .select(col("e1"), col("e2"), col("e3"),
+          explode(array(col("e1"), col("e2"), col("e3"))).as("ek"))
+        .join(rem, col("ek") === col("re"), "left_semi")
+        .select(col("e1"), col("e2"), col("e3"))
         .distinct()
+        .transform(graft.Ckpt.cut) // feeds the anti-join AND the delta
+      // survivors in ONE anti-join against the (small, checkpointed)
+      // dead list — replacing three per-edge-key anti probes; |dead| is
+      // bounded by (k-2)·|removed| (same bound as delta below), so the
+      // broadcast hint shares the removed-count guard
+      val deadB =
+        if (1L * math.max(k - 2, 1) * removedCnt <= 4000000L)
+          broadcast(dead)
+        else dead
       tris = tris
-        .join(rem, col("e1") === col("re"), "left_anti")
-        .join(rem, col("e2") === col("re"), "left_anti")
-        .join(rem, col("e3") === col("re"), "left_anti")
+        .join(deadB, Seq("e1", "e2", "e3"), "left_anti")
         .transform(graft.Ckpt.cut)
       val delta = dead
         .select(explode(array(col("e1"), col("e2"), col("e3"))).as("ek"))
@@ -909,7 +934,9 @@ object GraphAnalytics {
         .select(col("p1"), col("p2"), col("ek"),
           (col("sup") - coalesce(col("dd"), lit(0L))).as("sup"))
         .transform(graft.Ckpt.cut)
+      }
     }
+    sc0.setLocalProperty("graft.truss.round", null)
     st.select(col("p1"), col("p2"), col("sup"))
   }
 
