@@ -101,6 +101,14 @@ object Headline {
       graft.sources.GraphStore.nodesAttrs(spark, sfDir)
       graft.sources.GraphStore.edges(spark, sfDir)
     } catch { case _: Throwable => () }
+    // HOST-WEATHER GAUGE: the ingest/scan macro harness is fixed work
+    // whose normal-band cost is documented (~1.6 s ingest) — a breach
+    // below is auto-adjudicated against it (ingest >> normal means the
+    // host band blanketed all three samples; re-run on a normal band
+    // before treating any breach as a plan regression)
+    val (ingestControl, scanControl) =
+      try graft.bench.IngestScan.run(spark)
+      catch { case _: Throwable => (-1.0, -1.0) }
 
     val runLog =
       scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
@@ -141,7 +149,8 @@ object Headline {
     val br = breaches.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"headline","value":${
       f3(results.map(_._2).sum)},"unit":"sec","queries":$qs,""" +
-      s""""breaches":$br,"sf":"$sfDir"}"""
+      s""""breaches":$br,"ingest_control":${f3(ingestControl)},""" +
+      s""""scan_control":${f3(scanControl)},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_headline.json")
       try w.println(line.stripSuffix("}") +

@@ -241,8 +241,13 @@ class GraftInputPartition(val bucket: Int, val files: Array[String])
 }
 
 class GraftScan(rootDir: String, gen: StoreGen, required: StructType,
-                pushed: Array[Filter], buckets: Option[Set[Int]])
-  extends Scan with Batch with SupportsReportPartitioning {
+                pushed: Array[Filter], buckets0: Option[Set[Int]])
+  extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeFiltering {
+
+  // static bucket constraint from compile-time pushdown, narrowed
+  // further by runtime (DPP) filters before partitions re-plan
+  @volatile private var buckets: Option[Set[Int]] = buckets0
 
   override def readSchema(): StructType = required
 
@@ -255,6 +260,29 @@ class GraftScan(rootDir: String, gen: StoreGen, required: StructType,
   }
 
   override def toBatch: Batch = this
+
+  // ---- runtime bucket pruning (dynamic partition pruning for the
+  // store): a join against a FILTERED dim side hands the fact scan
+  // the dim's join-key values at execution time; hashing them with
+  // the same murmur3 routing prunes whole buckets of files BEFORE a
+  // single byte is read — the V2 analog of partition-column DPP, on
+  // a layout whose "partitions" are hash buckets. Partition COUNT
+  // stays 32 (pruned buckets go empty, never disappear), so the
+  // KeyGroupedPartitioning contract the SPJ relies on is unchanged.
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(gen.bucketCol))
+
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach {
+      case EqualTo(c, v) if c == gen.bucketCol && v != null =>
+        merge(Set(GraftTable.bucketOf(v, gen.numBuckets)))
+      case In(c, vs) if c == gen.bucketCol && vs.forall(_ != null) =>
+        merge(vs.map(GraftTable.bucketOf(_, gen.numBuckets)).toSet)
+      case _ => () // unsupported runtime filter: keep the static set
+    }
+  private def merge(bs: Set[Int]): Unit =
+    buckets = Some(buckets.fold(bs)(_ intersect bs))
 
   override def planInputPartitions(): Array[InputPartition] = {
     val byBucket = gen.files.groupBy(f => GraftTable.bucketOfFile(f))
@@ -325,6 +353,7 @@ class GraftPartitionReader(files: Array[String], required: StructType,
     idx += 1
     if (idx >= files.length) false
     else {
+      GraftScanStats.filesOpened.incrementAndGet()
       var b = ParquetReader.builder(new GroupReadSupport(),
         new Path(files(idx))).withConf(conf)
       predicate.foreach(p => b = b.withFilter(FilterCompat.get(p)))
@@ -349,6 +378,14 @@ class GraftPartitionReader(files: Array[String], required: StructType,
 
   override def get(): InternalRow = current
   override def close(): Unit = if (reader != null) reader.close()
+}
+
+/** Observability for the pruning specs: how many data files readers
+  * actually opened (meaningful in local[] where executors share the
+  * JVM — a cluster deployment would surface this as a V2 custom
+  * metric instead). */
+object GraftScanStats {
+  val filesOpened = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 // --------------------------------------------------------------- write

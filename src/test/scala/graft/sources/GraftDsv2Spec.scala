@@ -137,6 +137,56 @@ class GraftDsv2Spec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("runtime bucket pruning: a filtered-dim join reads only its buckets") {
+    // dynamic partition pruning over the hash-bucket layout: the dim
+    // side's join-key values reach the fact scan at EXECUTION time
+    // (SupportsRuntimeFiltering), hash through the same murmur3
+    // routing, and whole buckets of files are never opened
+    val root = tmp()
+    val fact = (1 to 2000)
+      .map(i => (s"customer/$i", s"payload-$i")).toDF("id", "name")
+    GraftTable.create(root, fact.schema, "id")
+    fact.write.format("graft").mode("append").save(root)
+    val totalFiles = StoreManifest.readLatest(root).get.files.size
+    assert(totalFiles >= 16, s"want many bucket files, got $totalFiles")
+    // DPP's planner gate wants a LIKELY-SELECTIVE predicate on a
+    // non-foldable dim side (an In filter over a file scan — a local
+    // Seq would constant-fold the filter away and never qualify)
+    val dim = graft.Tables(spark, sfDir, "customer")
+      .where(col("c_custkey").isin(7, 123))
+      .select(concat(lit("customer/"), col("c_custkey")).as("id"),
+        col("c_name").as("tag"))
+    val keys = Seq(
+      // DPP must inject the filter even without a reusable broadcast
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
+        -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio"
+        -> "100.0")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = spark.read.format("graft").load(root)
+        .join(dim, "id").select("id", "name", "tag")
+      v2.GraftScanStats.filesOpened.set(0L)
+      val rows = joined.collect().map(_.getString(0)).sorted.toSeq
+      assert(rows == Seq("customer/123", "customer/7"))
+      val opened = v2.GraftScanStats.filesOpened.get()
+      // the two dim keys hash to at most 2 buckets — with ~1 file per
+      // bucket the scan must open far fewer files than the store holds
+      val wanted = Seq("customer/7", "customer/123")
+        .map(GraftTable.bucketOf(_, 32)).distinct.size
+      assert(opened <= wanted.toLong * 2,
+        s"runtime pruning read $opened of $totalFiles files " +
+          s"(expected ~$wanted buckets)")
+      // and the plan carries the injected runtime filter
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"no runtime filter on the graft scan:\n$plan")
+    } finally saved.foreach { case (k, vOpt) =>
+      vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("generation time travel: asOf(N) stable across append AND compaction") {
     val root = tmp()
     val s0 = sampleDf // gen 1 (gen 0 = empty create)
