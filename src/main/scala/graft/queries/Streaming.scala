@@ -1737,7 +1737,51 @@ object Streaming {
           .select("event_type", "n", "sum_k", "min_k", "max_k")
           .orderBy("event_type")
       },
-      Some(Relational.variantAggOracle))
+      Some(Relational.variantAggOracle)),
+
+    // ---- s32: the graft V2 store's commit log AS a streaming source ----
+    // The table-format CDC read the DSv2 store completes: offsets are
+    // GENERATION numbers, each micro-batch emits the file delta of the
+    // append commits in (start, end], and an overwrite/compaction
+    // commit — which only rewrites rows the stream already emitted —
+    // contributes NOTHING (compaction invisible downstream, the
+    // Delta/Iceberg streaming-read contract). Staged here: three
+    // append generations with a COMPACTION between the second and
+    // third; the drained aggregate hash-checks against the raw
+    // customer table — every row exactly once, the rewrite unseen.
+    RegQuery("s32_stream_store_cdc",
+      (s, d) => {
+        val root = Scratch.path(s, "s32_store", d)
+        Scratch.clear(s, root)
+        def slice(m: Long) = graft.Tables(s, d, "customer")
+          .where(col("c_custkey") % 3 === m)
+          .select(concat(lit("customer/"), col("c_custkey")).as("id"),
+            col("c_name").as("name"), col("c_nationkey").as("nation"))
+        graft.sources.v2.GraftTable.create(root, slice(0).schema, "id")
+        slice(0).write.format("graft").mode("append").save(root) // gen 1
+        slice(1).write.format("graft").mode("append").save(root) // gen 2
+        // gen 3: compaction — a pure rewrite of gens 1+2's rows; the
+        // stream below must NOT emit them twice
+        s.read.format("graft").load(root).localCheckpoint()
+          .write.format("graft").mode("overwrite").save(root)
+        slice(2).write.format("graft").mode("append").save(root) // gen 4
+        val q = withStatePartitions(s, 8) {
+          s.readStream.format("graft").load(root)
+            .groupBy("nation")
+            .agg(count(lit(1)).as("n"), min("name").as("min_name"),
+              max("id").as("max_id"))
+            .writeStream.format("memory").queryName("s32_sink")
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination()
+        s.table("s32_sink")
+          .select("nation", "n", "min_name", "max_id")
+          .orderBy("nation")
+      },
+      Some("""SELECT c_nationkey AS nation, CAST(count(*) AS BIGINT) AS n,
+             |  min(c_name) AS min_name,
+             |  max('customer/' || c_custkey) AS max_id
+             |FROM customer GROUP BY 1 ORDER BY nation""".stripMargin))
   )
 
   private val docsSchema = StructType(Seq(

@@ -144,7 +144,8 @@ class GraftTable(rootDir0: String, pinnedGen: Option[Long],
     Array(Expressions.bucket(gen.numBuckets, gen.bucketCol))
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(rootDir, gen)
@@ -195,6 +196,54 @@ class GraftScanBuilder(rootDir: String, gen: StoreGen)
 
   override def build(): Scan =
     new GraftScan(rootDir, gen, required, pushed, buckets)
+}
+
+/** The store's commit log as a STREAMING source: offsets are
+  * generation numbers; each micro-batch emits the file DELTA of the
+  * append generations in (start, end] — an overwrite/compaction
+  * generation rewrites data the stream already emitted, so it
+  * contributes NOTHING (the CDC semantics table formats give their
+  * streaming readers: compaction is invisible downstream). */
+case class GraftStreamOffset(gen: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = gen.toString
+}
+
+class GraftMicroBatchStream(rootDir: String, schemaDdl: String)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = GraftStreamOffset(-1L)
+  override def latestOffset(): Offset =
+    GraftStreamOffset(StoreManifest.latest(rootDir).getOrElse(-1L))
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[GraftStreamOffset].gen
+    val e0 = end.asInstanceOf[GraftStreamOffset].gen
+    val delta = ((s0 + 1) to e0).flatMap { g =>
+      val cur = StoreManifest.read(rootDir, g)
+      if (cur.kind != StoreManifest.KindAppend) Seq.empty
+      else {
+        val parent = if (g == 0L) Set.empty[String]
+          else StoreManifest.read(rootDir, g - 1).files.toSet
+        cur.files.filterNot(parent)
+      }
+    }
+    // one partition per bucket keeps downstream stateful ops from
+    // seeing a skewed single-partition batch
+    delta.groupBy(f => GraftTable.bucketOfFile(f)).map { case (b, fs) =>
+      new GraftInputPartition(b, fs.map(f => s"$rootDir/$f").toArray)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(schemaDdl, emptyProjection = false,
+      Array.empty)
 }
 
 /** V1 Filter → parquet FilterPredicate for flat columns of the store's
@@ -260,6 +309,11 @@ class GraftScan(rootDir: String, gen: StoreGen, required: StructType,
   }
 
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(rootDir,
+      (if (required.isEmpty) gen.schema else required).toDDL)
 
   // ---- runtime bucket pruning (dynamic partition pruning for the
   // store): a join against a FILTERED dim side hands the fact scan
@@ -441,7 +495,9 @@ class GraftBatchWrite(rootDir: String, gen: StoreGen, overwrite: Boolean)
     val added = messages.flatMap { case GraftCommit(fs) => fs }.toSeq
     val files = if (overwrite) added else gen.files ++ added
     StoreManifest.commit(rootDir, gen.schema, gen.bucketCol,
-      gen.numBuckets, files)
+      gen.numBuckets, files,
+      if (overwrite) StoreManifest.KindOverwrite
+      else StoreManifest.KindAppend)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -20,7 +20,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 case class StoreGen(gen: Long, commitMs: Long, schemaDdl: String,
                     bucketCol: String, numBuckets: Int,
-                    files: Seq[String]) {
+                    files: Seq[String],
+                    kind: String = StoreManifest.KindAppend) {
   def schema: StructType =
     DataType.fromDDL(schemaDdl).asInstanceOf[StructType]
 }
@@ -37,6 +38,13 @@ case class StoreGen(gen: Long, commitMs: Long, schemaDdl: String,
   * manifest references — harmless, collected by a compaction rewrite.
   */
 object StoreManifest {
+
+  /** Commit kinds: an APPEND adds rows (its file delta vs the parent
+    * is new data — what a streaming reader emits); an OVERWRITE is a
+    * rewrite of existing data (compaction / replace — INVISIBLE to a
+    * streaming reader, which already emitted those rows). */
+  val KindAppend = "append"
+  val KindOverwrite = "overwrite"
 
   def genPath(root: String, gen: Long): String =
     f"${GraftTable.norm(root)}/gen-$gen%05d.json"
@@ -66,7 +74,8 @@ object StoreManifest {
       (j \ "schemaDdl").extract[String],
       (j \ "bucketCol").extract[String],
       (j \ "numBuckets").extract[Int],
-      (j \ "files").extract[Seq[String]])
+      (j \ "files").extract[Seq[String]],
+      (j \ "kind").extractOrElse[String](KindAppend))
   }
 
   def readLatest(root: String): Option[StoreGen] =
@@ -77,10 +86,11 @@ object StoreManifest {
     * through a metastore/lock service exactly like other table
     * formats do. */
   def commit(root: String, schema: StructType, bucketCol: String,
-             numBuckets: Int, files: Seq[String]): StoreGen = synchronized {
+             numBuckets: Int, files: Seq[String],
+             kind: String = KindAppend): StoreGen = synchronized {
     val gen = latest(root).fold(0L)(_ + 1L)
     val sg = StoreGen(gen, System.currentTimeMillis(), schema.toDDL,
-      bucketCol, numBuckets, files)
+      bucketCol, numBuckets, files, kind)
     val json = JsonMethods.pretty(JsonMethods.render(
       JObject(
         "gen" -> JLong(sg.gen),
@@ -88,6 +98,7 @@ object StoreManifest {
         "schemaDdl" -> JString(sg.schemaDdl),
         "bucketCol" -> JString(sg.bucketCol),
         "numBuckets" -> JInt(sg.numBuckets),
+        "kind" -> JString(sg.kind),
         "files" -> JArray(sg.files.toList.map(JString(_))))))
     new File(root).mkdirs()
     val tmp = Paths.get(s"${genPath(root, gen)}.tmp")
