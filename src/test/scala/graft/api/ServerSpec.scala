@@ -101,6 +101,27 @@ class ServerSpec extends SparkSpec {
       // malformed SQL → the guard's 400, not a hung response
       val (c3, b3) = request(s"$base/sql", "POST", Some("SELEC nope"))
       assert(c3 == 400 && b3.contains("\"ok\":false"), b3)
+      // the V2 STORE is reachable over the wire too: catalog table +
+      // VERSION AS OF in pure SQL text through the HTTP surface — the
+      // storage seam closed end to end (Scala API, SQL, AND the wire)
+      val wh = java.nio.file.Files
+        .createTempDirectory("srv-graft").toString
+      spark.conf.set("spark.sql.catalog.graft_srv",
+        "graft.sources.v2.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft_srv.warehouse", wh)
+      import spark.implicits._
+      val root = s"$wh/g/t"
+      val df0 = Seq(("a/1", 1L), ("a/2", 2L)).toDF("id", "v")
+      graft.sources.v2.GraftTable.create(root, df0.schema, "id")
+      df0.write.format("graft").mode("append").save(root)
+      Seq(("a/3", 3L)).toDF("id", "v")
+        .write.format("graft").mode("append").save(root)
+      val (c4, b4) = request(s"$base/sql", "POST",
+        Some("SELECT count(*) AS n FROM graft_srv.g.t VERSION AS OF 1"))
+      assert(c4 == 200 && b4.trim == """{"n":2}""", b4)
+      val (c5, b5) = request(s"$base/sql", "POST",
+        Some("SELECT count(*) AS n FROM graft_srv.g.t"))
+      assert(c5 == 200 && b5.trim == """{"n":3}""", b5)
     } finally srv.stop()
   }
 
