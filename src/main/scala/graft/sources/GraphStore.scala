@@ -25,6 +25,13 @@ import graft.graph.GraphView
   * `put`-style appends would land as new bucket files, merged on read
   * by the Engine's merge-dedup (NodeAttrIndex.cs:221 semantics).
   *
+  * VERSIONED storage lives in the sibling V2 connector
+  * (sources/v2: the `graft` format + GraftCatalog): the same bucketed
+  * layout behind manifest-committed generations, with VERSION AS OF /
+  * TIMESTAMP AS OF time travel, storage-partitioned joins, runtime
+  * bucket pruning, and a streaming commit-log read. This catalog-table
+  * form stays as the zero-ceremony session-local store.
+  *
   * KNOWN HAZARD (Spark 4.1.2, pinned in GraphStoreSpec): unioning TWO
   * scans of the same bucketed table and aggregating on keys that include
   * the bucket column skips the exchange (the planner treats the union as
