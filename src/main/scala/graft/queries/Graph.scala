@@ -432,7 +432,51 @@ object Graph {
              |  CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
              |    AS VARCHAR), CAST(2 AS BIGINT)
              |FROM orders WHERE o_orderkey <= 400
-             |) ORDER BY id, attr_key""".stripMargin))
+             |) ORDER BY id, attr_key""".stripMargin)),
+
+    // ---- g19: footer-only aggregates over the V2 store ------------------
+    // The metadata-scan discipline at 100 TB: an unfiltered COUNT /
+    // COUNT(col) / integral MIN / MAX over a graft table is answered
+    // ENTIRELY from parquet footers (complete aggregate pushdown —
+    // GraftDsv2Spec pins zero data files opened and the fallback
+    // cases); the oracle recomputes from raw rows, so the hash proves
+    // the footer arithmetic — row counts, null counts, bound folds
+    // across generations — is exact, not approximate.
+    RegQuery("g19_dsv2_footer_agg",
+      (s, d) => {
+        val root = Scratch.path(s, "dsv2_fagg", d)
+        Scratch.clear(s, root)
+        val rows = Tables(s, d, "orders").select(
+          concat(lit("orders/"), col("o_orderkey")).as("id"),
+          col("o_orderkey").cast("long").as("okey"),
+          expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+            .as("total_cents"),
+          // a nullable column exercises the null-count path
+          when(col("o_orderkey") % 5 === 0, col("o_custkey"))
+            .cast("long").as("maybe_cust"))
+        graft.sources.v2.GraftTable.create(root, rows.schema, "id")
+        // two generations: the footer fold must span the commit log
+        rows.where(col("okey") % 2 === 0)
+          .write.format("graft").mode("append").save(root)
+        rows.where(col("okey") % 2 =!= 0)
+          .write.format("graft").mode("append").save(root)
+        s.read.format("graft").load(root)
+          .agg(count(lit(1)).as("n"), min("okey").as("min_okey"),
+            max("okey").as("max_okey"),
+            min("total_cents").as("min_cents"),
+            max("total_cents").as("max_cents"),
+            count(col("maybe_cust")).as("n_cust"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(min(o_orderkey) AS BIGINT) AS min_okey,
+             |  CAST(max(o_orderkey) AS BIGINT) AS max_okey,
+             |  CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |    AS BIGINT) AS min_cents,
+             |  CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |    AS BIGINT) AS max_cents,
+             |  CAST(count(CASE WHEN o_orderkey % 5 = 0 THEN o_custkey END)
+             |    AS BIGINT) AS n_cust
+             |FROM orders""".stripMargin))
   )
 
   /** Epochs 1+2 reconstructed from raw parquet — what VERSION AS OF 2

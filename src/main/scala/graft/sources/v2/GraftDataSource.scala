@@ -161,12 +161,15 @@ class GraftTable(rootDir0: String, pinnedGen: Option[Long],
 
 class GraftScanBuilder(rootDir: String, gen: StoreGen)
   extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = gen.schema
   private var pushed: Array[Filter] = Array.empty
   // None = no bucket constraint; Some(set) = only these buckets scan
   private var buckets: Option[Set[Int]] = None
+  // COMPLETE aggregate pushdown answered from parquet FOOTERS alone
+  private var aggResult: Option[(StructType, InternalRow)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -194,8 +197,204 @@ class GraftScanBuilder(rootDir: String, gen: StoreGen)
   private def parquetPredicate(f: Filter): Option[FilterPredicate] =
     GraftParquetFilters.predicate(gen.schema, f)
 
-  override def build(): Scan =
-    new GraftScan(rootDir, gen, required, pushed, buckets)
+  // ---- metadata-only aggregates: COUNT(*) / COUNT(col) / MIN / MAX
+  // answered from the parquet FOOTERS of the generation's files — at
+  // 100 TB a whole-table count or bound becomes a per-file metadata
+  // op instead of a scan. Safe only when NO filter constrains rows
+  // (pushed filters / bucket pruning force the normal scan), min/max
+  // only on integral columns (binary stats may be TRUNCATED bounds,
+  // floating NaN breaks stats ordering), and only when EVERY row
+  // group actually carries the needed statistics — any gap falls
+  // back to the full scan at plan time, never to a wrong answer.
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    footerAggregate(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    aggResult = footerAggregate(agg)
+    aggResult.isDefined
+  }
+
+  private def footerAggregate(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (pushed.nonEmpty || buckets.nonEmpty) return None
+    if (agg.groupByExpressions.nonEmpty) return None
+    def flat(e: org.apache.spark.sql.connector.expressions.Expression):
+        Option[(String, DataType)] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        gen.schema.fields.find(_.name == r.fieldNames.head)
+          .map(f => (f.name, f.dataType))
+      case _ => None
+    }
+    // gather per-column footer stats once: (rows, nulls, min, max)
+    lazy val footers: Option[FooterStats] = FooterStats.read(
+      rootDir, gen.files)
+    val wanted = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => footers.map { f =>
+        (StructField("count_star", LongType, nullable = false),
+          f.rows: Any)
+      }
+      case c: Count if !c.isDistinct => flat(c.column).flatMap {
+        case (name, _) => footers.flatMap(_.nonNulls(name).map(n =>
+          (StructField(s"count_$name", LongType, nullable = false),
+            n: Any)))
+      }
+      case m: Min => flat(m.column).collect {
+        case (name, dt @ (IntegerType | LongType)) =>
+          footers.flatMap(_.minOf(name).map(v =>
+            (StructField(s"min_$name", dt), cast(v, dt))))
+      }.flatten
+      case m: Max => flat(m.column).collect {
+        case (name, dt @ (IntegerType | LongType)) =>
+          footers.flatMap(_.maxOf(name).map(v =>
+            (StructField(s"max_$name", dt), cast(v, dt))))
+      }.flatten
+      case _ => None
+    }
+    if (wanted.exists(_.isEmpty)) None
+    else {
+      val cols = wanted.map(_.get)
+      Some((StructType(cols.map(_._1)),
+        InternalRow.fromSeq(cols.map(_._2))))
+    }
+  }
+
+  private def cast(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null // empty table: MIN/MAX are NULL
+    case (n: Number, IntegerType) => n.intValue()
+    case (n: Number, LongType) => n.longValue()
+    case _ => v
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, row)) => new GraftAggScan(rootDir, gen, schema, row)
+    case None => new GraftScan(rootDir, gen, required, pushed, buckets)
+  }
+}
+
+/** Per-column statistics folded over every row group of a file set —
+  * None the moment ANY row group lacks the statistic (truncation-safe:
+  * better a full scan than a wrong bound). */
+private[v2] class FooterStats(val rows: Long,
+    nulls: Map[String, Option[Long]],
+    mins: Map[String, Option[Any]], maxs: Map[String, Option[Any]]) {
+  // outer Option = statistic trustworthy; inner value may be NULL
+  // (empty table / all-null column — the correct aggregate result)
+  def nonNulls(col: String): Option[Long] =
+    nulls.getOrElse(col, None).map(rows - _)
+  def minOf(col: String): Option[Any] =
+    if (rows == 0L) Some(null) else mins.getOrElse(col, None)
+  def maxOf(col: String): Option[Any] =
+    if (rows == 0L) Some(null) else maxs.getOrElse(col, None)
+}
+
+private[v2] object FooterStats {
+  def read(rootDir: String, files: Seq[String]): Option[FooterStats] = try {
+    val conf = new Configuration()
+    var rows = 0L
+    // per column: None = poisoned (some chunk lacked the statistic),
+    // Some(None) = no non-null value seen yet (all-null so far),
+    // Some(Some(v)) = folded value
+    val nulls = scala.collection.mutable.Map.empty[String, Option[Long]]
+    val mins =
+      scala.collection.mutable.Map.empty[String, Option[Option[Any]]]
+    val maxs =
+      scala.collection.mutable.Map.empty[String, Option[Option[Any]]]
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.lang.Integer, y: java.lang.Integer) => x < y
+      case (x: java.lang.Long, y: java.lang.Long) => x < y
+      case _ => throw new IllegalArgumentException(s"$a vs $b")
+    }
+    files.foreach { f =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(s"$rootDir/$f"), conf))
+      try rdr.getFooter.getBlocks.forEach { blk =>
+        rows += blk.getRowCount
+        blk.getColumns.forEach { cc =>
+          val name = cc.getPath.toDotString
+          val st = cc.getStatistics
+          val statsOk = st != null && !st.isEmpty && st.isNumNullsSet
+          nulls(name) =
+            if (statsOk) nulls.getOrElse(name, Some(0L))
+              .map(_ + st.getNumNulls)
+            else None
+          // MIN/MAX fold only for integral primitives: binary stats
+          // are potentially TRUNCATED bounds and float stats break on
+          // NaN — other types stay poisoned (None) so the planner
+          // falls back to the real scan for them
+          val integral = {
+            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+            val t = cc.getPrimitiveType.getPrimitiveTypeName
+            t == INT32 || t == INT64
+          }
+          // what this chunk contributes, shape only: None = poisoned
+          // (untrustworthy stats), Some(None) = all-null chunk (no
+          // value, still exact), Some(Some(())) = has a real bound
+          val contrib: Option[Option[Unit]] =
+            if (!statsOk || !integral) None
+            else if (st.getNumNulls == blk.getRowCount) Some(None)
+            else if (st.hasNonNullValue) Some(Some(()))
+            else None
+          def fold(cur: Option[Option[Any]], v: => Any,
+                   keepLeft: (Any, Any) => Boolean): Option[Option[Any]] =
+            (cur, contrib) match {
+              case (None, _) | (_, None) => None
+              case (Some(prev), Some(None)) => Some(prev) // all-null chunk
+              case (Some(None), Some(_)) => Some(Some(v))
+              case (Some(Some(p)), Some(_)) =>
+                Some(Some(if (keepLeft(p, v)) p else v))
+            }
+          mins(name) = fold(mins.getOrElse(name, Some(None)),
+            st.genericGetMin, (p, v) => lt(p, v))
+          maxs(name) = fold(maxs.getOrElse(name, Some(None)),
+            st.genericGetMax, (p, v) => !lt(p, v))
+        }
+      } finally rdr.close()
+    }
+    // flatten the three-state fold: poisoned -> absent; all-null ->
+    // a present NULL (the correct MIN/MAX of an all-null column)
+    Some(new FooterStats(rows, nulls.toMap,
+      mins.toMap.map { case (k, v) => k -> v.map(_.orNull) },
+      maxs.toMap.map { case (k, v) => k -> v.map(_.orNull) }))
+  } catch { case _: Throwable => None }
+}
+
+/** The one-row scan serving a completely-pushed aggregate — the plan
+  * reads footers, never data (GraftDsv2Spec pins files-opened == 0). */
+class GraftAggScan(rootDir: String, gen: StoreGen, schema: StructType,
+                   row: InternalRow) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"GraftStore root=$rootDir gen=${gen.gen} " +
+      s"PushedAggregates: [${schema.fieldNames.mkString(", ")}] " +
+      "(footer-only, no data read)"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(new GraftAggPartition(row.copy()))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftAggReaderFactory()
+}
+
+class GraftAggPartition(val row: InternalRow) extends InputPartition
+
+class GraftAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow =
+        p.asInstanceOf[GraftAggPartition].row
+      override def close(): Unit = ()
+    }
 }
 
 /** The store's commit log as a STREAMING source: offsets are

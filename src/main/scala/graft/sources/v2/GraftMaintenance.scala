@@ -1,0 +1,43 @@
+package graft.sources.v2
+
+import java.io.File
+
+/** Store maintenance: generation EXPIRY (the VACUUM that bounds how
+  * much history time travel retains). Commits never delete files —
+  * that is what keeps every snapshot readable — so an unbounded store
+  * accumulates every generation's rewrite forever; expiry is the
+  * documented policy lever (the same role the reference's FASTER
+  * checkpoint cadence plays, NodeAttrIndex.cs:74,115-121, and
+  * `spark.graft.dedupIndex.maxGenerations` plays for the dedup
+  * index).
+  */
+object GraftMaintenance {
+
+  /** Drop every generation older than the newest `keepGens`, then
+    * delete any data file referenced ONLY by dropped generations —
+    * plus orphans no manifest references at all (the residue of
+    * crashed/aborted writes). Returns (droppedGens, deletedFiles).
+    *
+    * Readers of RETAINED generations are untouched: their manifests
+    * and every file they reference survive. Time travel simply
+    * shortens — `VERSION AS OF` below the horizon now fails with a
+    * missing-manifest error instead of silently reading bad data. */
+  def expire(root0: String, keepGens: Int): (Seq[Long], Seq[String]) =
+    synchronized {
+      require(keepGens >= 1, "must keep at least the live generation")
+      val root = GraftTable.norm(root0)
+      val gens = StoreManifest.generations(root)
+      val (drop, keep) = gens.splitAt(math.max(0, gens.size - keepGens))
+      val live = keep.flatMap(g => StoreManifest.read(root, g).files).toSet
+      // orphan sweep: every file on disk not referenced by a RETAINED
+      // manifest goes — dropped-only files and aborted-write residue
+      // alike (relative paths in manifests are under data/)
+      val dataDir = new File(s"$root/data")
+      val deleted = Option(dataDir.listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !live.contains(s"data/${f.getName}"))
+        .map { f => f.delete(); s"data/${f.getName}" }
+      drop.foreach(g =>
+        new File(StoreManifest.genPath(root, g)).delete(): Unit)
+      (drop, deleted)
+    }
+}

@@ -252,6 +252,49 @@ class GraftDsv2Spec extends SparkSpec {
     assert(err != null)
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answered from footers, zero data read") {
+    val root = tmp()
+    val df = (1 to 5000)
+      .map(i => (s"k/$i", i.toLong * 3, if (i % 7 == 0) null
+        else s"v$i"))
+      .toDF("id", "n", "s")
+    GraftTable.create(root, df.schema, "id")
+    df.write.format("graft").mode("append").save(root)
+    df.where(col("n") > 9000).write.format("graft").mode("append")
+      .save(root) // second generation: the fold spans generations
+    val store = spark.read.format("graft").load(root)
+    val q = store.agg(count(lit(1)).as("c"), min("n").as("mn"),
+      max("n").as("mx"), count(col("s")).as("cs"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"),
+      s"aggregate not pushed to the footer scan:\n$plan")
+    v2.GraftScanStats.filesOpened.set(0L)
+    val r = q.collect().head
+    assert(v2.GraftScanStats.filesOpened.get() == 0L,
+      "footer aggregate opened data files")
+    val dupHi = 5000L - 3000L // rows with n > 9000 appended twice
+    assert(r.getLong(0) == 5000L + dupHi)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 15000L)
+    // count(s): nulls excluded, per footers' null counts
+    val sNulls = (1 to 5000).count(_ % 7 == 0) +
+      (3001 to 5000).count(_ % 7 == 0)
+    assert(r.getLong(3) == (5000L + dupHi) - sNulls)
+    // a FILTERED aggregate must fall back to the real scan
+    val qf = store.where(col("n") > 600).agg(count(lit(1)))
+    v2.GraftScanStats.filesOpened.set(0L)
+    val cf = qf.collect().head.getLong(0)
+    assert(v2.GraftScanStats.filesOpened.get() > 0L,
+      "filtered aggregate wrongly served from footers")
+    assert(cf == store.collect().count(_.getLong(1) > 600))
+    // string MIN/MAX must fall back (binary stats may be truncated
+    // BOUNDS, not values)
+    val qs = store.agg(min("s"))
+    v2.GraftScanStats.filesOpened.set(0L)
+    qs.collect()
+    assert(v2.GraftScanStats.filesOpened.get() > 0L,
+      "string min wrongly served from footer bounds")
+  }
+
   test("streaming read: generations arrive incrementally, restart resumes") {
     val root = tmp() + "/s"
     val ck = tmp() + "/ck"
@@ -282,6 +325,40 @@ class GraftDsv2Spec extends SparkSpec {
       s"stream emitted ${got.count()} rows (dup or loss across restart)")
     assert(got.select("id").distinct().count() == 100L,
       "a row was emitted twice — the compaction leaked into the stream")
+  }
+
+  test("generation expiry: history shortens, retained snapshots intact") {
+    val root = tmp()
+    def gen(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (s"e/$i", i.toLong)).toDF("id", "v")
+    GraftTable.create(root, gen(0, 1).schema, "id")
+    gen(0, 40).write.format("graft").mode("append").save(root)  // 1
+    gen(40, 80).write.format("graft").mode("append").save(root) // 2
+    // gen 3: compaction rewrite — makes gens 1-2's files droppable
+    spark.read.format("graft").load(root).localCheckpoint()
+      .write.format("graft").mode("overwrite").save(root)
+    gen(80, 100).write.format("graft").mode("append").save(root) // 4
+    // plus an ORPHAN no manifest references (aborted-write residue)
+    val orphan = new java.io.File(s"$root/data/part-orphan_00003.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    val filesBefore = new java.io.File(s"$root/data").listFiles().length
+    val snap3 = spark.read.format("graft").option("generation", 3)
+      .load(root).orderBy("id").collect().toSeq
+    val (dropped, deleted) = v2.GraftMaintenance.expire(root, keepGens = 2)
+    assert(dropped == Seq(0L, 1L, 2L), s"dropped $dropped")
+    assert(deleted.nonEmpty && deleted.contains(
+      "data/part-orphan_00003.parquet"), s"deleted $deleted")
+    assert(new java.io.File(s"$root/data").listFiles().length
+      < filesBefore)
+    // retained generations read byte-identically; live table intact
+    assert(spark.read.format("graft").option("generation", 3)
+      .load(root).orderBy("id").collect().toSeq == snap3)
+    assert(spark.read.format("graft").load(root).count() == 100L)
+    // expired history is a loud error, not silent bad data
+    intercept[Exception] {
+      spark.read.format("graft").option("generation", 2).load(root)
+        .count()
+    }
   }
 
   test("catalog CTAS: writeTo(...).create() routes bucket spec + data") {
