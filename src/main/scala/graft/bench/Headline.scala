@@ -52,6 +52,9 @@ object Headline {
     ("x31_msf", 10.0),
     ("x32_louvain", 9.5),
     ("x33_louvain_hier", 17.0),
+    // x34: r8 full-pass band 18.3-19.7 s (3 accepted levels + the
+    // identity probe = 4 fixpoints + 3 exact-integer Q aggregates)
+    ("x34_louvain_full", 26.0),
     // LLM-pipeline spine
     ("p05_minhash_lsh", 3.0),
     ("p09_ann_topk", 1.5),

@@ -52,7 +52,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *     write time and every writer task emits whole-bucket files;
   *   - commits are append-only manifests — append/compact never
   *     rewrite history, so `VERSION AS OF` reads any prior
-  *     generation (the pre-compaction snapshot included).
+  *     generation (the pre-compaction snapshot included);
+  *   - unfiltered COUNT/MIN/MAX aggregates are served from parquet
+  *     FOOTERS (no data read); runtime (DPP) filters prune buckets at
+  *     execution; the commit log doubles as a streaming source.
+  *
+  * Honest scope note: the partition readers speak parquet through the
+  * public example-Group API (row-at-a-time) because the connector
+  * cannot reach Spark's internal vectorized reader from the V2
+  * surface — a production deployment would swap
+  * [[GraftPartitionReader]] for a columnar reader behind the SAME
+  * partition planning, pruning, and pushdown; every scale property
+  * above lives in the planning layer, not the row decoder.
   */
 class GraftDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
