@@ -38,4 +38,16 @@ object Ckpt {
       case _ => df.localCheckpoint()
     }
   }
+
+  /** Cut two INDEPENDENT frames concurrently: each eager checkpoint is
+    * its own Spark job with no dependency on the other, so launching
+    * them from two driver threads lets the scheduler overlap them
+    * (optimization guide §2.6 — actions are only sequential because
+    * driver code calls them sequentially) instead of paying two full
+    * job barriers back to back. */
+  def cutPar(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
+    val fb = java.util.concurrent.CompletableFuture.supplyAsync(() => cut(b))
+    val ca = cut(a)
+    (ca, fb.join())
+  }
 }

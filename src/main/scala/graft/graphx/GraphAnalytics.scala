@@ -1295,17 +1295,22 @@ object GraphAnalytics {
         .join(x.groupBy("id").agg(count(lit(1)).as("exact_ball")), "id")
         .select(lit(t).as("t"), col("id"), col("est_ball"), col("exact_ball"))
     (1 to iters).map { t =>
-      regs = regs.unionAll(
-          e.join(regs.withColumnRenamed("id", "did"),
-            col("did") === col("dst"))
-            .select(col("src").as("id"), col("reg"), col("rho")))
-        .groupBy("id", "reg").agg(max("rho").as("rho"))
-        .transform(graft.Ckpt.cut)
-      exact = exact.unionAll(
-          e.join(exact.withColumnRenamed("id", "did"),
-            col("did") === col("dst"))
-            .select(col("src").as("id"), col("nb")))
-        .distinct().transform(graft.Ckpt.cut)
+      // the register merge and the exact-frontier distinct are
+      // independent of each other within a round — cut both in
+      // parallel so the two materialization barriers overlap
+      val (r2, x2) = graft.Ckpt.cutPar(
+        regs.unionAll(
+            e.join(regs.withColumnRenamed("id", "did"),
+              col("did") === col("dst"))
+              .select(col("src").as("id"), col("reg"), col("rho")))
+          .groupBy("id", "reg").agg(max("rho").as("rho")),
+        exact.unionAll(
+            e.join(exact.withColumnRenamed("id", "did"),
+              col("did") === col("dst"))
+              .select(col("src").as("id"), col("nb")))
+          .distinct())
+      regs = r2
+      exact = x2
       estimate(t, regs, exact)
     }.reduce(_ unionAll _)
   }
@@ -1868,10 +1873,43 @@ object GraphAnalytics {
         forest = forest.unionAll(picked.select(col("u"), col("v"),
           col("w"), lit(round).as("rnd")))
         // contract: components of the picked pseudo-forest (≤ one pick
-        // per component, so |pairs| ≤ #components); labels relabel
-        // through the CC seam (string ids — any CONSISTENT
-        // representative works, labels never reach the output)
-        val cc = connectedComponents(picked.select(
+        // per component, so |pairs| ≤ #components); any CONSISTENT
+        // representative works — labels never reach the output. The
+        // pseudo-forest is tiny relative to the graph (halving per
+        // round), so below the CC local threshold the union-find runs
+        // directly on the driver from the already-checkpointed picked
+        // rows — the full connectedComponents call spent ~6
+        // choreography jobs per round on leaf-peel frames just to
+        // reach the same collect. Above the threshold the distributed
+        // CC path still runs.
+        val ccThreshold = spark.conf
+          .get("spark.graft.cc.localEdgeThreshold", "1000000").toLong
+        val cc = if (picked.count() <= ccThreshold) {
+          import spark.implicits._
+          val prs = picked.select(col("cu"), col("cv"))
+            .as[(Long, Long)].collect()
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var cx = x // path compression
+            while (parent.getOrElse(cx, cx) != cx) {
+              val n = parent(cx); parent(cx) = r; cx = n
+            }
+            r
+          }
+          prs.foreach { case (a, b) =>
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) {
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            }
+          }
+          val verts = prs.iterator
+            .flatMap(p => Iterator(p._1, p._2)).toSet
+          broadcast(spark.createDataset(
+              verts.iterator.map(x => (x, find(x))).toSeq)
+            .toDF("oldc", "newc"))
+        } else connectedComponents(picked.select(
             col("cu").cast("string").as("src_id"),
             col("cv").cast("string").as("dst_id")))
           .select(col("id").cast("long").as("oldc"),
@@ -1945,9 +1983,111 @@ object GraphAnalytics {
   }
 
   /** The shared synchronous gain-round engine: `sym` is the
-    * symmetrized weighted edge list [u, v, w]. */
+    * symmetrized weighted edge list [u, v, w].
+    *
+    * Round shape (r9 optimization — semantics unchanged, pinned by
+    * LouvainSpec's simulator property test and the x32/x33/x34
+    * oracles): the previous structure materialized THREE checkpoints
+    * per round (scored, moves, comm) plus a join of comm back against
+    * the move set; on the tiny-per-round frames every x3x entry runs
+    * at sf0.1 that was pure job-choreography cost (guide §1.2 — fix
+    * the distributed algorithm first). Now one window pass computes
+    * the best candidate AND the stay score per vertex (the stay row is
+    * ranked LAST via the is-own sort key, so rn=1 is the best non-own
+    * candidate exactly as before), and the round's output IS the next
+    * assignment — one checkpoint per round, no join back, `moved`
+    * counted on the checkpointed result.
+    *
+    * When `wantQ` and the loop ends at a true fixpoint (not the round
+    * budget), the final round's per-vertex rows already carry k(u,
+    * c(u)) against the final assignment, so Q·(2m)² folds out of two
+    * small aggregates over the checkpoint instead of the two
+    * edge-list joins [[louvainHierarchy.qScaled]] pays: Σ_c in_c =
+    * Σ_u k(u,c(u)) + 2·Σ self, and Σ_c tot_c² from the per-vertex deg
+    * rows. Published as local property `graft.louvain.qfix` (BigInt
+    * string; cleared per call, absent on budget exit). */
+  /** Driver-side mirror of the synchronous gain rounds over collected
+    * (u, v, w) symmetric edges — the identical exact-integer
+    * recurrence (snapshot scores, strict improvement, min-label ties,
+    * singleton-swap guard, round budget), so the result is
+    * bit-identical to the distributed arm (LouvainSpec pins both
+    * against an independent simulator). Returns (assignment,
+    * degrees, rounds, reachedFixpoint, Σ_u k(u,c(u)) at the fixpoint
+    * round, Σ_c tot_c² at the fixpoint round). */
+  private def louvainRoundsArrays(
+      edges: Array[(Long, Long, Long)], selfs: Map[Long, Long],
+      maxRounds: Int): (scala.collection.mutable.HashMap[Long, Long],
+        Map[Long, Long], Int, Boolean, Long, BigInt) = {
+    val aw = scala.collection.mutable.HashMap.empty[Long, Long]
+    edges.foreach { case (u, _, w) =>
+      aw.update(u, aw.getOrElse(u, 0L) + w) }
+    val deg = (aw.keySet ++ selfs.keySet).iterator.map(v =>
+      v -> (aw.getOrElse(v, 0L) + 2L * selfs.getOrElse(v, 0L))).toMap
+    val twoM = deg.values.sum
+    val comm = scala.collection.mutable.HashMap.empty[Long, Long]
+    deg.keysIterator.foreach(v => comm(v) = v)
+    if (twoM == 0L) return (comm, deg, 0, false, 0L, BigInt(0))
+    val nbrs = edges.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(e => (e._2, e._3)) }
+    var round = 0
+    var moved = 1L
+    var fixpoint = false
+    var stayK = 0L
+    var totSq = BigInt(0)
+    while (moved > 0) {
+      round += 1
+      if (round > maxRounds) moved = 0L
+      else {
+        val tot = scala.collection.mutable.HashMap.empty[Long, Long]
+        val csize = scala.collection.mutable.HashMap.empty[Long, Long]
+        deg.foreach { case (v, dv) =>
+          val c = comm(v)
+          tot.update(c, tot.getOrElse(c, 0L) + dv)
+          csize.update(c, csize.getOrElse(c, 0L) + 1L)
+        }
+        var movedNow = 0L
+        var kOwnSum = 0L
+        val next = scala.collection.mutable.HashMap.empty[Long, Long]
+        deg.foreach { case (u, du) =>
+          val cur = comm(u)
+          val k = scala.collection.mutable.HashMap.empty[Long, Long]
+          nbrs.getOrElse(u, Array.empty).foreach { case (v, w) =>
+            val cv = comm(v)
+            k.update(cv, k.getOrElse(cv, 0L) + w)
+          }
+          def score(cand: Long): Long = twoM * k.getOrElse(cand, 0L) -
+            du * (tot(cand) - (if (cand == cur) du else 0L))
+          kOwnSum += k.getOrElse(cur, 0L)
+          val stayScore = score(cur)
+          var bestC = Long.MinValue
+          var bestS = Long.MinValue
+          var any = false
+          k.keysIterator.filter(_ != cur).foreach { cand =>
+            val s = score(cand)
+            if (!any || s > bestS || (s == bestS && cand < bestC)) {
+              any = true; bestS = s; bestC = cand
+            }
+          }
+          val doMove = any && bestS > stayScore &&
+            !(csize(cur) == 1L && csize(bestC) == 1L && bestC > cur)
+          if (doMove) { next(u) = bestC; movedNow += 1L }
+          else next(u) = cur
+        }
+        moved = movedNow
+        if (moved == 0L) {
+          fixpoint = true
+          stayK = kOwnSum
+          totSq = tot.valuesIterator
+            .map(t => BigInt(t) * BigInt(t)).sum
+        }
+        next.foreach { case (v, c) => comm(v) = c }
+      }
+    }
+    (comm, deg, round, fixpoint, stayK, totSq)
+  }
+
   private def louvainRounds(sym0: DataFrame, selfLoops: Option[DataFrame],
-      maxRounds: Int): DataFrame = {
+      maxRounds: Int, wantQ: Boolean = false): DataFrame = {
     val spark = sym0.sparkSession
     // A lineage cut PRESERVES origin stats on its LogicalRDD leaf, and
     // unlike the semi/anti-join peels (whose stats pass through
@@ -1962,6 +2102,41 @@ object GraphAnalytics {
       cut.sparkSession.createDataFrame(cut.rdd, cut.schema)
     }
     val sym = sym0.transform(graft.Ckpt.cut)
+    // adaptive dispatch, the CC/PageRank-loop pattern: each
+    // synchronous round is ~8 exchanges (and under AQE each exchange
+    // is its own scheduled job), so while the level's graph fits the
+    // driver the identical integer recurrence runs as a driver map
+    // loop — at sf0.1 the distributed x34 fixpoints spent ~500
+    // single-stage jobs moving <1 MB. Above the threshold the
+    // distributed join+window loop below runs; both arms are the same
+    // exact integer math (LouvainSpec pins them against an independent
+    // simulator and against each other).
+    val threshold = spark.conf
+      .get("spark.graft.louvain.localEdgeThreshold", "1000000").toLong
+    val localOk = sym.count() <= threshold
+    spark.sparkContext.setLocalProperty("graft.louvain.impl",
+      if (localOk) "local" else "distributed")
+    if (localOk) {
+      import spark.implicits._
+      val edges = sym.select(col("u"), col("v"), col("w"))
+        .as[(Long, Long, Long)].collect()
+      val selfs = selfLoops.map(_.select(col("v"), col("sw"))
+        .as[(Long, Long)].collect().toMap).getOrElse(Map.empty[Long, Long])
+      val (asg, deg, rounds, fixpoint, stayK, totSq) =
+        louvainRoundsArrays(edges, selfs, maxRounds)
+      spark.sparkContext.setLocalProperty("graft.louvain.qfix",
+        if (wantQ && fixpoint) {
+          val twoM = deg.values.sum
+          val selfTot = selfs.values.sum
+          (BigInt(twoM) * (BigInt(stayK) + 2 * BigInt(selfTot)) -
+            totSq).toString
+        } else null)
+      spark.sparkContext.setLocalProperty("graft.louvain.rounds",
+        rounds.toString)
+      return spark.createDataset(asg.iterator
+          .map { case (v, c) => (v, c, deg(v)) }.toSeq)
+        .toDF("v", "c", "deg")
+    }
     val adjMass = sym.groupBy(col("u").as("v"))
       .agg(sum("w").as("aw"))
     val degs = selfLoops match {
@@ -1983,12 +2158,15 @@ object GraphAnalytics {
     // points instead of NPEing on the driver
     val twoM = comm.agg(coalesce(sum("deg"), lit(0L)))
       .first().getLong(0) // Σdeg = 2m
+    spark.sparkContext.setLocalProperty("graft.louvain.qfix", null)
     if (twoM == 0L) {
       spark.sparkContext.setLocalProperty("graft.louvain.rounds", "0")
       return comm
     }
     var round = 0
     var moved = 1L
+    var fixpoint = false
+    var last: DataFrame = null // final round's [v, c, deg, chg, kown]
     while (moved > 0) {
       round += 1
       if (round > maxRounds) {
@@ -2009,8 +2187,7 @@ object GraphAnalytics {
         // neighbours (k = 0)
         val own = comm.select(col("v").as("u"), col("c").as("cand"))
         val cands = kuc
-          .join(own.withColumn("is_own", lit(true)),
-            Seq("u", "cand"), "full")
+          .join(own, Seq("u", "cand"), "full")
           .select(col("u"), col("cand"),
             coalesce(col("k"), lit(0L)).as("k"))
         val cur = comm.select(col("v").as("u"), col("c").as("cur"),
@@ -2024,26 +2201,56 @@ object GraphAnalytics {
             (col("cand_tot") -
               when(col("cand") === col("cur"), col("deg"))
                 .otherwise(lit(0L))))
-          .transform(graft.Ckpt.cut) // feeds best AND stay
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("u").orderBy(col("score").desc, col("cand").asc)
-        val best = scored.where(col("cand") =!= col("cur"))
-          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        val stay = scored.where(col("cand") === col("cur"))
-          .select(col("u"), col("score").as("stay_score"),
-            col("cand_size").as("cur_size"))
-        val moves = best.join(stay, "u")
-          .where(col("score") > col("stay_score") &&
-            !(col("cur_size") === 1 && col("cand_size") === 1 &&
-              col("cand") > col("cur")))
-          .select(col("u").as("v"), col("cand").as("newc"))
-          .transform(graft.Ckpt.cut)
-        moved = moves.count()
-        if (moved > 0)
-          comm = rebase(comm.join(moves, Seq("v"), "left")
-            .select(col("v"), coalesce(col("newc"), col("c")).as("c"),
-              col("deg")))
+        // one exchange on u serves both windows: the unordered frame
+        // carries the stay row's score/size/k to every candidate row,
+        // and the ordered rank puts the stay row LAST (is-own key) so
+        // rn=1 is the best candidate ≠ cur with the identical
+        // (score desc, cand asc) tie order as before — when cur is
+        // the ONLY row (no outside neighbours) rn=1 is the stay row
+        // and the move predicate rejects it, matching the old
+        // empty-best semantics
+        val wAgg = org.apache.spark.sql.expressions.Window
+          .partitionBy("u")
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy("u").orderBy((col("cand") === col("cur")).asc,
+            col("score").desc, col("cand").asc)
+        val isOwn = col("cand") === col("cur")
+        val mv = col("cand") =!= col("cur") &&
+          col("score") > col("stay_score") &&
+          !(col("cur_size") === 1 && col("cand_size") === 1 &&
+            col("cand") > col("cur"))
+        val next = rebase(scored
+          .withColumn("stay_score", max(when(isOwn, col("score"))).over(wAgg))
+          .withColumn("cur_size", max(when(isOwn, col("cand_size"))).over(wAgg))
+          .withColumn("kown", max(when(isOwn, col("k"))).over(wAgg))
+          .withColumn("rn", row_number().over(wOrd))
+          .where(col("rn") === 1)
+          .select(col("u").as("v"),
+            when(mv, col("cand")).otherwise(col("cur")).as("c"),
+            col("deg"), mv.as("chg"), col("kown")))
+        moved = next.where(col("chg")).count()
+        if (moved == 0L) { fixpoint = true; last = next }
+        comm = next.select(col("v"), col("c"), col("deg"))
       }
+    }
+    if (wantQ && fixpoint) {
+      // Q·(2m)² of the fixpoint, from the final round's own rows (the
+      // round that observed moved == 0 scored every vertex against the
+      // FINAL assignment): Σ_c(2m·in_c − tot_c²) with
+      // Σ_c in_c = Σ_u kown + 2·Σ sw and tot_c = Σ_{v∈c} deg
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val selfTot = selfLoops.map(_.agg(coalesce(sum("sw"), lit(0L)))
+        .first().getLong(0)).getOrElse(0L)
+      val r = last.groupBy("c")
+        .agg(sum(col("kown").cast(dec)).as("sk"),
+          sum(col("deg").cast(dec)).as("tot"))
+        .agg(coalesce(sum(col("sk")), lit(0).cast(dec)).as("sk"),
+          coalesce(sum(col("tot") * col("tot")), lit(0).cast(dec)).as("t2"))
+        .first()
+      val q = BigInt(twoM) *
+        (BigInt(r.getDecimal(0).toBigInteger) + 2 * BigInt(selfTot)) -
+        BigInt(r.getDecimal(1).toBigInteger)
+      spark.sparkContext.setLocalProperty("graft.louvain.qfix", q.toString)
     }
     spark.sparkContext.setLocalProperty("graft.louvain.rounds",
       round.toString)
@@ -2096,6 +2303,97 @@ object GraphAnalytics {
       .select(col("v0"), col("v0").as("comm")))
     val twoM = sym.agg(coalesce(sum("w"), lit(0L))).first().getLong(0)
 
+    // adaptive dispatch for the WHOLE outer loop: levels only shrink,
+    // so a level-0 graph under the local threshold keeps every later
+    // level under it too — the full multi-level recursion (fixpoints,
+    // exact-integer Q convergence, contraction, mapping composition)
+    // runs as one driver pass over collected edges, identical math to
+    // the DataFrame loop below (same recurrence the x34 oracle
+    // replays). At sf0.1 the distributed outer loop was ~500
+    // scheduled single-stage jobs moving <1 MB of data.
+    val lvThreshold = spark.conf
+      .get("spark.graft.louvain.localEdgeThreshold", "1000000").toLong
+    if (sym.count() <= lvThreshold) {
+      import spark.implicits._
+      spark.sparkContext.setLocalProperty("graft.louvain.impl", "local")
+      var edges = sym.select(col("u"), col("v"), col("w"))
+        .as[(Long, Long, Long)].collect()
+      var selfs = Map.empty[Long, Long]
+      val map = scala.collection.mutable.HashMap.empty[Long, Long]
+      edges.foreach(e => map(e._1) = e._1)
+      val aw0 = scala.collection.mutable.HashMap.empty[Long, Long]
+      edges.foreach { case (u, _, w) =>
+        aw0.update(u, aw0.getOrElse(u, 0L) + w) }
+      var lq = -aw0.valuesIterator.map(a => BigInt(a) * BigInt(a)).sum
+      var level = 0
+      var converged = false
+      val levelRounds = scala.collection.mutable.ListBuffer.empty[String]
+      val gains = scala.collection.mutable.ListBuffer.empty[String]
+      while (level < maxLevels && !converged && twoM > 0L) {
+        val (asg, deg, rounds, fixpoint, stayK, totSq) =
+          louvainRoundsArrays(edges, selfs, maxRounds)
+        levelRounds += rounds.toString
+        val moved = asg.count { case (v, c) => c != v }
+        if (moved == 0L) converged = true
+        else {
+          val selfTot = selfs.values.sum
+          val qNew = if (fixpoint)
+            BigInt(twoM) * (BigInt(stayK) + 2 * BigInt(selfTot)) - totSq
+          else {
+            // round-budget exit: evaluate Q directly on the returned
+            // assignment (the qScaled identity — edges are symmetric,
+            // so the internal filter counts each undirected edge
+            // twice, exactly like the DataFrame inEdges join)
+            val inE = edges.iterator
+              .filter { case (u, v, _) => asg(u) == asg(v) }
+              .map(_._3).sum
+            val tot = scala.collection.mutable.HashMap.empty[Long, Long]
+            deg.foreach { case (v, dv) =>
+              val c = asg(v)
+              tot.update(c, tot.getOrElse(c, 0L) + dv)
+            }
+            BigInt(twoM) * (BigInt(inE) + 2 * BigInt(selfTot)) -
+              tot.valuesIterator.map(t => BigInt(t) * BigInt(t)).sum
+          }
+          gains += (qNew - lq).toString
+          if (qNew - lq < BigInt(minGain)) converged = true
+          else {
+            level += 1
+            val cid = scala.collection.mutable.HashMap.empty[Long, Long]
+            asg.foreach { case (v, c) =>
+              if (!cid.contains(c) || v < cid(c)) cid(c) = v }
+            map.keys.toArray.foreach(k => map(k) = cid(asg(map(k))))
+            val cross =
+              scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+            val internal =
+              scala.collection.mutable.HashMap.empty[Long, Long]
+            edges.foreach { case (u, v, w) =>
+              val cu = cid(asg(u)); val cv = cid(asg(v))
+              if (cu < cv)
+                cross.update((cu, cv), cross.getOrElse((cu, cv), 0L) + w)
+              else if (cu == cv && u < v)
+                internal.update(cu, internal.getOrElse(cu, 0L) + w)
+            }
+            selfs.foreach { case (v, sw) =>
+              val c = cid(asg(v))
+              internal.update(c, internal.getOrElse(c, 0L) + sw)
+            }
+            selfs = internal.toMap
+            edges = cross.iterator.flatMap { case ((a, b), w) =>
+              Iterator((a, b, w), (b, a, w)) }.toArray
+            lq = qNew
+          }
+        }
+      }
+      val sc0 = spark.sparkContext
+      sc0.setLocalProperty("graft.louvain.levels", level.toString)
+      sc0.setLocalProperty("graft.louvain.levelRounds",
+        levelRounds.mkString(","))
+      sc0.setLocalProperty("graft.louvain.gains", gains.mkString(","))
+      sc0.setLocalProperty("graft.louvain.converged", converged.toString)
+      return spark.createDataset(map.toSeq).toDF("v0", "comm")
+    }
+
     /** Q·(2m)² of assignment `asg` [v, c, deg] on the CURRENT level's
       * graph: in_c = internal symmetric edge mass + 2·self mass. */
     def qScaled(asg: DataFrame): BigInt = {
@@ -2119,31 +2417,35 @@ object GraphAnalytics {
       BigInt(q.toBigInteger)
     }
 
-    // Q of the current (singleton) partition — equal, by contraction
-    // invariance, to the previous level's fixpoint Q
-    def singletons(): DataFrame = {
-      val adj = sym.groupBy(col("u").as("v")).agg(sum("w").as("aw"))
-      val degs = self match {
-        case None => adj.select(col("v"), col("aw").as("deg"))
-        case Some(sl) => adj.join(sl, Seq("v"), "full").select(col("v"),
-          (coalesce(col("aw"), lit(0L)) +
-            lit(2L) * coalesce(col("sw"), lit(0L))).as("deg"))
-      }
-      degs.select(col("v"), col("v").as("c"), col("deg"))
+    // Q of the starting all-singletons partition (level 0, self=None):
+    // no symmetric edge is internal to a singleton (u≠v throughout),
+    // so Σ in_c = 0 and q0 = −Σ_v deg_v² — one aggregate over the
+    // degree frame instead of qScaled's two edge-list joins. Later
+    // levels never need this: contraction preserves Q, so each level
+    // starts from the previous fixpoint's value (carried in `q`).
+    var q = {
+      val dg = sym.groupBy(col("u")).agg(sum("w").cast(dec).as("aw"))
+        .agg(coalesce(sum(col("aw") * col("aw")), lit(0).cast(dec)))
+        .first().getDecimal(0)
+      -BigInt(dg.toBigInteger)
     }
-    var q = qScaled(singletons())
     var level = 0
     var converged = false
     val levelRounds = scala.collection.mutable.ListBuffer.empty[String]
     val gains = scala.collection.mutable.ListBuffer.empty[String]
     while (level < maxLevels && !converged && twoM > 0L) {
-      val asg = rebase(louvainRounds(sym, self, maxRounds))
+      val asg = rebase(louvainRounds(sym, self, maxRounds, wantQ = true))
       levelRounds += Option(spark.sparkContext
         .getLocalProperty("graft.louvain.rounds")).getOrElse("?")
+      // the fixpoint Q folded out of the final gain round (see
+      // louvainRounds); absent only on a round-budget exit, where the
+      // two-join qScaled fallback still gives the exact same integer
+      val qFix = Option(spark.sparkContext
+        .getLocalProperty("graft.louvain.qfix")).map(BigInt(_))
       val moved = asg.where(col("c") =!= col("v")).count()
       if (moved == 0L) converged = true // identity level: loop is done
       else {
-        val qNew = qScaled(asg)
+        val qNew = qFix.getOrElse(qScaled(asg))
         gains += (qNew - q).toString
         if (qNew - q < BigInt(minGain)) {
           // REJECT the level: synchronous rounds can end the budget on
@@ -2155,20 +2457,28 @@ object GraphAnalytics {
           level += 1
           val lab = asg.groupBy("c").agg(min("v").as("cid"))
           val mem = rebase(asg.join(lab, "c").select(col("v"), col("cid")))
-          mapping = rebase(mapping
+          // mapping stays LAZY: one shallow join of checkpointed
+          // frames per level (≤ maxLevels deep), only evaluated once
+          // at the end — rebasing it per level was a pure extra job
+          mapping = mapping
             .join(mem.withColumnRenamed("v", "comm"), "comm")
-            .select(col("v0"), col("cid").as("comm")))
+            .select(col("v0"), col("cid").as("comm"))
           // contract: sym is SYMMETRIC, so cu<cv picks each undirected
-          // cross edge once and u<v each internal edge once
-          val ej = rebase(sym
+          // cross edge once and u<v each internal edge once — and ONE
+          // grouped aggregate serves both the cross masses (cu<cv) and
+          // the internal masses (cu=cv): one exchange, one checkpoint,
+          // instead of materializing the tagged edge join and
+          // aggregating it twice
+          val agg = rebase(sym
             .join(mem.select(col("v").as("u"), col("cid").as("cu")), "u")
-            .join(mem.select(col("v"), col("cid").as("cv")), "v"))
-          val cross = ej.where(col("cu") < col("cv"))
-            .groupBy(col("cu").as("u"), col("cv").as("v"))
-            .agg(sum("w").as("w"))
-          val internal = ej.where(col("cu") === col("cv") &&
-              col("u") < col("v"))
-            .groupBy(col("cu").as("v")).agg(sum("w").as("sw"))
+            .join(mem.select(col("v"), col("cid").as("cv")), "v")
+            .where(col("cu") < col("cv") ||
+              (col("cu") === col("cv") && col("u") < col("v")))
+            .groupBy(col("cu"), col("cv")).agg(sum("w").as("w")))
+          val cross = agg.where(col("cu") < col("cv"))
+            .select(col("cu").as("u"), col("cv").as("v"), col("w"))
+          val internal = agg.where(col("cu") === col("cv"))
+            .select(col("cu").as("v"), col("w").as("sw"))
           val carried = self.map(_.join(mem, "v")
             .groupBy(col("cid").as("v")).agg(sum("sw").as("sw")))
           val newSelf = rebase(carried.fold(internal)(

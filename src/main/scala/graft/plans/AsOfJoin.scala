@@ -428,8 +428,25 @@ object AsOfJoin {
     val negs = ord.map(c => c -> s"graft_asof_neg_$c")
     def addNeg(p: LogicalPlan): LogicalPlan =
       Project(p.output ++ negs.map { case (c, n) =>
-        Alias(org.apache.spark.sql.catalyst.expressions.UnaryMinus(
-          resolve(p, c), failOnError = false), n)()
+        val a = resolve(p, c)
+        // order reversal, not arithmetic: only comparisons on the
+        // helper columns ever run (they are projected away below), so
+        // integral types reverse via BITWISE NOT — a total strictly
+        // decreasing bijection with no overflow, where UnaryMinus
+        // wraps -MinValue to itself and mis-sorts a row carrying the
+        // sentinel minimum (Long.MinValue et al.) to the FRONT of the
+        // negated order
+        val neg = a.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType =>
+            org.apache.spark.sql.catalyst.expressions.BitwiseNot(a)
+          case _ =>
+            org.apache.spark.sql.catalyst.expressions.UnaryMinus(
+              a, failOnError = false)
+        }
+        Alias(neg, n)()
       }, p)
     val asOf = buildPlan(addNeg(l), addNeg(r), on, negs.map(_._2), values)
     val negNames = negs.map(_._2).toSet

@@ -436,11 +436,25 @@ class GraftMicroBatchStream(rootDir: String, schemaDdl: String)
     val s0 = start.asInstanceOf[GraftStreamOffset].gen
     val e0 = end.asInstanceOf[GraftStreamOffset].gen
     val delta = ((s0 + 1) to e0).flatMap { g =>
-      val cur = StoreManifest.read(rootDir, g)
+      // a manifest below the retention horizon (VACUUMed by
+      // GraftMaintenance.expire) must fail LOUDLY with the offset
+      // story, not leak a raw NoSuchFileException out of manifest IO —
+      // a restarted stream whose checkpoint predates the horizon has
+      // no correct replay
+      def readGen(gg: Long): StoreGen =
+        try StoreManifest.read(rootDir, gg)
+        catch {
+          case e: Exception => throw new IllegalStateException(
+            s"graft stream offset expired: generation $gg of $rootDir " +
+              "is no longer present (history vacuumed past it); " +
+              "restart from a fresh checkpoint or retain more " +
+              "generations", e)
+        }
+      val cur = readGen(g)
       if (cur.kind != StoreManifest.KindAppend) Seq.empty
       else {
         val parent = if (g == 0L) Set.empty[String]
-          else StoreManifest.read(rootDir, g - 1).files.toSet
+          else readGen(g - 1).files.toSet
         cur.files.filterNot(parent)
       }
     }
@@ -703,11 +717,16 @@ class GraftBatchWrite(rootDir: String, gen: StoreGen, overwrite: Boolean)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.flatMap { case GraftCommit(fs) => fs }.toSeq
-    val files = if (overwrite) added else gen.files ++ added
-    StoreManifest.commit(rootDir, gen.schema, gen.bucketCol,
-      gen.numBuckets, files,
-      if (overwrite) StoreManifest.KindOverwrite
-      else StoreManifest.KindAppend)
+    // append merges against the LATEST manifest inside the commit
+    // lock (not the gen snapshot captured when this write builder was
+    // created) — two concurrent appends each land parent∪own instead
+    // of the later one silently dropping the earlier one's files
+    if (overwrite)
+      StoreManifest.commit(rootDir, gen.schema, gen.bucketCol,
+        gen.numBuckets, added, StoreManifest.KindOverwrite): Unit
+    else
+      StoreManifest.commitAppend(rootDir, gen.schema, gen.bucketCol,
+        gen.numBuckets, added): Unit
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -22,19 +22,32 @@ object GraftMaintenance {
     * and every file they reference survive. Time travel simply
     * shortens — `VERSION AS OF` below the horizon now fails with a
     * missing-manifest error instead of silently reading bad data. */
-  def expire(root0: String, keepGens: Int): (Seq[Long], Seq[String]) =
+  def expire(root0: String, keepGens: Int,
+             orphanGraceMs: Long = 10L * 60 * 1000): (Seq[Long], Seq[String]) =
     synchronized {
       require(keepGens >= 1, "must keep at least the live generation")
       val root = GraftTable.norm(root0)
       val gens = StoreManifest.generations(root)
       val (drop, keep) = gens.splitAt(math.max(0, gens.size - keepGens))
       val live = keep.flatMap(g => StoreManifest.read(root, g).files).toSet
-      // orphan sweep: every file on disk not referenced by a RETAINED
-      // manifest goes — dropped-only files and aborted-write residue
-      // alike (relative paths in manifests are under data/)
+      // files referenced ONLY by dropped manifests are always safe to
+      // sweep (they were committed, and append commits merge against
+      // the latest manifest under the lock, so no in-flight write can
+      // re-reference them). UNREFERENCED files are ambiguous: aborted-
+      // write residue looks identical to an IN-FLIGHT write whose
+      // manifest commit is imminent — deleting those would silently
+      // lose a racing append's data. Those only go once older than the
+      // grace window (no legitimate write runs for orphanGraceMs).
+      val droppedRefs =
+        drop.flatMap(g => StoreManifest.read(root, g).files).toSet
+      val cutoff = System.currentTimeMillis() - orphanGraceMs
       val dataDir = new File(s"$root/data")
       val deleted = Option(dataDir.listFiles()).toSeq.flatten
-        .filter(f => f.isFile && !live.contains(s"data/${f.getName}"))
+        .filter { f =>
+          val rel = s"data/${f.getName}"
+          f.isFile && !live.contains(rel) &&
+            (droppedRefs.contains(rel) || f.lastModified() < cutoff)
+        }
         .map { f => f.delete(); s"data/${f.getName}" }
       drop.foreach(g =>
         new File(StoreManifest.genPath(root, g)).delete(): Unit)

@@ -89,6 +89,26 @@ object StoreManifest {
              numBuckets: Int, files: Seq[String],
              kind: String = KindAppend): StoreGen = synchronized {
     val gen = latest(root).fold(0L)(_ + 1L)
+    commitAsGen(root, gen, schema, bucketCol, numBuckets, files, kind)
+  }
+
+  /** Append commit that merges its delta against the latest manifest
+    * INSIDE the lock: two concurrent appends in one JVM (a streaming
+    * foreachBatch racing a batch write) each land parent∪own with
+    * neither dropping the other's files — the read-modify-write the
+    * caller-side `gen.files ++ added` pattern raced on. */
+  def commitAppend(root: String, schema: StructType, bucketCol: String,
+                   numBuckets: Int, added: Seq[String]): StoreGen =
+    synchronized {
+      val parent = readLatest(root).map(_.files).getOrElse(Seq.empty)
+      val gen = latest(root).fold(0L)(_ + 1L)
+      commitAsGen(root, gen, schema, bucketCol, numBuckets,
+        parent ++ added, KindAppend)
+    }
+
+  private def commitAsGen(root: String, gen: Long, schema: StructType,
+      bucketCol: String, numBuckets: Int, files: Seq[String],
+      kind: String): StoreGen = synchronized {
     val sg = StoreGen(gen, System.currentTimeMillis(), schema.toDDL,
       bucketCol, numBuckets, files, kind)
     val json = JsonMethods.pretty(JsonMethods.render(

@@ -338,9 +338,15 @@ class GraftDsv2Spec extends SparkSpec {
     spark.read.format("graft").load(root).localCheckpoint()
       .write.format("graft").mode("overwrite").save(root)
     gen(80, 100).write.format("graft").mode("append").save(root) // 4
-    // plus an ORPHAN no manifest references (aborted-write residue)
+    // plus an OLD orphan no manifest references (aborted-write
+    // residue, past the grace window) and a FRESH one (a racing
+    // in-flight write's data file, manifest commit imminent) — the
+    // sweep must take the first and leave the second
     val orphan = new java.io.File(s"$root/data/part-orphan_00003.parquet")
     java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    orphan.setLastModified(System.currentTimeMillis() - 3600L * 1000)
+    val fresh = new java.io.File(s"$root/data/part-fresh_00004.parquet")
+    java.nio.file.Files.write(fresh.toPath, Array[Byte](4, 5, 6))
     val filesBefore = new java.io.File(s"$root/data").listFiles().length
     val snap3 = spark.read.format("graft").option("generation", 3)
       .load(root).orderBy("id").collect().toSeq
@@ -348,6 +354,9 @@ class GraftDsv2Spec extends SparkSpec {
     assert(dropped == Seq(0L, 1L, 2L), s"dropped $dropped")
     assert(deleted.nonEmpty && deleted.contains(
       "data/part-orphan_00003.parquet"), s"deleted $deleted")
+    assert(!deleted.contains("data/part-fresh_00004.parquet") &&
+      fresh.exists(), "grace window violated: in-flight-aged file swept")
+    fresh.delete()
     assert(new java.io.File(s"$root/data").listFiles().length
       < filesBefore)
     // retained generations read byte-identically; live table intact
