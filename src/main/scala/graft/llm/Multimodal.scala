@@ -52,7 +52,7 @@ object Multimodal {
     // frames, but a real corpus's decode would serialize on the scan
     // task, so the barrier is the structural default here)
     graft.Tables(spark, dir, "documents").select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long]
+      .transform(graft.Part.pin(col("doc_id"))).as[Long]
       .mapPartitions { ids =>
         // one encoder per partition, reused across rows and frames; the
         // encoder is deterministic, so identical (lum, w, h) frames are
@@ -117,7 +117,7 @@ object Multimodal {
   def imageTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.Tables(spark, dir, "documents").select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long] // scan-task barrier (see videoTable)
+      .transform(graft.Part.pin(col("doc_id"))).as[Long] // scan-task barrier (see videoTable)
       .mapPartitions { ids =>
         ids.map { id =>
           val w = 8 + (id % 16).toInt
@@ -171,7 +171,7 @@ object Multimodal {
       ((v2 ^ (v2 >> 11)) % 256L).toInt
     }
     graft.Tables(spark, dir, "documents").select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long] // scan-task barrier (see videoTable)
+      .transform(graft.Part.pin(col("doc_id"))).as[Long] // scan-task barrier (see videoTable)
       .flatMap(id => Seq(id, id + 1000000L))
       .mapPartitions { ids =>
         ids.map { id =>
@@ -289,10 +289,19 @@ object Multimodal {
     * the decode side is oracle-checkable arithmetic while the bytes are
     * a genuine RIFF/WAVE container). Square wave ⇒ every sample is
     * ±amplitude exactly — no float rounding in the oracle. */
+  /** Audio note: the image/video generators pin their barrier's
+    * partition count (graft.Part.pin) so the codec work parallelizes,
+    * but the audio paths deliberately DON'T — javax.sound's
+    * AudioSystem entry points (write / getAudioInputStream) take a
+    * JVM-global provider-registry lock per call, so 32 concurrent
+    * tasks convoy on it: measured at sf0.1, the pinned-wide audio
+    * stage burned ~100 task-seconds of lock wait against ~1.3 s of
+    * actual work. A plain keyed repartition (AQE-sized) keeps the
+    * barrier's correctness role and lets the tiny stage stay narrow. */
   def audioTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.Tables(spark, dir, "documents").select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long] // scan-task barrier (see videoTable)
+      .repartition(col("doc_id")).as[Long] // scan-task barrier; see audio note above
       .mapPartitions { ids =>
         ids.map { id =>
           val n = 400 + (id % 100).toInt
@@ -376,7 +385,7 @@ object Multimodal {
       ((v2 ^ (v2 >> 11)) % 201L).toInt - 100
     }
     graft.Tables(spark, dir, "documents").select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long] // scan-task barrier (see videoTable)
+      .repartition(col("doc_id")).as[Long] // scan-task barrier; see audio note above
       .flatMap(id => Seq(id, id + 1000000L))
       .mapPartitions { ids =>
         ids.map { id =>

@@ -48,16 +48,16 @@ object Curation {
         Tables(s, d, "documents")
           .where(size(toks) >= 2)
           .select(col("doc_id"), toks.as("tk"))
-          .repartition(col("doc_id"))
+          .transform(graft.Part.pin(col("doc_id")))
           .select(col("doc_id"), grams.as("g"))
-          .repartition(col("doc_id"))
+          .transform(graft.Part.pin(col("doc_id")))
           // the frequency scan compares every distinct gram against the
           // whole gram list — hash grams to longs first so the O(d·n)
           // inner loop compares words, not strings (xxhash64 collisions
           // between two bigrams of one doc: ~n²/2⁶⁴, negligible; the
           // oracle computes on the strings and the gate agrees)
           .select(col("doc_id"), transform(col("g"), g => xxhash64(g)).as("gh"))
-          .repartition(col("doc_id"))
+          .transform(graft.Part.pin(col("doc_id")))
           .select(col("doc_id"),
             r4(lit(1.0) - size(array_distinct(col("gh"))).cast("double")
               / size(col("gh"))).as("dup_frac"),
@@ -93,7 +93,7 @@ object Curation {
         val grams = Tables(s, d, "documents")
           .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
           .where(size(col("tk")) >= 3)
-          .repartition(col("doc_id"))
+          .transform(graft.Part.pin(col("doc_id")))
           .select(col("doc_id"),
             explode(TextOps.shingles(col("tk"), 3)).as("g"))
         val bench = grams.where(col("doc_id") % 97 === 0)
@@ -197,11 +197,11 @@ object Curation {
         val toks = TextOps.tokens(col("text"))
         Tables(s, d, "documents")
           .select(col("doc_id"), toks.as("tk"))
-          .repartition(col("doc_id"))
+          .transform(graft.Part.pin(col("doc_id")))
           .select(col("doc_id"), size(col("tk")).as("n_tok"),
             transform(array_distinct(col("tk")),
               x => size(filter(col("tk"), y => y === x))).as("cs"))
-          .repartition(col("doc_id"))
+          .transform(graft.Part.pin(col("doc_id")))
           .select(col("doc_id"), col("n_tok"),
             r4(log(2.0, col("n_tok"))
               - aggregate(col("cs"), lit(0.0d),
@@ -236,7 +236,7 @@ object Curation {
         Tables(s, d, "documents")
           .where(size(toks) >= 2)
           .select(col("doc_id"), toks.as("tk"))
-          .repartition(col("doc_id"))
+          .transform(graft.Part.pin(col("doc_id")))
           .select(explode(grams).as("g"))
           .groupBy("g").agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("g"))
@@ -300,7 +300,7 @@ object Curation {
       (s, d) => {
         val base = Pipeline.docsWithTwins(s, d)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-          .repartition(col("doc_id"))
+          .transform(graft.Part.pin(col("doc_id")))
         val chunks = base.select(col("doc_id"),
             when(size(col("tk")) >= 8,
               transform(sequence(lit(0),
@@ -358,7 +358,7 @@ object Curation {
           lit(0.2) * log(2.0, size(tk))
         Tables(s, d, "documents")
           .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-          .repartition(col("doc_id"))
+          .transform(graft.Part.pin(col("doc_id")))
           .select(col("doc_id"), z.as("z"))
           .select(col("doc_id"), r4(col("z")).as("z"),
             r4(lit(1.0) / (lit(1.0) + exp(-col("z")))).as("score"))
@@ -672,7 +672,7 @@ object Curation {
         val grams = Tables(s, d, "documents")
           .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
           .where(size(col("tk")) >= 3)
-          .repartition(col("doc_id"))
+          .transform(graft.Part.pin(col("doc_id")))
           .select(col("doc_id"),
             explode(TextOps.shingles(col("tk"), 3)).as("g"))
           .withColumn("b1", polyBits(col("g"), 7L, 131))
@@ -752,7 +752,7 @@ object Curation {
         val hb = Tables(s, d, "documents")
           .where(size(TextOps.tokens(col("text"))) >= 2)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-          .repartition(col("doc_id")) // token barrier (p16/p24 rule)
+          .transform(graft.Part.pin(col("doc_id"))) // token barrier (p16/p24 rule)
           .select(explode(grams).as("g"))
           .withColumn("b0", polyB(col("g"), 7L, 131))
           .withColumn("b1", polyB(col("g"), 11L, 137))
@@ -990,7 +990,7 @@ object Curation {
         Tables(s, d, "documents")
           .select(col("doc_id"), col("source"),
             TextOps.tokens(col("text")).as("tk"))
-          .repartition(col("doc_id")) // token barrier (p16 rule)
+          .transform(graft.Part.pin(col("doc_id"))) // token barrier (p16 rule)
           .select(col("doc_id"), col("source"), u.as("u"),
             size(col("tk")).cast("long").as("n_tok"))
           .withColumn("cum_before",
@@ -1066,7 +1066,7 @@ object Curation {
     // agg, the totals row, AND the score join — four consumers
     val docf = docs
       .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("tk"))
-      .repartition(col("doc_id")) // token barrier (p16 rule)
+      .transform(graft.Part.pin(col("doc_id"))) // token barrier (p16 rule)
       .select(col("doc_id"), col("source"), explode(col("tk")).as("tok"))
       .withColumn("f", bucket(col("tok")))
       .groupBy("doc_id", "source", "f").agg(count(lit(1)).as("c"))

@@ -64,9 +64,15 @@ object Pipeline {
 
   private[graft] def prefixJoinDedupFrom(docsRaw: DataFrame): DataFrame = {
     val (cand, docs) = prefixJoinCandidates(docsRaw)
-    cand
+    // pinned exchanges on both verification joins: the candidate rows
+    // are a few bytes each, so AQE coalesces the join exchanges to ~1
+    // task while every surviving row pays an array_intersect over two
+    // full token arrays — the exact compute-bound-barrier shape Part
+    // documents (measured 18 tasks / ~12 s near-serial at sf0.1)
+    cand.transform(graft.Part.pin(col("a_id")))
       .join(docs.select(col("doc_id").as("a_id"), col("toks").as("ta"),
         col("n").as("na")), "a_id")
+      .transform(graft.Part.pin(col("b_id")))
       .join(docs.select(col("doc_id").as("b_id"), col("toks").as("tb"),
         col("n").as("nb")), "b_id")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
@@ -193,7 +199,7 @@ object Pipeline {
       k: Int, b: Int, r: Int): (DataFrame, DataFrame) = {
     val docs = docsRaw
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-      .repartition(col("doc_id"))
+      .transform(graft.Part.pin(col("doc_id")))
       .select(col("doc_id"),
         array_sort(transform(TextOps.shingles(col("tk"), 3),
           sh => xxhash64(sh))).as("sh"))
@@ -256,7 +262,7 @@ object Pipeline {
     val hs = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
       .where(size(col("tk")) >= 3)
-      .repartition(col("doc_id"))
+      .transform(graft.Part.pin(col("doc_id")))
       .select(col("doc_id"), array_sort(array_distinct(
         transform(TextOps.shingles(col("tk"), 3), g => polyH(g)))).as("hs"))
       .localCheckpoint()
@@ -809,9 +815,9 @@ object Pipeline {
         Tables(s, d, "documents")
           .where(size(toks) >= 3)
           .select(col("doc_id"), toks.as("tk"))
-          .repartition(col("doc_id"))
+          .transform(graft.Part.pin(col("doc_id")))
           .select(col("doc_id"), grams.as("gs"))
-          .repartition(col("doc_id"))
+          .transform(graft.Part.pin(col("doc_id")))
           // full windows i=1..n-w+1; least() skips the nulls
           // try_element_at yields past the end, so a doc shorter than w
           // keeps its single clamped whole-doc window (no per-position
@@ -871,7 +877,7 @@ object Pipeline {
         val sp = docsWithTwins(s, d)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
           .where(size(col("tk")) >= K)
-          .repartition(col("doc_id")) // token barrier: span lambda reads tk K×/pos
+          .transform(graft.Part.pin(col("doc_id"))) // token barrier: span lambda reads tk K×/pos
           .select(col("doc_id"), explode(array_distinct(transform(
             sequence(lit(1), size(tk) - (K - 1)),
             i => xxhash64(concat_ws(" ", slice(tk, i, lit(K))))))).as("h"))
@@ -914,7 +920,7 @@ object Pipeline {
         val base = Tables(s, d, "documents")
           .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
           .where(size(col("tk")) >= 2)
-          .repartition(col("doc_id")) // token barrier (lambda reads tk 2×/pos)
+          .transform(graft.Part.pin(col("doc_id"))) // token barrier (lambda reads tk 2×/pos)
           .select(col("doc_id"), explode(transform(
             sequence(lit(1), size(tk) - 1),
             i => struct(element_at(tk, i).as("w1"),
@@ -1495,7 +1501,13 @@ object Pipeline {
           col("c_name").as("nm"), col("c_nationkey").as("nat"),
           col("c_mktsegment").as("seg"),
           floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"))
-        val cand = c.as("a").join(c.as("b"),
+        // pin both sides of the blocked self-join: the block keys are
+        // a handful of bytes, so AQE coalesces the join's exchanges to
+        // ~one task and the per-pair levenshtein serializes (measured
+        // 6 tasks / 6 s single-threaded at sf0.1) — the pinned
+        // partitioning is reused by the join, levenshtein runs wide
+        val cb = c.transform(graft.Part.pin(col("nat"), col("seg")))
+        val cand = cb.as("a").join(cb.as("b"),
             col("a.nat") === col("b.nat") && col("a.seg") === col("b.seg") &&
             col("a.id") < col("b.id"))
           .select(col("a.nat").as("nation"),
@@ -1609,7 +1621,7 @@ object Pipeline {
         val base = Tables(s, d, "documents")
           .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("tk"))
           .where(size(col("tk")) >= 2)
-          .repartition(col("doc_id")) // token barrier (p36 lesson)
+          .transform(graft.Part.pin(col("doc_id"))) // token barrier (p36 lesson)
           .select(col("doc_id"), col("lang"), explode(transform(
             sequence(lit(1), size(tk) - 1),
             i => struct(element_at(tk, i).as("w1"),
@@ -1692,7 +1704,7 @@ object Pipeline {
         val tk = col("tk")
         val feats = Tables(s, d, "documents")
           .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-          .repartition(col("doc_id")) // token barrier (p43/s13 lesson)
+          .transform(graft.Part.pin(col("doc_id"))) // token barrier (p43/s13 lesson)
           .select(col("doc_id"), explode(concat(
             col("tk"),
             // guarded: sequence(1, 0) DESCENDS in Spark, and
@@ -1751,7 +1763,7 @@ object Pipeline {
         val dg = Tables(s, d, "documents")
           .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
           .where(size(col("tk")) >= 3)
-          .repartition(col("doc_id")) // token barrier (p40 lesson)
+          .transform(graft.Part.pin(col("doc_id"))) // token barrier (p40 lesson)
           .select(col("doc_id"), explode(array_distinct(
             transform(TextOps.shingles(col("tk"), 3), g => polyH(g)))).as("h"))
         val first = dg.groupBy("h").agg(min("doc_id").as("first_doc"))
@@ -2069,7 +2081,7 @@ object Pipeline {
         val grams = Tables(s, d, "documents")
           .select(col("source"), TextOps.tokens(col("text")).as("tk"))
           .where(size(tk) >= 8)
-          .repartition(col("source")) // token barrier (p40 lesson)
+          .transform(graft.Part.pin(col("source"))) // token barrier (p40 lesson)
           .select(col("source"), explode(
             transform(sequence(lit(0), size(tk) - 8),
               i => polyH(concat_ws(" ", slice(tk, i + 1, lit(8)))))).as("h"))
@@ -2347,7 +2359,7 @@ object Pipeline {
           .select(col("doc_id"), col("source"),
             TextOps.tokens(concat(hdr, lit(" "), col("text"))).as("tk"))
           .withColumn("nch", expr("size(tk) div 5"))
-          .repartition(col("doc_id"))
+          .transform(graft.Part.pin(col("doc_id")))
           .localCheckpoint() // feeds lines, remainder, and the re-join
         val lines = tk.select(col("doc_id"), col("source"),
           posexplode(when(col("nch") >= 1,
@@ -2653,7 +2665,7 @@ object Pipeline {
         var remaining = Tables(s, d, "documents")
           .select(col("source"), TextOps.tokens(col("text")).as("tk"))
           .where(size(tk) >= 8)
-          .repartition(col("source")) // token barrier (p40 lesson)
+          .transform(graft.Part.pin(col("source"))) // token barrier (p40 lesson)
           .select(col("source"), explode(
             transform(sequence(lit(0), size(tk) - 8),
               i => TextOps.polyHash(concat_ws(" ", slice(tk, i + 1, lit(8))))))
@@ -2885,7 +2897,7 @@ object Pipeline {
         // ---- index build (once per corpus) ----
         val docs = Tables(s, d, "documents")
           .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-          .repartition(col("doc_id")) // token barrier (p34 discipline)
+          .transform(graft.Part.pin(col("doc_id"))) // token barrier (p34 discipline)
           .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
             col("tk"))
           .localCheckpoint() // feeds postings AND the stats row
@@ -2949,7 +2961,7 @@ object Pipeline {
         Scratch.clear(s, dfPath, statPath)
         def tokenized(docs: DataFrame) = docs
           .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-          .repartition(col("doc_id"))
+          .transform(graft.Part.pin(col("doc_id")))
           .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
             col("tk"))
           .localCheckpoint()
@@ -3664,7 +3676,7 @@ object Pipeline {
     docs
       .where(size(tk) >= 1)
       .select(col("doc_id"), tk.as("tk"))
-      .repartition(col("doc_id")) // token barrier (p16 rule)
+      .transform(graft.Part.pin(col("doc_id"))) // token barrier (p16 rule)
       .select(col("doc_id"), col("tk"),
         // docs under 4 tokens have no interior gram positions
         // (sequence(3, 2) would DESCEND — guard, don't clamp)
@@ -3744,7 +3756,7 @@ object Pipeline {
       .select(col("w"), col("freq"), expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("syms"))
-      .repartition(col("w"))
+      .transform(graft.Part.pin(col("w")))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (rank <- 1 to rounds) {
@@ -3799,7 +3811,7 @@ object Pipeline {
       .select(col("w"), col("freq"), expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("syms"))
-      .repartition(col("w"))
+      .transform(graft.Part.pin(col("w")))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, Int, String, String, Long)]
     for (rnd <- 1 to rounds) {
@@ -4126,6 +4138,10 @@ $next AS (SELECT w, freq, CASE WHEN len(syms) <= 1 THEN syms ELSE
       .localCheckpoint() // feeds training, encoding, and the query side
     def nearestB(bl: DataFrame, cents: DataFrame) =
       bl.join(broadcast(cents), "block")
+        // pinned exchange: the window's own (vec_id, block) exchange
+        // is AQE-coalescible and the fanned-out block×centroid rows
+        // are tiny in BYTES but carry the bdist arithmetic — see Part
+        .transform(graft.Part.pin(col("vec_id"), col("block")))
         .withColumn("rn", row_number().over(
           Window.partitionBy("vec_id", "block")
             .orderBy(bdist(col("bv"), col("cv")), col("c_id"))))
@@ -4275,7 +4291,7 @@ $next AS (SELECT w, freq, CASE WHEN len(syms) <= 1 THEN syms ELSE
     import s.implicits._
     val docs = Tables(s, d, "documents")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-      .repartition(col("doc_id")) // token barrier: dl + explode both read tk
+      .transform(graft.Part.pin(col("doc_id"))) // token barrier: dl + explode both read tk
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
         col("tk"))
       .localCheckpoint() // feeds postings AND the corpus stats row
@@ -4456,7 +4472,7 @@ $next AS (SELECT w, freq, CASE WHEN len(syms) <= 1 THEN syms ELSE
     // join back — inlined it would re-run tokenize+explode+agg twice
     val tf = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-      .repartition(col("doc_id")) // token barrier (p16 rule)
+      .transform(graft.Part.pin(col("doc_id"))) // token barrier (p16 rule)
       .select(col("doc_id"), explode(col("tk")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
@@ -4490,7 +4506,7 @@ $next AS (SELECT w, freq, CASE WHEN len(syms) <= 1 THEN syms ELSE
     def polyH(g: Column): Column = TextOps.polyHash(g) // native codegen fold
     docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-      .repartition(col("doc_id")) // token barrier (p16 rule)
+      .transform(graft.Part.pin(col("doc_id"))) // token barrier (p16 rule)
       .withColumn("nch",
         expr(s"1 + (greatest(size(tk) - $chunkTok, 0)" +
           s" + ${stride - 1}) div $stride"))
@@ -4525,7 +4541,7 @@ $next AS (SELECT w, freq, CASE WHEN len(syms) <= 1 THEN syms ELSE
       // token barrier (p16 rule) BETWEEN tokenize and shingle: the
       // shingle lambda reads tk 3×/position — inlined, split() re-runs
       // per element_at (measured 8.2 s → 1.5 s on this stage at sf0.1)
-      .repartition(col("doc_id"))
+      .transform(graft.Part.pin(col("doc_id")))
       .select(col("doc_id"),
         explode(transform(TextOps.shingles(col("tk"), 3),
           x => xxhash64(x))).as("h"))

@@ -265,7 +265,7 @@ object Streaming {
           // first shuffle = PARALLELISM: the file source is one small
           // file (1-2 input partitions), and the shingle+hash chain at
           // ~1 ms/doc would otherwise run serial in the scan task
-          .repartition(col("doc_id"))
+          .transform(graft.Part.pin(col("doc_id")))
           .select(col("doc_id"), transform(
             graft.llm.TextOps.shingles(
               graft.llm.TextOps.tokens(col("text")), 3),
@@ -273,7 +273,7 @@ object Streaming {
           // second shuffle = BARRIER (user repartitions with a project
           // between survive CollapseRepartition): hs materializes once
           // instead of being re-inlined into all 32 band expressions
-          .repartition(col("doc_id"))
+          .transform(graft.Part.pin(col("doc_id")))
           .select(col("doc_id"),
             posexplode(bands).as(Seq("band_idx", "band_hash")))
           .select(col("band_idx").cast("int").as("band_idx"),
@@ -309,7 +309,7 @@ object Streaming {
         val sh = corpus.join(pairIds, "doc_id")
           .select(col("doc_id"),
             graft.llm.TextOps.tokens(col("text")).as("tk"))
-          .repartition(col("doc_id"))
+          .transform(graft.Part.pin(col("doc_id")))
           .select(col("doc_id"), array_sort(transform(
             graft.llm.TextOps.shingles(col("tk"), 3),
             x => xxhash64(x))).as("sh"))
@@ -352,7 +352,7 @@ object Streaming {
           streamDocs(s, d)
             .select(col("doc_id"), col("source"),
               TextOps.tokens(col("text")).as("tk"))
-            .repartition(col("doc_id"))
+            .transform(graft.Part.pin(col("doc_id")))
             .select(col("source"), u.as("u"))
             .groupBy("source")
             .agg(count(lit(1)).as("n_docs"),
@@ -406,7 +406,7 @@ object Streaming {
           streamDocs(s, d)
             .where(size(TextOps.tokens(col("text"))) >= 2)
             .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-            .repartition(col("doc_id")) // token barrier (s08/s09 lesson)
+            .transform(graft.Part.pin(col("doc_id"))) // token barrier (s08/s09 lesson)
             .select(explode(grams).as("g"))
             .select(posexplode(array(
               polyB(col("g"), 7L, 131), polyB(col("g"), 11L, 137),
@@ -422,7 +422,7 @@ object Streaming {
         val hb = graft.Tables(s, d, "documents")
           .where(size(TextOps.tokens(col("text"))) >= 2)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-          .repartition(col("doc_id")) // token barrier (p16 rule)
+          .transform(graft.Part.pin(col("doc_id"))) // token barrier (p16 rule)
           .select(explode(grams).as("g"))
           .withColumn("b0", polyB(col("g"), 7L, 131))
           .withColumn("b1", polyB(col("g"), 11L, 137))
@@ -542,7 +542,7 @@ object Streaming {
           streamDocs(s, d)
             .select(col("doc_id"), col("source"),
               TextOps.tokens(col("text")).as("tk"))
-            .repartition(col("doc_id")) // token barrier (s08/s09 lesson)
+            .transform(graft.Part.pin(col("doc_id"))) // token barrier (s08/s09 lesson)
             .select(col("source"), col("doc_id"), u.as("u"),
               size(col("tk")).cast("long").as("n_tok"))
             .as[Streams.BudgetDoc]
@@ -617,7 +617,7 @@ object Streaming {
           streamDocs(s, d)
             .select(col("source"), col("doc_id"),
               TextOps.tokens(col("text")).as("tk"))
-            .repartition(col("doc_id")) // token barrier (s08/s09 lesson)
+            .transform(graft.Part.pin(col("doc_id"))) // token barrier (s08/s09 lesson)
             .select(col("source"),
               explode(TextOps.shingles(col("tk"), 3)).as("g"))
             .select(col("source"), polyH(col("g")).as("p"))
@@ -655,7 +655,7 @@ object Streaming {
         val ex = graft.Tables(s, d, "documents")
           .select(col("source"), col("doc_id"),
             TextOps.tokens(col("text")).as("tk"))
-          .repartition(col("doc_id"))
+          .transform(graft.Part.pin(col("doc_id")))
           .select(col("source"),
             explode(TextOps.shingles(col("tk"), 3)).as("g"))
           .groupBy("source").agg(countDistinct("g").as("exact"))
@@ -1196,7 +1196,7 @@ object Streaming {
           .select(col("doc_id"), graft.llm.TextOps.tokens(col("text"))
             .as("tk"))
           .where(size(col("tk")) >= 3)
-          .repartition(col("doc_id"))
+          .transform(graft.Part.pin(col("doc_id")))
           .select(col("doc_id"),
             explode(graft.llm.TextOps.shingles(col("tk"), 3)).as("g"))
           .withColumn("b1", polyBits(col("g"), 7L, 131))
@@ -1582,7 +1582,7 @@ object Streaming {
               val tok = batch
                 .select(col("doc_id"),
                   graft.llm.TextOps.tokens(col("text")).as("tk"))
-                .repartition(col("doc_id")) // token barrier (p34)
+                .transform(graft.Part.pin(col("doc_id"))) // token barrier (p34)
                 .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
                   col("tk"))
                 .localCheckpoint() // feeds postings AND the stats partial
