@@ -890,7 +890,41 @@ object GraphAnalytics {
       // produce the same rows); at sf0.1 this cuts the 3-round x18
       // loop to the 2 rounds that actually move edges.
       if (removedCnt == 0L) exhausted = true
-      else {
+      else if (packable && removedCnt <= 4000000L) {
+        // removed-set arm (r9): with packed single-long edge keys and
+        // a bounded removed set, the dying-triangle test is three
+        // sorted-array membership probes per triangle — ONE narrow
+        // pass over `tris` tagging each row, instead of the join
+        // form's 3× explode + semi-probe + distinct + anti-join
+        // (four passes over the triangle list, the dominant per-round
+        // cost: at sf0.1 the explode streams ~3·|tris| rows through
+        // the probe while the dying set is ~10⁴). The sorted-long
+        // binary search is the same primitive the broadcast
+        // LongHashedRelation probe compiles to, without materializing
+        // the exploded rows; identical dead set, identical delta.
+        val remArr = removed.collect().map(_.getLong(0))
+        java.util.Arrays.sort(remArr)
+        val remB = sc0.broadcast(remArr)
+        val hitU = udf((e: Long) =>
+          java.util.Arrays.binarySearch(remB.value, e) >= 0)
+        val hit = hitU(col("e1")) || hitU(col("e2")) || hitU(col("e3"))
+        val tagged = tris.withColumn("dead", hit)
+          .transform(graft.Ckpt.cut) // feeds survivors AND the delta
+        tris = tagged.where(!col("dead"))
+          .select(col("e1"), col("e2"), col("e3"))
+        val delta = tagged.where(col("dead"))
+          .select(explode(array(col("e1"), col("e2"), col("e3"))).as("ek"))
+          .groupBy("ek").agg(count(lit(1)).as("dd"))
+        // delta is bounded by 3·(k−2)·|removed| (a removed edge sat in
+        // fewer than k−2 surviving triangles; each dying triangle
+        // charges 3 edges) — within the broadcast guard by the arm's
+        // own removedCnt condition
+        st = kept.join(broadcast(delta), Seq("ek"), "left")
+          .select(col("p1"), col("p2"), col("ek"),
+            (col("sup") - coalesce(col("dd"), lit(0L))).as("sup"))
+          .transform(graft.Ckpt.cut)
+        remB.unpersist(blocking = false)
+      } else {
       val rem =
         if (removedCnt <= 4000000L) broadcast(removed) else removed
       // dying triangles in ONE probe pass: explode each surviving
@@ -1331,6 +1365,35 @@ object GraphAnalytics {
     * f^(2^jumpPow)(v), a vertex on v's cycle. */
   def cycleLabel(succ0: DataFrame, jumpPow: Int, windowPow: Int): DataFrame = {
     val succ = succ0.select(col("v"), col("p")).transform(graft.Ckpt.cut)
+    // adaptive dispatch (the MIS-loop pattern): the doubling rounds
+    // are jumpPow + windowPow sequential self-join checkpoints; under
+    // the local threshold the same doubling recurrence runs on driver
+    // arrays (identical arithmetic — pure pointer composition and
+    // window minima), one collect instead of ~2·pow jobs
+    val spark0 = succ.sparkSession
+    val cycThreshold = spark0.conf
+      .get("spark.graft.cycle.localEdgeThreshold", "1000000").toLong
+    val cycLocal = succ.count() <= cycThreshold
+    spark0.sparkContext.setLocalProperty("graft.cycle.impl",
+      if (cycLocal) "local" else "distributed")
+    if (cycLocal) {
+      import spark0.implicits._
+      val sc = succ.as[(Long, Long)].collect()
+      val next = sc.toMap
+      var jumpM = next // f^(2^0); squares per round
+      for (_ <- 1 to jumpPow)
+        jumpM = jumpM.map { case (v, p) => v -> jumpM(p) }
+      // (p, mn) doubling: after round j, mn(v) = min f^0..f^(2^j-1)(v)
+      var pM = next
+      var mnM = next.keysIterator.map(v => v -> v).toMap
+      for (_ <- 1 to windowPow) {
+        val mn2 = mnM.map { case (v, m) => v -> math.min(m, mnM(pM(v))) }
+        pM = pM.map { case (v, p) => v -> pM(p) }
+        mnM = mn2
+      }
+      return spark0.createDataset(sc.toSeq.map { case (v, _) =>
+        (v, jumpM(v), mnM(jumpM(v))) }).toDF("v", "w", "cycle_min")
+    }
     var jump = succ // f^(2^0); each round squares the stride
     for (_ <- 1 to jumpPow)
       jump = jump.as("x").join(jump.as("y"), col("x.p") === col("y.v"))
@@ -1401,6 +1464,29 @@ object GraphAnalytics {
     val spark = und0.sparkSession
     import spark.implicits._
     val und = und0.select(col("u"), col("v")).transform(graft.Ckpt.cut)
+    // adaptive dispatch (the MIS-loop pattern): O(ecc) frontier rounds
+    // of 3-exchange jobs collapse to one driver BFS under the local
+    // threshold — identical (v, dist) set by BFS uniqueness
+    val bfsThreshold = spark.conf
+      .get("spark.graft.bfs.localEdgeThreshold", "1000000").toLong
+    val bfsLocal = und.count() <= bfsThreshold
+    spark.sparkContext.setLocalProperty("graft.bfs.impl",
+      if (bfsLocal) "local" else "distributed")
+    if (bfsLocal) {
+      val adj = und.as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+      val dist = scala.collection.mutable.HashMap(root -> 0L)
+      var frontier = Vector(root)
+      var d = 0L
+      while (frontier.nonEmpty) {
+        d += 1
+        frontier = frontier
+          .flatMap(u => adj.getOrElse(u, Array.empty[Long]))
+          .distinct.filterNot(dist.contains)
+        frontier.foreach(v => dist(v) = d)
+      }
+      return spark.createDataset(dist.toSeq).toDF("v", "dist")
+    }
     var visited = Seq((root, 0L)).toDF("v", "dist")
       .transform(graft.Ckpt.cut)
     var frontier = visited
@@ -1635,9 +1721,46 @@ object GraphAnalytics {
       .where(col("u") =!= col("v"))
     val sym = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct()
+    var liveEdges = sym.transform(graft.Ckpt.cut)
+    // adaptive dispatch (the CC/PageRank/Louvain-loop pattern): the
+    // peel is ~5 tiny exchanges per round and rounds serialize on
+    // id-ascending chains, so under the local threshold the identical
+    // round recurrence runs as a driver sweep — same winners, same
+    // round tags, same rounds metric (MisSpec + arms test pin it)
+    val misThreshold = spark.conf
+      .get("spark.graft.mis.localEdgeThreshold", "1000000").toLong
+    val misLocal = liveEdges.count() <= misThreshold
+    spark.sparkContext.setLocalProperty("graft.mis.impl",
+      if (misLocal) "local" else "distributed")
+    if (misLocal) {
+      import spark.implicits._
+      val adj = liveEdges.as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+      val live = scala.collection.mutable.TreeSet.empty[Long]
+      adj.keysIterator.foreach(live += _)
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Int)]
+      var round = 0
+      while (live.nonEmpty) {
+        round += 1
+        if (round > maxRounds) throw new IllegalStateException(
+          s"MIS exceeded $maxRounds rounds (${live.size} vertices " +
+            "live); raise maxRounds (id-ascending chains serialize " +
+            "the peel)")
+        val winners = live.iterator.filter { v =>
+          val ns = adj(v).filter(live)
+          ns.isEmpty || v < ns.min
+        }.toVector
+        winners.foreach(v => out += ((v, round)))
+        val killed = winners.toSet ++
+          winners.flatMap(v => adj(v).filter(live))
+        killed.foreach(live -= _)
+      }
+      spark.sparkContext.setLocalProperty("graft.mis.rounds",
+        round.toString)
+      return spark.createDataset(out.toSeq).toDF("v", "mis_round")
+    }
     var live = sym.select(col("u").as("v")).distinct()
       .transform(graft.Ckpt.cut)
-    var liveEdges = sym.transform(graft.Ckpt.cut)
     var mis = live.select(col("v"), lit(0).as("mis_round")).limit(0)
     var round = 0
     var nLive = live.count()
@@ -1698,6 +1821,42 @@ object GraphAnalytics {
     val dep = sym.where(col("v") < col("u"))
       .select(col("u").as("v"), col("v").as("s"))
       .transform(graft.Ckpt.cut)
+    // adaptive dispatch (the MIS/Louvain-loop pattern): same
+    // Jones–Plassmann recurrence as a driver sweep under the local
+    // threshold — same colors, same round count (a vertex colors in
+    // round 1 + max(round of smaller neighbours))
+    val colThreshold = spark.conf
+      .get("spark.graft.coloring.localEdgeThreshold", "1000000").toLong
+    val colLocal = dep.count() * 2 <= colThreshold
+    spark.sparkContext.setLocalProperty("graft.coloring.impl",
+      if (colLocal) "local" else "distributed")
+    if (colLocal) {
+      import spark.implicits._
+      val deps = dep.as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+      val verts = sym.select(col("u")).distinct()
+        .as[Long].collect().sorted
+      val color = scala.collection.mutable.HashMap.empty[Long, Int]
+      val rnd = scala.collection.mutable.HashMap.empty[Long, Int]
+      var rounds = 0
+      verts.foreach { v =>
+        val smaller = deps.getOrElse(v, Array.empty[Long])
+        // ascending order guarantees every smaller neighbour is done
+        val used = smaller.map(color).toSet
+        val mex = Iterator.from(0).find(!used.contains(_)).get
+        color(v) = mex
+        val r = 1 + (if (smaller.isEmpty) 0 else smaller.map(rnd).max)
+        if (r > maxRounds) throw new IllegalStateException(
+          s"coloring exceeded $maxRounds rounds; " +
+            "raise maxRounds (id-ascending paths serialize the sweep)")
+        rnd(v) = r
+        if (r > rounds) rounds = r
+      }
+      spark.sparkContext.setLocalProperty("graft.coloring.rounds",
+        rounds.toString)
+      return spark.createDataset(
+        verts.toSeq.map(v => (v, color(v)))).toDF("v", "color")
+    }
     var uncolored = sym.select(col("u").as("v")).distinct()
       .transform(graft.Ckpt.cut)
     var colored = uncolored.select(col("v"), lit(0).as("color")).limit(0)
@@ -1768,8 +1927,48 @@ object GraphAnalytics {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("mround",
           org.apache.spark.sql.types.IntegerType, nullable = false))))
+    // adaptive dispatch (the MIS-loop pattern): identical min-pointer
+    // handshake rounds as a driver sweep under the local threshold —
+    // same pairs, same round tags, same rounds metric
+    val matThreshold = spark.conf
+      .get("spark.graft.matching.localEdgeThreshold", "1000000").toLong
+    val matNE = liveEdges.count()
+    val matLocal = matNE <= matThreshold
+    spark.sparkContext.setLocalProperty("graft.matching.impl",
+      if (matLocal) "local" else "distributed")
+    if (matLocal) {
+      import spark.implicits._
+      val adj = liveEdges.as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (u, es) =>
+          u -> scala.collection.mutable.TreeSet(es.map(_._2): _*) }
+      val liveV = scala.collection.mutable.Set.empty[Long]
+      adj.keysIterator.foreach(liveV += _)
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Int)]
+      var round = 0
+      def anyEdge: Boolean = liveV.exists(v => adj(v).nonEmpty)
+      while (anyEdge) {
+        round += 1
+        if (round > maxRounds) throw new IllegalStateException(
+          s"matching exceeded $maxRounds rounds; raise maxRounds " +
+            "(id-ascending paths serialize the handshake)")
+        val pairs = liveV.iterator.filter(v => adj(v).nonEmpty)
+          .flatMap { u =>
+            val mu = adj(u).head
+            if (u < mu && adj(mu).nonEmpty && adj(mu).head == u)
+              Some((u, mu)) else None
+          }.toVector
+        pairs.foreach { case (u, v) => out += ((u, v, round)) }
+        val mv = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+        mv.foreach { w => liveV -= w }
+        liveV.foreach(v => mv.foreach(adj(v) -= _))
+        mv.foreach(adj(_).clear())
+      }
+      spark.sparkContext.setLocalProperty("graft.matching.rounds",
+        round.toString)
+      return spark.createDataset(out.toSeq).toDF("u", "v", "mround")
+    }
     var round = 0
-    var nEdges = liveEdges.count()
+    var nEdges = matNE
     while (nEdges > 0) {
       round += 1
       if (round > maxRounds) throw new IllegalStateException(

@@ -71,4 +71,21 @@ class ColoringSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("exceeded 3 rounds"), ex.getMessage)
   }
+  test("arms equality: local and distributed sweeps agree") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 4L), (6L, 7L), (8L, 9L)).toDF("src", "dst")
+    val key = "spark.graft.coloring.localEdgeThreshold"
+    val loc = GraphAnalytics.greedyColoring(e)
+      .as[(Long, Int)].collect().sorted.toSeq
+    val lr = rounds
+    spark.conf.set(key, "0")
+    try {
+      val dist = GraphAnalytics.greedyColoring(e)
+        .as[(Long, Int)].collect().sorted.toSeq
+      assert(loc == dist, s"arms diverged: $loc vs $dist")
+      assert(rounds == lr, "rounds metric diverged between arms")
+    } finally spark.conf.unset(key)
+  }
+
 }

@@ -691,4 +691,31 @@ class GraphXSpec extends SparkSpec {
         s"est ball shrank at t=$t v=$v")
     assert(rows.values.forall(_._1 > 0L))
   }
+  test("arms equality: bfsDistances and cycleLabel local == distributed") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L),
+      (4L, 3L), (2L, 10L), (10L, 2L)).toDF("u", "v")
+    val bKey = "spark.graft.bfs.localEdgeThreshold"
+    val bLoc = GraphAnalytics.bfsDistances(und, 1L)
+      .as[(Long, Long)].collect().sorted.toSeq
+    spark.conf.set(bKey, "0")
+    try {
+      val bDist = GraphAnalytics.bfsDistances(und, 1L)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(bLoc == bDist, s"bfs arms diverged: $bLoc vs $bDist")
+    } finally spark.conf.unset(bKey)
+    val succ = Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 0L,
+      10L -> 11L, 11L -> 12L, 12L -> 0L, 20L -> 20L)
+      .toDF("v", "p")
+    val cKey = "spark.graft.cycle.localEdgeThreshold"
+    val cLoc = GraphAnalytics.cycleLabel(succ, 2, 2)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    spark.conf.set(cKey, "0")
+    try {
+      val cDist = GraphAnalytics.cycleLabel(succ, 2, 2)
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(cLoc == cDist, s"cycle arms diverged: $cLoc vs $cDist")
+    } finally spark.conf.unset(cKey)
+  }
+
 }

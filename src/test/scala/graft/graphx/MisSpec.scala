@@ -73,4 +73,20 @@ class MisSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("exceeded 4 rounds"), ex.getMessage)
   }
+  test("arms equality: local and distributed peels agree") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 4L), (6L, 7L), (8L, 9L)).toDF("src", "dst")
+    val key = "spark.graft.mis.localEdgeThreshold"
+    val loc = GraphAnalytics.maximalIndependentSet(e)
+      .as[(Long, Int)].collect().sorted.toSeq
+    val lr = rounds
+    spark.conf.set(key, "0")
+    try {
+      val dist = GraphAnalytics.maximalIndependentSet(e)
+        .as[(Long, Int)].collect().sorted.toSeq
+      assert(loc == dist, s"arms diverged: $loc vs $dist")
+      assert(rounds == lr, "rounds metric diverged between arms")
+    } finally spark.conf.unset(key)
+  }
+
 }
