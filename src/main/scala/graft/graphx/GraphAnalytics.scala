@@ -1025,6 +1025,23 @@ object GraphAnalytics {
       .unionAll(edges.select(col("dst_id").as("u"), col("src_id").as("v")))
       .distinct().transform(graft.Ckpt.cut)
 
+    // Direct local finish (r9): when the WHOLE graph fits the local
+    // threshold, skip the leaf-peel frame machinery (~8 choreography
+    // jobs) and union-find the collected edge list outright — the
+    // union rule (smaller root wins) makes every root its component's
+    // min member, which is exactly the relabel contract. Leaf peeling
+    // remains the at-scale move: it is what keeps the post-peel core
+    // under the bounded collect when the graph itself is far over the
+    // threshold (ScaleRehearsalSpec pins that design at 10x).
+    val directThreshold = und.sparkSession.conf
+      .get("spark.graft.cc.localEdgeThreshold", "1000000").toLong
+    if (und.count() / 2 <= directThreshold) {
+      und.sparkSession.sparkContext
+        .setLocalProperty("graft.cc.impl", "local")
+      return localUnionFind(und)
+        .select(col("id"), col("comp").as("component"))
+    }
+
     // Leaf peeling: degree-1 vertices can't change anyone else's
     // component — strip them, run the iterative part on the (much
     // smaller) core, attach leaves with ONE join, then relabel every
