@@ -1621,7 +1621,7 @@ object Pipeline {
         val base = Tables(s, d, "documents")
           .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("tk"))
           .where(size(col("tk")) >= 2)
-          .transform(graft.Part.pin(col("doc_id"))) // token barrier (p36 lesson)
+          .repartition(col("doc_id")) // token barrier (p36 lesson)
           .select(col("doc_id"), col("lang"), explode(transform(
             sequence(lit(1), size(tk) - 1),
             i => struct(element_at(tk, i).as("w1"),
@@ -3756,7 +3756,7 @@ object Pipeline {
       .select(col("w"), col("freq"), expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("syms"))
-      .transform(graft.Part.pin(col("w")))
+      .repartition(col("w"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (rank <- 1 to rounds) {
@@ -3811,7 +3811,7 @@ object Pipeline {
       .select(col("w"), col("freq"), expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("syms"))
-      .transform(graft.Part.pin(col("w")))
+      .repartition(col("w"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, Int, String, String, Long)]
     for (rnd <- 1 to rounds) {
@@ -4291,7 +4291,7 @@ $next AS (SELECT w, freq, CASE WHEN len(syms) <= 1 THEN syms ELSE
     import s.implicits._
     val docs = Tables(s, d, "documents")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-      .transform(graft.Part.pin(col("doc_id"))) // token barrier: dl + explode both read tk
+      .repartition(col("doc_id")) // token barrier: dl + explode both read tk
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
         col("tk"))
       .localCheckpoint() // feeds postings AND the corpus stats row
