@@ -27,6 +27,22 @@ object Bench {
       .config("spark.ui.retainedStages", "200")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // forced-distributed mode (VERDICT r09 item 3): the sf0.1 graphs
+    // all sit below the 1 M-edge local-arm thresholds, so the
+    // DISTRIBUTED fixpoint arms — the actual 100 TB path — are
+    // invisible to the regular bench. SPARK_GRAFT_FORCE_DIST=1 zeroes
+    // every localEdgeThreshold conf so x01/x18/x24-x34 run their
+    // distributed loops; the run writes bench_dist.json (committed per
+    // round) instead of bench_out.json so distributed-arm drift is
+    // tracked round-over-round. Results are identical either way (the
+    // arms-equality specs pin it); only the execution path changes.
+    val forceDist = sys.env.get("SPARK_GRAFT_FORCE_DIST")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    if (forceDist)
+      Seq("cc", "cycle", "bfs", "scc", "mis", "coloring", "hits",
+          "matching", "louvain", "ppr", "sssp", "bc", "pr")
+        .foreach(a =>
+          spark.conf.set(s"spark.graft.$a.localEdgeThreshold", "0"))
     // clear checkpoints a previous JVM left behind (memory-sink queries
     // cannot recover a checkpoint — a stale dir fails the query)
     def rmStreamCk(f: java.io.File): Unit = {
@@ -104,12 +120,6 @@ object Bench {
     // and at 98 queries even 3-decimal full names (~2.4 KB) would again.
     // stdout gets short ids (unique prefix per query: q01, p18, x04…);
     // the full-name map lands in bench_out.json alongside
-    def f3(v: Double): String = "%.3f".format(v)
-    def jsonLine(entries: Seq[(String, Double)]): String = {
-      val qs = entries.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(all.map(_._2).sum)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    }
     val shortIds = all.map { case (k, v) => k.split("_").head -> v }
     // a first-token collision would silently emit duplicate JSON keys
     // (last-wins on parse) in the tail-captured line — fail loudly instead
@@ -122,17 +132,70 @@ object Bench {
     // sidecar file instead so it can never clobber the committed
     // full-registry artifact (bit us twice in round 4)
     try {
-      val outName = if (only.isDefined) "bench_only.json" else "bench_out.json"
+      val outName = if (forceDist) "bench_dist.json"
+        else if (only.isDefined) "bench_only.json" else "bench_out.json"
       val w = new java.io.PrintWriter(outName)
       val samples = runLog.map { case (k, vs) =>
         "\"" + k + "\":" + vs.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-      try w.println(jsonLine(all).stripSuffix("}") +
+      try w.println(fullLine(all, sfDir).stripSuffix("}") +
         s""","samples":$samples}""") finally w.close()
     } catch { case _: Throwable => () }
     spark.stop()
-    // print LAST, after Spark shutdown, so no log line lands below it
-    println(jsonLine(shortIds))
+    // Print both renderings AFTER Spark shutdown so no log line lands
+    // below them. The driver tail-captures exactly 2,000 characters of
+    // stdout (BENCH_r01..r09 all carry tail_len=2000 and parsed:null)
+    // and sbt appends a ~78-byte "[success]" line below, so a full
+    // 260-entry map — at the theoretical minimum `"xxx":v,` rendering
+    // already ≥ 2,081 bytes — can NEVER parse from the tail. Keep the
+    // full-registry line (same shape and numbers as every prior round,
+    // printed first; bench_out.json carries the full-name copy), then
+    // print LAST a compact line with the SAME schema whose `queries`
+    // map holds the most expensive entries that fit the capture plus a
+    // "_rest" rollup of the remainder (ADDING an entry is allowed by
+    // the bench contract; nothing is removed from the full line).
+    // BenchFormatSpec pins the compact length under the capture.
+    println(fullLine(shortIds, sfDir))
+    println(compactLine(shortIds, sfDir))
+  }
+
+  private def f3(v: Double): String = "%.3f".format(v)
+
+  /** The full one-line JSON (every entry, 3-decimal seconds) — the
+    * shape every round has printed; ~3.6 KB at 260 entries. */
+  def fullLine(entries: Seq[(String, Double)], sfDir: String): String = {
+    val qs = entries.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${f3(entries.map(_._2).sum)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+  }
+
+  /** Driver-parseable rendering: identical schema, `queries` limited to
+    * the most expensive entries that keep the whole line under
+    * `budget` bytes, with a "_rest" entry rolling up the remainder so
+    * the map still sums to `value`. Deterministic: entries sorted by
+    * (-seconds, name). 1,800 bytes default = the driver's measured
+    * 2,000-char tail capture minus sbt's trailer line with margin. */
+  def compactLine(entries: Seq[(String, Double)], sfDir: String,
+                  budget: Int = 1800): String = {
+    val head =
+      s"""{"metric":"total","value":${f3(entries.map(_._2).sum)},"unit":"sec","queries":{"""
+    val tail = s"""},"sf":"$sfDir"}"""
+    val restReserve = ",\"_rest\":99999.999".length
+    val sorted = entries.sortBy { case (n, v) => (-v, n) }
+    val sb = new StringBuilder(head)
+    var used = head.length + tail.length + restReserve
+    var taken = 0
+    var rest = 0.0
+    sorted.foreach { case (k, v) =>
+      val piece = (if (taken == 0) "" else ",") + "\"" + k + "\":" + f3(v)
+      if (used + piece.length <= budget) {
+        sb.append(piece); used += piece.length; taken += 1
+      } else rest += v
+    }
+    if (taken < sorted.size)
+      sb.append((if (taken == 0) "" else ",") + "\"_rest\":" + f3(rest))
+    sb.append(tail)
+    sb.toString
   }
 
   private def rmrf(f: java.io.File): Unit = {

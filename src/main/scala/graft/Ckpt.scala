@@ -46,8 +46,22 @@ object Ckpt {
     * driver code calls them sequentially) instead of paying two full
     * job barriers back to back. */
   def cutPar(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
-    val fb = java.util.concurrent.CompletableFuture.supplyAsync(() => cut(b))
-    val ca = cut(a)
+    // a FRESH thread, not the ForkJoin common pool: Spark local
+    // properties (job groups, round markers, scheduler pool) are
+    // inherited at thread CREATION, so a reused pool thread can launch
+    // the b-side job with stale or missing properties. The b-side is
+    // always joined — even when cut(a) throws — so a failed a-side
+    // cannot leak a still-running b-side job past this call.
+    val fb = new java.util.concurrent.CompletableFuture[DataFrame]()
+    val t = new Thread(() => {
+      try fb.complete(cut(b)): Unit
+      catch { case e: Throwable => fb.completeExceptionally(e): Unit }
+    }, "graft-ckpt-par")
+    t.setDaemon(true)
+    t.start()
+    val ca =
+      try cut(a)
+      finally try { fb.join(): Unit } catch { case _: Throwable => () }
     (ca, fb.join())
   }
 }

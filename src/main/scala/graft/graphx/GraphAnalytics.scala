@@ -712,7 +712,7 @@ object GraphAnalytics {
     val deg = pairs.select(col("p1").as("v"))
       .unionAll(pairs.select(col("p2").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
-    val dpp = pairs
+    val dppWide = pairs
       .join(deg.select(col("v").as("p1"), col("d").as("d1")), "p1")
       .join(deg.select(col("v").as("p2"), col("d").as("d2")), "p2")
       .select(
@@ -723,7 +723,6 @@ object GraphAnalytics {
             struct(col("p2").as("s"), col("p1").as("t"), col("d1").as("dt")))
           .as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
-      .transform(graft.Ckpt.cut)
     // the wedge stream (Σ out-deg² rows — 41M at sf0.1) must NOT hit an
     // exchange: broadcasting the closing-edge side keeps the whole
     // wedge → semi-probe pipeline inside one codegen stage. The edge
@@ -746,20 +745,43 @@ object GraphAnalytics {
         coalesce(least(min("p1"), min("p2")), lit(0L)).as("mn"))
       .first()
     val (maxId, minId) = (bounds.getLong(0), bounds.getLong(1))
-    val wedges = dpp.select(col("s"), col("t").as("b"), col("dt").as("db"))
-      .join(dpp.select(col("s"), col("t").as("c"), col("dt").as("dc")), "s")
-      .where(col("db") < col("dc") ||
-        (col("db") === col("dc") && col("b") < col("c")))
-    val tri = (if (minId >= 0L && maxId < (1L << 31)) {
-      wedges
-        .withColumn("bc", shiftleft(col("b"), 32).bitwiseOR(col("c")))
+    val tri = if (minId >= 0L && maxId < (1L << 31)) {
+      // packed-NEIGHBOR key nk = dt<<32 | t (r10, guide §2.3 narrower
+      // types): ids fit unsigned 31 bits, so a vertex's degree fits 31
+      // bits too (≤ |V|−1 < 2³¹) and (dt, t) packs losslessly into one
+      // non-negative long whose numeric order IS the (degree, id)
+      // orientation order. The checkpointed directed edge list narrows
+      // from (s, t, dt) to (s, nk) — one-third fewer bytes through the
+      // wedge self-join's exchanges — and the wedge ordering filter
+      // collapses from a 3-comparison boolean tree to ONE long compare.
+      // The closing probe stays the single-long LongHashedRelation
+      // broadcast semi-join (measured ~1.3× over the two-key form in
+      // r8); b/c ids unpack with a mask at the output edge only.
+      val mask = lit(0xffffffffL)
+      val dpp = dppWide
+        .select(col("s"), shiftleft(col("dt"), 32).bitwiseOR(col("t")).as("nk"))
+        .transform(graft.Ckpt.cut)
+      dpp.select(col("s"), col("nk").as("kb"))
+        .join(dpp.select(col("s"), col("nk").as("kc")), "s")
+        .where(col("kb") < col("kc"))
+        .withColumn("bc", shiftleft(col("kb").bitwiseAND(mask), 32)
+          .bitwiseOR(col("kc").bitwiseAND(mask)))
         .join(broadcast(dpp.select(
-            shiftleft(col("s"), 32).bitwiseOR(col("t")).as("bc"))),
+            shiftleft(col("s"), 32).bitwiseOR(col("nk").bitwiseAND(mask))
+              .as("bc"))),
           Seq("bc"), "left_semi")
+        .select(col("s").as("a"), col("kb").bitwiseAND(mask).as("b"),
+          col("kc").bitwiseAND(mask).as("c"))
     } else {
-      wedges.join(broadcast(dpp.select(col("s").as("b"), col("t").as("c"))),
-        Seq("b", "c"), "left_semi")
-    }).select(col("s").as("a"), col("b"), col("c"))
+      val dpp = dppWide.transform(graft.Ckpt.cut)
+      dpp.select(col("s"), col("t").as("b"), col("dt").as("db"))
+        .join(dpp.select(col("s"), col("t").as("c"), col("dt").as("dc")), "s")
+        .where(col("db") < col("dc") ||
+          (col("db") === col("dc") && col("b") < col("c")))
+        .join(broadcast(dpp.select(col("s").as("b"), col("t").as("c"))),
+          Seq("b", "c"), "left_semi")
+        .select(col("s").as("a"), col("b"), col("c"))
+    }
     tri
   }
 
@@ -905,9 +927,16 @@ object GraphAnalytics {
         val remArr = removed.collect().map(_.getLong(0))
         java.util.Arrays.sort(remArr)
         val remB = sc0.broadcast(remArr)
-        val hitU = udf((e: Long) =>
-          java.util.Arrays.binarySearch(remB.value, e) >= 0)
-        val hit = hitU(col("e1")) || hitU(col("e2")) || hitU(col("e3"))
+        // codegen-native probe (graft.functions.SortedLongsContain):
+        // a Scala UDF here forced per-row ser/de through ScalaUDF in
+        // the hottest stage of the registry; the expression keeps the
+        // tagging pass inside whole-stage codegen (no UDF node in the
+        // x18 plan) while running the identical binarySearch
+        import org.apache.spark.sql.GraftInternals
+        def hitC(c: Column): Column = GraftInternals.column(
+          graft.functions.SortedLongsContain(
+            GraftInternals.expression(c), remB))
+        val hit = hitC(col("e1")) || hitC(col("e2")) || hitC(col("e3"))
         val tagged = tris.withColumn("dead", hit)
           .transform(graft.Ckpt.cut) // feeds survivors AND the delta
         tris = tagged.where(!col("dead"))
@@ -917,9 +946,15 @@ object GraphAnalytics {
           .groupBy("ek").agg(count(lit(1)).as("dd"))
         // delta is bounded by 3·(k−2)·|removed| (a removed edge sat in
         // fewer than k−2 surviving triangles; each dying triangle
-        // charges 3 edges) — within the broadcast guard by the arm's
-        // own removedCnt condition
-        st = kept.join(broadcast(delta), Seq("ek"), "left")
+        // charges 3 edges) — NOT by |removed| alone, so the broadcast
+        // hint carries the same 3·(k−2)·removedCnt guard as the join
+        // arm's `dlt`: a large-k heavy round falls back to a shuffle
+        // join instead of a driver-OOM broadcast
+        val dlt0 =
+          if (3L * math.max(k - 2, 1) * removedCnt <= 4000000L)
+            broadcast(delta)
+          else delta
+        st = kept.join(dlt0, Seq("ek"), "left")
           .select(col("p1"), col("p2"), col("ek"),
             (col("sup") - coalesce(col("dd"), lit(0L))).as("sup"))
           .transform(graft.Ckpt.cut)

@@ -928,8 +928,20 @@ object GraphXQueries {
           .join(cp.select(col("o_custkey"), col("l_partkey").as("p2")),
             Seq("o_custkey"))
           .where(col("p1") < col("p2"))
-        wedges.groupBy("p1", "p2").agg(count(lit(1)).as("w"))
-          .agg(sum("w").as("n_wedges"),
+        // the (p1, p2) pair is ONLY an aggregation key — never output —
+        // so when part ids fit unsigned 31 bits it packs into one long
+        // (guide §2.3): the wedge-count exchange, the registry's
+        // biggest here (~13 M wedge rows), carries an 8-byte key
+        // instead of 16. Ids past 2³¹ (or negative) keep the two-key
+        // aggregate — same rows either way, the final agg reads only w.
+        val pb = cp.agg(
+            coalesce(max("l_partkey"), lit(0L)).as("mx"),
+            coalesce(min("l_partkey"), lit(0L)).as("mn")).first()
+        val wc = if (pb.getLong(1) >= 0L && pb.getLong(0) < (1L << 31))
+          wedges.select(shiftleft(col("p1"), 32).bitwiseOR(col("p2")).as("pk"))
+            .groupBy("pk").agg(count(lit(1)).as("w"))
+        else wedges.groupBy("p1", "p2").agg(count(lit(1)).as("w"))
+        wc.agg(sum("w").as("n_wedges"),
             sum(expr("w * (w - 1) div 2")).as("n_butterflies"),
             count(lit(1)).as("n_pairs"))
       },
@@ -1087,23 +1099,52 @@ object GraphXQueries {
           .unionAll(pairs.select(col("p2").as("u"), col("p1").as("v")))
         val samp = e.select(col("u")).distinct()
           .where(col("u") % 97 === 0).select(col("u").as("root"))
-        val h1 = e.join(samp.withColumnRenamed("root", "u")
-            .withColumn("root", col("u")), "u")
-          .select(col("root"), col("v").as("n")).distinct()
-          .localCheckpoint() // feeds ball1, the hop-2 join, and ball2
-        val h2 = h1.select(col("root"), col("n").as("u"))
-          .join(e, "u")
-          .select(col("root"), col("v").as("n")).distinct()
-        // h1 is distinct and self-loop-free → ball1 = |h1| + 1 (self),
-        // no union/distinct pass; the root re-enters at hop 2 (any
-        // neighbor points back), so h1 ∪ h2 already contains self and
-        // ball2 is one distinct over the union — two shuffles saved vs
-        // the literal three-way union
-        val ball1 = h1.groupBy("root")
-          .agg((count(lit(1)) + 1).as("ball1_sz"))
-        val ball2 = h1.unionAll(h2)
-          .distinct().groupBy("root").agg(count(lit(1)).as("ball2_sz"))
-        ball1.join(ball2, "root").orderBy("root")
+        // (root, n) rows exist only to be deduped and counted per root
+        // — when ids fit unsigned 31 bits, pack the pair into ONE long
+        // (guide §2.3) so both ball distincts (the dominant shuffles:
+        // every hop-2 neighbor row crosses them) move 8-byte keys, and
+        // the group key unpacks with a shift at the aggregate. Wide-id
+        // graphs keep the two-column path — identical rows either way.
+        val pb = pairs.agg(
+            coalesce(greatest(max("p1"), max("p2")), lit(0L)).as("mx"),
+            coalesce(least(min("p1"), min("p2")), lit(0L)).as("mn")).first()
+        val packed = pb.getLong(1) >= 0L && pb.getLong(0) < (1L << 31)
+        val mask = lit(0xffffffffL)
+        if (packed) {
+          val h1 = e.join(samp.withColumnRenamed("root", "u")
+              .withColumn("root", col("u")), "u")
+            .select(shiftleft(col("root"), 32).bitwiseOR(col("v")).as("rk"))
+            .distinct()
+            .localCheckpoint() // feeds ball1, the hop-2 join, and ball2
+          val h2 = h1.select(col("rk").bitwiseAND(mask).as("u"),
+              shiftleft(shiftright(col("rk"), 32), 32).as("rhi"))
+            .join(e, "u")
+            .select(col("rhi").bitwiseOR(col("v")).as("rk"))
+          // h1 is distinct and self-loop-free → ball1 = |h1| + 1 (self),
+          // no union/distinct pass; the root re-enters at hop 2 (any
+          // neighbor points back), so h1 ∪ h2 already contains self and
+          // ball2 is one distinct over the union — two shuffles saved
+          // vs the literal three-way union
+          val ball1 = h1.groupBy(shiftright(col("rk"), 32).as("root"))
+            .agg((count(lit(1)) + 1).as("ball1_sz"))
+          val ball2 = h1.unionAll(h2).distinct()
+            .groupBy(shiftright(col("rk"), 32).as("root"))
+            .agg(count(lit(1)).as("ball2_sz"))
+          ball1.join(ball2, "root").orderBy("root")
+        } else {
+          val h1 = e.join(samp.withColumnRenamed("root", "u")
+              .withColumn("root", col("u")), "u")
+            .select(col("root"), col("v").as("n")).distinct()
+            .localCheckpoint() // feeds ball1, the hop-2 join, and ball2
+          val h2 = h1.select(col("root"), col("n").as("u"))
+            .join(e, "u")
+            .select(col("root"), col("v").as("n")).distinct()
+          val ball1 = h1.groupBy("root")
+            .agg((count(lit(1)) + 1).as("ball1_sz"))
+          val ball2 = h1.unionAll(h2)
+            .distinct().groupBy("root").agg(count(lit(1)).as("ball2_sz"))
+          ball1.join(ball2, "root").orderBy("root")
+        }
       },
       Some("""WITH pp AS (SELECT DISTINCT a.l_partkey AS p1,
              |    b.l_partkey AS p2

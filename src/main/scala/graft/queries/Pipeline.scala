@@ -2772,7 +2772,12 @@ object Pipeline {
         val docs3 = base.unionAll(batch1)
           .unionAll(batch1
             .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
-        val (hs, bands) = mirrorHsBandsOf(docs3)
+        // bands feeds EIGHT consumers below (index create, two probe
+        // self-joins per epoch, the fold's semi-join) — each would
+        // re-run the minhash+band derivation from the hs checkpoint;
+        // cut it once (r10)
+        val (hs, bands0) = mirrorHsBandsOf(docs3)
+        val bands = bands0.localCheckpoint()
         def verified(cand: DataFrame): DataFrame = cand
           .join(hs.select(col("doc_id").as("a_id"), col("hs").as("a_hs")),
             "a_id")
@@ -2975,19 +2980,23 @@ object Pipeline {
           docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
             .write.mode(mode).parquet(statPath)
         }
-        // epoch 0: base index
+        // epoch 0: base index. The postings aggregate feeds BOTH the
+        // bucketed-table write and the df sidecar — localCheckpoint it
+        // so the explode+groupBy over the full corpus runs once per
+        // epoch, not once per consumer (r10; same move as tokenized())
         val base = tokenized(Tables(s, d, "documents")
           .select("doc_id", "text"))
-        postings(base).write.mode("overwrite").bucketBy(16, "term")
+        val basePost = postings(base).localCheckpoint()
+        basePost.write.mode("overwrite").bucketBy(16, "term")
           .sortBy("term").format("parquet").saveAsTable(postT)
-        sidecars(postings(base), base, "overwrite")
+        sidecars(basePost, base, "overwrite")
         // epoch 1: the increment appends postings + partial sidecars
         val t = TextOps.tokens(col("text"))
         val batch = tokenized(Tables(s, d, "documents")
           .select((col("doc_id") + 1000000L).as("doc_id"),
             concat_ws(" ", slice(t, lit(1), greatest(size(t) - 3, lit(1))))
               .as("text")))
-        val bPost = postings(batch)
+        val bPost = postings(batch).localCheckpoint()
         bPost.write.mode("append").bucketBy(16, "term").sortBy("term")
           .format("parquet").saveAsTable(postT)
         sidecars(bPost, batch, "append")

@@ -441,14 +441,20 @@ class GraftMicroBatchStream(rootDir: String, schemaDdl: String)
       // story, not leak a raw NoSuchFileException out of manifest IO —
       // a restarted stream whose checkpoint predates the horizon has
       // no correct replay
+      // only the MISSING-manifest cases mean "vacuumed past the
+      // offset"; a corrupt manifest or IO failure must propagate
+      // unchanged — rebranding it would tell the operator to discard a
+      // checkpoint whose data may be intact
       def readGen(gg: Long): StoreGen =
         try StoreManifest.read(rootDir, gg)
         catch {
-          case e: Exception => throw new IllegalStateException(
-            s"graft stream offset expired: generation $gg of $rootDir " +
-              "is no longer present (history vacuumed past it); " +
-              "restart from a fresh checkpoint or retain more " +
-              "generations", e)
+          case e @ (_: java.nio.file.NoSuchFileException |
+                    _: java.io.FileNotFoundException) =>
+            throw new IllegalStateException(
+              s"graft stream offset expired: generation $gg of $rootDir " +
+                "is no longer present (history vacuumed past it); " +
+                "restart from a fresh checkpoint or retain more " +
+                "generations", e)
         }
       val cur = readGen(g)
       if (cur.kind != StoreManifest.KindAppend) Seq.empty

@@ -51,6 +51,26 @@ object GraftMaintenance {
         .map { f => f.delete(); s"data/${f.getName}" }
       drop.foreach(g =>
         new File(StoreManifest.genPath(root, g)).delete(): Unit)
+      // the grace window is an ASSERTED invariant ("no legitimate write
+      // runs for orphanGraceMs"), not an enforced one: an append that
+      // outlives it could have had its files swept above and then
+      // commit a manifest referencing them. Validate instead of trusting
+      // — re-list generations (a commit may have landed during the
+      // sweep) and check every retained manifest's files still exist;
+      // a miss fails LOUDLY here, at the maintenance call, instead of
+      // surfacing later as a silent unreadable table.
+      val retained = StoreManifest.generations(root)
+      val missing = retained.flatMap { g =>
+        StoreManifest.read(root, g).files.filterNot(f =>
+          new File(s"$root/$f").exists()).map(f => s"gen $g: $f")
+      }
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          "graft expire: retained manifest references deleted data " +
+            "files (a write outlived the orphan grace window of " +
+            s"${orphanGraceMs} ms and raced the sweep) — restore from " +
+            "backup or re-append the lost batch: " +
+            missing.take(10).mkString("; "))
       (drop, deleted)
     }
 }
