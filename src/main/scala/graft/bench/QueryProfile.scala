@@ -42,6 +42,12 @@ object QueryProfile {
     val taskMs = new AtomicLong(0L)
     val shufW = new AtomicLong(0L)
     val shufR = new AtomicLong(0L)
+    // optional per-stage detail (SPARK_GRAFT_STAGES=1): the
+    // AQE-coalescing hunt needs (tasks, task_s) per stage, not totals —
+    // a 3-task stage with 8 task_s is a serialized barrier
+    val stageDetail = sys.env.get("SPARK_GRAFT_STAGES").contains("1")
+    val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, String, Int, Long, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         jobs.incrementAndGet(): Unit
@@ -53,12 +59,15 @@ object QueryProfile {
           taskMs.addAndGet(m.executorRunTime)
           shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          if (stageDetail) stageRows.add((e.stageInfo.stageId,
+            e.stageInfo.name.take(80), e.stageInfo.numTasks,
+            m.executorRunTime, m.shuffleWriteMetrics.bytesWritten))
         }
       }
     })
     def reset(): Unit = {
       jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0)
-      shufW.set(0); shufR.set(0)
+      shufW.set(0); shufR.set(0); stageRows.clear()
     }
     def clean(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
@@ -85,6 +94,14 @@ object QueryProfile {
         println(f"$n%-28s $run%-5s $wall%7.2f ${jobs.get}%5d " +
           f"${stages.get}%7d ${tasks.get}%6d ${taskMs.get / 1e3}%7.1f " +
           f"${shufW.get / 1e6}%9.1f ${shufR.get / 1e6}%9.1f")
+        if (stageDetail && run == "warm") {
+          import scala.jdk.CollectionConverters._
+          stageRows.asScala.toSeq.sortBy(-_._4).take(12).foreach {
+            case (sid, name, nt, ms, w) =>
+              println(f"    s$sid%-5d $nt%4d tasks ${ms / 1e3}%7.1f task_s " +
+                f"${w / 1e6}%7.1f MB  $name")
+          }
+        }
         clean()
       }
     }

@@ -20,7 +20,11 @@ object TrussProfile {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // same tmpfs scratch as Bench/Verify — /tmp is the stochastically
+    // stalling device; shuffle there skews per-task numbers
+    val localDir = sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark")
     val spark = SparkSession.builder()
+      .config("spark.local.dir", localDir)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -34,6 +38,8 @@ object TrussProfile {
                    var shufRead: Long = 0L)
     val byRound = mutable.LinkedHashMap.empty[String, Agg]
     val stageRound = mutable.Map.empty[Int, String]
+    // per-stage detail: (round, stageId, name, tasks, taskMs, shufW)
+    val stageRows = mutable.ArrayBuffer.empty[(String, Int, String, Int, Long, Long)]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val r = Option(e.properties)
@@ -55,6 +61,9 @@ object TrussProfile {
           a.shufWrite += m.shuffleWriteMetrics.bytesWritten
           a.shufRead += m.shuffleReadMetrics.totalBytesRead
         }
+        if (m != null) stageRows += ((r, e.stageInfo.stageId,
+          e.stageInfo.name.take(90), e.stageInfo.numTasks,
+          m.executorRunTime, m.shuffleWriteMetrics.bytesWritten))
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -69,6 +78,12 @@ object TrussProfile {
     byRound.toSeq.sortBy(_._1).foreach { case (r, a) =>
       println(f"$r%-8s ${a.jobs}%5d ${a.stages}%7d ${a.tasks}%6d " +
         f"${a.shufWrite / 1e6}%9.1f ${a.shufRead / 1e6}%9.1f")
+    }
+    println("\ntop stages by task time:")
+    stageRows.sortBy(-_._5).take(18).foreach {
+      case (r, sid, name, tasks, ms, w) =>
+        println(f"  [$r%-5s] s$sid%-4d $tasks%4d tasks ${ms / 1e3}%7.1f " +
+          f"task_s ${w / 1e6}%7.1f MB  $name")
     }
     spark.stop()
   }

@@ -279,6 +279,8 @@ object Curation {
           col("v").as("av"))
         val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
           col("v").as("bv"))
+        // NOT salted (r10): small corpus — the salted join's replication
+        // and task floor measured slower here (A/B warm 0.67 → 1.04 s)
         a.join(b, "cell")
           .where(col("a_id") < col("b_id"))
           .where(sim6(col("av"), col("bv")) > 0.95)

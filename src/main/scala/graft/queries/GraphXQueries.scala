@@ -1111,9 +1111,14 @@ object GraphXQueries {
         val packed = pb.getLong(1) >= 0L && pb.getLong(0) < (1L << 31)
         val mask = lit(0xffffffffL)
         if (packed) {
+          // pin both distinct exchanges (r10): at sf0.1 AQE coalesces
+          // the ~29 MB ball-2 dedup to 1-2 tasks (bytes-sized), making
+          // the dominant distinct near-serial; the pin keeps it at the
+          // session's shuffle width (the coPurchasePairs discipline)
           val h1 = e.join(samp.withColumnRenamed("root", "u")
               .withColumn("root", col("u")), "u")
             .select(shiftleft(col("root"), 32).bitwiseOR(col("v")).as("rk"))
+            .transform(graft.Part.pin(col("rk")))
             .distinct()
             .localCheckpoint() // feeds ball1, the hop-2 join, and ball2
           val h2 = h1.select(col("rk").bitwiseAND(mask).as("u"),
@@ -1127,14 +1132,16 @@ object GraphXQueries {
           // vs the literal three-way union
           val ball1 = h1.groupBy(shiftright(col("rk"), 32).as("root"))
             .agg((count(lit(1)) + 1).as("ball1_sz"))
-          val ball2 = h1.unionAll(h2).distinct()
+          val ball2 = h1.unionAll(h2)
+            .transform(graft.Part.pin(col("rk"))).distinct()
             .groupBy(shiftright(col("rk"), 32).as("root"))
             .agg(count(lit(1)).as("ball2_sz"))
           ball1.join(ball2, "root").orderBy("root")
         } else {
           val h1 = e.join(samp.withColumnRenamed("root", "u")
               .withColumn("root", col("u")), "u")
-            .select(col("root"), col("v").as("n")).distinct()
+            .select(col("root"), col("v").as("n"))
+            .transform(graft.Part.pin(col("root"), col("n"))).distinct()
             .localCheckpoint() // feeds ball1, the hop-2 join, and ball2
           val h2 = h1.select(col("root"), col("n").as("u"))
             .join(e, "u")
@@ -1142,6 +1149,7 @@ object GraphXQueries {
           val ball1 = h1.groupBy("root")
             .agg((count(lit(1)) + 1).as("ball1_sz"))
           val ball2 = h1.unionAll(h2)
+            .transform(graft.Part.pin(col("root"), col("n")))
             .distinct().groupBy("root").agg(count(lit(1)).as("ball2_sz"))
           ball1.join(ball2, "root").orderBy("root")
         }
@@ -2105,7 +2113,18 @@ object GraphXQueries {
     * self-join. Shared by x04 and x05. */
   private def coPurchasePairs(s: org.apache.spark.sql.SparkSession,
                               d: String): org.apache.spark.sql.DataFrame =
+    // Both exchanges pinned (r10): TrussProfile showed AQE coalescing
+    // the groupBy and the distinct to 3-4 tasks (it sizes by BYTES —
+    // the per-order set build + in-row pair fanout and the pair dedup
+    // are per-row CPU over small rows), serializing ~2.6 s/task on the
+    // critical path of EVERY co-purchase consumer (x04/x18/x19/x21/
+    // x23…). Part.pin keeps the width at the session's shuffle
+    // parallelism — the same conf a cluster sizes — and groupBy/
+    // distinct reuse the pinned hash partitioning (same keys), so no
+    // exchange is added, one is un-coalesced.
     graft.Tables(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .transform(graft.Part.pin(col("l_orderkey")))
       .groupBy("l_orderkey")
       .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
       .select(explode(flatten(transform(col("ps"), (a, i) =>
@@ -2113,5 +2132,6 @@ object GraphXQueries {
           struct(a.as("p1"), b.as("p2")))))).as("e"))
       .select(col("e.p1").cast("long").as("p1"),
         col("e.p2").cast("long").as("p2"))
+      .transform(graft.Part.pin(col("p1"), col("p2")))
       .distinct()
 }

@@ -769,6 +769,10 @@ object Pipeline {
         val probes = nearest(e.where(col("vec_id") < 3), cents, 2)
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             col("c_id").as("cell"))
+        // NOT salted (r10): only 3 probe vectors — the salted join's
+        // ×width build replication and task floor measured SLOWER than
+        // the single-task pair scan (A/B warm 1.49 → 1.56 s); the salt
+        // stays where pair volume is corpus-sized (p83/s26)
         probes.join(assigned, "cell")
           .where(col("q_id") =!= col("vec_id"))
           .withColumn("cos_r", sim6(col("qv"), col("v")))
@@ -1239,6 +1243,11 @@ object Pipeline {
         val P = 1000000007L
         def polyH(g: Column): Column = TextOps.polyHash(g) // native codegen fold
         val occ = docsWithTwins(s, d)
+          // token barrier (p16 rule, added r10): without it the
+          // explode + poly fold + 60-way bit sums all run at the
+          // 1-2-task parquet scan width (profiled: the whole signature
+          // pass on ONE task)
+          .transform(graft.Part.pin(col("doc_id")))
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
           .select(col("doc_id"), polyH(col("tok")).as("h"))
           .select(col("doc_id"),
@@ -3376,6 +3385,9 @@ object Pipeline {
       (s, d) => {
         val e = semDedupInput(s, d)
         val (assigned, _) = ivfAssign(e, 8)
+        // NOT salted (r10): this corpus is small enough that the salted
+        // self-join's replication overhead measured slower (A/B warm
+        // 1.73 → 1.92 s); see Part.saltedJoin scaladoc for where it wins
         val drops = assigned.select(col("cell"), col("vec_id").as("a_id"),
             col("v").as("av"))
           .join(assigned.select(col("cell"), col("vec_id").as("b_id"),
@@ -4455,7 +4467,10 @@ $next AS (SELECT w, freq, CASE WHEN len(syms) <= 1 THEN syms ELSE
     val probes = ivfNearest(e, cents, nprobe)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("c_id").as("cell"))
-    probes.join(assigned, "cell")
+    // salted (r10): 8 cells hash to ≤8 partitions and AQE coalesces
+    // the tiny exchange to ONE task, serializing ~1 M cosine evals
+    // (p83 measured 15 single-task stages end to end)
+    graft.Part.saltedJoin(probes, assigned, "cell", col("q_id"))
       .where(col("q_id") =!= col("vec_id"))
       .withColumn("cos_r", ivfSim6(col("qv"), col("v")))
   }
@@ -4569,6 +4584,10 @@ $next AS (SELECT w, freq, CASE WHEN len(syms) <= 1 THEN syms ELSE
     // self-join: only shingles in 2..cap docs can emit, and each emits
     // at most C(cap,2) pairs. shared(a,b) = how many buckets emit the
     // pair = |A∩B| exactly.
+    // NOT pinned (r10): AQE runs this ~27 MB exchange at 5 tasks, but
+    // pinning it to the session width measured SLOWER end to end (A/B
+    // warm 4.00 → 4.54 s; the pair fanout's per-task fixed cost
+    // outweighs the extra width) — the 5-task stage is not the wall
     val shared = kept.groupBy("h")
       .agg(collect_list(col("doc_id")).as("ds"))
       .where(size(col("ds")) >= 2)

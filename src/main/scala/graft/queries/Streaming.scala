@@ -1414,7 +1414,10 @@ object Streaming {
               val probes = Pipeline.ivfNearest(batch, cents, 2)
                 .select(col("vec_id").as("q_id"), col("v").as("qv"),
                   col("c_id").as("cell"))
-              probes.join(assigned, "cell")
+              // salted (r10): the 8-cell join coalesces to one task per
+              // batch and serializes ~330k cosine evals (Part.saltedJoin
+              // scaladoc; same fix as the batch knn/semdedup arms)
+              graft.Part.saltedJoin(probes, assigned, "cell", col("q_id"))
                 .where(col("q_id") =!= col("vec_id"))
                 .withColumn("cos_r", Pipeline.ivfSim6(col("qv"), col("v")))
                 .withColumn("rank", row_number().over(
