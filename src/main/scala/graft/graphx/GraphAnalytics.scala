@@ -885,9 +885,17 @@ object GraphAnalytics {
     val sup0 = tris
       .select(explode(array(col("e1"), col("e2"), col("e3"))).as("ek"))
       .groupBy("ek").agg(count(lit(1)).as("sup"))
+    // |sup0| ≤ |edges| (one row per edge in ≥1 triangle), so under the
+    // same 4 M bound the other truss broadcasts use, attaching support
+    // broadcast-side skips the SMJ that shuffled BOTH the edge list and
+    // sup0 (~40 MB of the setup's shuffle at sf0.1, r10); the count is
+    // one cheap job over the checkpointed edge blocks. Above the bound
+    // the shuffle join remains the scale path.
+    val sup0B =
+      if (packable && edges.count() <= 4000000L) broadcast(sup0) else sup0
     var st = edges.select(col("p1"), col("p2"),
         pk(col("p1"), col("p2")).as("ek"))
-      .join(sup0, Seq("ek"), "left")
+      .join(sup0B, Seq("ek"), "left")
       .na.fill(0L, Seq("sup"))
       .transform(graft.Ckpt.cut)
     val sc0 = pairs0.sparkSession.sparkContext
