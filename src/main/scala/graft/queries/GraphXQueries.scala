@@ -928,19 +928,14 @@ object GraphXQueries {
           .join(cp.select(col("o_custkey"), col("l_partkey").as("p2")),
             Seq("o_custkey"))
           .where(col("p1") < col("p2"))
-        // the (p1, p2) pair is ONLY an aggregation key — never output —
-        // so when part ids fit unsigned 31 bits it packs into one long
-        // (guide §2.3): the wedge-count exchange, the registry's
-        // biggest here (~13 M wedge rows), carries an 8-byte key
-        // instead of 16. Ids past 2³¹ (or negative) keep the two-key
-        // aggregate — same rows either way, the final agg reads only w.
-        val pb = cp.agg(
-            coalesce(max("l_partkey"), lit(0L)).as("mx"),
-            coalesce(min("l_partkey"), lit(0L)).as("mn")).first()
-        val wc = if (pb.getLong(1) >= 0L && pb.getLong(0) < (1L << 31))
-          wedges.select(shiftleft(col("p1"), 32).bitwiseOR(col("p2")).as("pk"))
-            .groupBy("pk").agg(count(lit(1)).as("w"))
-        else wedges.groupBy("p1", "p2").agg(count(lit(1)).as("w"))
+        // packed-single-long aggregation key examined and REVERTED
+        // (r10): it cut the wedge-count exchange ~11% in bytes but
+        // bought no wall anywhere (interleaved ONLY-mode pairs read
+        // parity) and two full-bench sessions read it +0.7 s
+        // in-session; the partial aggregate over mostly-unique pairs
+        // is compute-bound, not byte-bound, and the id-bounds probe
+        // cost an extra job per run
+        val wc = wedges.groupBy("p1", "p2").agg(count(lit(1)).as("w"))
         wc.agg(sum("w").as("n_wedges"),
             sum(expr("w * (w - 1) div 2")).as("n_butterflies"),
             count(lit(1)).as("n_pairs"))
