@@ -910,10 +910,19 @@ object GraphAnalytics {
       // what one round peels is usually small mid-peel, and an explicit
       // broadcast beats the planner's no-stats SMJ default for the 6
       // probe joins — but round 1 on a sparse graph can shed a large
-      // fraction of the edge set, so the hint is ADAPTIVE: counting the
-      // (already-checkpointed) filter is one cheap job, and past the
-      // threshold the joins fall back to shuffles AQE can still replan
-      val removedCnt = removed.count()
+      // fraction of the edge set, so the hint is ADAPTIVE: past the
+      // threshold the joins fall back to shuffles AQE can still replan.
+      // When packable, the count and the removed-set collect FUSE into
+      // one bounded collect (limit 4M+1 caps the driver at the same
+      // 32 MB the arm always held): one driver job per round instead
+      // of two; an overflow (> 4M) reports the bound, which routes to
+      // the join arm exactly as the exact count would (its own hints
+      // only test ≤ thresholds that 4M+1 already fails).
+      val remArr0: Array[Long] =
+        if (packable) removed.limit(4000001).collect().map(_.getLong(0))
+        else Array.emptyLongArray
+      val removedCnt =
+        if (packable) remArr0.length.toLong else removed.count()
       // CONVERGED: nothing peels this round, so no triangle dies, no
       // support changes, and every later round is the identity — skip
       // them. Semantics unchanged (the oracle's chained no-op CTEs
@@ -932,7 +941,7 @@ object GraphAnalytics {
         // binary search is the same primitive the broadcast
         // LongHashedRelation probe compiles to, without materializing
         // the exploded rows; identical dead set, identical delta.
-        val remArr = removed.collect().map(_.getLong(0))
+        val remArr = remArr0 // the fused bounded collect above
         java.util.Arrays.sort(remArr)
         val remB = sc0.broadcast(remArr)
         // codegen-native probe (graft.functions.SortedLongsContain):
